@@ -1,0 +1,125 @@
+"""Spatial ST_* functions over WKB columns, pandas-UDF backed.
+
+Mirrors the name surface the reference registers for its SQLite
+dialect (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp:1111-1240):
+ST_Contains / ST_Intersects / ST_Within / ST_Area / ST_AsText /
+ST_GeomFromText / ST_MakePoint / ST_X / ST_Y, re-expressed as
+Arrow-batched pandas UDFs wrapping the NumPy kernels — never
+per-row Python.
+
+Batch strategy: candidate rows arrive as (point, polygon-WKB) pairs;
+each batch is grouped by distinct polygon (few polygons, many points —
+the shape produced by the cell-prefilter join) and the PIP kernel runs
+vectorized per group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.kernels import wkb as W
+from gdal_spark.kernels.pip import points_in_polygon
+
+
+def _pip_batch(lon: pd.Series, lat: pd.Series, wkb: pd.Series, boundary: bool) -> pd.Series:
+    xs = lon.to_numpy(dtype=np.float64)
+    ys = lat.to_numpy(dtype=np.float64)
+    out = np.zeros(len(lon), dtype=bool)
+    if len(lon) == 0:
+        return pd.Series(out)
+    # group by identical polygon blob → one vectorized kernel call each
+    codes, uniques = pd.factorize(wkb)
+    for gi, blob in enumerate(uniques):
+        if blob is None:
+            continue
+        sel = codes == gi
+        for rings in W.polygon_rings(bytes(blob)):
+            hit = points_in_polygon(xs[sel], ys[sel], rings, include_boundary=boundary)
+            out[sel] |= hit
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_contains_point(poly_wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """OGC Contains for (polygon, point): interior only — a point on
+    the boundary is NOT contained."""
+    return _pip_batch(lon, lat, poly_wkb, boundary=False)
+
+
+@F.pandas_udf(T.BooleanType())
+def st_intersects_point(poly_wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Intersects for (polygon, point): boundary counts — the default
+    of the reference's two-phase spatial filter (ogrlayer.cpp:4004)."""
+    return _pip_batch(lon, lat, poly_wkb, boundary=True)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_area(poly_wkb: pd.Series) -> pd.Series:
+    """Shoelace area (exterior minus holes), WKB-direct — role of
+    OGRWKBPolygonGetArea (ogr/ogr_wkb.h:25)."""
+    out = np.zeros(len(poly_wkb))
+    for i, blob in enumerate(poly_wkb):
+        if blob is None:
+            out[i] = np.nan
+            continue
+        total = 0.0
+        for rings in W.polygon_rings(bytes(blob)):
+            for j, r in enumerate(rings):
+                a = 0.5 * float(
+                    np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+                )
+                total += abs(a) if j == 0 else -abs(a)
+        out[i] = total
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def st_envelope(wkb: pd.Series) -> pd.Series:
+    """[xmin, ymin, xmax, ymax] straight off the WKB
+    (OGRWKBGetBoundingBox, ogr/ogr_wkb.h:30)."""
+    return pd.Series(
+        [None if b is None else list(W.wkb_bbox(bytes(b))) for b in wkb]
+    )
+
+
+@F.pandas_udf(T.BinaryType())
+def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(list(W.points_wkb(lon.to_numpy(), lat.to_numpy())))
+
+
+@F.pandas_udf(T.StringType())
+def st_astext(wkb: pd.Series) -> pd.Series:
+    return pd.Series([None if b is None else W.wkb_to_wkt(bytes(b)) for b in wkb])
+
+
+@F.pandas_udf(T.BinaryType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    return pd.Series([None if s is None else W.wkt_to_wkb(s) for s in wkt])
+
+
+@F.pandas_udf(T.DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    xs, _ = W.points_from_wkb([bytes(b) for b in wkb])
+    return pd.Series(xs)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    _, ys = W.points_from_wkb([bytes(b) for b in wkb])
+    return pd.Series(ys)
+
+
+def register_st_functions(spark) -> None:
+    """Expose the ST_ surface to Spark SQL (spark.sql('... ST_Area(g) ...'))."""
+    spark.udf.register("ST_Contains_Point", st_contains_point)
+    spark.udf.register("ST_Intersects_Point", st_intersects_point)
+    spark.udf.register("ST_Area", st_area)
+    spark.udf.register("ST_Envelope", st_envelope)
+    spark.udf.register("ST_Point", st_point)
+    spark.udf.register("ST_AsText", st_astext)
+    spark.udf.register("ST_GeomFromText", st_geomfromtext)
+    spark.udf.register("ST_X", st_x)
+    spark.udf.register("ST_Y", st_y)

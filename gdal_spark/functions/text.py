@@ -1,0 +1,113 @@
+"""Web-text analysis functions as pure Spark Column expressions.
+
+Everything here stays JVM-side (built-in functions only → whole-stage
+codegen), deliberately avoiding Python UDFs: these run per-document on
+10^12-row tables, so the hot path must not cross the Python boundary.
+
+Each expression has a DuckDB-equivalent SQL twin in
+``gdal_spark.queries`` used for the oracle comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_RE = "[.,!?;:]"
+
+# Tiny deterministic stopword profiles for language scoring.  Not a
+# real lang-id model — a portable n-gram/stopword heuristic whose exact
+# semantics can be mirrored in ANSI SQL for the oracle.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "de", "y"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+}
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens, empties dropped (split keeps empties in both
+    Spark and DuckDB — filter them identically)."""
+    return F.filter(F.split(col, " "), lambda t: t != F.lit(""))
+
+
+def token_count(col) -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col) -> Column:
+    return F.length(col)
+
+
+def punct_ratio(col) -> Column:
+    n = F.length(col)
+    removed = F.length(F.regexp_replace(col, PUNCT_RE, ""))
+    return F.when(n > 0, (n - removed) / n).otherwise(F.lit(0.0))
+
+
+def whitespace_ratio(col) -> Column:
+    n = F.length(col)
+    removed = F.length(F.regexp_replace(col, " ", ""))
+    return F.when(n > 0, (n - removed) / n).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col) -> Column:
+    tc = token_count(col)
+    nonspace = F.length(F.regexp_replace(col, " ", ""))
+    return F.when(tc > 0, nonspace / tc).otherwise(F.lit(0.0))
+
+
+def stopword_count(col, words: list[str]) -> Column:
+    """Occurrences (not distinct) of marker words among tokens."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio(col, words: list[str]) -> Column:
+    tc = token_count(col)
+    return F.when(tc > 0, stopword_count(col, words) / tc).otherwise(F.lit(0.0))
+
+
+def quality_score(col) -> Column:
+    """Deterministic length/stopword/token-shape quality heuristic in
+    [0, 1]: the shape of a training-data quality filter (length band,
+    mean token length band, stopword presence)."""
+    tc = token_count(col).cast("double")
+    mtl = mean_token_len(col)
+    stop = stopword_ratio(col, LANG_MARKERS["en"])
+    len_ok = F.when((tc >= 5) & (tc <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(0.4 * len_ok + 0.3 * mtl_ok + 0.3 * F.least(stop * 5, F.lit(1.0)), 6)
+
+
+def lang_guess(col) -> Column:
+    """Stopword-vote language guess over the marker profiles; ties and
+    no-signal → 'und'.  Deterministic tie-break: highest count wins,
+    then alphabetical language code."""
+    scores = [
+        (lang, stopword_count(col, words)) for lang, words in sorted(LANG_MARKERS.items())
+    ]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    out = F.lit("und")
+    # alphabetical order + strict > when scanning right-to-left gives
+    # first-alphabetical-wins on ties
+    for lang, s in reversed(scores):
+        out = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col) -> Column:
+    """Document fingerprint: md5 of the lowercased, punctuation-stripped,
+    whitespace-normalized text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(col), PUNCT_RE, "")
+    norm = F.regexp_replace(norm, " +", " ")
+    return F.md5(F.trim(norm).cast("binary"))
+
+
+def token_hash32(tok) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5, as long.
+    Identical in DuckDB via CAST('0x' || substr(md5(t),1,8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")

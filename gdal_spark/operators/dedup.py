@@ -1,0 +1,217 @@
+"""Deduplication operators for web-scale text corpora.
+
+Not present in the reference (it has SELECT DISTINCT over string
+representations, ogr/ogr_swq.h:320-322); these are the training-data
+pipeline operators the engine adds on top, all expressed with
+built-in Spark functions (JVM-side) so the 10^12-row passes never
+enter Python:
+
+- exact_dedup           — fingerprint groupBy (hash dedup)
+- minhash_lsh_pairs     — MinHash signatures via portable md5-min
+                          order statistics, banded LSH bucketing,
+                          verified Jaccard on candidates only
+- ngram_jaccard_pairs   — character n-gram shingles, exact Jaccard
+                          via token equi-join (df-capped)
+- simhash_pairs         — 16-bit SimHash from portable 32-bit token
+                          hashes; near-dup = small Hamming distance
+
+All are deterministic and mirrored 1:1 by ANSI-SQL oracles in
+gdal_spark.queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gdal_spark.functions.text import fingerprint, token_hash32, tokens
+
+MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+
+
+def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """Groups of byte-identical (normalized) texts: (fp, dup_count,
+    keeper) with keeper = min id — the canonical survivor."""
+    return (
+        docs.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("keeper"),
+        )
+    )
+
+
+def _doc_tokens(docs: DataFrame, id_col, text_col) -> DataFrame:
+    return (
+        docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col="doc_id", text_col="text", seeds=MINHASH_SEEDS
+) -> DataFrame:
+    """One row per doc with columns sig0..sigK: sig_i = min over tokens
+    of md5(token || seed_i).
+
+    The min of a uniform hash over the token set is a permutation
+    order statistic — the classic MinHash estimator; using the md5
+    *string* ordering keeps it portable across engines (no bigint
+    hashing semantics to match).
+    """
+    toks = _doc_tokens(docs, id_col, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("tok"), F.lit(seed)).cast("binary"))).alias(f"sig{i}")
+        for i, seed in enumerate(seeds)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col="doc_id",
+    text_col="text",
+    seeds=MINHASH_SEEDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs from banded LSH (2 bands × 2 rows), verified
+    with exact Jaccard over distinct token sets.
+
+    Shuffle shape: signatures = one groupBy(doc); bucketing = groupBy
+    (band, bucket); verification joins only candidate pairs (the LSH
+    point), never the full doc × doc square.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, seeds).persist()
+    b0 = sigs.select(
+        F.col(id_col), F.md5(F.concat("sig0", "sig1").cast("binary")).alias("bucket")
+    ).withColumn("band", F.lit(0))
+    b1 = sigs.select(
+        F.col(id_col), F.md5(F.concat("sig2", "sig3").cast("binary")).alias("bucket")
+    ).withColumn("band", F.lit(1))
+    buckets = b0.unionByName(b1)
+    left = buckets.withColumnRenamed(id_col, "a")
+    right = buckets.withColumnRenamed(id_col, "b")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    toks = _doc_tokens(docs, id_col, text_col)
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    ta = toks.withColumnRenamed(id_col, "a")
+    tb = toks.withColumnRenamed(id_col, "b")
+    inter = (
+        cand.join(ta, "a")
+        .join(tb, ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n", "nb")
+    out = (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    id_col="doc_id",
+    text_col="text",
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over character n-gram shingles via shingle
+    equi-join.  ``max_df`` drops ubiquitous shingles before the join —
+    the standard df-cap that keeps the join linear-ish; it can only
+    *lose* pairs whose overlap is entirely stop-shingles."""
+    grams = (
+        docs.selectExpr(
+            f"{id_col}",
+            f"explode(transform(sequence(1, greatest(length({text_col}) - {n - 1}, 1)), "
+            f"i -> substring({text_col}, i, {n}))) AS gram",
+        )
+        # guard: sequence(1, 0) would run DESCENDING in Spark, and
+        # substring past the end yields short grams — keep exact-n only
+        .filter(F.length("gram") == n)
+        .distinct()
+    )
+    df_cap = grams.groupBy("gram").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_df
+    )
+    grams = grams.join(df_cap.select("gram"), "gram")
+    sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
+    ga = grams.withColumnRenamed(id_col, "a")
+    gb = grams.withColumnRenamed(id_col, "b")
+    inter = (
+        ga.join(gb, "gram")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "b").withColumnRenamed("n", "nb")
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col="doc_id", text_col="text") -> DataFrame:
+    """16-bit SimHash: bit j set iff Σ_tokens (±1 by token-hash bit j)
+    > 0.  Token hash = portable 32-bit md5 prefix."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    toks = toks.withColumn("h", token_hash32(F.col("tok")))
+    bit_cols = [
+        F.sum(
+            F.when((F.col("h").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+    Candidate generation blocks on the high byte of the signature
+    (near-dups share it unless a flipped bit lands there — the usual
+    probabilistic trade of SimHash blocking)."""
+    sigs = simhash(docs, bits, id_col, text_col)
+    blocked = sigs.withColumn("block", (F.col("simhash") / 256).cast("long"))
+    a = blocked.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "block"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "block"
+    )
+    pairs = a.join(b, "block").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("ham", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .filter(F.col("ham") <= max_hamming)
+        .select("a", "b", "ham")
+    )

@@ -1,0 +1,212 @@
+"""Distributed polygonize: tile table → vector features.
+
+Reference: GDALPolygonize two-pass scanline CCL + arc tracing
+(alg/polygonize.cpp:73-300) is inherently sequential over the whole
+raster.  The distributed decomposition:
+
+  1. per-tile CCL + region summaries + border runs  (applyInPandas —
+     embarrassingly parallel, the dominant cost)
+  2. border-run equi-join on shared tile edges: facing runs with equal
+     pixel value and overlapping extent ⇒ same global component
+  3. connected components over the (tile, local_label) graph.  The
+     label graph is O(border runs) — millions of nodes for billions of
+     pixels — so union-find on the collected edge list at the driver
+     is the right call (same judgment as the reference's merge map,
+     gdalrasterpolygonenumerator.cpp:75-167); a loop of DataFrame
+     self-joins would shuffle the full graph log(n) times to save a
+     driver step that takes milliseconds.
+  4. global region table = per-tile summaries re-keyed by root label
+     (one groupBy), optionally with dissolved geometry per region.
+
+Returns regions (root_label, dn, pixel_count, n_tiles).  Per-tile
+polygon geometry (rings incl. holes) is available from
+``extract_polygons`` for tiles that don't cross — the cross-tile
+geometry dissolve (arc stitching) is pixel-edge concatenation over the
+border runs and is kept per-tile here; zonal/count semantics are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.kernels.ccl import border_runs, label_tile, region_table
+
+REGION_SCHEMA = T.StructType(
+    [
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("local_label", T.IntegerType()),
+        T.StructField("dn", T.DoubleType()),
+        T.StructField("pixel_count", T.LongType()),
+    ]
+)
+
+BORDER_SCHEMA = T.StructType(
+    [
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("side", T.StringType()),
+        T.StructField("start", T.IntegerType()),
+        T.StructField("end", T.IntegerType()),
+        T.StructField("local_label", T.IntegerType()),
+        T.StructField("dn", T.DoubleType()),
+    ]
+)
+
+
+class _DSU:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, a):
+        p = self.p
+        p.setdefault(a, a)
+        root = a
+        while p[root] != root:
+            root = p[root]
+        while p[a] != root:
+            p[a], a = root, p[a]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _tile_ccl(tiles: DataFrame, nodata: float | None, connect8: bool, tile_size: int):
+    def per_tile(pdf_iter):
+        for pdf in pdf_iter:
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    tile_size, tile_size
+                )
+                mask = None if nodata is None else arr != nodata
+                labels = label_tile(arr, mask=mask, connect8=connect8)
+                regions = region_table(arr, labels)
+                for lab, dn, cnt, _, _ in regions:
+                    yield ("R", row["tx"], row["ty"], lab, float(dn), cnt, None, None, None)
+                for side, s, e, lab, dn in border_runs(arr, labels):
+                    yield ("B", row["tx"], row["ty"], lab, float(dn), None, side, s, e)
+
+    def gen(pdf_iter):
+        rows = list(per_tile(pdf_iter))
+        yield pd.DataFrame(
+            rows,
+            columns=["kind", "tx", "ty", "local_label", "dn", "pixel_count", "side", "start", "end"],
+        )
+
+    mixed_schema = T.StructType(
+        [
+            T.StructField("kind", T.StringType()),
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("local_label", T.IntegerType()),
+            T.StructField("dn", T.DoubleType()),
+            T.StructField("pixel_count", T.LongType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+    return tiles.mapInPandas(gen, mixed_schema)
+
+
+def polygonize_tiles(
+    tiles: DataFrame,
+    nodata: float | None = None,
+    connect8: bool = False,
+    tile_size: int = 256,
+) -> DataFrame:
+    """Tile table → global region table (region_id, dn, pixel_count,
+    n_tiles) with exact cross-tile merging."""
+    spark = tiles.sparkSession
+    mixed = _tile_ccl(tiles, nodata, connect8, tile_size).persist()
+    regions = mixed.filter(F.col("kind") == "R").drop("kind", "side", "start", "end")
+    borders = (
+        mixed.filter(F.col("kind") == "B")
+        .drop("kind", "pixel_count")
+    )
+
+    # Facing-run join: my E edge joins the (tx+1) tile's W edge, my S
+    # joins (ty+1)'s N; equal dn + overlapping [start, end) ⇒ merge.
+    # (Range-overlap equi-join on the shared edge; the candidate set is
+    # border runs only, a ~1/tile_size fraction of the data.)
+    b = borders
+    right = (
+        b.withColumnRenamed("tx", "rtx")
+        .withColumnRenamed("ty", "rty")
+        .withColumnRenamed("local_label", "rlabel")
+        .withColumnRenamed("side", "rside")
+        .withColumnRenamed("start", "rstart")
+        .withColumnRenamed("end", "rend")
+        .withColumnRenamed("dn", "rdn")
+    )
+    east = b.filter(F.col("side") == "E").join(
+        right.filter(F.col("rside") == "W"),
+        (F.col("rtx") == F.col("tx") + 1)
+        & (F.col("rty") == F.col("ty"))
+        & (F.col("rdn") == F.col("dn"))
+        & (F.col("rstart") < F.col("end"))
+        & (F.col("rend") > F.col("start")),
+    )
+    south = b.filter(F.col("side") == "S").join(
+        right.filter(F.col("rside") == "N"),
+        (F.col("rtx") == F.col("tx"))
+        & (F.col("rty") == F.col("ty") + 1)
+        & (F.col("rdn") == F.col("dn"))
+        & (F.col("rstart") < F.col("end"))
+        & (F.col("rend") > F.col("start")),
+    )
+    edges = east.unionByName(south).select(
+        "tx", "ty", "local_label", "rtx", "rty", "rlabel"
+    )
+
+    # Union-find at the driver over the (small) label graph.
+    edge_rows = edges.collect()
+    dsu = _DSU()
+    for r in edge_rows:
+        a = (r["tx"], r["ty"], r["local_label"])
+        bkey = (r["rtx"], r["rty"], r["rlabel"])
+        dsu.union(a, bkey)
+    mapping = [
+        (int(a[0]), int(a[1]), int(a[2]), int(root[0]), int(root[1]), int(root[2]))
+        for a in list(dsu.p)
+        for root in [dsu.find(a)]
+    ]
+    map_schema = "tx long, ty long, local_label int, root_tx long, root_ty long, root_label int"
+    map_df = spark.createDataFrame(mapping, map_schema) if mapping else None
+
+    keyed = regions
+    if map_df is not None:
+        keyed = regions.join(
+            F.broadcast(map_df), ["tx", "ty", "local_label"], "left"
+        )
+    else:
+        keyed = regions.withColumn("root_tx", F.lit(None).cast("long")).withColumn(
+            "root_ty", F.lit(None).cast("long")
+        ).withColumn("root_label", F.lit(None).cast("int"))
+    keyed = (
+        keyed.withColumn("root_tx", F.coalesce("root_tx", "tx"))
+        .withColumn("root_ty", F.coalesce("root_ty", "ty"))
+        .withColumn("root_label", F.coalesce("root_label", "local_label"))
+    )
+    out = (
+        keyed.groupBy("root_tx", "root_ty", "root_label", "dn")
+        .agg(
+            F.sum("pixel_count").alias("pixel_count"),
+            F.count("*").alias("n_tiles"),
+        )
+        .withColumn(
+            "region_id",
+            F.concat_ws("_", "root_tx", "root_ty", "root_label").alias("region_id"),
+        )
+        .select("region_id", "dn", "pixel_count", "n_tiles")
+    )
+    # `mixed` stays persisted: the border-edge collect already
+    # materialized it, and the returned (lazy) region table reuses it.
+    return out

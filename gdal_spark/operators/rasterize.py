@@ -1,0 +1,225 @@
+"""Distributed rasterize: vector → tile table.
+
+Reference semantics: GDALRasterizeGeometries/Layers burns shapes into
+a chunked raster buffer (alg/gdalrasterize.cpp:999-1220); chunk =
+CHUNKYSIZE scanlines bounded by cache.  The Spark physical plan makes
+the chunk the unit of parallelism: one task burns one (z, tx, ty)
+tile, features are exploded onto every tile their bbox covers (no
+cross-task halo needed — burning is local to a tile), and the tile
+table is partitioned by zoom so a 1000-executor cluster writes the
+pyramid level in one wave.
+
+Tile table schema (the Spark mapping of GDALRasterBand blocks,
+gcore/gdal_rasterband.h:149-150):
+  z int, tx long, ty long, band int, data binary (row-major ndarray),
+  dtype string, nodata double
+
+Two entry points:
+- ``rasterize_points``  — value/count burn of a point DataFrame
+  (the web-density tile case: groupBy tile is an exact shuffle on the
+  tile key with map-side combine via the in-kernel bincount)
+- ``rasterize_features`` — polygon/line burn via applyInPandas per
+  tile with the exact scanline/Bresenham kernels
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.kernels import wkb as W
+from gdal_spark.kernels.burn import (
+    burn_all_touched_line,
+    burn_line,
+    burn_points,
+    burn_polygon,
+    world_to_pixel,
+)
+from gdal_spark.kernels.geodesy import TILE_SIZE, lonlat_to_webmerc, tile_geotransform, tile_of_webmerc
+
+TILE_SCHEMA = T.StructType(
+    [
+        T.StructField("z", T.IntegerType()),
+        T.StructField("tx", T.LongType()),
+        T.StructField("ty", T.LongType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("dtype", T.StringType()),
+        T.StructField("nodata", T.DoubleType()),
+    ]
+)
+
+
+def with_tile(points: DataFrame, z: int, lon="lon", lat="lat") -> DataFrame:
+    """Attach WebMercator (tx, ty) at zoom z (vectorized kernel)."""
+
+    @F.pandas_udf(
+        T.StructType([T.StructField("tx", T.LongType()), T.StructField("ty", T.LongType())])
+    )
+    def enc(lo: pd.Series, la: pd.Series) -> pd.DataFrame:
+        mx, my = lonlat_to_webmerc(lo.to_numpy(np.float64), la.to_numpy(np.float64))
+        tx, ty = tile_of_webmerc(mx, my, z)
+        return pd.DataFrame({"tx": tx, "ty": ty})
+
+    return points.withColumn("_t", enc(F.col(lon), F.col(lat))).select(
+        "*", F.col("_t.tx").alias("tx"), F.col("_t.ty").alias("ty")
+    ).drop("_t")
+
+
+def rasterize_points(
+    points: DataFrame,
+    z: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    value: str | None = None,
+    dtype: str = "int32",
+    tile_size: int = TILE_SIZE,
+) -> DataFrame:
+    """Point-density (or value-sum) tiles at zoom z.
+
+    Shuffle analysis: one exchange on (tx, ty).  The per-tile kernel
+    accumulates with bincount (ADD merge semantics of the reference's
+    point burn, alg/gdalrasterize.cpp:312-390).  Output rows are
+    O(non-empty tiles), orders of magnitude smaller than the input.
+    """
+    pts = with_tile(points, z, lon, lat)
+    cols = [lon, lat] + ([value] if value else [])
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gt = tile_geotransform(z, tx, ty, tile_size)
+        mx, my = lonlat_to_webmerc(
+            pdf[lon].to_numpy(np.float64), pdf[lat].to_numpy(np.float64)
+        )
+        px_, py_ = world_to_pixel(mx, my, gt)
+        arr = np.zeros((tile_size, tile_size), dtype=np.dtype(dtype))
+        if value is None:
+            burn_points(arr, px_, py_, 1, merge_add=True)
+        else:
+            vals = pdf[value].to_numpy(np.float64)
+            # per-pixel sum of values: vectorized bincount weighted add
+            m = (px_ >= 0) & (px_ < tile_size) & (py_ >= 0) & (py_ < tile_size)
+            flat = py_[m].astype(np.int64) * tile_size + px_[m].astype(np.int64)
+            acc = np.bincount(flat, weights=vals[m], minlength=tile_size * tile_size)
+            arr = acc.reshape(tile_size, tile_size).astype(np.dtype(dtype))
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "tx": [tx],
+                "ty": [ty],
+                "band": [1],
+                "data": [arr.tobytes()],
+                "dtype": [dtype],
+                "nodata": [0.0],
+            }
+        )
+
+    return pts.select("tx", "ty", *cols).groupBy("tx", "ty").applyInPandas(
+        burn_tile, TILE_SCHEMA
+    )
+
+
+def rasterize_features(
+    features: DataFrame,
+    z: int,
+    burn_value_col: str = "burn",
+    geom_col: str = "geom",
+    dtype: str = "float64",
+    merge_add: bool = False,
+    all_touched: bool = False,
+    tile_size: int = TILE_SIZE,
+) -> DataFrame:
+    """Burn WKB polygon/line features into zoom-z tiles.
+
+    Features are exploded onto every tile their envelope covers
+    (WKB-direct bbox, no full parse — OGRWKBGetBoundingBox's role),
+    then one task burns one tile with the exact scanline kernels.
+    Feature burn order within a tile follows a deterministic
+    (_feature_seq) sort so MERGE=REPLACE output is reproducible on any
+    cluster — the distributed stand-in for the reference's layer
+    iteration order.
+    """
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def covered_tiles(geoms: pd.Series) -> pd.Series:
+        out = []
+        for blob in geoms:
+            xmin, ymin, xmax, ymax = W.wkb_bbox(bytes(blob))
+            mx, my = lonlat_to_webmerc(np.array([xmin, xmax]), np.array([ymin, ymax]))
+            tx0, ty1 = tile_of_webmerc(mx[0], my[0], z)
+            tx1, ty0 = tile_of_webmerc(mx[1], my[1], z)
+            tiles = [
+                [int(tx), int(ty)]
+                for tx in range(int(tx0), int(tx1) + 1)
+                for ty in range(int(ty0), int(ty1) + 1)
+            ]
+            out.append(tiles)
+        return pd.Series(out)
+
+    feats = (
+        features.withColumn("_feature_seq", F.monotonically_increasing_id())
+        .withColumn("_tile", F.explode(covered_tiles(F.col(geom_col))))
+        .withColumn("tx", F.col("_tile")[0])
+        .withColumn("ty", F.col("_tile")[1])
+        .drop("_tile")
+    )
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        gt = tile_geotransform(z, tx, ty, tile_size)
+        arr = np.zeros((tile_size, tile_size), dtype=np.dtype(dtype))
+        pdf = pdf.sort_values("_feature_seq")
+        for blob, bv in zip(pdf[geom_col], pdf[burn_value_col]):
+            gtype, parts = W.parse_wkb(bytes(blob))
+            visited: set = set()
+            if gtype in (W.POLYGON, W.MULTIPOLYGON):
+                polys = W.polygon_rings(bytes(blob))
+                for rings in polys:
+                    pix_rings = []
+                    for r in rings:
+                        mx, my = lonlat_to_webmerc(r[:, 0], r[:, 1])
+                        px_, py_ = world_to_pixel(mx, my, gt)
+                        pix_rings.append(np.column_stack([px_, py_]))
+                    burn_polygon(arr, pix_rings, float(bv), merge_add=merge_add)
+            elif gtype in (W.LINESTRING, W.MULTILINESTRING):
+                lines = [parts] if gtype == W.LINESTRING else [p for _, p in parts]
+                for coords in lines:
+                    mx, my = lonlat_to_webmerc(coords[:, 0], coords[:, 1])
+                    px_, py_ = world_to_pixel(mx, my, gt)
+                    fn = burn_all_touched_line if all_touched else burn_line
+                    fn(arr, px_, py_, float(bv), merge_add=merge_add, visited=visited)
+            elif gtype == W.POINT:
+                mx, my = lonlat_to_webmerc(parts[:, 0], parts[:, 1])
+                px_, py_ = world_to_pixel(mx, my, gt)
+                burn_points(arr, px_, py_, float(bv), merge_add=merge_add)
+        return pd.DataFrame(
+            {
+                "z": [z],
+                "tx": [tx],
+                "ty": [ty],
+                "band": [1],
+                "data": [arr.tobytes()],
+                "dtype": [dtype],
+                "nodata": [0.0],
+            }
+        )
+
+    return (
+        feats.select("tx", "ty", "_feature_seq", geom_col, burn_value_col)
+        .groupBy("tx", "ty")
+        .applyInPandas(burn_tile, TILE_SCHEMA)
+    )
+
+
+def tiles_to_arrays(tiles_pdf: pd.DataFrame, tile_size: int = TILE_SIZE) -> dict:
+    """Collect helper for tests: {(z, tx, ty): ndarray}."""
+    out = {}
+    for _, row in tiles_pdf.iterrows():
+        arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+            tile_size, tile_size
+        )
+        out[(row["z"], row["tx"], row["ty"])] = arr
+    return out

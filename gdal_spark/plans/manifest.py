@@ -1,0 +1,149 @@
+"""Per-stage lineage manifest: checkpoint / resume without recompute.
+
+North-rule requirement: every stage checkpoints per-partition lineage
+and row/byte metrics to a manifest table so a killed job resumes with
+zero recompute of completed work and identical outputs.
+
+Design (the reference's tile-index idea — gdaltindex builds a layer of
+tile footprints + paths, apps/gdaltindex_lib.cpp — generalized to
+stages):
+
+- A stage = (name, input fingerprint, output path).  The fingerprint
+  hashes the stage's parameters + upstream fingerprints, NOT task ids,
+  so resume decisions key on *content lineage* (a rerun after code or
+  input change recomputes; a rerun after a crash does not).
+- ``run_stage`` is write-then-commit: output lands under
+  ``<path>/_tmp_<fp>`` and is atomically renamed; the manifest row
+  (stage, fp, rows, bytes, n_files, wall_s) is appended only after the
+  rename, so a row in the manifest IS the completion marker.
+- Spark writes each partition as one file; per-file rows/bytes from
+  the parquet footers are recorded as the per-partition metrics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def fingerprint(*parts) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(json.dumps(p, sort_keys=True, default=str).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+@dataclass
+class StageResult:
+    stage: str
+    fp: str
+    path: str
+    rows: int
+    bytes: int
+    n_files: int
+    wall_s: float
+    resumed: bool
+
+
+class Manifest:
+    """JSONL-backed manifest (one row per completed stage attempt).
+    On a cluster this is an Iceberg table; the commit protocol —
+    append-after-atomic-rename — is identical."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self.path = os.path.join(root, "manifest.jsonl")
+
+    def _read(self) -> list[dict]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def lookup(self, stage: str, fp: str) -> dict | None:
+        for row in self._read():
+            if row["stage"] == stage and row["fp"] == fp and row["status"] == "done":
+                if os.path.exists(row["path"]):
+                    return row
+        return None
+
+    def record(self, res: StageResult, partitions: list[dict]) -> None:
+        row = {
+            "stage": res.stage,
+            "fp": res.fp,
+            "path": res.path,
+            "rows": res.rows,
+            "bytes": res.bytes,
+            "n_files": res.n_files,
+            "wall_s": round(res.wall_s, 3),
+            "status": "done",
+            "ts": time.time(),
+            "partitions": partitions,
+        }
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        fp_parts: list,
+        build: "callable",
+        partition_by: list[str] | None = None,
+    ) -> StageResult:
+        """Execute-or-resume.  ``build()`` returns the stage DataFrame;
+        it only runs when no completed manifest row matches the
+        fingerprint."""
+        fp = fingerprint([stage] + fp_parts)
+        out_path = os.path.join(self.root, f"{stage}_{fp}")
+        hit = self.lookup(stage, fp)
+        if hit is not None:
+            return StageResult(
+                stage, fp, hit["path"], hit["rows"], hit["bytes"], hit["n_files"],
+                0.0, resumed=True,
+            )
+        t0 = time.time()
+        tmp = os.path.join(self.root, f"_tmp_{stage}_{fp}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df = build()
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
+        shutil.rmtree(out_path, ignore_errors=True)
+        os.rename(tmp, out_path)
+        parts = self._scan_parts(out_path)
+        rows = sum(p["rows"] for p in parts)
+        nbytes = sum(p["bytes"] for p in parts)
+        res = StageResult(
+            stage, fp, out_path, rows, nbytes, len(parts), time.time() - t0, False
+        )
+        self.record(res, parts)
+        return res
+
+    @staticmethod
+    def _scan_parts(path: str) -> list[dict]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    full = os.path.join(dirpath, fn)
+                    md = pq.ParquetFile(full).metadata
+                    out.append(
+                        {
+                            "file": os.path.relpath(full, path),
+                            "rows": md.num_rows,
+                            "bytes": os.path.getsize(full),
+                        }
+                    )
+        return out

@@ -1,0 +1,647 @@
+"""Driver-contract query registry.
+
+Every operator from SURVEY.md §2 (plus the training-data-pipeline
+additions) appears here twice:
+
+- ``QUERIES[name]``  — (spark, sf_dir) → DataFrame, the engine's
+  implementation (operators + kernels)
+- ``ORACLES[name]``  — equivalent ANSI SQL for DuckDB on the same
+  parquet views (omitted only for genuinely non-SQL-expressible ops;
+  those get rows-only checks)
+
+Determinism contract: every aliased column matches between the two;
+double aggregates are rounded identically on both sides; all synthetic
+spatial data derives from table keys with integer arithmetic so both
+engines compute bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gdal_spark.functions import text as TXT
+from gdal_spark.kernels import wkb as W
+from gdal_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from gdal_spark.operators.grid import grid_idw
+from gdal_spark.operators.knn import knn_broadcast
+from gdal_spark.operators.similarity import cosine_topk
+from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons, with_cell
+from gdal_spark.operators.zonal import zonal_stats_points
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Shared synthetic spatial derivations (integer arithmetic ⇒ identical
+# doubles in Spark and DuckDB).
+
+POINTS_SQL = (
+    "SELECT doc_id, ((doc_id*9973)%36000)/100.0 - 180.0 AS lon, "
+    "((doc_id*7919)%16000)/100.0 - 80.0 AS lat, n_chars AS v FROM documents"
+)
+
+RECTS_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS zone_id, "
+    "CAST((n_nationkey*61)%300 - 160 AS DOUBLE) AS xmin, "
+    "CAST((n_nationkey*83)%140 - 75 AS DOUBLE) AS ymin, "
+    "CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS DOUBLE) AS xmax, "
+    "CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS DOUBLE) AS ymax "
+    "FROM nation"
+)
+
+
+def _points(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        (((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+        F.col("n_chars").alias("v"),
+    )
+
+
+def _rects(spark, sf_dir) -> list[tuple]:
+    """[(zone_id, rect_wkb)] from the nation table (broadcast side)."""
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        xmin = float((k * 61) % 300 - 160)
+        ymin = float((k * 83) % 140 - 75)
+        xmax = xmin + 10 + (k % 7) * 5
+        ymax = ymin + 8 + (k % 5) * 4
+        ring = np.array(
+            [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax], [xmin, ymin]]
+        )
+        out.append((k, W.polygon_wkb([ring])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters  +  §2.5 sort / limit
+
+
+@query(
+    "q01_filter_project",
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+       FROM lineitem
+       WHERE l_quantity > 45 AND l_discount < 0.05 AND l_returnflag = 'R'""",
+)
+def q01(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_discount") < 0.05) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+@query(
+    "q02_summary_agg",
+    """SELECT count(*) AS n, count(DISTINCT l_partkey) AS nd_part,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+       round(sum(l_quantity), 2) AS sum_qty, round(avg(l_quantity), 6) AS avg_qty,
+       round(stddev_pop(l_quantity), 6) AS sd_pop, round(stddev_samp(l_quantity), 6) AS sd_samp
+       FROM lineitem""",
+)
+def q02(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(F.col("l_partkey")).alias("nd_part"),
+        F.min(q).alias("min_qty"),
+        F.max(q).alias("max_qty"),
+        F.round(F.sum(q), 2).alias("sum_qty"),
+        F.round(F.avg(q), 6).alias("avg_qty"),
+        F.round(F.stddev_pop(q), 6).alias("sd_pop"),
+        F.round(F.stddev_samp(q), 6).alias("sd_samp"),
+    )
+
+
+@query(
+    "q03_distinct",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q03(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q04_orderby_limit",
+    """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q04(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+
+
+@query(
+    "q05_groupby_agg",
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_discount), 6) AS avg_disc
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def q05(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins  +  §2.6 set ops
+
+
+@query(
+    "q06_left_join",
+    """SELECT coalesce(c.c_mktsegment, '__none__') AS seg, count(*) AS n,
+       round(sum(o.o_totalprice), 2) AS total
+       FROM orders o LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 3 <> 0) c
+       ON o.o_custkey = c.c_custkey
+       GROUP BY 1""",
+)
+def q06(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 3 != 0)
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.groupBy(
+        F.coalesce(F.col("c_mktsegment"), F.lit("__none__")).alias("seg")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
+@query(
+    "q07_union_all",
+    """SELECT src, count(*) AS n FROM (
+         SELECT 'hi' AS src, o_orderkey FROM orders WHERE o_totalprice > 200000
+         UNION ALL
+         SELECT 'lo' AS src, o_orderkey FROM orders WHERE o_totalprice < 50000
+       ) GROUP BY src""",
+)
+def q07(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 200000).select(
+        F.lit("hi").alias("src"), "o_orderkey"
+    )
+    lo = o.filter(F.col("o_totalprice") < 50000).select(
+        F.lit("lo").alias("src"), "o_orderkey"
+    )
+    return hi.unionByName(lo).groupBy("src").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar expressions (OGR SQL op surface: LIKE/ILIKE/SUBSTR/CONCAT/CAST)
+
+
+@query(
+    "q08_expressions",
+    """SELECT p_partkey,
+       concat(p_brand, ':', substr(p_type, 1, 6)) AS brand_type,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_int,
+       (p_name LIKE '%gre%') AS has_gre,
+       (p_brand ILIKE 'brand#1%') AS b1
+       FROM part WHERE p_size BETWEEN 10 AND 30 AND p_partkey % 7 = 0""",
+)
+def q08(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 30) & (F.col("p_partkey") % 7 == 0)
+    ).select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.substring("p_type", 1, 6)).alias(
+            "brand_type"
+        ),
+        F.floor("p_retailprice").cast("bigint").alias("price_int"),
+        F.col("p_name").like("%gre%").alias("has_gre"),
+        F.col("p_brand").ilike("brand#1%").alias("b1"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: time-window aggregation + sessionize (streaming-shaped batch ops)
+
+
+@query(
+    "q09_events_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q09(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+@query(
+    "q10_sessionize",
+    """WITH g AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+         FROM events)
+       SELECT user_id,
+              CAST(1 + sum(CASE WHEN prev_es IS NOT NULL AND es - prev_es > 1800
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY user_id""",
+)
+def q10(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    es = F.unix_timestamp("ts")
+    g = e.withColumn("es", es).withColumn("prev_es", F.lag("es").over(w))
+    return g.groupBy("user_id").agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_es").isNotNull() & (F.col("es") - F.col("prev_es") > 1800),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2/2.3 spatial: PIP join, zonal stats, kNN, cells
+
+
+@query(
+    "q11_spatial_pip_join",
+    f"""WITH pts AS ({POINTS_SQL}), rects AS ({RECTS_SQL})
+       SELECT p.doc_id, r.zone_id FROM pts p JOIN rects r
+       ON p.lon >= r.xmin AND p.lon <= r.xmax
+       AND p.lat >= r.ymin AND p.lat <= r.ymax""",
+)
+def q11(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    rects = _rects(spark, sf_dir)
+    j = spatial_join_points_in_polygons(
+        pts, rects, include_boundary=True, poly_id_col="zone_id"
+    )
+    return j.select("doc_id", "zone_id")
+
+
+@query(
+    "q12_zonal_stats",
+    f"""WITH pts AS ({POINTS_SQL}), rects AS ({RECTS_SQL})
+       SELECT r.zone_id, count(*) AS zcount,
+              round(sum(CAST(p.v AS DOUBLE)), 4) AS zsum,
+              round(avg(CAST(p.v AS DOUBLE)), 4) AS zmean,
+              min(CAST(p.v AS DOUBLE)) AS zmin, max(CAST(p.v AS DOUBLE)) AS zmax,
+              round(stddev_pop(CAST(p.v AS DOUBLE)), 4) AS zstddev,
+              count(DISTINCT CAST(p.v AS DOUBLE)) AS zvariety
+       FROM pts p JOIN rects r
+       ON p.lon >= r.xmin AND p.lon <= r.xmax AND p.lat >= r.ymin AND p.lat <= r.ymax
+       GROUP BY r.zone_id""",
+)
+def q12(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    rects = _rects(spark, sf_dir)
+    return zonal_stats_points(pts, rects, value_col="v", zone_id_col="zone_id")
+
+
+@query(
+    "q13_knn",
+    f"""WITH pts AS ({POINTS_SQL}),
+       q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                    CAST((s_suppkey*131)%360 - 180 AS DOUBLE) + 0.5 AS qx,
+                    CAST((s_suppkey*197)%160 - 80 AS DOUBLE) + 0.5 AS qy
+             FROM supplier WHERE s_suppkey <= 20),
+       d AS (SELECT q.qid, p.doc_id,
+                    (p.lon-q.qx)*(p.lon-q.qx) + (p.lat-q.qy)*(p.lat-q.qy) AS dist2
+             FROM q CROSS JOIN pts p),
+       r AS (SELECT qid, doc_id, dist2,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS knn_rank
+             FROM d)
+       SELECT qid, doc_id, round(dist2, 6) AS dist2, CAST(knn_rank AS INT) AS knn_rank
+       FROM r WHERE knn_rank <= 4""",
+)
+def q13(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 20)
+    qs = s.select(
+        F.col("s_suppkey").cast("long").alias("qid"),
+        (((F.col("s_suppkey") * 131) % 360 - 180).cast("double") + 0.5).alias("qx"),
+        (((F.col("s_suppkey") * 197) % 160 - 80).cast("double") + 0.5).alias("qy"),
+    )
+    out = knn_broadcast(
+        pts, qs, k=4, point_id="doc_id", query_id="qid", px="lon", py="lat"
+    )
+    return out.select("qid", "doc_id", F.round("dist2", 6).alias("dist2"), "knn_rank")
+
+
+@query(
+    "q14_raster_density",
+    f"""WITH pts AS ({POINTS_SQL})
+       SELECT CAST(floor((lon+180)/360.0*64) AS BIGINT) AS tx,
+              CAST(floor((80-lat)/160.0*64) AS BIGINT) AS ty,
+              count(*) AS n, round(sum(CAST(v AS DOUBLE)), 2) AS sum_v
+       FROM pts GROUP BY 1, 2""",
+)
+def q14(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return pts.groupBy(
+        F.floor((F.col("lon") + 180) / 360.0 * 64).cast("long").alias("tx"),
+        F.floor((80 - F.col("lat")) / 160.0 * 64).cast("long").alias("ty"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("v").cast("double")), 2).alias("sum_v"),
+    )
+
+
+@query(
+    "q15_tile_pyramid",
+    f"""WITH pts AS ({POINTS_SQL}),
+       base AS (SELECT CAST(floor((lon+180)/360.0*64) AS BIGINT) AS tx,
+                       CAST(floor((80-lat)/160.0*64) AS BIGINT) AS ty,
+                       count(*) AS n
+                FROM pts GROUP BY 1, 2)
+       SELECT tx // 4 AS ptx, ty // 4 AS pty, CAST(sum(n) AS BIGINT) AS n,
+              count(*) AS n_children
+       FROM base GROUP BY 1, 2""",
+)
+def q15(spark, sf_dir):
+    base = QUERIES["q14_raster_density"](spark, sf_dir)
+    return base.groupBy(
+        F.floor(F.col("tx") / 4).cast("long").alias("ptx"),
+        F.floor(F.col("ty") / 4).cast("long").alias("pty"),
+    ).agg(F.sum("n").alias("n"), F.count("*").alias("n_children"))
+
+
+@query(
+    "q16_cell_index",
+    f"""WITH pts AS ({POINTS_SQL})
+       SELECT doc_id,
+              7*144115188075855872
+                + CAST(floor((lon+180)/360.0*128) AS BIGINT)*268435456
+                + CAST(floor((90-lat)/180.0*128) AS BIGINT) AS cell
+       FROM pts""",
+)
+def q16(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return with_cell(pts, res=7).select("doc_id", "cell")
+
+
+# ---------------------------------------------------------------------------
+# dedup / text-analysis suite (documents)
+
+# synthetic near-dups: every 50th doc duplicated with id+1000000
+DOCS_WITH_DUPS_SQL = (
+    "SELECT doc_id, text, lang FROM documents "
+    "UNION ALL SELECT doc_id + 1000000 AS doc_id, text, lang "
+    "FROM documents WHERE doc_id % 50 = 0"
+)
+
+FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[.,!?;:]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+
+
+def _docs_with_dups(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang"
+    )
+    return d.unionByName(dups)
+
+
+@query(
+    "q17_dedup_exact",
+    f"""WITH d AS ({DOCS_WITH_DUPS_SQL})
+       SELECT {FP_SQL} AS fp, count(*) AS dup_count, min(doc_id) AS keeper
+       FROM d GROUP BY 1 HAVING count(*) > 1""",
+)
+def q17(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    return exact_dedup(d).filter(F.col("dup_count") > 1)
+
+
+@query(
+    "q18_minhash_lsh",
+    f"""WITH d AS ({DOCS_WITH_DUPS_SQL}),
+       toks AS (SELECT DISTINCT doc_id, tok FROM (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+           FROM d)),
+       sigs AS (SELECT doc_id,
+                min(md5(tok || 's0')) AS sig0, min(md5(tok || 's1')) AS sig1,
+                min(md5(tok || 's2')) AS sig2, min(md5(tok || 's3')) AS sig3
+                FROM toks GROUP BY doc_id),
+       buckets AS (
+         SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+         UNION ALL
+         SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs),
+       cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM buckets l JOIN buckets r USING (band, bucket)
+                WHERE l.doc_id < r.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       inter AS (SELECT c.a, c.b, count(*) AS inter
+                 FROM cand c JOIN toks ta ON ta.doc_id = c.a
+                 JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+                 GROUP BY c.a, c.b)
+       SELECT i.a, i.b,
+              round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+       FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+       WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5""",
+)
+def q18(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir)
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+@query(
+    "q19_ngram_jaccard",
+    f"""WITH d AS (SELECT doc_id, text FROM ({DOCS_WITH_DUPS_SQL}) WHERE doc_id % 10 = 0),
+       idx AS (SELECT doc_id, text,
+                      unnest(range(1, greatest(length(text) - 1, 2))) AS i FROM d),
+       grams AS (SELECT DISTINCT doc_id, gram FROM (
+           SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram FROM idx)
+           WHERE length(gram) = 3),
+       sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                 FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT i.a, i.b,
+              round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) AS jaccard
+       FROM inter i JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+       WHERE round(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 6) >= 0.5""",
+)
+def q19(spark, sf_dir):
+    d = _docs_with_dups(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(d, n=3, threshold=0.5, max_df=10**9)
+
+
+@query(
+    "q20_simhash",
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th
+             FROM toks),
+       bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (th // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+                FROM h, range(16) t(j) GROUP BY doc_id, j)
+       SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS simhash
+       FROM bits GROUP BY doc_id""",
+)
+def q20(spark, sf_dir):
+    return simhash(_t(spark, sf_dir, "documents"), bits=16)
+
+
+@query(
+    "q21_text_quality",
+    """SELECT doc_id,
+       length(text) AS n_char,
+       len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok,
+       round(CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS mean_tok_len,
+       round(CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','and','of','a'))) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> '')), 6) AS stop_ratio
+       FROM documents WHERE length(text) > 0""",
+)
+def q21(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select(
+        "doc_id",
+        TXT.char_count(F.col("text")).cast("long").alias("n_char"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tok"),
+        F.round(TXT.mean_token_len(F.col("text")), 6).alias("mean_tok_len"),
+        F.round(TXT.stopword_ratio(F.col("text"), TXT.LANG_MARKERS["en"]), 6).alias(
+            "stop_ratio"
+        ),
+    )
+
+
+@query(
+    "q22_lang_id",
+    """WITH scored AS (
+         SELECT doc_id, lang,
+           len(list_filter(string_split(text,' '), x -> x IN ('the','and','of','a'))) AS s_en,
+           len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y'))) AS s_es,
+           len(list_filter(string_split(text,' '), x -> x IN ('der','die','und','das'))) AS s_de,
+           len(list_filter(string_split(text,' '), x -> x IN ('le','la','et','les'))) AS s_fr
+         FROM documents),
+       lab AS (SELECT doc_id, lang,
+         CASE WHEN greatest(s_en,s_es,s_de,s_fr) = 0 THEN 'und'
+              WHEN s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+              WHEN s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+              WHEN s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+              ELSE 'fr' END AS lang_guess
+         FROM scored)
+       SELECT lang, lang_guess, count(*) AS n FROM lab GROUP BY 1, 2""",
+)
+def q22(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_guess", TXT.lang_guess(F.col("text")))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+
+
+@query(
+    "q23_cosine_topk",
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+       scored AS (
+         SELECT q.qid, v.vec_id,
+                list_dot_product(list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                 list_transform(q.qvec, x -> CAST(x AS DOUBLE)))
+                / (sqrt(list_dot_product(list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+                                         list_transform(v.embedding, x -> CAST(x AS DOUBLE))))
+                   * sqrt(list_dot_product(list_transform(q.qvec, x -> CAST(x AS DOUBLE)),
+                                           list_transform(q.qvec, x -> CAST(x AS DOUBLE))))) AS cosine
+         FROM embeddings v CROSS JOIN q WHERE v.vec_id <> q.qid),
+       r AS (SELECT qid, vec_id, cosine,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS sim_rank
+             FROM scored)
+       SELECT qid, vec_id, CAST(sim_rank AS INT) AS sim_rank, round(cosine, 6) AS cosine
+       FROM r WHERE sim_rank <= 5""",
+)
+def q23(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(e, qs, k=5)
+
+
+# ---------------------------------------------------------------------------
+# grid interpolation
+
+
+@query(
+    "q24_grid_idw",
+    f"""WITH pts AS ({POINTS_SQL}),
+       cand AS (
+         SELECT i, j, px, py, pv,
+                (px - (-180.0 + (i+0.5)*20.0))*(px - (-180.0 + (i+0.5)*20.0))
+                + (py - (-80.0 + (j+0.5)*20.0))*(py - (-80.0 + (j+0.5)*20.0)) AS d2
+         FROM (SELECT lon AS px, lat AS py, CAST(v AS DOUBLE) AS pv FROM pts),
+              range(18) a(i), range(8) b(j)),
+       infr AS (SELECT * FROM cand WHERE d2 <= 225.0),
+       agg AS (SELECT i, j,
+              round(SUM(CASE WHEN d2 > 0 THEN pv / d2 ELSE 0 END), 6) AS wsum,
+              round(SUM(CASE WHEN d2 > 0 THEN 1.0 / d2 ELSE 0 END), 6) AS wtot,
+              SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS nhit,
+              round(AVG(CASE WHEN d2 = 0 THEN pv END), 6) AS hitval,
+              count(*) AS npts
+              FROM infr GROUP BY i, j)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              CASE WHEN nhit > 0 THEN hitval ELSE round(wsum / wtot, 6) END AS idw,
+              npts
+       FROM agg""",
+)
+def q24(spark, sf_dir):
+    pts = _points(spark, sf_dir)
+    return grid_idw(
+        pts, x0=-180.0, y0=-80.0, cell=20.0, nx=18, ny=8, radius=15.0, power=2
+    )
