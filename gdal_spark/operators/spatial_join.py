@@ -38,10 +38,41 @@ from gdal_spark.kernels.cells import cell_encode, cells_cover_polygon
 DEFAULT_RES = 7
 
 
+def cell_expr(lon, lat, res: int):
+    """Catalyst expression computing the same int64 cell id as
+    ``kernels.cells.cell_encode`` — bit-identical by construction (the
+    identical IEEE op sequence ``floor(((lon+180.0)/360.0)*n)``, then
+    clip, then the same bit packing).
+
+    Cell assignment is pure arithmetic, so the *default* path keeps it
+    inside whole-stage codegen: no Arrow round trip, and no risk of
+    Catalyst double-evaluating a Python UDF when it pushes an
+    ``isnotnull`` join-key filter through the projection (which it
+    does — measured as 2× ArrowEvalPython in the join plan).  The
+    NumPy kernel (``with_cell_kernel``) stays as the parity oracle."""
+    n = 1 << res
+    xf = F.floor(((F.col(lon) + F.lit(180.0)) / F.lit(360.0)) * F.lit(float(n))).cast("long")
+    yf = F.floor(((F.lit(90.0) - F.col(lat)) / F.lit(180.0)) * F.lit(float(n))).cast("long")
+    xc = F.least(F.greatest(xf, F.lit(0).cast("long")), F.lit(n - 1).cast("long"))
+    yc = F.least(F.greatest(yf, F.lit(0).cast("long")), F.lit(n - 1).cast("long"))
+    return (
+        F.shiftleft(F.lit(res).cast("long"), 57)
+        .bitwiseOR(F.shiftleft(xc, 28))
+        .bitwiseOR(yc)
+    )
+
+
 def with_cell(points: DataFrame, lon="lon", lat="lat", res: int = DEFAULT_RES,
               out="cell") -> DataFrame:
-    """Attach the equi-join cell id to a point DataFrame (vectorized
-    kernel via Arrow batches)."""
+    """Attach the equi-join cell id (JVM-side codegen expression)."""
+    return points.withColumn(out, cell_expr(lon, lat, res))
+
+
+def with_cell_kernel(points: DataFrame, lon="lon", lat="lat", res: int = DEFAULT_RES,
+                     out="cell") -> DataFrame:
+    """Pandas-UDF variant wrapping the batched NumPy kernel — kept as
+    the parity reference for ``cell_expr`` (tested equal on random and
+    boundary inputs)."""
 
     @F.pandas_udf(T.LongType())
     def enc(lo: pd.Series, la: pd.Series) -> pd.Series:
@@ -71,12 +102,25 @@ def spatial_join_points_in_polygons(
     include_boundary: bool = True,
     salt_factor: int = 1,
     poly_id_col: str = "poly_id",
+    broadcast_cover: bool = True,
 ) -> DataFrame:
-    """points × small polygon set → matching (point row, poly_id) rows.
+    """points × polygon set → matching (point row, poly_id) rows.
 
-    ``polys``: [(poly_id, wkb_bytes)] — the broadcastable side (dims,
-    admin boundaries, zone sets).  For polygon sets too large to
-    broadcast use the cover as a DataFrame and let AQE pick the join.
+    ``polys``: [(poly_id, wkb_bytes)].
+
+    Join strategy (the scale decision):
+
+    - ``broadcast_cover=True`` (default) — the cover set rides to every
+      executor; ONE BroadcastHashJoin, the point table is never
+      shuffled.  Salting is pointless here (there is no shuffle whose
+      keys could skew), so ``salt_factor`` is ignored.
+    - ``broadcast_cover=False`` — the cover is a DataFrame and the join
+      is a shuffle hash join on ``cell``: the path for polygon sets too
+      large to broadcast.  Here hot metro cells DO skew the exchange,
+      and ``salt_factor > 1`` splits each cover cell into K sub-keys
+      while points pick one pseudo-randomly — the north rule's salted
+      repartition (AQE skew-join splitting stays on as the runtime
+      backstop).
     """
     spark = points.sparkSession
     cover_rows = polygon_cover(polys, res)
@@ -88,24 +132,25 @@ def spatial_join_points_in_polygons(
         ]
     )
     pts = with_cell(points, lon, lat, res)
+    cover = spark.createDataFrame(cover_rows, cover_schema)
 
-    if salt_factor > 1:
-        salted = [
-            (c, pid, blob, s)
-            for (c, pid, blob) in cover_rows
-            for s in range(salt_factor)
-        ]
-        cover_schema = cover_schema.add("_salt", T.IntegerType())
-        cover = spark.createDataFrame(salted, cover_schema)
+    if broadcast_cover:
+        joined = pts.join(F.broadcast(cover), "cell")
+        salted = False
+    elif salt_factor > 1:
+        cover = cover.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+        ).withColumn("_salt", F.col("_salt").cast("int"))
         pts = pts.withColumn(
             "_salt", (F.abs(F.hash(F.col(lon), F.col(lat))) % salt_factor).cast("int")
         )
-        joined = pts.join(F.broadcast(cover), ["cell", "_salt"])
+        joined = pts.hint("shuffle_hash").join(cover, ["cell", "_salt"])
+        salted = True
     else:
-        cover = spark.createDataFrame(cover_rows, cover_schema)
-        joined = pts.join(F.broadcast(cover), "cell")
+        joined = pts.hint("shuffle_hash").join(cover, "cell")
+        salted = False
 
     pred = st_intersects_point if include_boundary else st_contains_point
     out = joined.filter(pred(F.col("_poly_wkb"), F.col(lon), F.col(lat)))
-    drop = ["_poly_wkb", "cell"] + (["_salt"] if salt_factor > 1 else [])
+    drop = ["_poly_wkb", "cell"] + (["_salt"] if salted else [])
     return out.drop(*drop)

@@ -28,7 +28,7 @@ from gdal_spark.operators.pyramid import pyramid_level
 from gdal_spark.operators.rasterize import rasterize_points
 from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons, with_cell
 from gdal_spark.plans.manifest import Manifest
-from gdal_spark.sources.pages import CITIES, geocode, synth_pages
+from gdal_spark.sources.pages import CITIES, geocode, geocode_encode, synth_pages
 
 # Zone polygons: one rectangle per city metro (deterministic).
 def metro_zones() -> list[tuple]:
@@ -68,9 +68,13 @@ def run_pipeline(
 
     def geo_build():
         pages = spark.read.parquet(res_pages.path)
-        geo = geocode(pages)
-        geo = with_cell(geo, res=7, out="cell7")
-        geo = with_cell(geo, res=9, out="cell9")
+        # fused geocode + cell encode: one pandas UDF, one Arrow pass.
+        # Output is the NARROW derived table (page_id + derived cols):
+        # the corpus itself (url/html/text) is never duplicated through
+        # derived stages — join back on page_id when it is needed.
+        geo = geocode_encode(pages, res_list=(7, 9)).select(
+            "page_id", "lon", "lat", "cell7", "cell9"
+        )
         # cluster by cell so the downstream join/tiling scans are
         # co-located (Hilbert-style spatial clustering via range
         # partitioning on the cell id)
@@ -84,7 +88,7 @@ def run_pipeline(
     def join_build():
         geo = spark.read.parquet(res_geo.path)
         return spatial_join_points_in_polygons(
-            geo.select("page_id", "url", "text", "lon", "lat"),
+            geo.select("page_id", "lon", "lat"),
             metro_zones(),
             salt_factor=salt_factor,
             poly_id_col="zone_id",

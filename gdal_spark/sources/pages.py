@@ -79,25 +79,33 @@ def _rng_for(i: np.ndarray) -> np.ndarray:
 
 
 def synth_pages_pdf(start: int, count: int) -> pd.DataFrame:
-    """Rows [start, start+count) of the pages table, deterministically."""
+    """Rows [start, start+count) of the pages table, deterministically.
+
+    Fully vectorized (no per-row RNG objects): word j of row i is
+    ``_WORDS[splitmix(h_i + j) % V]`` — still a pure function of i, but
+    cheap enough to synthesize millions of rows per partition."""
     ids = np.arange(start, start + count, dtype=np.int64)
     h = _rng_for(ids)
     city_u = (h % np.uint64(10**9)).astype(np.float64) / 1e9
     city_idx = np.searchsorted(_CITY_CDF, city_u, side="right")
     city_idx = np.clip(city_idx, 0, len(CITIES) - 1)
-    n_words = 8 + (h >> np.uint64(12)) % np.uint64(25)
+    n_words = (8 + (h >> np.uint64(12)) % np.uint64(25)).astype(np.int64)
     lang_idx = (h >> np.uint64(20)) % np.uint64(len(_LANGS))
 
+    max_w = int(n_words.max()) if count else 0
+    # (count, max_w) matrix of word indices, one splitmix per (row, j)
+    widx = (
+        _rng_for((h[:, None] + np.uint64(1) + np.arange(max_w, dtype=np.uint64)).astype(np.int64))
+        % np.uint64(len(_WORDS))
+    ).astype(np.int64)
+    words_arr = np.array(_WORDS)
+    city_names = np.array([c[0] for c in CITIES])
     texts = []
     urls = []
-    for i, hi, ci, nw in zip(
-        ids.tolist(), h.tolist(), city_idx.tolist(), n_words.tolist()
-    ):
-        city = CITIES[ci][0]
-        rng = np.random.default_rng(hi)
-        words = [city] + [ _WORDS[j] for j in rng.integers(0, len(_WORDS), int(nw)) ]
-        texts.append(" ".join(words))
-        urls.append(f"https://{city}.example.com/p/{i}")
+    for r in range(count):
+        city = city_names[city_idx[r]]
+        texts.append(city + " " + " ".join(words_arr[widx[r, : n_words[r]]]))
+        urls.append(f"https://{city}.example.com/p/{ids[r]}")
     ts = pd.to_datetime(1704067200 + (h % np.uint64(86400 * 30)).astype(np.int64), unit="s")
     html = [t.encode() for t in texts]  # deterministic fake raw bytes
     return pd.DataFrame(
@@ -167,3 +175,39 @@ def geocode(pages: DataFrame) -> DataFrame:
         .withColumn("lat", F.col("_g.lat"))
         .drop("_g")
     )
+
+
+def geocode_encode(pages: DataFrame, res_list: tuple[int, ...] = (7, 9)) -> DataFrame:
+    """Fused geocode + cell-encode: ONE pandas UDF / one Arrow round
+    trip producing (lon, lat, cell{r}...).  Chaining separate UDFs
+    costs one Python transfer each — at 10^12 rows the fusion is the
+    difference between 1 and len(res_list)+1 passes over the batch."""
+    from gdal_spark.kernels.cells import cell_encode
+
+    city_lon = {c[0]: c[1] for c in CITIES}
+    city_lat = {c[0]: c[2] for c in CITIES}
+    fields = [T.StructField("lon", T.DoubleType()), T.StructField("lat", T.DoubleType())]
+    fields += [T.StructField(f"cell{r}", T.LongType()) for r in res_list]
+
+    @F.pandas_udf(T.StructType(fields))
+    def geo(text: pd.Series, url: pd.Series) -> pd.DataFrame:
+        first = text.str.split(" ", n=1).str[0]
+        base_lon = first.map(city_lon).fillna(0.0).to_numpy()
+        base_lat = first.map(city_lat).fillna(0.0).to_numpy()
+        jit = np.array(
+            [int.from_bytes(hashlib.md5(u.encode()).digest()[:8], "big") for u in url],
+            dtype=np.uint64,
+        )
+        jlon = ((jit % np.uint64(20001)).astype(np.float64) - 10000.0) / 10000.0 * 0.5
+        jlat = (
+            ((jit >> np.uint64(20)) % np.uint64(20001)).astype(np.float64) - 10000.0
+        ) / 10000.0 * 0.5
+        lon = base_lon + jlon
+        lat = base_lat + jlat
+        out = {"lon": lon, "lat": lat}
+        for r in res_list:
+            out[f"cell{r}"] = cell_encode(lon, lat, r)
+        return pd.DataFrame(out)
+
+    cols = [F.col("_g")[f].alias(f) for f in ["lon", "lat"] + [f"cell{r}" for r in res_list]]
+    return pages.withColumn("_g", geo(F.col("text"), F.col("url"))).select("*", *cols).drop("_g")
