@@ -36,6 +36,24 @@ def token_count(col) -> Column:
     return F.size(tokens(col))
 
 
+def word_shingles(col, k: int = 3) -> Column:
+    """Word k-gram shingles ('a b c' windows over the token stream) —
+    the MinHash unit.  Shingling (vs unigram tokens) is what makes
+    near-dup detection discriminative on small vocabularies: the
+    shingle universe is |V|^k, so unrelated docs share almost none.
+    Twin DuckDB SQL: list_transform(range(1, greatest(len(toks)-K+2, 1)),
+    i -> array_to_string(list_slice(toks, i, i+K-1), ' '))."""
+    toks = tokens(col)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def char_count(col) -> Column:
     return F.length(col)
 

@@ -24,9 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gdal_spark.functions.text import fingerprint, token_hash32, tokens
+from gdal_spark.functions.text import fingerprint, token_hash32, tokens, word_shingles
 
-MINHASH_SEEDS = ["s0", "s1", "s2", "s3"]
+MINHASH_SEEDS = ["s0", "s1", "s2", "s3", "s4", "s5", "s6", "s7"]
+MINHASH_BANDS = [(0, 1, 2, 3), (4, 5, 6, 7)]
 
 
 def exact_dedup(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
@@ -49,18 +50,27 @@ def _doc_tokens(docs: DataFrame, id_col, text_col) -> DataFrame:
     )
 
 
-def minhash_signatures(
-    docs: DataFrame, id_col="doc_id", text_col="text", seeds=MINHASH_SEEDS
-) -> DataFrame:
-    """One row per doc with columns sig0..sigK: sig_i = min over tokens
-    of md5(token || seed_i).
+def _doc_shingles(docs: DataFrame, id_col, text_col, k: int = 3) -> DataFrame:
+    return (
+        docs.select(
+            id_col, F.explode(word_shingles(F.col(text_col), k)).alias("tok")
+        )
+        .distinct()
+    )
 
-    The min of a uniform hash over the token set is a permutation
+
+def minhash_signatures(
+    docs: DataFrame, id_col="doc_id", text_col="text", seeds=MINHASH_SEEDS, k: int = 3
+) -> DataFrame:
+    """One row per doc with columns sig0..sigK: sig_i = min over the
+    doc's word k-gram shingle set of md5(shingle || seed_i).
+
+    The min of a uniform hash over the shingle set is a permutation
     order statistic — the classic MinHash estimator; using the md5
     *string* ordering keeps it portable across engines (no bigint
     hashing semantics to match).
     """
-    toks = _doc_tokens(docs, id_col, text_col)
+    toks = _doc_shingles(docs, id_col, text_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.col("tok"), F.lit(seed)).cast("binary"))).alias(f"sig{i}")
         for i, seed in enumerate(seeds)
@@ -74,22 +84,32 @@ def minhash_lsh_pairs(
     text_col="text",
     seeds=MINHASH_SEEDS,
     threshold: float = 0.5,
+    k: int = 3,
 ) -> DataFrame:
-    """Candidate pairs from banded LSH (2 bands × 2 rows), verified
-    with exact Jaccard over distinct token sets.
+    """Candidate pairs from banded LSH (2 bands × 4 rows over shingle
+    MinHash), verified with exact Jaccard over distinct shingle sets.
 
     Shuffle shape: signatures = one groupBy(doc); bucketing = groupBy
     (band, bucket); verification joins only candidate pairs (the LSH
-    point), never the full doc × doc square.
+    point), never the full doc × doc square.  A band matches only when
+    all 4 of its signatures agree (P = 1-(1-j^4)^2: j=1 dups always
+    collide, unrelated j≈0.05 docs almost never), so candidates ≈ true
+    near-dups — the property that keeps this linear-ish at 10^12 docs.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, seeds).persist()
-    b0 = sigs.select(
-        F.col(id_col), F.md5(F.concat("sig0", "sig1").cast("binary")).alias("bucket")
-    ).withColumn("band", F.lit(0))
-    b1 = sigs.select(
-        F.col(id_col), F.md5(F.concat("sig2", "sig3").cast("binary")).alias("bucket")
-    ).withColumn("band", F.lit(1))
-    buckets = b0.unionByName(b1)
+    sigs = minhash_signatures(docs, id_col, text_col, seeds, k).persist()
+    bands = []
+    for bi, idxs in enumerate(MINHASH_BANDS):
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.md5(
+                    F.concat(*[F.col(f"sig{i}") for i in idxs]).cast("binary")
+                ).alias("bucket"),
+            ).withColumn("band", F.lit(bi))
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
     left = buckets.withColumnRenamed(id_col, "a")
     right = buckets.withColumnRenamed(id_col, "b")
     cand = (
@@ -99,7 +119,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    toks = _doc_tokens(docs, id_col, text_col)
+    toks = _doc_shingles(docs, id_col, text_col, k)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     ta = toks.withColumnRenamed(id_col, "a")
     tb = toks.withColumnRenamed(id_col, "b")

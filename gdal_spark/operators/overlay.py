@@ -1,0 +1,102 @@
+"""Layer algebra: distributed polygon-overlay operators.
+
+Reference surface: ``OGRLayer::Intersection`` and friends — pairwise
+GEOS overlay over spatially-filtered candidate pairs
+(ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7846, CLI
+apps/gdalalg_vector_layer_algebra.cpp).  The reference's candidate
+filter is an index-nested loop over the second layer's spatial index;
+the Spark plan replaces it with a broadcast bbox prefilter (phase 1,
+pure Catalyst, codegen) and runs the exact clip kernel only on
+candidate pairs (phase 2, Arrow batch).
+
+At scale: method-layer polygons (zones, admin boundaries, tile
+footprints) broadcast; the input layer streams through its scan with
+no shuffle — same shape as the PIP spatial join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gdal_spark.kernels import wkb as W
+from gdal_spark.kernels.clip import clip_convex, ring_area
+
+
+def intersection_convex(
+    a: DataFrame,
+    b_polys: list[tuple],
+    a_id: str = "a_id",
+    geom_col: str = "geom",
+    b_id: str = "b_id",
+) -> DataFrame:
+    """a (WKB polygons) × small convex polygon list → one row per
+    intersecting pair: (a_id, b_id, inter_wkb, inter_area).
+
+    ``b_polys``: [(b_id, wkb)] — the broadcast (method) side.
+    """
+    spark = a.sparkSession
+    rows = []
+    for pid, blob in b_polys:
+        xmin, ymin, xmax, ymax = W.wkb_bbox(blob)
+        rows.append((int(pid), blob, float(xmin), float(ymin), float(xmax), float(ymax)))
+    b_schema = T.StructType(
+        [
+            T.StructField(b_id, T.LongType()),
+            T.StructField("_b_wkb", T.BinaryType()),
+            T.StructField("_bx0", T.DoubleType()),
+            T.StructField("_by0", T.DoubleType()),
+            T.StructField("_bx1", T.DoubleType()),
+            T.StructField("_by1", T.DoubleType()),
+        ]
+    )
+    b_df = spark.createDataFrame(rows, b_schema)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def bbox_of(geoms: pd.Series) -> pd.Series:
+        return pd.Series([list(W.wkb_bbox(bytes(g))) for g in geoms])
+
+    aa = a.withColumn("_abox", bbox_of(F.col(geom_col)))
+    # phase 1: bbox-overlap broadcast join (Catalyst, no shuffle of a)
+    cand = aa.join(
+        F.broadcast(b_df),
+        (F.col("_abox")[0] <= F.col("_bx1"))
+        & (F.col("_abox")[2] >= F.col("_bx0"))
+        & (F.col("_abox")[1] <= F.col("_by1"))
+        & (F.col("_abox")[3] >= F.col("_by0")),
+    )
+
+    out_fields = [f for f in cand.schema.fields if f.name not in
+                  ("_abox", "_b_wkb", "_bx0", "_by0", "_bx1", "_by1")]
+    out_schema = T.StructType(
+        out_fields
+        + [T.StructField("inter_wkb", T.BinaryType()),
+           T.StructField("inter_area", T.DoubleType())]
+    )
+    keep = [f.name for f in out_fields]
+
+    def clip_batch(pdf_iter):
+        for pdf in pdf_iter:
+            areas = np.zeros(len(pdf))
+            blobs: list = [None] * len(pdf)
+            for i, (ga, gb) in enumerate(zip(pdf[geom_col], pdf["_b_wkb"])):
+                a_rings = W.polygon_rings(bytes(ga))
+                b_rings = W.polygon_rings(bytes(gb))
+                if not a_rings or not b_rings:
+                    continue
+                clipped = clip_convex(a_rings[0][0], b_rings[0][0])
+                area = abs(ring_area(clipped))
+                if area > 0:
+                    ring = np.vstack([clipped, clipped[:1]])
+                    blobs[i] = W.polygon_wkb([ring])
+                    areas[i] = area
+            out = pdf[keep].copy()
+            out["inter_wkb"] = blobs
+            out["inter_area"] = areas
+            yield out
+
+    res = cand.mapInPandas(clip_batch, out_schema)
+    return res.filter(F.col("inter_area") > 0)

@@ -214,6 +214,140 @@ def rasterize_features(
     )
 
 
+def rasterize_wkb_grid(
+    features: DataFrame,
+    gt: tuple[float, ...],
+    width: int,
+    height: int,
+    tile_size: int = 64,
+    burn_value_col: str = "burn",
+    geom_col: str = "geom",
+    dtype: str = "float64",
+    merge_add: bool = False,
+) -> DataFrame:
+    """GDALRasterizeLayers analog onto an arbitrary target grid: burn
+    WKB polygon features into a ``width × height`` raster defined by a
+    6-coefficient geotransform, stored as ``tile_size²`` blocks.
+
+    Distribution: features explode onto the blocks their envelope
+    covers (one shuffle keyed by block), each task burns one block with
+    the exact scanline kernel.  Per-block burn == global burn
+    restricted to the block because block origins are integer pixel
+    translations (the scanline rule is translation-invariant), the
+    distributed equivalent of the reference's CHUNKYSIZE chunked burn
+    (alg/gdalrasterize.cpp:1183-1220).
+
+    ``merge_add=False`` (REPLACE) burns in deterministic
+    ``_feature_seq`` order; ``merge_add=True`` (ADD) is order-free.
+    """
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.LongType())))
+    def covered(geoms: pd.Series) -> pd.Series:
+        out = []
+        for blob in geoms:
+            xmin, ymin, xmax, ymax = W.wkb_bbox(bytes(blob))
+            px, py = world_to_pixel(
+                np.array([xmin, xmax]), np.array([ymin, ymax]), gt
+            )
+            x0, x1 = sorted([px[0], px[1]])
+            y0, y1 = sorted([py[0], py[1]])
+            tx0 = max(int(np.floor(x0 / tile_size)), 0)
+            tx1 = min(int(np.floor(x1 / tile_size)), ntx - 1)
+            ty0 = max(int(np.floor(y0 / tile_size)), 0)
+            ty1 = min(int(np.floor(y1 / tile_size)), nty - 1)
+            out.append(
+                [[tx, ty] for tx in range(tx0, tx1 + 1) for ty in range(ty0, ty1 + 1)]
+            )
+        return pd.Series(out)
+
+    feats = (
+        features.withColumn("_feature_seq", F.monotonically_increasing_id())
+        .withColumn("_tile", F.explode(covered(F.col(geom_col))))
+        .withColumn("tx", F.col("_tile")[0])
+        .withColumn("ty", F.col("_tile")[1])
+        .drop("_tile")
+    )
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        nx = min(tile_size, width - tx * tile_size)
+        ny = min(tile_size, height - ty * tile_size)
+        arr = np.zeros((ny, nx), dtype=np.dtype(dtype))
+        pdf = pdf.sort_values("_feature_seq")
+        for blob, bv in zip(pdf[geom_col], pdf[burn_value_col]):
+            for rings in W.polygon_rings(bytes(blob)):
+                pix_rings = []
+                for r in rings:
+                    px_, py_ = world_to_pixel(r[:, 0], r[:, 1], gt)
+                    pix_rings.append(
+                        np.column_stack([px_ - tx * tile_size, py_ - ty * tile_size])
+                    )
+                burn_polygon(arr, pix_rings, float(bv), merge_add=merge_add)
+        return pd.DataFrame(
+            {
+                "z": [0],
+                "tx": [tx],
+                "ty": [ty],
+                "band": [1],
+                "data": [arr.tobytes()],
+                "dtype": [dtype],
+                "nodata": [0.0],
+            }
+        )
+
+    return (
+        feats.select("tx", "ty", "_feature_seq", geom_col, burn_value_col)
+        .groupBy("tx", "ty")
+        .applyInPandas(burn_tile, TILE_SCHEMA)
+    )
+
+
+def tiles_to_features(
+    tiles: DataFrame, tile_size: int, nodata: float | None = 0.0
+) -> DataFrame:
+    """``gdal raster as-features`` analog (apps/gdalalg_raster_as_features.h:28-33):
+    one row per (non-nodata) pixel with global pixel coords and value.
+    mapInPandas — embarrassingly parallel over tile rows."""
+    out_schema = T.StructType(
+        [
+            T.StructField("gx", T.LongType()),
+            T.StructField("gy", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"]))
+                ny = arr.size // tile_size if arr.size % tile_size == 0 else None
+                if ny is None:
+                    raise ValueError("ragged tile buffer")
+                arr = arr.reshape(ny, tile_size)
+                if nodata is None:
+                    mask = np.ones_like(arr, dtype=bool)
+                else:
+                    mask = arr != nodata
+                ys, xs = np.nonzero(mask)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gx": xs + int(row["tx"]) * tile_size,
+                            "gy": ys + int(row["ty"]) * tile_size,
+                            "v": arr[ys, xs].astype(np.float64),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"gx": [], "gy": [], "v": []}
+            )
+
+    return tiles.mapInPandas(gen, out_schema)
+
+
 def tiles_to_arrays(tiles_pdf: pd.DataFrame, tile_size: int = TILE_SIZE) -> dict:
     """Collect helper for tests: {(z, tx, ty): ndarray}."""
     out = {}

@@ -18,6 +18,7 @@ engines compute bit-identical inputs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -31,6 +32,13 @@ from gdal_spark.operators.dedup import (
 )
 from gdal_spark.operators.grid import grid_idw
 from gdal_spark.operators.knn import knn_broadcast
+from gdal_spark.operators.focal import (
+    focal_sum_tiles,
+    horn_slope_tiles,
+    interpolate_bilinear,
+)
+from gdal_spark.operators.polygonize import polygonize_tiles
+from gdal_spark.operators.rasterize import rasterize_wkb_grid, tiles_to_features
 from gdal_spark.operators.similarity import cosine_topk
 from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons, with_cell
 from gdal_spark.operators.zonal import zonal_stats_points
@@ -424,6 +432,328 @@ def q16(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# §2.7 raster↔vector: exact scanline burn + distributed polygonize
+
+IDENTITY_GT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+# q25 rects: fractional corners that exercise the pixel-center rounding
+# (x any quarter-fraction; y quarter-fractions but integer heights so no
+# scanline ever hits a horizontal edge exactly — the oracle then needs
+# no horizontal-run branch).  Burn = MERGE_ADD (order-free overlap sum).
+Q25_RECTS_SQL = (
+    "SELECT CAST(n_nationkey + 1 AS DOUBLE) AS val, "
+    "CAST((n_nationkey*37)%90 + (n_nationkey%4)*0.25 AS DOUBLE) AS x0, "
+    "CAST((n_nationkey*53)%90 + (n_nationkey%2)*0.25 AS DOUBLE) AS y0, "
+    "CAST((n_nationkey*37)%90 + (n_nationkey%4)*0.25 + 3 + (n_nationkey*11)%23 "
+    " + (n_nationkey%3)*0.5 AS DOUBLE) AS x1, "
+    "CAST((n_nationkey*53)%90 + (n_nationkey%2)*0.25 + 2 + (n_nationkey*7)%17 "
+    " AS DOUBLE) AS y1 "
+    "FROM nation"
+)
+
+
+def _q25_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = (k * 37) % 90 + (k % 4) * 0.25
+        y0 = (k * 53) % 90 + (k % 2) * 0.25
+        x1 = x0 + 3 + (k * 11) % 23 + (k % 3) * 0.5
+        y1 = y0 + 2 + (k * 7) % 17
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        out.append((float(k + 1), W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q25_rasterize_burn",
+    f"""WITH r AS ({Q25_RECTS_SQL}),
+       pix AS (SELECT gx.range AS gx, gy.range AS gy, r.val
+               FROM r, range(128) gx, range(128) gy
+               WHERE gy.range + 0.5 >= r.y0 AND gy.range + 0.5 < r.y1
+                 AND gx.range >= floor(r.x0 + 0.5)
+                 AND gx.range <= floor(r.x1 + 0.5) - 1)
+       SELECT gx, gy, CAST(sum(val) AS DOUBLE) AS v
+       FROM pix GROUP BY gx, gy""",
+)
+def q25(spark, sf_dir):
+    """GDALRasterize scanline semantics (alg/llrasterize.cpp:41-226) on
+    a 128² grid of 32² blocks, MERGE_ALG=ADD, verified pixel-for-pixel
+    against the analytic half-open pixel-center rule."""
+    rects = _q25_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    tiles = rasterize_wkb_grid(
+        feats, IDENTITY_GT, 128, 128, tile_size=32, merge_add=True
+    )
+    return tiles_to_features(tiles, tile_size=32, nodata=0.0)
+
+
+# q26 rects: integer-cornered, pairwise-disjoint with >=2px gaps, laid
+# out on a 16px lattice so many cross the 32px block borders — the
+# cross-tile union-find merge is what's under test.
+Q26_RECTS_SQL = (
+    "SELECT CAST(n_nationkey + 1 AS DOUBLE) AS dn, "
+    "CAST((n_nationkey%8)*16 + 2 AS BIGINT) AS x0, "
+    "CAST((n_nationkey//8)*16 + 3 AS BIGINT) AS y0, "
+    "CAST(3 + n_nationkey%9 AS BIGINT) AS w, "
+    "CAST(2 + n_nationkey%7 AS BIGINT) AS h "
+    "FROM nation"
+)
+
+
+def _q26_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = (k % 8) * 16 + 2
+        y0 = (k // 8) * 16 + 3
+        w = 3 + k % 9
+        h = 2 + k % 7
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+        out.append((float(k + 1), W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q26_polygonize",
+    f"""WITH r AS ({Q26_RECTS_SQL})
+       SELECT CAST(dn AS BIGINT) AS dn, w * h AS pixel_count,
+              ((x0 + w - 1) // 32 - x0 // 32 + 1)
+              * ((y0 + h - 1) // 32 - y0 // 32 + 1) AS n_tiles
+       FROM r""",
+)
+def q26(spark, sf_dir):
+    """GDALPolygonize semantics (alg/polygonize.cpp:73-300) distributed:
+    per-tile CCL + border-run join + union-find merge; disjoint integer
+    rectangles make the expected region table analytic."""
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    regions = polygonize_tiles(tiles, nodata=0.0, connect8=False, tile_size=32)
+    return regions.select(
+        F.col("dn").cast("long").alias("dn"),
+        F.col("pixel_count"),
+        F.col("n_tiles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 focal / §2.8 DEM ops / §2.3 interpolate-at-point (halo exchange)
+
+Q25_PIX_SQL = (
+    f"WITH r AS ({Q25_RECTS_SQL}), "
+    "pix AS (SELECT gx.range AS gx, gy.range AS gy, r.val "
+    "        FROM r, range(128) gx, range(128) gy "
+    "        WHERE gy.range + 0.5 >= r.y0 AND gy.range + 0.5 < r.y1 "
+    "          AND gx.range >= floor(r.x0 + 0.5) "
+    "          AND gx.range <= floor(r.x1 + 0.5) - 1), "
+    "rast AS (SELECT gx, gy, CAST(sum(val) AS DOUBLE) AS v FROM pix GROUP BY gx, gy)"
+)
+
+
+def _q25_tiles(spark, sf_dir):
+    feats = spark.createDataFrame(
+        _q25_rect_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    return rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32, merge_add=True)
+
+
+@query(
+    "q27_focal_sum",
+    f"""{Q25_PIX_SQL},
+       sh AS (SELECT gx + dx.range AS cgx, gy + dy.range AS cgy, v
+              FROM rast, range(-1, 2) dx, range(-1, 2) dy)
+       SELECT cgx AS gx, cgy AS gy, CAST(sum(v) AS DOUBLE) AS v
+       FROM sh WHERE cgx BETWEEN 0 AND 127 AND cgy BETWEEN 0 AND 127
+       GROUP BY cgx, cgy""",
+)
+def q27(spark, sf_dir):
+    """3×3 focal sum (gdal raster neighbors) with cross-tile halo
+    exchange: tiles trade 1-px boundary strips, one narrow shuffle."""
+    return focal_sum_tiles(_q25_tiles(spark, sf_dir), tile_size=32, width=128, height=128)
+
+
+def _z_sql(a: str, b: str) -> str:
+    """Inline DEM formula z(gx, gy) as SQL text (integers → exact)."""
+    return f"((({a})*7 + ({b})*13)%97 + (({a})*({a}))%23)"
+
+
+DEM_TILE = 32
+DEM_W = DEM_H = 128
+
+
+def _dem_tiles(spark):
+    """Deterministic synthetic DEM as a tile table (z = pure integer
+    function of the global pixel coords, partition-parallel synth)."""
+    from gdal_spark.operators.rasterize import TILE_SCHEMA
+
+    ntx, nty = DEM_W // DEM_TILE, DEM_H // DEM_TILE
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                t = int(row["id"])
+                tx, ty = t % ntx, t // ntx
+                gx = np.arange(DEM_TILE) + tx * DEM_TILE
+                gy = np.arange(DEM_TILE) + ty * DEM_TILE
+                GX, GY = np.meshgrid(gx, gy)
+                z = ((GX * 7 + GY * 13) % 97 + (GX * GX) % 23).astype(np.float64)
+                rows.append((0, tx, ty, 1, z.tobytes(), "float64", 0.0))
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "band", "data", "dtype", "nodata"]
+            )
+
+    return (
+        spark.range(ntx * nty)
+        .repartition(4)
+        .mapInPandas(gen, TILE_SCHEMA)
+    )
+
+
+@query(
+    "q28_horn_slope",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(1, 127) gx, range(1, 127) gy),
+       pq AS (SELECT gx, gy,
+              (({_z_sql('gx+1', 'gy-1')} + 2*{_z_sql('gx+1', 'gy')} + {_z_sql('gx+1', 'gy+1')})
+               - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx-1', 'gy')} + {_z_sql('gx-1', 'gy+1')})) / 8.0 AS p,
+              (({_z_sql('gx-1', 'gy+1')} + 2*{_z_sql('gx', 'gy+1')} + {_z_sql('gx+1', 'gy+1')})
+               - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx', 'gy-1')} + {_z_sql('gx+1', 'gy-1')})) / 8.0 AS q
+              FROM g)
+       SELECT gx, gy, round(100.0 * sqrt(p*p + q*q), 6) AS slope_pct
+       FROM pq WHERE 100.0 * sqrt(p*p + q*q) <> 0""",
+)
+def q28(spark, sf_dir):
+    """gdaldem slope (Horn) over a synthetic DEM tile table; halo
+    exchange supplies the 3×3 neighborhood across tile borders."""
+    slope = horn_slope_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return slope.select(
+        "gx", "gy", F.round(F.col("v"), 6).alias("slope_pct")
+    )
+
+
+@query(
+    "q31_interpolate_bilinear",
+    f"""{Q25_PIX_SQL},
+       q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                    ((s_suppkey*29)%1200)/10.0 + 1.55 AS qx,
+                    ((s_suppkey*41)%1200)/10.0 + 1.35 AS qy
+             FROM supplier),
+       b AS (SELECT qid, qx, qy,
+                    CAST(floor(qx - 0.5) AS BIGINT) AS gx0,
+                    CAST(floor(qy - 0.5) AS BIGINT) AS gy0,
+                    qx - 0.5 - floor(qx - 0.5) AS wx,
+                    qy - 0.5 - floor(qy - 0.5) AS wy
+             FROM q)
+       SELECT b.qid,
+              round(coalesce(a00.v, 0)*(1-wx)*(1-wy) + coalesce(a10.v, 0)*wx*(1-wy)
+                    + coalesce(a01.v, 0)*(1-wx)*wy + coalesce(a11.v, 0)*wx*wy, 6) AS v
+       FROM b
+       LEFT JOIN rast a00 ON a00.gx = b.gx0     AND a00.gy = b.gy0
+       LEFT JOIN rast a10 ON a10.gx = b.gx0 + 1 AND a10.gy = b.gy0
+       LEFT JOIN rast a01 ON a01.gx = b.gx0     AND a01.gy = b.gy0 + 1
+       LEFT JOIN rast a11 ON a11.gx = b.gx0 + 1 AND a11.gy = b.gy0 + 1""",
+)
+def q31(spark, sf_dir):
+    """GDALInterpolateAtPoint bilinear: each query point cogroups with
+    the single halo-padded tile containing it."""
+    s = _t(spark, sf_dir, "supplier")
+    pts = s.select(
+        F.col("s_suppkey").cast("long").alias("qid"),
+        (((F.col("s_suppkey") * 29) % 1200) / 10.0 + 1.55).alias("qx"),
+        (((F.col("s_suppkey") * 41) % 1200) / 10.0 + 1.35).alias("qy"),
+    )
+    out = interpolate_bilinear(
+        _q25_tiles(spark, sf_dir), pts, tile_size=32, width=128, height=128
+    )
+    return out.select("qid", F.round(F.col("v"), 6).alias("v"))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 layer algebra (overlay intersection)  +  §2.5 spatial sort
+
+B_RECTS_SQL = (
+    "SELECT CAST(r_regionkey AS BIGINT) AS b_id, "
+    "CAST((r_regionkey*47)%200 - 120 AS DOUBLE) AS bx0, "
+    "CAST((r_regionkey*31)%100 - 60 AS DOUBLE) AS by0, "
+    "CAST((r_regionkey*47)%200 - 120 + 40 + r_regionkey*7 AS DOUBLE) AS bx1, "
+    "CAST((r_regionkey*31)%100 - 60 + 30 + r_regionkey*5 AS DOUBLE) AS by1 "
+    "FROM region"
+)
+
+
+def _b_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "region").select("r_regionkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = float((k * 47) % 200 - 120)
+        y0 = float((k * 31) % 100 - 60)
+        x1 = x0 + 40 + k * 7
+        y1 = y0 + 30 + k * 5
+        ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+        out.append((k, W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q29_overlay_intersection",
+    f"""WITH a AS ({RECTS_SQL}), b AS ({B_RECTS_SQL})
+       SELECT a.zone_id AS a_id, b.b_id,
+              round((least(a.xmax, b.bx1) - greatest(a.xmin, b.bx0))
+                    * (least(a.ymax, b.by1) - greatest(a.ymin, b.by0)), 6) AS inter_area
+       FROM a JOIN b
+       ON least(a.xmax, b.bx1) > greatest(a.xmin, b.bx0)
+       AND least(a.ymax, b.by1) > greatest(a.ymin, b.by0)""",
+)
+def q29(spark, sf_dir):
+    """Layer-algebra Intersection (ogrlayer.cpp:5385): bbox broadcast
+    prefilter + exact Sutherland-Hodgman clip kernel; the analytic
+    rect∩rect area is the oracle."""
+    from gdal_spark.operators.overlay import intersection_convex
+
+    a_rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
+    a_df = spark.createDataFrame(a_rows, "a_id long, geom binary")
+    out = intersection_convex(a_df, _b_rect_rows(spark, sf_dir))
+    return out.select("a_id", "b_id", F.round(F.col("inter_area"), 6).alias("inter_area"))
+
+
+@query(
+    "q30_spatial_sort_morton",
+    f"""WITH pts AS ({POINTS_SQL}),
+       g AS (SELECT doc_id,
+                    CAST(floor((lon+180.0)/360.0*256) AS BIGINT) AS x,
+                    CAST(floor((90.0-lat)/180.0*256) AS BIGINT) AS y
+             FROM pts),
+       m AS (SELECT doc_id,
+                    CAST(sum(((x // CAST(power(2, j.range) AS BIGINT)) % 2)
+                             * CAST(power(2, 2*j.range+1) AS BIGINT)
+                           + ((y // CAST(power(2, j.range) AS BIGINT)) % 2)
+                             * CAST(power(2, 2*j.range) AS BIGINT)) AS BIGINT) AS morton
+             FROM g, range(8) j GROUP BY doc_id)
+       SELECT doc_id, morton FROM m ORDER BY morton, doc_id LIMIT 300""",
+)
+def q30(spark, sf_dir):
+    """Z-order spatial sort (gdal vector sort --hilbert's role): pure
+    Catalyst bit-interleave key + range partitioning."""
+    from gdal_spark.operators.sort import spatial_sort
+
+    pts = _points(spark, sf_dir)
+    return (
+        spatial_sort(pts, res=8)
+        .select("doc_id", "morton")
+        .orderBy("morton", "doc_id")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup / text-analysis suite (documents)
 
 # synthetic near-dups: every 50th doc duplicated with id+1000000
@@ -461,17 +791,23 @@ def q17(spark, sf_dir):
 @query(
     "q18_minhash_lsh",
     f"""WITH d AS ({DOCS_WITH_DUPS_SQL}),
+       tk AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM d),
        toks AS (SELECT DISTINCT doc_id, tok FROM (
-           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-           FROM d)),
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS tok
+           FROM tk)),
        sigs AS (SELECT doc_id,
                 min(md5(tok || 's0')) AS sig0, min(md5(tok || 's1')) AS sig1,
-                min(md5(tok || 's2')) AS sig2, min(md5(tok || 's3')) AS sig3
+                min(md5(tok || 's2')) AS sig2, min(md5(tok || 's3')) AS sig3,
+                min(md5(tok || 's4')) AS sig4, min(md5(tok || 's5')) AS sig5,
+                min(md5(tok || 's6')) AS sig6, min(md5(tok || 's7')) AS sig7
                 FROM toks GROUP BY doc_id),
        buckets AS (
-         SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bucket FROM sigs
+         SELECT doc_id, 0 AS band, md5(sig0 || sig1 || sig2 || sig3) AS bucket FROM sigs
          UNION ALL
-         SELECT doc_id, 1 AS band, md5(sig2 || sig3) AS bucket FROM sigs),
+         SELECT doc_id, 1 AS band, md5(sig4 || sig5 || sig6 || sig7) AS bucket FROM sigs),
        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
                 FROM buckets l JOIN buckets r USING (band, bucket)
                 WHERE l.doc_id < r.doc_id),
@@ -487,7 +823,7 @@ def q17(spark, sf_dir):
 )
 def q18(spark, sf_dir):
     d = _docs_with_dups(spark, sf_dir)
-    return minhash_lsh_pairs(d, threshold=0.5)
+    return minhash_lsh_pairs(d, threshold=0.5, k=3)
 
 
 @query(
