@@ -37,6 +37,18 @@ HEADLINE = [
     "q21_text_quality",
     "q23_cosine_topk",
     "q24_grid_idw",
+    "q25_rasterize_burn",
+    "q26_polygonize",
+    "q27_focal_sum",
+    "q28_horn_slope",
+    "q29_overlay_intersection",
+    "q30_spatial_sort_morton",
+    "q31_interpolate_bilinear",
+    "q32_ann_ivf",
+    "q33_graph_cc",
+    "q34_winnow_fingerprint",
+    "q35_multimodal_meta",
+    "q37_checksum",
 ]
 
 

@@ -129,3 +129,43 @@ def token_hash32(tok) -> Column:
     """Portable 32-bit token hash: first 8 hex chars of md5, as long.
     Identical in DuckDB via CAST('0x' || substr(md5(t),1,8) AS BIGINT)."""
     return F.conv(F.substring(F.md5(tok.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def winnow_fingerprints_df(docs, id_col: str = "doc_id", text_col: str = "text",
+                           k: int = 5, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every char k-gram, take the min hash of each w-length sliding
+    window, keep the distinct mins per doc.  Near-dup docs share
+    fingerprints; the selection is position-robust (a local change
+    perturbs only nearby windows).
+
+    Shape: k-gram hashes explode to rows, the sliding min is a Window
+    ``rowsBetween(0, w-1)`` over gram position — one shuffle on the doc
+    id.  (A pure higher-order-function formulation re-evaluates the
+    hash array once per window inside the interpreted HOF path —
+    measured quadratic; the row/Window form is the scalable one.)
+
+    Returns (id_col, fp) rows, distinct."""
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"filter(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+                f"i -> substring({text_col}, i, {k})), g -> length(g) = {k})"
+            )
+        ).alias("pos", "gram"),
+    )
+    h = grams.select(
+        id_col, "pos", token_hash32(F.col("gram")).alias("h")
+    )
+    win = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy(id_col)
+    mins = h.select(
+        F.col(id_col),
+        F.col("pos"),
+        F.min("h").over(win).alias("fp"),
+        F.count("*").over(cnt).alias("_n"),
+    ).filter(F.col("pos") <= F.col("_n") - w)  # full windows only
+    return mins.select(id_col, "fp").distinct()

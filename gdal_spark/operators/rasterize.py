@@ -348,6 +348,38 @@ def tiles_to_features(
     return tiles.mapInPandas(gen, out_schema)
 
 
+def checksum_tiles(tiles: DataFrame, tile_size: int, width: int) -> DataFrame:
+    """Distributed GDALChecksumImage (alg/gdalchecksum.cpp:48-120): the
+    formula is a sum of per-pixel remainders keyed by the GLOBAL pixel
+    index, so it distributes as per-tile partials + one masked final
+    sum.  Absent tiles are all-zero and contribute 0 (0 % p == 0), so
+    the sparse tile table checksums identically to the dense raster."""
+    from gdal_spark.kernels.checksum import _PRIMES
+
+    def partial(pdf_iter):
+        for pdf in pdf_iter:
+            totals = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    tile_size, tile_size
+                )
+                if np.issubdtype(arr.dtype, np.floating):
+                    vals = np.floor(arr.astype(np.float64) + 0.5).astype(np.int64)
+                else:
+                    vals = arr.astype(np.int64)
+                gx = np.arange(tile_size) + int(row["tx"]) * tile_size
+                gy = np.arange(tile_size) + int(row["ty"]) * tile_size
+                GX, GY = np.meshgrid(gx, gy)
+                idx = (GY.astype(np.int64) * width + GX) % 11
+                totals.append(int(np.sum(vals % _PRIMES[idx])))
+            yield pd.DataFrame({"partial": totals})
+
+    partials = tiles.mapInPandas(partial, "partial long")
+    return partials.agg(
+        (F.sum("partial") % 65536).cast("long").alias("checksum")
+    )
+
+
 def tiles_to_arrays(tiles_pdf: pd.DataFrame, tile_size: int = TILE_SIZE) -> dict:
     """Collect helper for tests: {(z, tx, ty): ndarray}."""
     out = {}

@@ -84,6 +84,85 @@ def hyperplane_lsh_buckets(
     return vectors.withColumn("bucket", bucket)
 
 
+def ann_ivf(
+    vectors: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    n_queries: int = 10,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest
+    "centroid" cell (one inverted-list shuffle key), probe the top
+    ``n_probe`` cells per query, exact-score only the probed lists.
+
+    Scale shape: the candidate join is an equi-join on the cell id —
+    at 10^12 vectors each query touches n_probe/n_centroids of the
+    corpus instead of all of it, and the inverted lists are just
+    partitions of the vector table keyed by cell.
+
+    Determinism/oracle trick: embeddings are quantized to integers
+    (floor(1000·e + 0.5)) and the centroids are an integer formula, so
+    every dot product is exact in double regardless of summation order
+    — bit-identical between NumPy, Catalyst, and the DuckDB oracle.
+    Ties break to the smallest centroid / vector id.
+    """
+    cent = np.array(
+        [[((j * 31 + d * 17) % 21) - 10 for d in range(dim)] for j in range(n_centroids)],
+        dtype=np.float64,
+    )
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def cells_ranked(embs: pd.Series) -> pd.Series:
+        """All centroid ids ranked by dot desc (ties: low id first)."""
+        M = np.stack(
+            [np.floor(np.asarray(e, dtype=np.float64) * 1000.0 + 0.5) for e in embs]
+        )
+        dots = M @ cent.T  # exact: integer-valued doubles
+        order = np.argsort(-dots, axis=1, kind="stable")
+        return pd.Series(list(order.astype(np.int64)))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def quantized(embs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                np.floor(np.asarray(e, dtype=np.float64) * 1000.0 + 0.5)
+                .astype(np.int64)
+                .tolist()
+                for e in embs
+            ]
+        )
+
+    vq = vectors.select(
+        vec_id,
+        quantized(F.col(vec_col)).alias("qv"),
+        cells_ranked(F.col(vec_col)).alias("_cells"),
+    )
+    assigned = vq.select(vec_id, "qv", F.col("_cells")[0].alias("cell"))
+    queries = (
+        vq.filter(F.col(vec_id) < n_queries)
+        .select(
+            F.col(vec_id).alias("qid"),
+            F.col("qv").alias("qqv"),
+            F.explode(F.slice(F.col("_cells"), 1, n_probe)).alias("cell"),
+        )
+    )
+    cand = queries.join(assigned, "cell").filter(F.col(vec_id) != F.col("qid"))
+    score = F.aggregate(
+        F.zip_with("qqv", "qv", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.withColumn("score", score)
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col(vec_id).asc())
+    return (
+        scored.withColumn("ivf_rank", F.row_number().over(w))
+        .filter(F.col("ivf_rank") <= k)
+        .select("qid", vec_id, "ivf_rank", "score")
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     k: int = 5,

@@ -951,6 +951,161 @@ def q23(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANN scale path (IVF), GNM graph, winnowing, multimodal, streaming, checksum
+
+
+@query(
+    "q32_ann_ivf",
+    """WITH v AS (SELECT vec_id,
+                list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+              FROM embeddings),
+       cd AS (SELECT j.range AS j,
+                     list_transform(range(64), d -> ((j.range*31 + d*17) % 21) - 10) AS c
+              FROM range(8) j),
+       dots AS (SELECT v.vec_id, cd.j,
+                list_dot_product(list_transform(v.qv, x -> CAST(x AS DOUBLE)),
+                                 list_transform(cd.c, x -> CAST(x AS DOUBLE))) AS dp
+                FROM v CROSS JOIN cd),
+       ranked AS (SELECT vec_id, j,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dp DESC, j) AS rn
+                  FROM dots),
+       assign AS (SELECT vec_id, j AS cell FROM ranked WHERE rn = 1),
+       probes AS (SELECT vec_id AS qid, j AS cell FROM ranked WHERE rn <= 2 AND vec_id < 10),
+       cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN assign a USING (cell)
+                WHERE a.vec_id <> p.qid),
+       scored AS (SELECT c.qid, c.vec_id,
+                  CAST(list_dot_product(list_transform(vq.qv, x -> CAST(x AS DOUBLE)),
+                                        list_transform(vv.qv, x -> CAST(x AS DOUBLE))) AS BIGINT) AS score
+                  FROM cand c JOIN v vq ON vq.vec_id = c.qid JOIN v vv ON vv.vec_id = c.vec_id),
+       r AS (SELECT qid, vec_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS ivf_rank
+             FROM scored)
+       SELECT qid, vec_id, CAST(ivf_rank AS INT) AS ivf_rank, score
+       FROM r WHERE ivf_rank <= 5""",
+)
+def q32(spark, sf_dir):
+    """IVF ANN: integer-quantized embeddings, formula centroids, probe
+    top-2 inverted lists — the similarity-search scale path (candidates
+    = n_probe/n_centroids of the corpus, equi-join on the cell id)."""
+    from gdal_spark.operators.similarity import ann_ivf
+
+    return ann_ivf(_t(spark, sf_dir, "embeddings"), k=5)
+
+
+@query(
+    "q33_graph_cc",
+    """WITH RECURSIVE base AS (
+         SELECT DISTINCT (c_custkey % 200) AS u, ((c_custkey % 200)*7 + 3) % 200 AS v
+         FROM customer),
+       und AS (SELECT u, v FROM base UNION SELECT v, u FROM base),
+       n AS (SELECT DISTINCT u AS node FROM und),
+       reach(node, lab) AS (
+         SELECT node, node FROM n
+         UNION
+         SELECT und.v, r.lab FROM reach r JOIN und ON und.u = r.node)
+       SELECT node, min(lab) AS component FROM reach GROUP BY node""",
+)
+def q33(spark, sf_dir):
+    """GNM connected components (gnm/gnmgraph.h:211) as iterative label
+    propagation (join+min-agg per round, localCheckpoint lineage cut)."""
+    from gdal_spark.operators.graph import connected_components
+
+    c = _t(spark, sf_dir, "customer")
+    edges = c.select(
+        (F.col("c_custkey") % 200).alias("src"),
+        (((F.col("c_custkey") % 200) * 7 + 3) % 200).alias("dst"),
+    ).distinct()
+    return connected_components(edges)
+
+
+@query(
+    "q34_winnow_fingerprint",
+    """WITH g AS (SELECT doc_id,
+              list_filter(list_transform(range(1, greatest(length(text) - 4, 1) + 1),
+                          i -> substr(text, CAST(i AS INT), 5)),
+                          s -> length(s) = 5) AS grams
+              FROM documents WHERE length(text) >= 8),
+       h AS (SELECT doc_id,
+              list_transform(grams, s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+              FROM g),
+       m AS (SELECT doc_id,
+              list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                            j -> list_aggregate(list_slice(hs, j, j + 3), 'min'))) AS fps
+              FROM h)
+       SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+              list_aggregate(fps, 'min') AS fp_min,
+              CAST(list_aggregate(fps, 'sum') AS BIGINT) AS fp_sum
+       FROM m""",
+)
+def q34(spark, sf_dir):
+    """Winnowing fingerprints (sliding-window min of k-gram hashes) —
+    position-robust doc fingerprinting as rows + Window rowsBetween."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    fps = TXT.winnow_fingerprints_df(d, k=5, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.sum("fp").alias("fp_sum"),
+    )
+
+
+@query(
+    "q35_multimodal_meta",
+    """SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       16 + CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 64 AS width,
+       16 + (CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) // 64) % 64 AS height,
+       round((CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) % 256) / 255.0, 6) AS mean_luma
+       FROM documents""",
+)
+def q35(spark, sf_dir):
+    """Multimodal plumbing: binary content column → Arrow-batched
+    metadata extraction (decode stubbed deterministically; see
+    operators/multimodal.py for the real-decoder gate)."""
+    from gdal_spark.operators.multimodal import extract_image_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    out = extract_image_meta(d)
+    return out.select(
+        "doc_id", "n_bytes", "width", "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
+@query(
+    "q36_stream_hourly",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2""",
+)
+def q36(spark, sf_dir):
+    """The q09 aggregation executed as a REAL Structured Streaming
+    query (file source → watermarked windowed agg → memory sink,
+    availableNow) — incremental computation, batch-identical result."""
+    from gdal_spark.streaming import stream_hourly_agg
+
+    return stream_hourly_agg(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "q37_checksum",
+    f"""{Q25_PIX_SQL}
+       SELECT CAST(sum(CAST(v AS BIGINT)
+                       % ([7,11,13,17,19,23,29,31,37,41,43])[((gy*128 + gx)%11) + 1])
+                   % 65536 AS BIGINT) AS checksum
+       FROM rast""",
+)
+def q37(spark, sf_dir):
+    """GDALChecksumImage distributed: per-tile partial remainder sums
+    on global pixel indices + masked final combine."""
+    from gdal_spark.operators.rasterize import checksum_tiles
+
+    return checksum_tiles(_q25_tiles(spark, sf_dir), tile_size=32, width=128)
+
+
+# ---------------------------------------------------------------------------
 # grid interpolation
 
 

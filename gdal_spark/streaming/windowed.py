@@ -1,0 +1,68 @@
+"""Structured Streaming veneer over the same operator kernels.
+
+The reference has no streaming model (SURVEY.md §2.9 — batch pull
+iteration only); this module is the engine's incremental-ingest
+extension: the events table consumed as a file stream, event-time
+windowed aggregation with a watermark, results landing in the same
+table shapes the batch operators produce.  ``trigger(availableNow)``
+drains everything currently present and stops — which also makes the
+streaming path *testable against the batch oracle*: same input, same
+expected output, one of them computed incrementally with state.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_hourly_agg(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Run the hourly (window, event_type) count/sum aggregation as a
+    real Structured Streaming query (file source → stateful windowed
+    agg → memory sink, availableNow) and return the drained result.
+
+    At scale this is `readStream` from the landing bucket with a
+    running trigger; the watermark bounds state: windows older than
+    max(event time) − watermark are finalized and evicted.
+    """
+    batch_df = spark.read.parquet(events_path)
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    # the file stream source wants a DIRECTORY to watch; stage the
+    # table file behind a symlink dir (at scale this is the landing
+    # prefix new files arrive into)
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
+    stream = (
+        spark.readStream.schema(batch_df.schema).parquet(src_dir)
+        # watermarks require TIMESTAMP (LTZ); parquet NTZ casts losslessly
+        # under the fixed UTC session timezone and is cast back below
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("window.start").cast("timestamp_ntz").alias("hour"),
+        "event_type", "n", "sum_value",
+    )
