@@ -1105,6 +1105,151 @@ def q37(spark, sf_dir):
     return checksum_tiles(_q25_tiles(spark, sf_dir), tile_size=32, width=128)
 
 
+@query(
+    "q38_band_stats",
+    f"""{Q25_PIX_SQL},
+       a AS (SELECT count(*) AS n, min(v) AS vmin, max(v) AS vmax,
+                    CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS s,
+                    CAST(sum(CAST(v AS BIGINT)*CAST(v AS BIGINT)) AS BIGINT) AS ss
+             FROM rast)
+       SELECT n, vmin, vmax,
+              round(s / CAST(n AS DOUBLE), 6) AS mean,
+              round(sqrt(ss / CAST(n AS DOUBLE)
+                         - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))), 6)
+                  AS stddev_pop
+       FROM a""",
+)
+def q38(spark, sf_dir):
+    """Band statistics (ComputeStatistics): per-tile integer-exact
+    partials, 5-number combine — no pixel crosses the shuffle."""
+    from gdal_spark.operators.stats import band_stats_tiles
+
+    return band_stats_tiles(_q25_tiles(spark, sf_dir), tile_size=32, nodata=0.0)
+
+
+@query(
+    "q39_ogrsql_veneer",
+    f"""WITH zones AS ({RECTS_SQL})
+       SELECT zone_id AS fid,
+              round((xmax - xmin) * (ymax - ymin), 6) AS area,
+              (CAST(zone_id AS VARCHAR) LIKE '1%') AS starts1
+       FROM zones WHERE zone_id BETWEEN 2 AND 20 AND zone_id % 2 = 0
+       ORDER BY area DESC LIMIT 8""",
+)
+def q39(spark, sf_dir):
+    """ExecuteSQL veneer: OGR-SQL text (FID / OGR_GEOM_AREA pseudo-
+    columns, LIKE/BETWEEN, ORDER/LIMIT) over a registered WKB layer,
+    planned by Catalyst with the registered ST_ surface."""
+    from gdal_spark.functions.ogrsql import execute_sql
+
+    rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
+    layer = spark.createDataFrame(rows, "fid long, geom binary")
+    out = execute_sql(
+        spark,
+        """SELECT FID, round(OGR_GEOM_AREA, 6) AS area,
+                  (CAST(FID AS STRING) LIKE '1%') AS starts1
+           FROM zones WHERE FID BETWEEN 2 AND 20 AND FID % 2 = 0
+           ORDER BY area DESC LIMIT 8""",
+        layers={"zones": layer},
+    )
+    return out
+
+
+@query(
+    "q40_json_props",
+    """SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) % 10 AS k_bucket,
+              count(*) AS n, count(DISTINCT user_id) AS nd_user
+       FROM events GROUP BY 1""",
+)
+def q40(spark, sf_dir):
+    """JSON/HSTORE property access (OGR's HSTORE_GET_VALUE + JSON field
+    subtype): regex-extract the key, bucket, aggregate — all JVM."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), '"k": (\\d+)', 1).cast("long")
+    return e.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("nd_user"),
+    )
+
+
+@query(
+    "q41_sieve_filter",
+    f"""WITH r AS ({Q26_RECTS_SQL})
+       SELECT CAST(dn AS BIGINT) AS dn, w * h AS pixel_count
+       FROM r WHERE w * h >= 20""",
+)
+def q41(spark, sf_dir):
+    """Sieve (GDALSieveFilter's CCL machinery, size-threshold subset):
+    polygonize then drop components under the threshold.  The
+    reference's merge-into-largest-neighbor step is not implemented —
+    this is the filter form (alg/gdalsievefilter.cpp:640 does CCL +
+    size test with the same two-pass labeling as polygonize)."""
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    regions = polygonize_tiles(tiles, nodata=0.0, connect8=False, tile_size=32)
+    return regions.filter(F.col("pixel_count") >= 20).select(
+        F.col("dn").cast("long").alias("dn"), "pixel_count"
+    )
+
+
+_CONTOUR_ORACLE = f"""
+WITH g AS (SELECT gx.range AS cx, gy.range AS cy FROM range(127) gx, range(127) gy),
+z AS (SELECT cx, cy,
+      CAST({_z_sql('cx', 'cy')} AS DOUBLE) AS ztl,
+      CAST({_z_sql('cx+1', 'cy')} AS DOUBLE) AS ztr,
+      CAST({_z_sql('cx+1', 'cy+1')} AS DOUBLE) AS zbr,
+      CAST({_z_sql('cx', 'cy+1')} AS DOUBLE) AS zbl
+      FROM g),
+c AS (SELECT *,
+      CAST(ztl > 47.5 AS INT) + 2*CAST(ztr > 47.5 AS INT)
+      + 4*CAST(zbr > 47.5 AS INT) + 8*CAST(zbl > 47.5 AS INT) AS case_id,
+      (47.5 - ztl)/nullif(ztr - ztl, 0) AS tt,
+      (47.5 - ztr)/nullif(zbr - ztr, 0) AS tr2,
+      (47.5 - zbl)/nullif(zbr - zbl, 0) AS tb,
+      (47.5 - ztl)/nullif(zbl - ztl, 0) AS tl2,
+      (ztl + ztr + zbr + zbl)/4.0 AS ctr
+      FROM z),
+l AS (SELECT cx, cy, case_id, ctr,
+      sqrt(tt*tt + tl2*tl2) AS l_topleft,
+      sqrt((1-tt)*(1-tt) + tr2*tr2) AS l_topright,
+      sqrt((tb-1)*(tb-1) + (1-tr2)*(1-tr2)) AS l_rightbottom,
+      sqrt(tb*tb + (1-tl2)*(1-tl2)) AS l_bottomleft,
+      sqrt(1 + (tr2-tl2)*(tr2-tl2)) AS l_leftright,
+      sqrt((tb-tt)*(tb-tt) + 1) AS l_topbottom
+      FROM c)
+SELECT cx, cy, CAST(case_id AS INT) AS case_id,
+       CAST(CASE WHEN case_id IN (5, 10) THEN 2 ELSE 1 END AS INT) AS n_seg,
+       round(CASE case_id
+         WHEN 1 THEN l_topleft WHEN 2 THEN l_topright WHEN 3 THEN l_leftright
+         WHEN 4 THEN l_rightbottom
+         WHEN 5 THEN CASE WHEN ctr > 47.5 THEN l_topright + l_bottomleft
+                          ELSE l_topleft + l_rightbottom END
+         WHEN 6 THEN l_topbottom WHEN 7 THEN l_bottomleft WHEN 8 THEN l_bottomleft
+         WHEN 9 THEN l_topbottom
+         WHEN 10 THEN CASE WHEN ctr > 47.5 THEN l_topleft + l_rightbottom
+                           ELSE l_topright + l_bottomleft END
+         WHEN 11 THEN l_rightbottom WHEN 12 THEN l_leftright WHEN 13 THEN l_topright
+         WHEN 14 THEN l_topleft END, 6) AS seg_len
+FROM l WHERE case_id NOT IN (0, 15)
+"""
+
+
+@query("q42_contour_cells", _CONTOUR_ORACLE)
+def q42(spark, sf_dir):
+    """Marching-squares contour (gdal contour, alg/marching_squares):
+    per-tile cell classification + crossing interpolation with halo
+    exchange; level 47.5 over the synthetic DEM (no z ever equals the
+    level, so no degenerate cases)."""
+    from gdal_spark.operators.contour import contour_cells
+
+    out = contour_cells(_dem_tiles(spark), level=47.5, tile_size=DEM_TILE,
+                        width=DEM_W, height=DEM_H)
+    return out.select(
+        "cx", "cy", "case_id", "n_seg", F.round(F.col("seg_len"), 6).alias("seg_len")
+    )
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
