@@ -100,3 +100,36 @@ def intersection_convex(
 
     res = cand.mapInPandas(clip_batch, out_schema)
     return res.filter(F.col("inter_area") > 0)
+
+
+def erase_area(
+    a: DataFrame,
+    b_polys: list[tuple],
+    a_id: str = "a_id",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """``OGRLayer::Erase`` (ogrlayer.cpp:7846) area accounting: per
+    input feature, its area minus the area covered by the (pairwise
+    disjoint) method polygons — same candidate join as Intersection,
+    finished with a left-join so uncovered features survive whole.
+
+    Returns (a_id, erase_area).  Requires ``b_polys`` pairwise
+    disjoint (else subtractions double-count; the general case would
+    union the b side first)."""
+    from gdal_spark.kernels.clip import polygon_area
+
+    @F.pandas_udf(T.DoubleType())
+    def wkb_area(geoms: pd.Series) -> pd.Series:
+        out = np.zeros(len(geoms))
+        for i, g in enumerate(geoms):
+            polys = W.polygon_rings(bytes(g))
+            out[i] = sum(polygon_area(rings) for rings in polys)
+        return pd.Series(out)
+
+    inter = intersection_convex(a, b_polys, a_id=a_id, geom_col=geom_col)
+    covered = inter.groupBy(a_id).agg(F.sum("inter_area").alias("_covered"))
+    base = a.select(a_id, wkb_area(F.col(geom_col)).alias("_area"))
+    return base.join(covered, a_id, "left").select(
+        a_id,
+        (F.col("_area") - F.coalesce(F.col("_covered"), F.lit(0.0))).alias("erase_area"),
+    )

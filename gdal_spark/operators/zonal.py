@@ -9,6 +9,8 @@ so the shuffle carries one partial row per (task, zone), not the data.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,4 +42,80 @@ def zonal_stats_points(
         F.max(v).alias("zmax"),
         F.round(F.stddev_pop(v), 4).alias("zstddev"),
         F.count_distinct(v).alias("zvariety"),
+    )
+
+
+def zonal_stats_raster(
+    zone_tiles: DataFrame,
+    value_tiles: DataFrame,
+    tile_size: int,
+    zone_nodata: float = 0.0,
+) -> DataFrame:
+    """GDALZonalStats raster path (alg/zonal.cpp, CLI
+    apps/gdalalg_raster_zonal_stats.cpp): per zone-raster value,
+    aggregate the value raster's pixels.
+
+    Physical plan: the zone and value tile tables join on the tile key
+    — with both written tile-partitioned this is a co-located join (no
+    data movement beyond the scan on a bucketed/Iceberg layout); each
+    task folds one tile pair into per-zone integer-exact partials
+    (count, Σv, Σv², min, max via np.bincount), and the final combine
+    shuffles one row per (task, zone) — never pixels."""
+    z = zone_tiles.select(
+        "tx", "ty", F.col("data").alias("_zdata"), F.col("dtype").alias("_zdtype")
+    )
+    v = value_tiles.select(
+        "tx", "ty", F.col("data").alias("_vdata"), F.col("dtype").alias("_vdtype")
+    )
+    joined = z.join(v, ["tx", "ty"])
+
+    def partial(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                zones = np.frombuffer(row["_zdata"], dtype=np.dtype(row["_zdtype"])).reshape(
+                    tile_size, tile_size
+                )
+                vals = np.frombuffer(row["_vdata"], dtype=np.dtype(row["_vdtype"])).reshape(
+                    tile_size, tile_size
+                )
+                m = zones != zone_nodata
+                if not m.any():
+                    continue
+                zid = zones[m].astype(np.int64)
+                iv = vals[m].astype(np.int64)
+                uniq, inv = np.unique(zid, return_inverse=True)
+                n = np.bincount(inv)
+                s = np.bincount(inv, weights=iv.astype(np.float64)).astype(np.int64)
+                ss = np.bincount(inv, weights=(iv * iv).astype(np.float64)).astype(np.int64)
+                vmin = np.full(uniq.size, np.iinfo(np.int64).max)
+                vmax = np.full(uniq.size, np.iinfo(np.int64).min)
+                np.minimum.at(vmin, inv, iv)
+                np.maximum.at(vmax, inv, iv)
+                frames.append(
+                    pd.DataFrame(
+                        {"zone": uniq, "n": n, "s": s, "ss": ss,
+                         "vmin": vmin, "vmax": vmax}
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"zone": [], "n": [], "s": [], "ss": [], "vmin": [], "vmax": []}
+            )
+
+    p = joined.mapInPandas(
+        partial, "zone long, n long, s long, ss long, vmin long, vmax long"
+    )
+    agg = p.groupBy("zone").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    nD = F.col("n").cast("double")
+    mean = F.col("s") / nD
+    return agg.select(
+        "zone", "n", "vmin", "vmax",
+        F.round(mean, 6).alias("mean"),
+        F.round(F.sqrt(F.col("ss") / nD - mean * mean), 6).alias("stddev_pop"),
     )

@@ -1250,6 +1250,88 @@ def q42(spark, sf_dir):
     )
 
 
+# disjoint "method layer" rects for Erase (pairwise gaps in x)
+ERASE_RECTS_SQL = (
+    "SELECT CAST(r_regionkey AS BIGINT) AS b_id, "
+    "CAST(r_regionkey*45 - 110 AS DOUBLE) AS bx0, "
+    "CAST((r_regionkey*23)%60 - 30 AS DOUBLE) AS by0, "
+    "CAST(r_regionkey*45 - 110 + 40 AS DOUBLE) AS bx1, "
+    "CAST((r_regionkey*23)%60 - 30 + 28 AS DOUBLE) AS by1 "
+    "FROM region"
+)
+
+
+def _erase_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "region").select("r_regionkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = float(k * 45 - 110)
+        y0 = float((k * 23) % 60 - 30)
+        ring = np.array(
+            [[x0, y0], [x0 + 40, y0], [x0 + 40, y0 + 28], [x0, y0 + 28], [x0, y0]]
+        )
+        out.append((k, W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q43_erase_area",
+    f"""WITH a AS ({RECTS_SQL}), b AS ({ERASE_RECTS_SQL}),
+       inter AS (
+         SELECT a.zone_id AS a_id,
+                (least(a.xmax, b.bx1) - greatest(a.xmin, b.bx0))
+                * (least(a.ymax, b.by1) - greatest(a.ymin, b.by0)) AS ia
+         FROM a JOIN b
+         ON least(a.xmax, b.bx1) > greatest(a.xmin, b.bx0)
+         AND least(a.ymax, b.by1) > greatest(a.ymin, b.by0)),
+       cov AS (SELECT a_id, sum(ia) AS covered FROM inter GROUP BY a_id)
+       SELECT a.zone_id AS a_id,
+              round((a.xmax - a.xmin) * (a.ymax - a.ymin)
+                    - coalesce(c.covered, 0), 6) AS erase_area
+       FROM a LEFT JOIN cov c ON c.a_id = a.zone_id""",
+)
+def q43(spark, sf_dir):
+    """Layer-algebra Erase (area form): input area minus disjoint
+    method-polygon coverage via the clip kernel + left join."""
+    from gdal_spark.operators.overlay import erase_area
+
+    a_rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
+    a_df = spark.createDataFrame(a_rows, "a_id long, geom binary")
+    out = erase_area(a_df, _erase_rect_rows(spark, sf_dir))
+    return out.select("a_id", F.round(F.col("erase_area"), 6).alias("erase_area"))
+
+
+@query(
+    "q44_zonal_raster",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       pix AS (SELECT CAST(dn AS BIGINT) AS zone, x0 + dx.range AS gx, y0 + dy.range AS gy
+               FROM r, range(16) dx, range(16) dy
+               WHERE dx.range < w AND dy.range < h),
+       vals AS (SELECT zone, {_z_sql('gx', 'gy')} AS v FROM pix),
+       a AS (SELECT zone, count(*) AS n,
+                    CAST(min(v) AS BIGINT) AS vmin, CAST(max(v) AS BIGINT) AS vmax,
+                    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS ss
+             FROM vals GROUP BY zone)
+       SELECT zone, n, vmin, vmax,
+              round(s / CAST(n AS DOUBLE), 6) AS mean,
+              round(sqrt(ss / CAST(n AS DOUBLE)
+                         - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))), 6)
+                  AS stddev_pop
+       FROM a""",
+)
+def q44(spark, sf_dir):
+    """GDALZonalStats raster path: zone raster (burned rects) × value
+    raster (DEM) joined on the tile key — co-located tile-pair fold,
+    per-zone integer-exact partials, one row per (task, zone) shuffled."""
+    from gdal_spark.operators.zonal import zonal_stats_raster
+
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    zone_tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    return zonal_stats_raster(zone_tiles, _dem_tiles(spark), tile_size=32)
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 

@@ -1,0 +1,91 @@
+"""Physical-plan hygiene: the optimizations we rely on at 100 TB must
+actually appear in the plans — pushdown reaches the scan, small sides
+broadcast, the point table is never shuffled, cell keys stay in
+codegen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+from gdal_spark.plans.pipeline import metro_zones
+from gdal_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = QUERIES["q01_filter_project"](spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = QUERIES["q01_filter_project"](spark, SF)
+    read_schema = plan_of(df).split("ReadSchema:")[1].splitlines()[0]
+    # only the 6 referenced columns, not all 16 lineitem columns
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_spatial_join_broadcasts_and_never_shuffles_points(spark):
+    pts = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    j = spatial_join_points_in_polygons(pts, metro_zones(), poly_id_col="zone_id")
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan
+    # the only exchange allowed is the broadcast itself
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("SingleP") or "broadcast" in e.lower() for e in exchanges), exchanges
+
+
+def test_cell_key_is_codegen_not_python(spark):
+    pts = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") / 10.0).alias("lon"),
+        (F.col("doc_id") / 20.0).alias("lat"),
+    )
+    from gdal_spark.operators.spatial_join import with_cell
+
+    plan = plan_of(with_cell(pts))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    df = QUERIES["q06_left_join"](spark, SF)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_groupby_has_partial_aggregation(spark):
+    df = QUERIES["q05_groupby_agg"](spark, SF)
+    plan = plan_of(df)
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_salted_shuffle_join_has_no_broadcast(spark):
+    pts = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    j = spatial_join_points_in_polygons(
+        pts, metro_zones(), poly_id_col="zone_id",
+        broadcast_cover=False, salt_factor=4,
+    )
+    plan = plan_of(j)
+    assert "ShuffledHashJoin" in plan
