@@ -61,3 +61,55 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Single-source shortest paths — the GNM Dijkstra surface
+    (gnm/gnmgraph.h:173) as distributed Bellman-Ford: each round
+    relaxes every edge (join on the frontier + min-combine), and the
+    loop stops at the first round with no improvement.  Rounds =
+    longest shortest-path hop count; ``localCheckpoint`` per round
+    truncates lineage.  Dijkstra's priority queue doesn't distribute;
+    frontier relaxation is the standard cluster form (delta-stepping
+    drops in behind the same signature for weighted speedups).
+
+    Returns (node, cost) for reachable nodes."""
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    dist = spark.createDataFrame([(source, 0)], "node long, cost long").localCheckpoint()
+    for _ in range(max_iter):
+        relax = (
+            e.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        new = (
+            dist.join(relax, "node", "full")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("cost"), F.col("cand")),
+                    F.coalesce(F.col("cand"), F.col("cost")),
+                ).alias("cost"),
+                (
+                    F.col("cost").isNull()
+                    | (F.coalesce(F.col("cand"), F.col("cost")) < F.col("cost"))
+                ).alias("_changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_changed")).count()
+        dist = new.drop("_changed")
+        if changed == 0:
+            break
+    return dist

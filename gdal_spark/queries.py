@@ -1332,6 +1332,114 @@ def q44(spark, sf_dir):
     return zonal_stats_raster(zone_tiles, _dem_tiles(spark), tile_size=32)
 
 
+@query(
+    "q45_proximity",
+    f"""{Q25_PIX_SQL},
+       offs AS (SELECT dx.range AS dx, dy.range AS dy
+                FROM range(-8, 9) dx, range(-8, 9) dy
+                WHERE dx.range*dx.range + dy.range*dy.range <= 64),
+       cand AS (SELECT t.gx + o.dx AS gx, t.gy + o.dy AS gy,
+                       o.dx*o.dx + o.dy*o.dy AS d2
+                FROM rast t, offs o),
+       m AS (SELECT gx, gy, min(d2) AS d2 FROM cand
+             WHERE gx BETWEEN 0 AND 127 AND gy BETWEEN 0 AND 127
+             GROUP BY gx, gy)
+       SELECT gx, gy, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist FROM m""",
+)
+def q45(spark, sf_dir):
+    """GDALComputeProximity with MAXDIST=8: bounding the distance
+    bounds the halo, so one r-strip exchange replaces the reference's
+    sequential two-pass whole-raster scan."""
+    from gdal_spark.operators.focal import proximity_tiles
+
+    return proximity_tiles(_q25_tiles(spark, sf_dir), tile_size=32,
+                           width=128, height=128, max_dist=8)
+
+
+@query(
+    "q46_knn_cell_rings",
+    f"""WITH pts AS ({POINTS_SQL}),
+       q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                    CAST((s_suppkey*131)%360 - 180 AS DOUBLE) + 0.5 AS qx,
+                    CAST((s_suppkey*197)%160 - 80 AS DOUBLE) + 0.5 AS qy
+             FROM supplier),
+       pc AS (SELECT doc_id, lon, lat,
+                     CAST(floor((lon+180.0)/360.0*128) AS BIGINT) AS cx,
+                     CAST(floor((90.0-lat)/180.0*128) AS BIGINT) AS cy
+              FROM pts),
+       qc AS (SELECT qid, qx, qy,
+                     CAST(floor((qx+180.0)/360.0*128) AS BIGINT) AS cx,
+                     CAST(floor((90.0-qy)/180.0*128) AS BIGINT) AS cy
+              FROM q),
+       cand AS (SELECT qc.qid, pc.doc_id,
+                       (pc.lon-qc.qx)*(pc.lon-qc.qx) + (pc.lat-qc.qy)*(pc.lat-qc.qy) AS dist2
+                FROM qc JOIN pc
+                ON least(abs(pc.cx - qc.cx), 128 - abs(pc.cx - qc.cx)) <= 2
+                AND abs(pc.cy - qc.cy) <= 2),
+       r AS (SELECT qid, doc_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS knn_rank
+             FROM cand)
+       SELECT qid, doc_id, round(dist2, 6) AS dist2, CAST(knn_rank AS INT) AS knn_rank
+       FROM r WHERE knn_rank <= 4""",
+)
+def q46(spark, sf_dir):
+    """Large×large kNN via per-cell sorted neighbor rings (the north
+    rule's strategy): ring-cell explode → cell equi-join → rank.
+    Semantics = ring-bounded kNN; the oracle mirrors the ring."""
+    from gdal_spark.operators.knn import knn_cells
+
+    pts = _points(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    qs = s.select(
+        F.col("s_suppkey").cast("long").alias("qid"),
+        (((F.col("s_suppkey") * 131) % 360 - 180).cast("double") + 0.5).alias("qx"),
+        (((F.col("s_suppkey") * 197) % 160 - 80).cast("double") + 0.5).alias("qy"),
+    )
+    out = knn_cells(
+        pts, qs, k=4, res=7, point_id="doc_id", query_id="qid",
+        px="lon", py="lat", max_ring=2,
+    )
+    return out.select(
+        "qid", "doc_id", F.round("dist2", 6).alias("dist2"), "knn_rank"
+    )
+
+
+# Deterministic 60-node weighted DAG (edges u -> u+δ with formula
+# weights) — the GNM shortest-path fixture.
+DAG_EDGES_SQL = (
+    "SELECT u, v, 1 + (u * v) % 7 AS w FROM ("
+    "  SELECT t.range AS u, t.range + 1 + (t.range*7)%4 AS v FROM range(59) t"
+    "  UNION ALL"
+    "  SELECT t.range AS u, t.range + 2 + (t.range*13)%5 AS v FROM range(59) t"
+    ") WHERE v < 60"
+)
+
+
+@query(
+    "q47_shortest_paths",
+    f"""WITH RECURSIVE e AS ({DAG_EDGES_SQL}),
+       paths(node, cost) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION
+         SELECT e.v, p.cost + e.w FROM paths p JOIN e ON e.u = p.node)
+       SELECT node, min(cost) AS cost FROM paths GROUP BY node""",
+)
+def q47(spark, sf_dir):
+    """GNM single-source shortest paths (gnmgraph.h:173) as iterative
+    Bellman-Ford frontier relaxation."""
+    from gdal_spark.operators.graph import shortest_paths
+
+    r = spark.range(59).withColumnRenamed("id", "u")
+    e1 = r.select("u", (F.col("u") + 1 + (F.col("u") * 7) % 4).alias("v"))
+    e2 = r.select("u", (F.col("u") + 2 + (F.col("u") * 13) % 5).alias("v"))
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("v") < 60)
+        .withColumn("w", 1 + (F.col("u") * F.col("v")) % 7)
+    )
+    return shortest_paths(edges, source=0, src="u", dst="v")
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
