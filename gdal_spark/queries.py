@@ -920,6 +920,58 @@ def q22(spark, sf_dir):
     )
 
 
+@query(
+    "q48_bpe_tokens",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_bpe,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '\w+'))) AS BIGINT) AS n_vocab
+       FROM documents""",
+)
+def q48(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (word pieces +
+    punctuation singletons) + distinct-vocab size — all JVM regex."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '\\w+|[^\\w\\s]', 0)")).cast("long").alias("n_bpe"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_ws"),
+        F.size(
+            F.array_distinct(F.expr(r"regexp_extract_all(lower(text), '\\w+', 0)"))
+        ).cast("long").alias("n_vocab"),
+    )
+
+
+@query(
+    "q49_embed_neardup",
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings WHERE vec_id % 4 = 0),
+       p AS (SELECT a.vec_id AS a, b.vec_id AS b,
+             list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+             FROM v a JOIN v b ON a.vec_id < b.vec_id)
+       SELECT a, b, round(cos, 6) AS cosine FROM p WHERE cos >= 0.18""",
+)
+def q49(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (threshold form of the dedup
+    suite): all-pairs on a modulus sample; at scale the LSH/IVF bucket
+    join (q32) generates the candidates instead of the cross join."""
+    from gdal_spark.operators.similarity import _dot, _norm2
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 4 == 0)
+    a = e.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_norm2(F.col("va"))) * F.sqrt(_norm2(F.col("vb")))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.18)
+        .select("a", "b", F.round(F.col("cos"), 6).alias("cosine"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 
@@ -1087,6 +1139,28 @@ def q36(spark, sf_dir):
     from gdal_spark.streaming import stream_hourly_agg
 
     return stream_hourly_agg(spark, f"{sf_dir}/events.parquet")
+
+
+@query(
+    "q50_stream_sessionize",
+    """WITH g AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+         FROM events)
+       SELECT user_id,
+              CAST(1 + sum(CASE WHEN prev_es IS NOT NULL AND es - prev_es > 1800
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY user_id""",
+)
+def q50(spark, sf_dir):
+    """q10's sessionization as a STATEFUL streaming operator
+    (applyInPandasWithState): 3 time-ordered micro-batches with real
+    per-user state carry-over; final state equals the batch window."""
+    from gdal_spark.streaming.sessionize import stream_sessionize
+
+    return stream_sessionize(spark, f"{sf_dir}/events.parquet", gap_s=1800, n_files=3)
 
 
 @query(
