@@ -49,6 +49,13 @@ HEADLINE = [
     "q34_winnow_fingerprint",
     "q35_multimodal_meta",
     "q37_checksum",
+    "q38_band_stats",
+    "q42_contour_cells",
+    "q44_zonal_raster",
+    "q45_proximity",
+    "q46_knn_cell_rings",
+    "q48_bpe_tokens",
+    "q49_embed_neardup",
 ]
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from gdal_spark.kernels.ccl import border_runs, label_tile, region_table
+from gdal_spark.kernels.ccl import border_runs, extract_polygons, label_tile, region_table
 
 REGION_SCHEMA = T.StructType(
     [
@@ -210,3 +210,82 @@ def polygonize_tiles(
     # `mixed` stays persisted: the border-edge collect already
     # materialized it, and the returned (lazy) region table reuses it.
     return out
+
+
+def polygonize_geometry(
+    tiles: DataFrame,
+    nodata: float | None = 0.0,
+    connect8: bool = False,
+    tile_size: int = 256,
+    gt: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+) -> DataFrame:
+    """Per-tile polygonize WITH geometry: two-pass CCL then boundary
+    arc tracing (the reference's pass-2, alg/polygonize_polygonizer.h
+    Two-Arm-Chains idea re-expressed as edge chaining) — emits one
+    feature per in-tile component with its WKB polygon (exterior +
+    holes, pixel-edge coordinates mapped through ``gt``).
+
+    Components that cross tile borders appear clipped at the border;
+    the exact cross-tile REGION accounting lives in
+    ``polygonize_tiles`` (border-run union-find), and a full geometry
+    dissolve would stitch the same border runs' arcs — not wired yet.
+    Use this on per-tile-local features (or after re-tiling such that
+    features don't straddle)."""
+    from gdal_spark.kernels import wkb as W
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tx", T.LongType()),
+            T.StructField("ty", T.LongType()),
+            T.StructField("dn", T.DoubleType()),
+            T.StructField("pixel_count", T.LongType()),
+            T.StructField("n_rings", T.IntegerType()),
+            T.StructField("perim", T.DoubleType()),
+            T.StructField("parea", T.DoubleType()),
+            T.StructField("wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    tile_size, tile_size
+                )
+                tx, ty = int(row["tx"]), int(row["ty"])
+                # tile-local geotransform: offset the origin by the
+                # tile position so rings come out in global coords
+                gtt = (
+                    gt[0] + tx * tile_size * gt[1] + ty * tile_size * gt[2],
+                    gt[1], gt[2],
+                    gt[3] + tx * tile_size * gt[4] + ty * tile_size * gt[5],
+                    gt[4], gt[5],
+                )
+                mask = None if nodata is None else arr != nodata
+                labels = label_tile(arr, mask=mask, connect8=connect8)
+                counts = {
+                    lab: cnt for lab, _dn, cnt, _, _ in region_table(arr, labels)
+                }
+                for lab, (dn, rings) in enumerate(extract_polygons(arr, labels, gtt)):
+                    ext = rings[0]
+                    perim = float(
+                        np.sum(np.sqrt(np.sum(np.diff(ext, axis=0) ** 2, axis=1)))
+                    )
+                    parea = abs(
+                        0.5 * float(
+                            np.sum(ext[:-1, 0] * ext[1:, 1] - ext[1:, 0] * ext[:-1, 1])
+                        )
+                    )
+                    rows.append(
+                        (
+                            tx, ty, float(dn), int(counts.get(lab, 0)),
+                            len(rings), perim, parea, W.polygon_wkb(rings),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["tx", "ty", "dn", "pixel_count", "n_rings", "perim", "parea", "wkb"],
+            )
+
+    return tiles.mapInPandas(gen, out_schema)

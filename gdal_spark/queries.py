@@ -1514,6 +1514,63 @@ def q47(spark, sf_dir):
     return shortest_paths(edges, source=0, src="u", dst="v")
 
 
+# q51 rects: integer-cornered, each fully inside one 32px tile (two
+# per tile for k >= 16) — geometry tracing must recover them exactly.
+Q51_RECTS_SQL = (
+    "SELECT CAST(n_nationkey + 1 AS BIGINT) AS dn, "
+    "CAST((n_nationkey%4)*32 + 2 + (n_nationkey%3)*4 AS BIGINT) AS x0, "
+    "CAST(((n_nationkey//4)%4)*32 + 2 + (n_nationkey//16)*15 AS BIGINT) AS y0, "
+    "CAST(3 + n_nationkey%7 AS BIGINT) AS w, "
+    "CAST(2 + n_nationkey%5 AS BIGINT) AS h "
+    "FROM nation"
+)
+
+
+def _q51_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = (k % 4) * 32 + 2 + (k % 3) * 4
+        y0 = ((k // 4) % 4) * 32 + 2 + (k // 16) * 15
+        w = 3 + k % 7
+        h = 2 + k % 5
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+        out.append((float(k + 1), W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q51_polygonize_geometry",
+    f"""WITH r AS ({Q51_RECTS_SQL})
+       SELECT CAST(dn AS BIGINT) AS dn, w * h AS pixel_count,
+              CAST(1 AS INT) AS n_rings,
+              CAST(2 * (w + h) AS DOUBLE) AS perim,
+              CAST(w * h AS DOUBLE) AS parea
+       FROM r""",
+)
+def q51(spark, sf_dir):
+    """Polygonize pass-2 geometry: CCL + boundary arc tracing emits the
+    pixel-edge polygon per component; tracing disjoint in-tile rects
+    must recover exactly their rings (perimeter 2(w+h), area w·h)."""
+    from gdal_spark.operators.polygonize import polygonize_geometry
+
+    feats = spark.createDataFrame(
+        _q51_rect_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = polygonize_geometry(tiles, nodata=0.0, tile_size=32)
+    return out.select(
+        F.col("dn").cast("long").alias("dn"),
+        "pixel_count", "n_rings",
+        F.round("perim", 6).alias("perim"),
+        F.round("parea", 6).alias("parea"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
