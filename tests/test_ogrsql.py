@@ -14,24 +14,53 @@ from gdal_spark.functions.ogrsql import execute_sql
 from gdal_spark.kernels import wkb as W
 
 
+# The exact 10 attribute records of the reference's poly.dbf fixture
+# (autotest/ogr/data/poly.dbf — values per FIXTURES.md §2), the table
+# behind the 81-case ogr_sql_test.py corpus.
+POLY_RECORDS = [
+    (215229.266, 168, "35043411"),
+    (247328.172, 179, "35043423"),
+    (261752.781, 171, "35043414"),
+    (547597.188, 173, "35043416"),
+    (15775.758, 172, "35043415"),
+    (101429.977, 169, "35043412"),
+    (268597.625, 166, "35043409"),
+    (1634833.375, 158, "35043369"),
+    (-596610.313, 165, "35043408"),
+    (5268.813, 170, "35043413"),
+]
+
+
 @pytest.fixture(scope="module")
 def poly(spark):
-    """A poly-like layer: fid, eas_id, prfedea, area + rect WKB geom."""
+    """The poly fixture: exact dbf attributes + seeded rect geometries
+    (garea = geometry area, distinct from the dbf AREA field)."""
     rows = []
-    for k in range(30):
+    for k, (area, eas_id, prfedea) in enumerate(POLY_RECORDS):
         x0, y0 = float(k * 7 % 50), float(k * 11 % 40)
         w, h = 2.0 + k % 5, 1.0 + k % 4
         ring = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]])
-        rows.append((k, 158 + k * 3, f"35043{k:04d}", float(w * h), W.polygon_wkb([ring])))
+        rows.append((k, area, eas_id, prfedea, float(w * h), W.polygon_wkb([ring])))
     df = spark.createDataFrame(
-        rows, "fid long, eas_id long, prfedea string, area double, geom binary"
+        rows, "fid long, area double, eas_id long, prfedea string, garea double, geom binary"
     )
     pdf = pd.DataFrame(
-        [r[:4] for r in rows], columns=["fid", "eas_id", "prfedea", "area"]
+        [r[:5] for r in rows], columns=["fid", "area", "eas_id", "prfedea", "garea"]
     )
     con = duckdb.connect()
     con.register("poly", pdf)
     return df, con
+
+
+def test_reference_eas_id_filter(spark, poly):
+    """ogr_sql_test.py:187 parity: WHERE eas_id < 167 selects exactly
+    the 3 features {158, 165, 166}."""
+    df, _ = poly
+    got = execute_sql(
+        spark, "SELECT eas_id FROM poly WHERE eas_id < 167 ORDER BY eas_id",
+        layers={"poly": df},
+    ).toPandas()
+    assert list(got["eas_id"]) == [158, 165, 166]
 
 
 CASES = [
@@ -44,8 +73,8 @@ CASES = [
      "CAST(AVG(eas_id) AS DOUBLE) AS av FROM poly"),
     ("SELECT DISTINCT eas_id % 5 AS m FROM poly ORDER BY m",
      "SELECT DISTINCT eas_id % 5 AS m FROM poly ORDER BY m"),
-    ("SELECT fid, prfedea FROM poly WHERE prfedea LIKE '%001_' ORDER BY fid",
-     "SELECT fid, prfedea FROM poly WHERE prfedea LIKE '%001_' ORDER BY fid"),
+    ("SELECT fid, prfedea FROM poly WHERE prfedea LIKE '3504341%' ORDER BY fid",
+     "SELECT fid, prfedea FROM poly WHERE prfedea LIKE '3504341%' ORDER BY fid"),
     ("SELECT eas_id, SUBSTR(prfedea, 6, 4) AS tail FROM poly "
      "WHERE eas_id BETWEEN 160 AND 180 ORDER BY eas_id",
      "SELECT eas_id, SUBSTR(prfedea, 6, 4) AS tail FROM poly "
@@ -90,7 +119,7 @@ def test_ogr_geom_area_pseudocolumn(spark, poly):
         layers={"poly": df},
     ).toPandas()
     want = con.execute(
-        "SELECT fid, ROUND(area, 6) AS a FROM poly WHERE fid < 5 ORDER BY fid"
+        "SELECT fid, ROUND(garea, 6) AS a FROM poly WHERE fid < 5 ORDER BY fid"
     ).df()
     assert np.allclose(got["a"], want["a"], atol=1e-9)
 
