@@ -1571,6 +1571,34 @@ def q51(spark, sf_dir):
     )
 
 
+@query(
+    "q52_polygonize_dissolved",
+    f"""WITH r AS ({Q26_RECTS_SQL})
+       SELECT CAST(dn AS BIGINT) AS dn, CAST(1 AS INT) AS n_rings,
+              CAST(2 * (w + h) AS DOUBLE) AS perim,
+              CAST(w * h AS DOUBLE) AS parea
+       FROM r""",
+)
+def q52(spark, sf_dir):
+    """Full GDALPolygonize with CROSS-TILE dissolved geometry: the q26
+    rects straddle 32px block borders; boundary arcs stitch by
+    opposite-direction cancellation of shared-border segments, and the
+    dissolved rings must recover the exact rects."""
+    from gdal_spark.operators.polygonize import polygonize_dissolved
+
+    feats = spark.createDataFrame(
+        _q26_rect_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = polygonize_dissolved(tiles, nodata=0.0, tile_size=32)
+    return out.select(
+        F.col("dn").cast("long").alias("dn"),
+        "n_rings",
+        F.round("perim", 6).alias("perim"),
+        F.round("parea", 6).alias("parea"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
