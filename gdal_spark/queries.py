@@ -1599,6 +1599,32 @@ def q52(spark, sf_dir):
     )
 
 
+@query(
+    "q53_raster_calc",
+    f"""{Q25_PIX_SQL},
+       g AS (SELECT gx.range AS gx, gy.range AS gy FROM range(128) gx, range(128) gy),
+       dem AS (SELECT gx, gy, {_z_sql('gx', 'gy')} AS z FROM g)
+       SELECT d.gx, d.gy,
+              CAST((CASE WHEN d.z < 30 THEN 1 WHEN d.z < 60 THEN 2 ELSE 3 END) * 10
+                   + CASE WHEN r.v IS NOT NULL AND r.v <> 0 THEN 1 ELSE 0 END
+                   AS DOUBLE) AS v
+       FROM dem d LEFT JOIN rast r ON r.gx = d.gx AND r.gy = d.gy""",
+)
+def q53(spark, sf_dir):
+    """Raster band algebra (VRT pixel functions / gdal raster calc):
+    DEM reclassify × web-density occupancy, tile-aligned multi-band
+    join, NumPy expression per tile stack."""
+    from gdal_spark.operators.calc import raster_calc, reclassify
+
+    out_tiles = raster_calc(
+        {"dem": _dem_tiles(spark), "dens": _q25_tiles(spark, sf_dir)},
+        lambda dem, dens: reclassify(dem, [30, 60], [1, 2, 3]) * 10 + (dens != 0),
+        tile_size=32,
+        how="outer",
+    )
+    return tiles_to_features(out_tiles, tile_size=32, nodata=None)
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
