@@ -56,6 +56,9 @@ HEADLINE = [
     "q46_knn_cell_rings",
     "q48_bpe_tokens",
     "q49_embed_neardup",
+    "q51_polygonize_geometry",
+    "q52_polygonize_dissolved",
+    "q53_raster_calc",
 ]
 
 

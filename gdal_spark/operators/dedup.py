@@ -60,7 +60,8 @@ def _doc_shingles(docs: DataFrame, id_col, text_col, k: int = 3) -> DataFrame:
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col="doc_id", text_col="text", seeds=MINHASH_SEEDS, k: int = 3
+    docs: DataFrame, id_col="doc_id", text_col="text", seeds=MINHASH_SEEDS, k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc with columns sig0..sigK: sig_i = min over the
     doc's word k-gram shingle set of md5(shingle || seed_i).
@@ -70,7 +71,7 @@ def minhash_signatures(
     *string* ordering keeps it portable across engines (no bigint
     hashing semantics to match).
     """
-    toks = _doc_shingles(docs, id_col, text_col, k)
+    toks = shingles if shingles is not None else _doc_shingles(docs, id_col, text_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.col("tok"), F.lit(seed)).cast("binary"))).alias(f"sig{i}")
         for i, seed in enumerate(seeds)
@@ -96,7 +97,11 @@ def minhash_lsh_pairs(
     collide, unrelated j≈0.05 docs almost never), so candidates ≈ true
     near-dups — the property that keeps this linear-ish at 10^12 docs.
     """
-    sigs = minhash_signatures(docs, id_col, text_col, seeds, k).persist()
+    # the shingle table feeds BOTH the signatures and the verification
+    # join — compute and persist it once (at 10^12 rows this is the
+    # difference between one and two full explode+distinct shuffles)
+    toks = _doc_shingles(docs, id_col, text_col, k).persist()
+    sigs = minhash_signatures(docs, id_col, text_col, seeds, k, shingles=toks).persist()
     bands = []
     for bi, idxs in enumerate(MINHASH_BANDS):
         bands.append(
@@ -119,7 +124,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    toks = _doc_shingles(docs, id_col, text_col, k)
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     ta = toks.withColumnRenamed(id_col, "a")
     tb = toks.withColumnRenamed(id_col, "b")
