@@ -187,6 +187,7 @@ def run_weak_scaling(
     n_base: int = 2_000_000,
     levels=(8, 32),
     workdir: str = "/dev/shm/gdal_spark_scale",
+    repeats: int = 2,
 ) -> dict:
     """Weak scaling: data grows with parallelism (N cores on D pages vs
     4N cores on 4D pages) — the criterion that actually models "same
@@ -198,20 +199,27 @@ def run_weak_scaling(
     efficiency = R(4N, 4D) / (4 * R(N, D)) = wall(N, D) / wall(4N, 4D).
     """
     factor = levels[-1] // levels[0]
-    results = []
-    for cores, n_pages in zip(levels, (n_base, n_base * factor)):
-        input_path = os.path.join(workdir, f"pages_{n_pages}")
-        prepare_input(input_path, n_pages)
-        cmd = [
-            sys.executable, "-m", "gdal_spark.plans.scalebench",
-            "--cores", str(cores), "--input", input_path,
-        ]
-        env = dict(os.environ, PYTHONPATH=str(REPO))
-        out = subprocess.run(
-            cmd, capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results.append(json.loads(line))
+    # interleaved best-of-k: this host's burst throttling AND its
+    # inverse effect (few busy cores turbo higher) both average out
+    # when each level takes the best of k alternating attempts
+    best: dict[int, dict] = {}
+    for _rep in range(repeats):
+        for cores, n_pages in zip(levels, (n_base, n_base * factor)):
+            input_path = os.path.join(workdir, f"pages_{n_pages}")
+            prepare_input(input_path, n_pages)
+            cmd = [
+                sys.executable, "-m", "gdal_spark.plans.scalebench",
+                "--cores", str(cores), "--input", input_path,
+            ]
+            env = dict(os.environ, PYTHONPATH=str(REPO))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, cwd=str(REPO), timeout=3600
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if cores not in best or r["wall_s"] < best[cores]["wall_s"]:
+                best[cores] = r
+    results = [best[c] for c in levels]
 
     r_n, r_4n = results[0]["pages_per_sec"], results[-1]["pages_per_sec"]
     eff = r_4n / (factor * r_n)
