@@ -124,3 +124,152 @@ def contour_cells(
         )
 
     return strips.groupBy("tx", "ty").applyInPandas(per_tile, CONTOUR_SCHEMA)
+
+
+SEG_SCHEMA = T.StructType(
+    [
+        T.StructField("seg", T.LongType()),
+        T.StructField("x1", T.DoubleType()),
+        T.StructField("y1", T.DoubleType()),
+        T.StructField("x2", T.DoubleType()),
+        T.StructField("y2", T.DoubleType()),
+        T.StructField("seg_len", T.DoubleType()),
+    ]
+)
+
+# endpoint selectors per case id: each segment is an (edge, edge) pair
+# over T(op)/R(ight)/B(ottom)/L(eft); saddles resolved by the center
+_CASE_SEGS = {
+    1: [("T", "L")], 2: [("T", "R")], 3: [("L", "R")], 4: [("R", "B")],
+    6: [("T", "B")], 7: [("B", "L")], 8: [("B", "L")], 9: [("T", "B")],
+    11: [("R", "B")], 12: [("L", "R")], 13: [("T", "R")], 14: [("T", "L")],
+}
+_SADDLE = {
+    5: ([("T", "R"), ("B", "L")], [("T", "L"), ("R", "B")]),   # (ctr>L, else)
+    10: ([("T", "L"), ("R", "B")], [("T", "R"), ("B", "L")]),
+}
+
+
+def contour_segments(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int
+) -> DataFrame:
+    """One row per iso-line SEGMENT with exact endpoints in global cell
+    coords and a deterministic id ((cy·(W−1)+cx)·2 + slot).  Endpoint
+    floats are identical wherever two cells share an edge crossing (the
+    same two pixels feed the same interpolation), which is what lets
+    polyline assembly join on them exactly."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    ts = tile_size
+    strips = _emit_strips(tiles, ts, 1, ntx, nty)
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        z = _assemble_padded(pdf, ts, 1)
+        c = slice(1, 1 + ts)
+        p1 = slice(2, 2 + ts)
+        zTL, zTR, zBR, zBL = z[c, c], z[c, p1], z[p1, p1], z[p1, c]
+        L = level
+        case = (
+            (zTL > L).astype(np.int64) + 2 * (zTR > L).astype(np.int64)
+            + 4 * (zBR > L).astype(np.int64) + 8 * (zBL > L).astype(np.int64)
+        )
+        gx = np.arange(ts) + tx * ts
+        gy = np.arange(ts) + ty * ts
+        GX, GY = np.meshgrid(gx, gy)
+        valid = (GX < width - 1) & (GY < height - 1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tt = (L - zTL) / (zTR - zTL)
+            tr = (L - zTR) / (zBR - zTR)
+            tb = (L - zBL) / (zBR - zBL)
+            tl = (L - zTL) / (zBL - zTL)
+        center = (zTL + zTR + zBR + zBL) / 4.0
+        CX = GX.astype(np.float64)
+        CY = GY.astype(np.float64)
+        pts = {
+            "T": (CX + tt, CY),
+            "R": (CX + 1.0, CY + tr),
+            "B": (CX + tb, CY + 1.0),
+            "L": (CX, CY + tl),
+        }
+        rows = []
+        for k in range(1, 15):
+            if k in (0, 15):
+                continue
+            m = (case == k) & valid
+            if not m.any():
+                continue
+            ys, xs = np.nonzero(m)
+            if k in _SADDLE:
+                hi, lo = _SADDLE[k]
+                for which, sel in ((hi, center[ys, xs] > L), (lo, ~(center[ys, xs] > L))):
+                    yy, xx = ys[sel], xs[sel]
+                    for slot, (ea, eb) in enumerate(which):
+                        _emit(rows, pts, ea, eb, xx, yy, GX, GY, slot, width)
+            else:
+                for slot, (ea, eb) in enumerate(_CASE_SEGS[k]):
+                    _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width)
+        return pd.DataFrame(
+            rows, columns=["seg", "x1", "y1", "x2", "y2", "seg_len"]
+        ) if rows else pd.DataFrame(
+            {"seg": [], "x1": [], "y1": [], "x2": [], "y2": [], "seg_len": []}
+        )
+
+    return strips.groupBy("tx", "ty").applyInPandas(per_tile, SEG_SCHEMA)
+
+
+def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width):
+    ax, ay = pts[ea]
+    bx, by = pts[eb]
+    for x, y in zip(xs.tolist(), ys.tolist()):
+        x1, y1 = float(ax[y, x]), float(ay[y, x])
+        x2, y2 = float(bx[y, x]), float(by[y, x])
+        dx, dy = x2 - x1, y2 - y1
+        seg = (int(GY[y, x]) * (width - 1) + int(GX[y, x])) * 2 + slot
+        rows.append((seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy))))
+
+
+def contour_polylines(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+    window: int | None = None,
+) -> DataFrame:
+    """Assemble iso-line segments into polylines: segments sharing an
+    exact endpoint connect; components via the distributed label
+    propagation of ``operators.graph``.  Returns per polyline:
+    (component, n_seg, n_ends, closed, length_u) with length_u =
+    Σ floor(len·10⁶ + 0.5) — integer-exact across engines.
+
+    ``window`` restricts to cells with cx, cy < window (bounds the
+    component sizes for oracle comparison)."""
+    from gdal_spark.operators.graph import connected_components
+
+    segs = contour_segments(tiles, level, tile_size, width, height)
+    if window is not None:
+        segs = segs.filter(
+            ((F.col("seg") / 2).cast("long") % (width - 1) < window)
+            & ((F.col("seg") / 2).cast("long") / (width - 1) < window)
+        )
+    segs = segs.persist()
+    ends = segs.select("seg", F.col("x1").alias("x"), F.col("y1").alias("y")).unionByName(
+        segs.select("seg", F.col("x2").alias("x"), F.col("y2").alias("y"))
+    )
+    a = ends.select(F.col("seg").alias("src"), "x", "y")
+    b = ends.select(F.col("seg").alias("dst"), "x", "y")
+    shared = a.join(b, ["x", "y"]).filter(F.col("src") != F.col("dst")).select("src", "dst")
+    selfloops = segs.select(F.col("seg").alias("src"), F.col("seg").alias("dst"))
+    comp = connected_components(shared.unionByName(selfloops))
+    tagged = segs.join(comp.withColumnRenamed("node", "seg"), "seg")
+    n_ends = (
+        ends.join(comp.withColumnRenamed("node", "seg"), "seg")
+        .groupBy("component")
+        .agg(F.count_distinct("x", "y").alias("n_ends"))
+    )
+    agg = tagged.groupBy("component").agg(
+        F.count("*").alias("n_seg"),
+        F.sum(F.floor(F.col("seg_len") * 1e6 + 0.5).cast("long")).alias("length_u"),
+    )
+    return agg.join(n_ends, "component").select(
+        "component", "n_seg", "n_ends",
+        (F.col("n_ends") == F.col("n_seg")).alias("closed"),
+        "length_u",
+    )

@@ -43,21 +43,36 @@ def connected_components(
             .groupBy(F.col("v").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(prop, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path doubling): label <- label(label).  The
+        # neighbor step alone converges in O(diameter) rounds — a
+        # 500-segment iso-line would need 500 rounds; the jump step
+        # halves every label chain, giving O(log diameter) rounds.
+        ptr = labels.select(
+            F.col("node").alias("label"), F.col("label").alias("_ll")
+        )
         new = (
-            labels.join(prop, "node", "left")
+            stepped.join(ptr, "label", "left")
             .select(
                 "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
-                    "_changed"
+                F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
+                    "label"
                 ),
             )
             .localCheckpoint()
         )
-        changed = new.filter(F.col("_changed")).count()
-        labels = new.drop("_changed")
+        changed = (
+            new.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") < F.col("label"))
+            .count()
+        )
+        labels = new
         if changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

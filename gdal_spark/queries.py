@@ -1625,6 +1625,111 @@ def q53(spark, sf_dir):
     return tiles_to_features(out_tiles, tile_size=32, nodata=None)
 
 
+def _contour_seg_oracle(window: int = 48) -> str:
+    """Generate the q54 oracle: marching-squares segments with exact
+    endpoint expressions, connectivity via recursive CTE, per-polyline
+    stats.  Mirrors operators/contour._CASE_SEGS + _SADDLE."""
+    E = {
+        "T": ("cx + tt", "CAST(cy AS DOUBLE)"),
+        "R": ("cx + 1.0", "cy + tr2"),
+        "B": ("cx + tb", "cy + 1.0"),
+        "L": ("CAST(cx AS DOUBLE)", "cy + tl2"),
+    }
+    case_segs = {
+        1: [("T", "L")], 2: [("T", "R")], 3: [("L", "R")], 4: [("R", "B")],
+        6: [("T", "B")], 7: [("B", "L")], 8: [("B", "L")], 9: [("T", "B")],
+        11: [("R", "B")], 12: [("L", "R")], 13: [("T", "R")], 14: [("T", "L")],
+    }
+    saddle = {
+        5: ([("T", "R"), ("B", "L")], [("T", "L"), ("R", "B")]),
+        10: ([("T", "L"), ("R", "B")], [("T", "R"), ("B", "L")]),
+    }
+
+    def coord(slot: int, which: int) -> str:
+        """CASE expr for endpoint coordinate: which = 0..3 for x1,y1,x2,y2."""
+        parts = ["CASE case_id"]
+        for k, segs in case_segs.items():
+            if slot == 0:
+                ea, eb = segs[0]
+                e = (ea, eb)[which // 2]
+                parts.append(f"WHEN {k} THEN {E[e][which % 2]}")
+        for k, (hi, lo) in saddle.items():
+            ha, hb = hi[slot]
+            la, lb = lo[slot]
+            he = (ha, hb)[which // 2]
+            le = (la, lb)[which // 2]
+            parts.append(
+                f"WHEN {k} THEN (CASE WHEN ctr > 47.5 THEN {E[he][which % 2]} "
+                f"ELSE {E[le][which % 2]} END)"
+            )
+        parts.append("END")
+        return " ".join(parts)
+
+    cells = f"""
+    g AS (SELECT gx.range AS cx, gy.range AS cy
+          FROM range({window}) gx, range({window}) gy),
+    z AS (SELECT cx, cy,
+          CAST({_z_sql('cx', 'cy')} AS DOUBLE) AS ztl,
+          CAST({_z_sql('cx+1', 'cy')} AS DOUBLE) AS ztr,
+          CAST({_z_sql('cx+1', 'cy+1')} AS DOUBLE) AS zbr,
+          CAST({_z_sql('cx', 'cy+1')} AS DOUBLE) AS zbl
+          FROM g),
+    c AS (SELECT *,
+          CAST(ztl > 47.5 AS INT) + 2*CAST(ztr > 47.5 AS INT)
+          + 4*CAST(zbr > 47.5 AS INT) + 8*CAST(zbl > 47.5 AS INT) AS case_id,
+          (47.5 - ztl)/nullif(ztr - ztl, 0) AS tt,
+          (47.5 - ztr)/nullif(zbr - ztr, 0) AS tr2,
+          (47.5 - zbl)/nullif(zbr - zbl, 0) AS tb,
+          (47.5 - ztl)/nullif(zbl - ztl, 0) AS tl2,
+          (ztl + ztr + zbr + zbl)/4.0 AS ctr
+          FROM z)"""
+    seg_selects = []
+    for slot in (0, 1):
+        cond = "case_id NOT IN (0, 15)" if slot == 0 else "case_id IN (5, 10)"
+        seg_selects.append(
+            f"SELECT (cy*127 + cx)*2 + {slot} AS seg, "
+            f"{coord(slot, 0)} AS x1, {coord(slot, 1)} AS y1, "
+            f"{coord(slot, 2)} AS x2, {coord(slot, 3)} AS y2 "
+            f"FROM c WHERE {cond}"
+        )
+    return f"""WITH RECURSIVE {cells},
+    segs AS ({seg_selects[0]} UNION ALL {seg_selects[1]}),
+    lens AS (SELECT seg,
+             CAST(floor(sqrt((x2-x1)*(x2-x1) + (y2-y1)*(y2-y1))*1000000 + 0.5) AS BIGINT) AS lu
+             FROM segs),
+    ends AS (SELECT seg, x1 AS x, y1 AS y FROM segs
+             UNION ALL SELECT seg, x2, y2 FROM segs),
+    e AS (SELECT a.seg AS u, b.seg AS v FROM ends a JOIN ends b
+          ON a.x = b.x AND a.y = b.y AND a.seg <> b.seg),
+    und AS (SELECT u, v FROM e UNION SELECT seg, seg FROM segs),
+    reach(node, lab) AS (
+      SELECT seg, seg FROM segs
+      UNION
+      SELECT und.v, r.lab FROM reach r JOIN und ON und.u = r.node),
+    comp AS (SELECT node, min(lab) AS component FROM reach GROUP BY node),
+    nseg AS (SELECT component, count(*) AS n_seg,
+                    CAST(sum(lu) AS BIGINT) AS length_u
+             FROM comp JOIN lens ON lens.seg = comp.node GROUP BY component),
+    nend AS (SELECT component, count(DISTINCT (x, y)) AS n_ends
+             FROM comp JOIN ends ON ends.seg = comp.node GROUP BY component)
+    SELECT s.component, s.n_seg, n.n_ends, (n.n_ends = s.n_seg) AS closed, s.length_u
+    FROM nseg s JOIN nend n USING (component)"""
+
+
+@query("q54_contour_polylines", _contour_seg_oracle(48))
+def q54(spark, sf_dir):
+    """Iso-line ASSEMBLY: marching-squares segments connect on exact
+    shared endpoints into polylines (distributed label propagation);
+    per polyline: segment count, endpoint count, closed flag, and
+    integer-exact micro-length sum."""
+    from gdal_spark.operators.contour import contour_polylines
+
+    return contour_polylines(
+        _dem_tiles(spark), level=47.5, tile_size=DEM_TILE,
+        width=DEM_W, height=DEM_H, window=48,
+    )
+
+
 # ---------------------------------------------------------------------------
 # grid interpolation
 
