@@ -75,19 +75,11 @@ def grid_idw(
     )
 
 
-def grid_moving_average(
-    points: DataFrame,
-    x0: float,
-    y0: float,
-    cell: float,
-    nx: int,
-    ny: int,
-    radius: float,
-    lon: str = "lon",
-    lat: str = "lat",
-    value_col: str = "v",
+def _fanout_in_radius(
+    points: DataFrame, x0, y0, cell, nx, ny, radius, lon, lat, value_col
 ) -> DataFrame:
-    """GDALGridMovingAverage: plain mean of points within radius."""
+    """points → (i, j, pv, d2) candidate rows for every grid cell whose
+    search window contains the point (shared by all grid algorithms)."""
     r_cells = int(radius // cell) + 1
     p = points.select(
         F.col(lon).alias("px"), F.col(lat).alias("py"), F.col(value_col).cast("double").alias("pv")
@@ -105,7 +97,33 @@ def grid_moving_average(
     cx = F.lit(x0) + (F.col("i") + 0.5) * F.lit(cell)
     cy = F.lit(y0) + (F.col("j") + 0.5) * F.lit(cell)
     d2 = (F.col("px") - cx) * (F.col("px") - cx) + (F.col("py") - cy) * (F.col("py") - cy)
-    p = p.withColumn("d2", d2).filter(F.col("d2") <= F.lit(radius * radius))
+    return p.withColumn("d2", d2).filter(F.col("d2") <= F.lit(radius * radius))
+
+
+def grid_moving_average(
+    points: DataFrame, x0, y0, cell, nx, ny, radius,
+    lon: str = "lon", lat: str = "lat", value_col: str = "v",
+) -> DataFrame:
+    """GDALGridMovingAverage: plain mean of points within radius."""
+    p = _fanout_in_radius(points, x0, y0, cell, nx, ny, radius, lon, lat, value_col)
     return p.groupBy("i", "j").agg(
         F.round(F.avg("pv"), 6).alias("avg_v"), F.count("*").alias("npts")
+    )
+
+
+def grid_data_metrics(
+    points: DataFrame, x0, y0, cell, nx, ny, radius,
+    lon: str = "lon", lat: str = "lat", value_col: str = "v",
+) -> DataFrame:
+    """GDALGrid data metrics (alg/gdal_alg.h GGA_Metric*): per cell the
+    Count / Minimum / Maximum / Range / AverageDistance of points in
+    the search radius — one shuffle keyed by grid cell, map-side
+    partial aggregation for every metric."""
+    p = _fanout_in_radius(points, x0, y0, cell, nx, ny, radius, lon, lat, value_col)
+    return p.groupBy("i", "j").agg(
+        F.count("*").alias("m_count"),
+        F.min("pv").alias("m_min"),
+        F.max("pv").alias("m_max"),
+        (F.max("pv") - F.min("pv")).alias("m_range"),
+        F.round(F.avg(F.sqrt(F.col("d2"))), 6).alias("m_avg_dist"),
     )

@@ -1735,6 +1735,33 @@ def q54(spark, sf_dir):
 
 
 @query(
+    "q55_grid_metrics",
+    f"""WITH pts AS ({POINTS_SQL}),
+       cand AS (
+         SELECT i, j, pv,
+                (px - (-180.0 + (i+0.5)*20.0))*(px - (-180.0 + (i+0.5)*20.0))
+                + (py - (-80.0 + (j+0.5)*20.0))*(py - (-80.0 + (j+0.5)*20.0)) AS d2
+         FROM (SELECT lon AS px, lat AS py, CAST(v AS DOUBLE) AS pv FROM pts),
+              range(18) a(i), range(8) b(j)),
+       infr AS (SELECT * FROM cand WHERE d2 <= 225.0)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              count(*) AS m_count, min(pv) AS m_min, max(pv) AS m_max,
+              max(pv) - min(pv) AS m_range,
+              round(avg(sqrt(d2)), 6) AS m_avg_dist
+       FROM infr GROUP BY i, j""",
+)
+def q55(spark, sf_dir):
+    """GDALGrid data metrics (Count/Min/Max/Range/AverageDistance per
+    search window) — grid-cell-keyed shuffle, map-side partials."""
+    from gdal_spark.operators.grid import grid_data_metrics
+
+    pts = _points(spark, sf_dir)
+    return grid_data_metrics(
+        pts, x0=-180.0, y0=-80.0, cell=20.0, nx=18, ny=8, radius=15.0
+    )
+
+
+@query(
     "q24_grid_idw",
     f"""WITH pts AS ({POINTS_SQL}),
        cand AS (
