@@ -32,6 +32,14 @@ def _reduce2x2(arr: np.ndarray, method: str) -> np.ndarray:
         return a.max(axis=(1, 3))
     if method == "min":
         return a.min(axis=(1, 3))
+    if method == "mode":
+        # most frequent of the 4 children; ties -> smallest value
+        # (deterministic; vectorized via sorted-block equality counts)
+        v = a.transpose(0, 2, 1, 3).reshape(-1, 4)
+        s = np.sort(v, axis=1)
+        cnt = (s[:, :, None] == s[:, None, :]).sum(axis=2)
+        idx = np.argmax(cnt, axis=1)  # first max -> smallest value (sorted)
+        return s[np.arange(s.shape[0]), idx].reshape(ny // 2, nx // 2)
     raise ValueError(f"unsupported resampling {method}")
 
 

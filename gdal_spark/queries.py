@@ -1735,6 +1735,32 @@ def q54(spark, sf_dir):
 
 
 @query(
+    "q56_pyramid_mode",
+    f"""WITH par AS (SELECT px.range AS px, py.range AS py
+                     FROM range(64) px, range(64) py),
+       ch AS (SELECT px, py,
+              unnest([{_z_sql('2*px', '2*py')}, {_z_sql('2*px+1', '2*py')},
+                      {_z_sql('2*px', '2*py+1')}, {_z_sql('2*px+1', '2*py+1')}]) AS v
+              FROM par),
+       cnt AS (SELECT px, py, v, count(*) AS c FROM ch GROUP BY px, py, v),
+       r AS (SELECT px, py, v,
+             ROW_NUMBER() OVER (PARTITION BY px, py ORDER BY c DESC, v) AS rn
+             FROM cnt)
+       SELECT px, py, CAST(v AS DOUBLE) AS mode_v FROM r WHERE rn = 1""",
+)
+def q56(spark, sf_dir):
+    """MODE overview resampling (GDALRegenerateOverviewsEx MODE,
+    gcore/overview.cpp): most-frequent of each 2×2 child block, ties to
+    the smallest value — one pyramid level over the dense DEM."""
+    from gdal_spark.operators.pyramid import pyramid_level
+
+    level = pyramid_level(_dem_tiles(spark), method="mode", tile_size=DEM_TILE)
+    return tiles_to_features(level, tile_size=DEM_TILE, nodata=None).select(
+        F.col("gx").alias("px"), F.col("gy").alias("py"), F.col("v").alias("mode_v")
+    )
+
+
+@query(
     "q55_grid_metrics",
     f"""WITH pts AS ({POINTS_SQL}),
        cand AS (
