@@ -68,3 +68,33 @@ def band_stats_tiles(
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(F.col("ss") / n - mean * mean), 6).alias("stddev_pop"),
     )
+
+
+def band_histogram_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    bucket_width: int = 16,
+    nodata: float | None = 0.0,
+) -> DataFrame:
+    """GDALRasterBand::GetHistogram as per-tile bincount partials +
+    one bucket-keyed combine (bucket = floor(v / width) on integral
+    values; nodata excluded).  Histogram cardinality is O(buckets), so
+    the shuffle moves a few rows per tile regardless of raster size."""
+
+    def partial(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    tile_size, tile_size
+                )
+                vals = arr[arr != nodata] if nodata is not None else arr.reshape(-1)
+                if vals.size == 0:
+                    continue
+                b = np.floor_divide(vals.astype(np.int64), bucket_width)
+                uniq, cnt = np.unique(b, return_counts=True)
+                frames.append(pd.DataFrame({"bucket": uniq, "n": cnt}))
+            yield pd.concat(frames) if frames else pd.DataFrame({"bucket": [], "n": []})
+
+    p = tiles.mapInPandas(partial, "bucket long, n long")
+    return p.groupBy("bucket").agg(F.sum("n").alias("n"))

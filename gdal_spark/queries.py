@@ -1202,6 +1202,22 @@ def q38(spark, sf_dir):
 
 
 @query(
+    "q57_band_histogram",
+    f"""{Q25_PIX_SQL}
+       SELECT CAST(v AS BIGINT) // 16 AS bucket, count(*) AS n
+       FROM rast GROUP BY 1""",
+)
+def q57(spark, sf_dir):
+    """Band histogram (GetHistogram): per-tile bincount partials, one
+    bucket-keyed combine — O(buckets) shuffle rows per tile."""
+    from gdal_spark.operators.stats import band_histogram_tiles
+
+    return band_histogram_tiles(
+        _q25_tiles(spark, sf_dir), tile_size=32, bucket_width=16, nodata=0.0
+    )
+
+
+@query(
     "q39_ogrsql_veneer",
     f"""WITH zones AS ({RECTS_SQL})
        SELECT zone_id AS fid,
