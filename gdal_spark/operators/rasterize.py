@@ -277,6 +277,17 @@ def rasterize_wkb_grid(
         arr = np.zeros((ny, nx), dtype=np.dtype(dtype))
         pdf = pdf.sort_values("_feature_seq")
         for blob, bv in zip(pdf[geom_col], pdf[burn_value_col]):
+            gtype, parts = W.parse_wkb(bytes(blob))
+            if gtype in (W.LINESTRING, W.MULTILINESTRING):
+                lines = [parts] if gtype == W.LINESTRING else [p for _, p in parts]
+                visited: set = set()
+                for coords in lines:
+                    px_, py_ = world_to_pixel(coords[:, 0], coords[:, 1], gt)
+                    burn_line(
+                        arr, px_ - tx * tile_size, py_ - ty * tile_size, float(bv),
+                        merge_add=merge_add, visited=visited if merge_add else None,
+                    )
+                continue
             for rings in W.polygon_rings(bytes(blob)):
                 pix_rings = []
                 for r in rings:

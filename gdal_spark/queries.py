@@ -542,6 +542,54 @@ def q26(spark, sf_dir):
     )
 
 
+def _q58_line_rows(spark, sf_dir) -> list[tuple]:
+    rows = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 40)
+        .select("p_partkey").distinct().collect()
+    )
+    out = []
+    for r in rows:
+        k = int(r[0])
+        if k % 2 == 0:
+            y = 3 + (k * 7) % 120 + 0.4
+            x0 = (k * 11) % 60 + 0.3
+            coords = np.array([[x0, y], [x0 + 30.4, y]])
+        else:
+            x = 2 + (k * 13) % 120 + 0.6
+            y0 = (k * 17) % 80 + 0.2
+            coords = np.array([[x, y0], [x, y0 + 25.6]])
+        out.append((float(k + 1), W.linestring_wkb(coords)))
+    return out
+
+
+@query(
+    "q58_line_burn",
+    """WITH ks AS (SELECT DISTINCT p_partkey AS k FROM part WHERE p_partkey <= 40),
+       h AS (SELECT k+1 AS val, 3 + (k*7)%120 AS gy, (k*11)%60 AS x0
+             FROM ks WHERE k % 2 = 0),
+       hp AS (SELECT val, x0 + dx.range AS gx, gy FROM h, range(31) dx),
+       v AS (SELECT k+1 AS val, 2 + (k*13)%120 AS gx, (k*17)%80 AS y0
+             FROM ks WHERE k % 2 = 1),
+       vp AS (SELECT val, gx, y0 + dy.range AS gy FROM v, range(26) dy),
+       allp AS (SELECT * FROM hp UNION ALL SELECT * FROM vp)
+       SELECT gx, gy, CAST(sum(val) AS DOUBLE) AS v
+       FROM allp GROUP BY gx, gy""",
+)
+def q58(spark, sf_dir):
+    """Line rasterization (GDALdllImageLine Bresenham semantics incl.
+    the reference's reversed vertex order and last-segment endpoint
+    inclusion), MERGE_ALG=ADD; axis-aligned lines make the burned pixel
+    runs analytic, and crossings verify the additive merge."""
+    feats = spark.createDataFrame(
+        _q58_line_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    tiles = rasterize_wkb_grid(
+        feats, IDENTITY_GT, 128, 128, tile_size=32, merge_add=True
+    )
+    return tiles_to_features(tiles, tile_size=32, nodata=0.0)
+
+
 # ---------------------------------------------------------------------------
 # §2.5 focal / §2.8 DEM ops / §2.3 interpolate-at-point (halo exchange)
 
