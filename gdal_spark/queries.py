@@ -380,6 +380,40 @@ def q13(spark, sf_dir):
 
 
 @query(
+    "q59_knn_radius",
+    f"""WITH pts AS ({POINTS_SQL}),
+       q AS (SELECT CAST(s_suppkey AS BIGINT) AS qid,
+                    CAST((s_suppkey*131)%360 - 180 AS DOUBLE) + 0.5 AS qx,
+                    CAST((s_suppkey*197)%160 - 80 AS DOUBLE) + 0.5 AS qy
+             FROM supplier WHERE s_suppkey <= 30),
+       d AS (SELECT q.qid, p.doc_id,
+                    (p.lon-q.qx)*(p.lon-q.qx) + (p.lat-q.qy)*(p.lat-q.qy) AS dist2
+             FROM q CROSS JOIN pts p),
+       r AS (SELECT qid, doc_id, dist2,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist2, doc_id) AS knn_rank
+             FROM d WHERE dist2 <= 25.0)
+       SELECT qid, doc_id, round(dist2, 6) AS dist2, CAST(knn_rank AS INT) AS knn_rank
+       FROM r WHERE knn_rank <= 8""",
+)
+def q59(spark, sf_dir):
+    """kNN with the search-radius bound (GDALGridNearestNeighbor's
+    radius/maxPoints options): candidates beyond radius excluded BEFORE
+    ranking, so under-populated neighborhoods return < k rows."""
+    pts = _points(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 30)
+    qs = s.select(
+        F.col("s_suppkey").cast("long").alias("qid"),
+        (((F.col("s_suppkey") * 131) % 360 - 180).cast("double") + 0.5).alias("qx"),
+        (((F.col("s_suppkey") * 197) % 160 - 80).cast("double") + 0.5).alias("qy"),
+    )
+    out = knn_broadcast(
+        pts, qs, k=8, point_id="doc_id", query_id="qid", px="lon", py="lat",
+        max_radius=5.0,
+    )
+    return out.select("qid", "doc_id", F.round("dist2", 6).alias("dist2"), "knn_rank")
+
+
+@query(
     "q14_raster_density",
     f"""WITH pts AS ({POINTS_SQL})
        SELECT CAST(floor((lon+180)/360.0*64) AS BIGINT) AS tx,
