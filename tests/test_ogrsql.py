@@ -124,6 +124,36 @@ def test_ogr_geom_area_pseudocolumn(spark, poly):
     assert np.allclose(got["a"], want["a"], atol=1e-9)
 
 
+def test_ogrsql_secondary_table_join(spark, poly):
+    """OGR SQL secondary-table JOIN..ON (swq_parser.y:1088-1094,
+    ogr_gensql.cpp GetFilterForJoin) through the veneer: LEFT JOIN
+    null-pads on miss exactly like the reference."""
+    df, con = poly
+    idl = spark.createDataFrame(
+        [(158, "rural"), (166, "urban"), (170, "urban"), (999, "unused")],
+        "eas_id long, zone_class string",
+    )
+    got = execute_sql(
+        spark,
+        """SELECT p.eas_id, z.zone_class FROM poly p
+           LEFT JOIN zones z ON p.eas_id = z.eas_id
+           WHERE p.eas_id < 172 ORDER BY p.eas_id""",
+        layers={"poly": df, "zones": idl},
+    ).toPandas()
+    con.register("zones", pd.DataFrame(
+        {"eas_id": [158, 166, 170, 999],
+         "zone_class": ["rural", "urban", "urban", "unused"]}
+    ))
+    want = con.execute(
+        """SELECT p.eas_id, z.zone_class FROM poly p
+           LEFT JOIN zones z ON p.eas_id = z.eas_id
+           WHERE p.eas_id < 172 ORDER BY p.eas_id"""
+    ).df()
+    assert len(got) == len(want)
+    assert (got["eas_id"].values == want["eas_id"].values).all()
+    assert (got["zone_class"].fillna("∅").values == want["zone_class"].fillna("∅").values).all()
+
+
 def test_hstore_get_value_rewrite(spark):
     df = spark.createDataFrame(
         [(1, '{"color": "red", "size": "4"}'), (2, '{"color": "blue", "size": "7"}')],
