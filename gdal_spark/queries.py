@@ -951,6 +951,37 @@ def q20(spark, sf_dir):
 
 
 @query(
+    "q60_simhash_pairs",
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th
+             FROM toks),
+       bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (th // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS s
+                FROM h, range(16) t(j) GROUP BY doc_id, j),
+       sigs AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS simhash
+              FROM bits GROUP BY doc_id),
+       blk AS (SELECT doc_id, simhash, simhash // 256 AS block FROM sigs),
+       p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+             FROM blk x JOIN blk y ON x.block = y.block AND x.doc_id < y.doc_id),
+       hm AS (SELECT a, b,
+              CAST(sum((xor(sa, sb) // CAST(power(2, j.range) AS BIGINT)) % 2) AS BIGINT) AS ham
+              FROM p, range(16) j GROUP BY a, b, sa, sb)
+       SELECT a, b, ham FROM hm WHERE ham <= 3""",
+)
+def q60(spark, sf_dir):
+    """SimHash near-dup pairs: high-byte blocking + Hamming ≤ 3 on the
+    16-bit signatures (the classic fingerprint-blocking trade)."""
+    from gdal_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=3)
+
+
+@query(
     "q21_text_quality",
     """SELECT doc_id,
        length(text) AS n_char,
