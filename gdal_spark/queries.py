@@ -310,6 +310,36 @@ def q10(spark, sf_dir):
     )
 
 
+@query(
+    "q61_session_window",
+    """WITH g AS (
+         SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) AS prev_es
+         FROM events)
+       SELECT user_id,
+              CAST(1 + sum(CASE WHEN prev_es IS NOT NULL AND es - prev_es > 1800
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM g GROUP BY user_id""",
+)
+def q61(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window operator (the
+    Catalyst merging-session aggregate, no window-function pass).
+    Timestamps truncate to seconds so the inclusive boundary (an event
+    exactly at session end merges) equals q10's ≤1800 s rule."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts_s", F.date_trunc("second", F.col("ts"))
+    )
+    sess = (
+        e.groupBy("user_id", F.session_window(F.col("ts_s"), "1800 seconds"))
+        .agg(F.count("*").alias("n"))
+    )
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("n").alias("n_events")
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2/2.3 spatial: PIP join, zonal stats, kNN, cells
 
