@@ -78,6 +78,78 @@ class _DSU:
             self.p[max(ra, rb)] = min(ra, rb)
 
 
+def _merge_edges(borders: DataFrame, connect8: bool, tile_size: int) -> DataFrame:
+    """Cross-tile label-merge edges from facing border runs.
+
+    4-connectivity: facing E|W (S|N) runs with equal dn and overlapping
+    [start, end) merge.  8-connectivity (the reference's
+    connectedness==8 path, gdalrasterpolygonenumerator.cpp:75-167) adds
+    two cases:
+      (a) diagonal adjacency across a shared edge — facing runs need
+          only touch within ±1 (pixel (r, last) is 8-adjacent to
+          (r±1, 0) of the next tile), so the interval test relaxes to
+          ``rstart <= end AND rend >= start``;
+      (b) the tile-corner case: a border run reaching the SE (resp. SW)
+          corner pixel of a tile is 8-adjacent to a run leaving the NW
+          (resp. NE) corner pixel of the diagonally adjacent tile —
+          S-run with end==tile_size ↔ (tx+1, ty+1) N-run with start==0,
+          and S-run with start==0 ↔ (tx-1, ty+1) N-run with
+          end==tile_size.  Both diagonal directions of each unordered
+          tile pair are covered because the join is always written from
+          the northern tile's S side.
+    """
+    right = (
+        borders.withColumnRenamed("tx", "rtx")
+        .withColumnRenamed("ty", "rty")
+        .withColumnRenamed("local_label", "rlabel")
+        .withColumnRenamed("side", "rside")
+        .withColumnRenamed("start", "rstart")
+        .withColumnRenamed("end", "rend")
+        .withColumnRenamed("dn", "rdn")
+    )
+    if connect8:
+        ov = (F.col("rstart") <= F.col("end")) & (F.col("rend") >= F.col("start"))
+    else:
+        ov = (F.col("rstart") < F.col("end")) & (F.col("rend") > F.col("start"))
+    east = borders.filter(F.col("side") == "E").join(
+        right.filter(F.col("rside") == "W"),
+        (F.col("rtx") == F.col("tx") + 1)
+        & (F.col("rty") == F.col("ty"))
+        & (F.col("rdn") == F.col("dn"))
+        & ov,
+    )
+    south = borders.filter(F.col("side") == "S").join(
+        right.filter(F.col("rside") == "N"),
+        (F.col("rtx") == F.col("tx"))
+        & (F.col("rty") == F.col("ty") + 1)
+        & (F.col("rdn") == F.col("dn"))
+        & ov,
+    )
+    parts = [east, south]
+    if connect8:
+        se = borders.filter(
+            (F.col("side") == "S") & (F.col("end") == tile_size)
+        ).join(
+            right.filter((F.col("rside") == "N") & (F.col("rstart") == 0)),
+            (F.col("rtx") == F.col("tx") + 1)
+            & (F.col("rty") == F.col("ty") + 1)
+            & (F.col("rdn") == F.col("dn")),
+        )
+        sw = borders.filter(
+            (F.col("side") == "S") & (F.col("start") == 0)
+        ).join(
+            right.filter((F.col("rside") == "N") & (F.col("rend") == tile_size)),
+            (F.col("rtx") == F.col("tx") - 1)
+            & (F.col("rty") == F.col("ty") + 1)
+            & (F.col("rdn") == F.col("dn")),
+        )
+        parts += [se, sw]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("tx", "ty", "local_label", "rtx", "rty", "rlabel")
+
+
 def _tile_ccl(tiles: DataFrame, nodata: float | None, connect8: bool, tile_size: int):
     def per_tile(pdf_iter):
         for pdf in pdf_iter:
@@ -135,36 +207,10 @@ def polygonize_tiles(
     # Facing-run join: my E edge joins the (tx+1) tile's W edge, my S
     # joins (ty+1)'s N; equal dn + overlapping [start, end) ⇒ merge.
     # (Range-overlap equi-join on the shared edge; the candidate set is
-    # border runs only, a ~1/tile_size fraction of the data.)
-    b = borders
-    right = (
-        b.withColumnRenamed("tx", "rtx")
-        .withColumnRenamed("ty", "rty")
-        .withColumnRenamed("local_label", "rlabel")
-        .withColumnRenamed("side", "rside")
-        .withColumnRenamed("start", "rstart")
-        .withColumnRenamed("end", "rend")
-        .withColumnRenamed("dn", "rdn")
-    )
-    east = b.filter(F.col("side") == "E").join(
-        right.filter(F.col("rside") == "W"),
-        (F.col("rtx") == F.col("tx") + 1)
-        & (F.col("rty") == F.col("ty"))
-        & (F.col("rdn") == F.col("dn"))
-        & (F.col("rstart") < F.col("end"))
-        & (F.col("rend") > F.col("start")),
-    )
-    south = b.filter(F.col("side") == "S").join(
-        right.filter(F.col("rside") == "N"),
-        (F.col("rtx") == F.col("tx"))
-        & (F.col("rty") == F.col("ty") + 1)
-        & (F.col("rdn") == F.col("dn"))
-        & (F.col("rstart") < F.col("end"))
-        & (F.col("rend") > F.col("start")),
-    )
-    edges = east.unionByName(south).select(
-        "tx", "ty", "local_label", "rtx", "rty", "rlabel"
-    )
+    # border runs only, a ~1/tile_size fraction of the data.)  With
+    # connect8 the overlap relaxes by ±1 and diagonal tile-corner
+    # adjacency is added — see ``_merge_edges``.
+    edges = _merge_edges(borders, connect8, tile_size)
 
     # Union-find at the driver over the (small) label graph.
     edge_rows = edges.collect()
@@ -282,30 +328,7 @@ def polygonize_dissolved(
 
     mixed = tiles.mapInPandas(per_tile, mixed_schema).persist()
     borders = mixed.filter(F.col("kind") == "B").drop("kind", "edges")
-    right = (
-        borders.withColumnRenamed("tx", "rtx")
-        .withColumnRenamed("ty", "rty")
-        .withColumnRenamed("local_label", "rlabel")
-        .withColumnRenamed("side", "rside")
-        .withColumnRenamed("start", "rstart")
-        .withColumnRenamed("end", "rend")
-        .withColumnRenamed("dn", "rdn")
-    )
-    east = borders.filter(F.col("side") == "E").join(
-        right.filter(F.col("rside") == "W"),
-        (F.col("rtx") == F.col("tx") + 1) & (F.col("rty") == F.col("ty"))
-        & (F.col("rdn") == F.col("dn"))
-        & (F.col("rstart") < F.col("end")) & (F.col("rend") > F.col("start")),
-    )
-    south = borders.filter(F.col("side") == "S").join(
-        right.filter(F.col("rside") == "N"),
-        (F.col("rtx") == F.col("tx")) & (F.col("rty") == F.col("ty") + 1)
-        & (F.col("rdn") == F.col("dn"))
-        & (F.col("rstart") < F.col("end")) & (F.col("rend") > F.col("start")),
-    )
-    edges_lr = east.unionByName(south).select(
-        "tx", "ty", "local_label", "rtx", "rty", "rlabel"
-    )
+    edges_lr = _merge_edges(borders, connect8, tile_size)
     dsu = _DSU()
     for r in edges_lr.collect():
         dsu.union((r["tx"], r["ty"], r["local_label"]), (r["rtx"], r["rty"], r["rlabel"]))

@@ -1973,3 +1973,60 @@ def q24(spark, sf_dir):
     return grid_idw(
         pts, x0=-180.0, y0=-80.0, cell=20.0, nx=18, ny=8, radius=15.0, power=2
     )
+
+
+def _q62_stair_rows(spark, sf_dir) -> list[tuple]:
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 4)
+        .select("n_nationkey").collect()
+    )
+    out = []
+    for r in rows:
+        c = int(r[0])
+        x0 = 4 + 64 * (c % 2)
+        y0 = 4 + 64 * (c // 2) + 6 * (c % 2)
+        for j in range(18):
+            ring = np.array(
+                [
+                    [x0 + 2 * j, y0 + 2 * j],
+                    [x0 + 2 * j + 2, y0 + 2 * j],
+                    [x0 + 2 * j + 2, y0 + 2 * j + 2],
+                    [x0 + 2 * j, y0 + 2 * j + 2],
+                    [x0 + 2 * j, y0 + 2 * j],
+                ],
+                dtype=np.float64,
+            )
+            out.append((float(c + 1), W.polygon_wkb([ring])))
+    return out
+
+
+@query(
+    "q62_polygonize_8conn",
+    """WITH c AS (SELECT n_nationkey AS c FROM nation WHERE n_nationkey < 4),
+       p AS (SELECT c,
+               4 + 64*(c%2) + 2*j.range + dx.range AS gx,
+               4 + 64*(c//2) + 6*(c%2) + 2*j.range + dy.range AS gy
+             FROM c, range(18) j, range(2) dx, range(2) dy)
+       SELECT CAST(c+1 AS BIGINT) AS dn, count(*) AS pixel_count,
+              count(DISTINCT (gx//32)*1000 + gy//32) AS n_tiles
+       FROM p GROUP BY c""",
+)
+def q62(spark, sf_dir):
+    """8-connected polygonize across tile borders (reference
+    connectedness==8, alg/gdalrasterpolygonenumerator.cpp:75-167):
+    staircases of corner-touching 2×2 squares, two of them stepping
+    exactly through a shared tile CORNER (the diagonal-tile merge) and
+    two through mid-edge ±1 diagonal offsets.  4-connected labeling
+    would emit 18 regions per chain; the oracle asserts ONE region per
+    chain with the exact pixel and tile counts."""
+    feats = spark.createDataFrame(
+        _q62_stair_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    regions = polygonize_tiles(tiles, nodata=0.0, connect8=True, tile_size=32)
+    return regions.select(
+        F.col("dn").cast("long").alias("dn"),
+        F.col("pixel_count"),
+        F.col("n_tiles"),
+    )
