@@ -229,6 +229,123 @@ def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width):
         rows.append((seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy))))
 
 
+def _tag_components(segs: DataFrame) -> DataFrame:
+    """Label each segment with its polyline component: segments sharing
+    an exact endpoint connect (identical doubles — both cells interpolate
+    the crossing from the same two pixels), components via pointer-
+    jumping CC."""
+    from gdal_spark.operators.graph import connected_components
+
+    ends = segs.select("seg", F.col("x1").alias("x"), F.col("y1").alias("y")).unionByName(
+        segs.select("seg", F.col("x2").alias("x"), F.col("y2").alias("y"))
+    )
+    a = ends.select(F.col("seg").alias("src"), "x", "y")
+    b = ends.select(F.col("seg").alias("dst"), "x", "y")
+    shared = a.join(b, ["x", "y"]).filter(F.col("src") != F.col("dst")).select("src", "dst")
+    selfloops = segs.select(F.col("seg").alias("src"), F.col("seg").alias("dst"))
+    comp = connected_components(shared.unionByName(selfloops))
+    return segs.join(comp.withColumnRenamed("node", "seg"), "seg"), ends, comp
+
+
+LINESTRING_SCHEMA = T.StructType(
+    [
+        T.StructField("component", T.LongType()),
+        T.StructField("n_pts", T.IntegerType()),
+        T.StructField("closed", T.BooleanType()),
+        T.StructField("length_u", T.LongType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sy", T.LongType()),
+        T.StructField("vsum_x", T.LongType()),
+        T.StructField("vsum_y", T.LongType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+
+def contour_linestrings(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """Ordered polyline GEOMETRY per iso-line component (the reference's
+    contour writer emits one linestring per merged polyline,
+    alg/contour.cpp SegmentMerger/RingAppender): one shuffle keyed by
+    component, then a deterministic chain walk per component.
+
+    Walk order contract (pinned for the oracle): open polylines start
+    at the lexicographically smallest degree-1 endpoint; closed rings
+    start at the smallest endpoint and step toward the smaller of its
+    two neighbors.  Closed rings repeat the start point at the end of
+    the WKB (GDAL ring convention) but n_pts counts distinct vertices.
+
+    Besides the WKB, emits order-sensitive integer checksums over the
+    vertex sequence — sx/sy = 2·(start point), vsum_x/vsum_y =
+    Σ (i+1)·2·coord — so an ANSI-SQL oracle can verify the exact vertex
+    ORDER (all crossing coordinates are halves of integers whenever
+    pixel values are integers and the level is a half-integer).
+    length_u = Σ floor(seg_len·10⁶ + 0.5) as in ``contour_polylines``.
+    """
+    from gdal_spark.kernels import wkb as W
+
+    segs = contour_segments(tiles, level, tile_size, width, height).persist()
+    tagged, _, _ = _tag_components(segs)
+
+    def walk(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        comp = int(key[0])
+        adj: dict = {}
+        for x1, y1, x2, y2, sl in zip(
+            pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["seg_len"]
+        ):
+            a, b = (float(x1), float(y1)), (float(x2), float(y2))
+            adj.setdefault(a, []).append([b, float(sl), False])
+            adj.setdefault(b, []).append([a, float(sl), False])
+        deg1 = sorted(p for p, nb in adj.items() if len(nb) == 1)
+        if deg1:
+            start = deg1[0]
+            closed = False
+        else:
+            start = min(adj)
+            closed = True
+        pts = [start]
+        length_u = 0
+        cur = start
+        prev = None
+        while True:
+            cands = [e for e in adj[cur] if not e[2]]
+            if not cands:
+                break
+            cands.sort(key=lambda e: e[0])
+            nxt = cands[0]
+            nxt[2] = True
+            # mark the reverse half-edge used too
+            for e in adj[nxt[0]]:
+                if not e[2] and e[0] == cur and e[1] == nxt[1]:
+                    e[2] = True
+                    break
+            length_u += int(np.floor(nxt[1] * 1e6 + 0.5))
+            prev, cur = cur, nxt[0]
+            if cur == start:
+                break
+            pts.append(cur)
+        seq = pts + [start] if closed else pts
+        vx = sum((i + 1) * int(round(2 * p[0])) for i, p in enumerate(pts))
+        vy = sum((i + 1) * int(round(2 * p[1])) for i, p in enumerate(pts))
+        blob = W.linestring_wkb(np.array(seq, dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "component": [comp],
+                "n_pts": [len(pts)],
+                "closed": [closed],
+                "length_u": [length_u],
+                "sx": [int(round(2 * start[0]))],
+                "sy": [int(round(2 * start[1]))],
+                "vsum_x": [vx],
+                "vsum_y": [vy],
+                "wkb": [blob],
+            }
+        )
+
+    return tagged.groupBy("component").applyInPandas(walk, LINESTRING_SCHEMA)
+
+
 def contour_polylines(
     tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
     window: int | None = None,
@@ -241,8 +358,6 @@ def contour_polylines(
 
     ``window`` restricts to cells with cx, cy < window (bounds the
     component sizes for oracle comparison)."""
-    from gdal_spark.operators.graph import connected_components
-
     segs = contour_segments(tiles, level, tile_size, width, height)
     if window is not None:
         segs = segs.filter(
@@ -250,15 +365,7 @@ def contour_polylines(
             & ((F.col("seg") / 2).cast("long") / (width - 1) < window)
         )
     segs = segs.persist()
-    ends = segs.select("seg", F.col("x1").alias("x"), F.col("y1").alias("y")).unionByName(
-        segs.select("seg", F.col("x2").alias("x"), F.col("y2").alias("y"))
-    )
-    a = ends.select(F.col("seg").alias("src"), "x", "y")
-    b = ends.select(F.col("seg").alias("dst"), "x", "y")
-    shared = a.join(b, ["x", "y"]).filter(F.col("src") != F.col("dst")).select("src", "dst")
-    selfloops = segs.select(F.col("seg").alias("src"), F.col("seg").alias("dst"))
-    comp = connected_components(shared.unionByName(selfloops))
-    tagged = segs.join(comp.withColumnRenamed("node", "seg"), "seg")
+    tagged, ends, comp = _tag_components(segs)
     n_ends = (
         ends.join(comp.withColumnRenamed("node", "seg"), "seg")
         .groupBy("component")

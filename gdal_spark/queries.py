@@ -2030,3 +2030,51 @@ def q62(spark, sf_dir):
         F.col("pixel_count"),
         F.col("n_tiles"),
     )
+
+
+@query(
+    "q63_contour_linestrings",
+    """WITH r AS (SELECT n_nationkey AS k, (n_nationkey%8)*16 + 2 AS x0,
+                  (n_nationkey//8)*16 + 3 AS y0,
+                  3 + n_nationkey%9 AS w, 2 + n_nationkey%7 AS h
+           FROM nation),
+       seq AS (
+         SELECT k, j.range AS i, 2*x0 - 1 AS dx, 2*(y0 + j.range) AS dy
+           FROM r, range(12) j WHERE j.range < h
+         UNION ALL
+         SELECT k, h + j.range, 2*(x0 + j.range), 2*(y0 + h) - 1
+           FROM r, range(12) j WHERE j.range < w
+         UNION ALL
+         SELECT k, h + w + j.range, 2*(x0 + w) - 1, 2*(y0 + h - 1 - j.range)
+           FROM r, range(12) j WHERE j.range < h
+         UNION ALL
+         SELECT k, 2*h + w + j.range, 2*(x0 + w - 1 - j.range), 2*y0 - 1
+           FROM r, range(12) j WHERE j.range < w),
+       v AS (SELECT k, CAST(SUM((i+1)*dx) AS BIGINT) AS vsum_x,
+                    CAST(SUM((i+1)*dy) AS BIGINT) AS vsum_y
+             FROM seq GROUP BY k)
+       SELECT CAST(2*x0 - 1 AS BIGINT) AS sx, CAST(2*y0 AS BIGINT) AS sy,
+              CAST(2*w + 2*h AS INT) AS n_pts, TRUE AS closed,
+              CAST((2*w + 2*h - 4)*1000000 + 4*707107 AS BIGINT) AS length_u,
+              vsum_x, vsum_y
+       FROM r JOIN v USING (k)""",
+)
+def q63(spark, sf_dir):
+    """Ordered contour polyline GEOMETRY (the reference's contour
+    writer emits merged linestrings, alg/contour.cpp SegmentMerger /
+    RingAppender): marching squares at level 1.0 over the nation-rect
+    burn (value 2.0 ⇒ every crossing at t=0.5 ⇒ half-integer coords),
+    chain-walked into ordered rings.  The oracle reproduces the pinned
+    walk order (start at lexicographic-min vertex, left side down →
+    bottom → right up → top) and checks ORDER-SENSITIVE vertex
+    checksums Σ(i+1)·2·coord — a wrong vertex order fails even with
+    the right vertex set."""
+    from gdal_spark.operators.contour import contour_linestrings
+
+    feats = spark.createDataFrame(
+        [(2.0, g) for _dn, g in _q26_rect_rows(spark, sf_dir)],
+        "burn double, geom binary",
+    )
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = contour_linestrings(tiles, 1.0, 32, 128, 128)
+    return out.select("sx", "sy", "n_pts", "closed", "length_u", "vsum_x", "vsum_y")
