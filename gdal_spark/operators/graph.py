@@ -128,3 +128,76 @@ def shortest_paths(
         if changed == 0:
             break
     return dist
+
+
+def k_shortest_costs(
+    edges: DataFrame,
+    source: int,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_iter: int = 100,
+) -> DataFrame:
+    """K-shortest-paths surface (GNM ``GetKShortestPaths``,
+    gnm/gnmgraph.h:195 — Yen's algorithm over an in-memory graph).
+
+    Yen repeats SSSP with edges removed — K·V sequential SSSP calls
+    don't distribute.  The cluster re-expression is a TOP-K
+    Bellman-Ford closure: per node keep the k smallest DISTINCT
+    reachable costs, and each round recompute
+
+        D(v) ← topk( {0 | v = source} ∪ { c + w : (u,v,w) ∈ E,
+                                           c ∈ D(u) } )
+
+    from scratch (recomputing, rather than accumulating into the
+    previous D, keeps every cost attributable to a unique walk
+    decomposition — no double counting across rounds).  Keeping k
+    distinct costs per node is sufficient: if the j-th (j ≤ k) distinct
+    cost at v extends cost c_u at u, fewer than k distinct costs at u
+    can undercut c_u, else their extensions would already displace it.
+
+    On a DAG every walk is loopless, so the result is exactly the k
+    smallest distinct loopless path costs — the Yen cost vector; on
+    cyclic graphs walks may revisit nodes (documented divergence from
+    Yen's loopless contract, which is inherently sequential).
+
+    Returns (node, rank, cost) with rank 0..k-1 per reachable node.
+    One shuffle per round (join on u, explode, min-combine);
+    ``localCheckpoint`` truncates lineage as in ``shortest_paths``.
+    """
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    seed = spark.createDataFrame([(source, 0)], "node long, cand long")
+    dist = spark.createDataFrame(
+        [(source, [0])], "node long, costs array<long>"
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        cand = e.join(dist.withColumnRenamed("node", "u"), "u").select(
+            F.col("v").alias("node"),
+            F.explode(F.transform("costs", lambda c: c + F.col("w"))).alias("cand"),
+        )
+        new = (
+            seed.unionByName(cand)
+            .groupBy("node")
+            .agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.collect_list("cand"))), 1, k
+                ).alias("costs")
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.withColumnRenamed("costs", "_new")
+            .join(dist, "node", "full")
+            .filter(~F.col("_new").eqNullSafe(F.col("costs")))
+            .count()
+        )
+        dist = new
+        if changed == 0:
+            break
+    return dist.select(
+        "node", F.posexplode("costs").alias("rank", "cost")
+    ).select("node", F.col("rank").cast("int").alias("rank"), "cost")

@@ -2078,3 +2078,34 @@ def q63(spark, sf_dir):
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = contour_linestrings(tiles, 1.0, 32, 128, 128)
     return out.select("sx", "sy", "n_pts", "closed", "length_u", "vsum_x", "vsum_y")
+
+
+@query(
+    "q64_k_shortest",
+    f"""WITH RECURSIVE e AS ({DAG_EDGES_SQL}),
+       paths(node, cost) AS (
+         SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+         UNION
+         SELECT e.v, p.cost + e.w FROM paths p JOIN e ON e.u = p.node),
+       r AS (SELECT node, cost,
+                    row_number() OVER (PARTITION BY node ORDER BY cost) AS rk
+             FROM (SELECT DISTINCT node, cost FROM paths))
+       SELECT node, CAST(rk - 1 AS INT) AS rnk, cost FROM r WHERE rk <= 3""",
+)
+def q64(spark, sf_dir):
+    """GNM K-shortest-paths (gnmgraph.h:195, Yen) as the distributed
+    top-k Bellman-Ford closure: 3 smallest distinct path costs per node
+    on the q47 DAG — on a DAG this equals Yen's loopless cost vector."""
+    from gdal_spark.operators.graph import k_shortest_costs
+
+    r = spark.range(59).withColumnRenamed("id", "u")
+    e1 = r.select("u", (F.col("u") + 1 + (F.col("u") * 7) % 4).alias("v"))
+    e2 = r.select("u", (F.col("u") + 2 + (F.col("u") * 13) % 5).alias("v"))
+    edges = (
+        e1.unionByName(e2)
+        .filter(F.col("v") < 60)
+        .withColumn("w", 1 + (F.col("u") * F.col("v")) % 7)
+    )
+    return k_shortest_costs(edges, source=0, k=3, src="u", dst="v").select(
+        "node", F.col("rank").alias("rnk"), "cost"
+    )
