@@ -2109,3 +2109,57 @@ def q64(spark, sf_dir):
     return k_shortest_costs(edges, source=0, k=3, src="u", dst="v").select(
         "node", F.col("rank").alias("rnk"), "cost"
     )
+
+
+@query(
+    "q65_warp_nearest",
+    f"""{Q25_PIX_SQL}
+       SELECT gx//2 AS gx, gy//2 AS gy, v FROM rast
+       WHERE gx%2 = 1 AND gy%2 = 1""",
+)
+def q65(spark, sf_dir):
+    """gdalwarp nearest-neighbour resample to a 2× coarser target grid
+    (GDALWarpOperation target-chunk back-projection +
+    GWKNearestNoMasks, alg/gdalwarpoperation.cpp:611-967): target
+    pixel centers land on odd source pixels, which the oracle selects
+    analytically."""
+    from gdal_spark.operators.warp import warp_resample
+
+    src = _q25_tiles(spark, sf_dir)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0), 64, 64,
+        tile_size=32, method="nearest",
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q66_warp_bilinear",
+    f"""{Q25_PIX_SQL},
+       g AS (SELECT a.range AS i, b.range AS j FROM range(127) a, range(127) b),
+       s AS (SELECT i, j,
+               COALESCE(r00.v, 0) AS z00, COALESCE(r10.v, 0) AS z10,
+               COALESCE(r01.v, 0) AS z01, COALESCE(r11.v, 0) AS z11
+             FROM g
+             LEFT JOIN rast r00 ON r00.gx = i   AND r00.gy = j
+             LEFT JOIN rast r10 ON r10.gx = i+1 AND r10.gy = j
+             LEFT JOIN rast r01 ON r01.gx = i   AND r01.gy = j+1
+             LEFT JOIN rast r11 ON r11.gx = i+1 AND r11.gy = j+1),
+       o AS (SELECT i AS gx, j AS gy,
+               0.75*0.75*z00 + 0.25*0.75*z10 + 0.75*0.25*z01 + 0.25*0.25*z11 AS v
+             FROM s)
+       SELECT gx, gy, v FROM o WHERE v <> 0""",
+)
+def q66(spark, sf_dir):
+    """gdalwarp BILINEAR to a quarter-pixel-shifted same-scale grid
+    (GWKBilinear semantics: sample at u−0.5 between the 4 surrounding
+    centers, missing source pixels read as fill): fx = fy = 1/4 ⇒ all
+    weights are sixteenths — exact doubles on both engines."""
+    from gdal_spark.operators.warp import warp_resample
+
+    src = _q25_tiles(spark, sf_dir)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.25, 1.0, 0.0, 0.25, 0.0, 1.0), 127, 127,
+        tile_size=32, method="bilinear",
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)

@@ -1,0 +1,73 @@
+"""warp_resample invariants: identity warp reproduces the source,
+integer shift translates it, bilinear at exact centers is lossless."""
+
+import numpy as np
+
+from gdal_spark.kernels import wkb as W
+from gdal_spark.operators.rasterize import rasterize_wkb_grid, tiles_to_features
+from gdal_spark.operators.warp import warp_resample
+
+IDENTITY_GT = (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def rect_wkb(x0, y0, x1, y1):
+    ring = np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float)
+    return W.polygon_wkb([ring])
+
+
+def _src(spark):
+    feats = spark.createDataFrame(
+        [(3.0, rect_wkb(10, 10, 40, 30)), (5.0, rect_wkb(50, 33, 61, 62))],
+        "burn double, geom binary",
+    )
+    return rasterize_wkb_grid(feats, IDENTITY_GT, 64, 64, tile_size=32)
+
+
+def _px(df):
+    return {(r["gx"], r["gy"]): r["v"] for r in df.collect()}
+
+
+def test_identity_nearest(spark):
+    src = _src(spark)
+    out = warp_resample(src, IDENTITY_GT, IDENTITY_GT, 64, 64, tile_size=32)
+    assert _px(tiles_to_features(out, tile_size=32, nodata=0.0)) == _px(
+        tiles_to_features(src, tile_size=32, nodata=0.0)
+    )
+
+
+def test_integer_shift_nearest(spark):
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, (5.0, 1.0, 0.0, -7.0, 0.0, 1.0), 64, 64, tile_size=32
+    )
+    shifted = {
+        (gx - 5, gy + 7): v
+        for (gx, gy), v in _px(tiles_to_features(src, 32, nodata=0.0)).items()
+    }
+    expect = {k: v for k, v in shifted.items() if 0 <= k[0] < 64 and 0 <= k[1] < 64}
+    assert _px(tiles_to_features(out, tile_size=32, nodata=0.0)) == expect
+
+
+def test_identity_bilinear_lossless(spark):
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, IDENTITY_GT, 64, 64, tile_size=32, method="bilinear"
+    )
+    assert _px(tiles_to_features(out, tile_size=32, nodata=0.0)) == _px(
+        tiles_to_features(src, tile_size=32, nodata=0.0)
+    )
+
+
+def test_downsample_2x_nearest(spark):
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0), 32, 32, tile_size=32
+    )
+    srcpx = _px(tiles_to_features(src, 32, nodata=0.0))
+    expect = {
+        (i, j): srcpx[(2 * i + 1, 2 * j + 1)]
+        for i in range(32)
+        for j in range(32)
+        if (2 * i + 1, 2 * j + 1) in srcpx
+    }
+    assert _px(tiles_to_features(out, tile_size=32, nodata=0.0)) == expect
