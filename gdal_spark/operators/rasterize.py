@@ -224,6 +224,7 @@ def rasterize_wkb_grid(
     geom_col: str = "geom",
     dtype: str = "float64",
     merge_add: bool = False,
+    all_touched: bool = False,
 ) -> DataFrame:
     """GDALRasterizeLayers analog onto an arbitrary target grid: burn
     WKB polygon features into a ``width × height`` raster defined by a
@@ -281,9 +282,10 @@ def rasterize_wkb_grid(
             if gtype in (W.LINESTRING, W.MULTILINESTRING):
                 lines = [parts] if gtype == W.LINESTRING else [p for _, p in parts]
                 visited: set = set()
+                line_fn = burn_all_touched_line if all_touched else burn_line
                 for coords in lines:
                     px_, py_ = world_to_pixel(coords[:, 0], coords[:, 1], gt)
-                    burn_line(
+                    line_fn(
                         arr, px_ - tx * tile_size, py_ - ty * tile_size, float(bv),
                         merge_add=merge_add, visited=visited if merge_add else None,
                     )

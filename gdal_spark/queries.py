@@ -2163,3 +2163,47 @@ def q66(spark, sf_dir):
         tile_size=32, method="bilinear",
     )
     return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+def _q67_line_rows(spark, sf_dir) -> list[tuple]:
+    rows = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 24)
+        .select("n_nationkey").collect()
+    )
+    out = []
+    for r in rows:
+        k = int(r[0])
+        a = (k % 6) * 20 + 1
+        b = (k // 6) * 11 + 1
+        coords = np.array([[a + 0.25, b + 0.25], [a + 16.25, b + 8.25]])
+        out.append((float(k + 1), W.linestring_wkb(coords)))
+    return out
+
+
+@query(
+    "q67_all_touched",
+    """WITH ks AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 24),
+       L AS (SELECT k, (k%6)*20 + 1 AS a, (k//6)*11 + 1 AS b FROM ks),
+       cells AS (
+         SELECT k, a + 2*t.range AS gx, b + t.range AS gy FROM L, range(9) t
+         UNION ALL
+         SELECT k, a + 2*t.range + 1, b + t.range FROM L, range(8) t
+         UNION ALL
+         SELECT k, a + 2*t.range + 1, b + t.range + 1 FROM L, range(8) t)
+       SELECT gx, gy, CAST(k+1 AS DOUBLE) AS v FROM cells""",
+)
+def q67(spark, sf_dir):
+    """ALL_TOUCHED line burn (GDALdllImageLineAllTouched,
+    alg/llrasterize.cpp:407+): every cell a slope-1/2 segment passes
+    through, crossing tile borders.  dx=16 (a power of two) keeps the
+    traversal sample coordinates exact quarters, so the touched-cell
+    set is the closed-form 3-cells-per-period staircase the oracle
+    enumerates: (a+2t, b+t), (a+2t+1, b+t), (a+2t+1, b+t+1)."""
+    feats = spark.createDataFrame(
+        _q67_line_rows(spark, sf_dir), "burn double, geom binary"
+    )
+    tiles = rasterize_wkb_grid(
+        feats, IDENTITY_GT, 128, 128, tile_size=32, all_touched=True
+    )
+    return tiles_to_features(tiles, tile_size=32, nodata=0.0)
