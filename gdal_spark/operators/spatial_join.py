@@ -93,6 +93,42 @@ def polygon_cover(polys: list[tuple], res: int = DEFAULT_RES) -> list[tuple]:
     return rows
 
 
+def auto_salt_map(
+    pts_with_cell: DataFrame,
+    cover_cells: set[int],
+    sample_fraction: float = 0.01,
+    target_rows_per_key: int = 2_000_000,
+    max_salt: int = 64,
+    cell_col: str = "cell",
+) -> dict[int, int]:
+    """Per-cell salt factors from a sampled cell histogram — replaces
+    the guessed global ``salt_factor`` constant.
+
+    One cheap pass: sample the point table (0.1–1%), count per cover
+    cell, scale up by 1/fraction, and give each cell whose estimate
+    exceeds ``target_rows_per_key`` a split factor
+    ``ceil(est / target)`` (clamped to ``max_salt``).  Hot cells are by
+    definition few — the web's point mass piles onto metro cells — so
+    the result is a small driver-side dict that broadcasts with the
+    cover.  Cold cells stay unsalted: a global constant K would
+    explode the ENTIRE cover K× and shuffle K candidate sub-keys for
+    every cell, paying the skew tax everywhere to fix it in a few
+    places."""
+    hist = (
+        pts_with_cell.sample(fraction=sample_fraction, seed=7)
+        .filter(F.col(cell_col).isin(list(cover_cells)))
+        .groupBy(cell_col)
+        .count()
+        .collect()
+    )
+    out = {}
+    for r in hist:
+        est = r["count"] / sample_fraction
+        if est > target_rows_per_key:
+            out[int(r[cell_col])] = min(int(np.ceil(est / target_rows_per_key)), max_salt)
+    return out
+
+
 def spatial_join_points_in_polygons(
     points: DataFrame,
     polys: list[tuple],
@@ -100,9 +136,11 @@ def spatial_join_points_in_polygons(
     lat: str = "lat",
     res: int = DEFAULT_RES,
     include_boundary: bool = True,
-    salt_factor: int = 1,
+    salt_factor: int | str = 1,
     poly_id_col: str = "poly_id",
     broadcast_cover: bool = True,
+    salt_sample_fraction: float = 0.01,
+    salt_target_rows_per_key: int = 2_000_000,
 ) -> DataFrame:
     """points × polygon set → matching (point row, poly_id) rows.
 
@@ -121,6 +159,10 @@ def spatial_join_points_in_polygons(
       while points pick one pseudo-randomly — the north rule's salted
       repartition (AQE skew-join splitting stays on as the runtime
       backstop).
+    - ``salt_factor="auto"`` — per-cell factors measured from a sampled
+      cell histogram (``auto_salt_map``): only cells estimated above
+      ``salt_target_rows_per_key`` are split, proportionally to their
+      mass; the rest of the cover is not exploded.
     """
     spark = points.sparkSession
     cover_rows = polygon_cover(polys, res)
@@ -137,6 +179,39 @@ def spatial_join_points_in_polygons(
     if broadcast_cover:
         joined = pts.join(F.broadcast(cover), "cell")
         salted = False
+    elif salt_factor == "auto":
+        # per-cell factors from the sampled histogram; cold cells k=1
+        kmap = auto_salt_map(
+            pts,
+            {c for c, _, _ in cover_rows},
+            sample_fraction=salt_sample_fraction,
+            target_rows_per_key=salt_target_rows_per_key,
+        )
+        if not kmap:
+            joined = pts.hint("shuffle_hash").join(cover, "cell")
+            salted = False
+        else:
+            kdf = F.broadcast(
+                spark.createDataFrame(list(kmap.items()), "cell long, _k int")
+            )
+            pts = pts.join(kdf, "cell", "left").withColumn(
+                "_salt",
+                F.when(
+                    F.col("_k").isNotNull(),
+                    F.pmod(F.hash(F.col(lon), F.col(lat)), F.col("_k")),
+                ).otherwise(F.lit(0)).cast("int"),
+            ).drop("_k")
+            cover = (
+                cover.join(kdf, "cell", "left")
+                .withColumn("_k", F.coalesce(F.col("_k"), F.lit(1)))
+                .withColumn(
+                    "_salt", F.explode(F.sequence(F.lit(0), F.col("_k") - 1))
+                )
+                .withColumn("_salt", F.col("_salt").cast("int"))
+                .drop("_k")
+            )
+            joined = pts.hint("shuffle_hash").join(cover, ["cell", "_salt"])
+            salted = True
     elif salt_factor > 1:
         cover = cover.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
