@@ -2207,3 +2207,59 @@ def q67(spark, sf_dir):
         feats, IDENTITY_GT, 128, 128, tile_size=32, all_touched=True
     )
     return tiles_to_features(tiles, tile_size=32, nodata=0.0)
+
+
+def _q68_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = (k % 6) * 20 + 2
+        y0 = (k // 6) * 14 + 2
+        w = 6 + k % 5
+        h = 5 + k % 4
+        s = 1 + k % 3
+        big = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+        sat = np.array(
+            [
+                [x0 + w, y0 + 1], [x0 + w + s, y0 + 1],
+                [x0 + w + s, y0 + 1 + s], [x0 + w, y0 + 1 + s], [x0 + w, y0 + 1],
+            ],
+            dtype=np.float64,
+        )
+        out.append((float(k + 1), W.polygon_wkb([big])))
+        out.append((float(k + 101), W.polygon_wkb([sat])))
+    return out
+
+
+@query(
+    "q68_sieve_merge",
+    """WITH ks AS (SELECT n_nationkey AS k FROM nation),
+       p AS (SELECT k, (k%6)*20+2 AS x0, (k//6)*14+2 AS y0,
+                    6+k%5 AS w, 5+k%4 AS h, 1+k%3 AS s FROM ks),
+       big AS (SELECT k, x0 + i.range AS gx, y0 + j.range AS gy,
+                      CAST(k+1 AS DOUBLE) AS v
+               FROM p, range(12) i, range(9) j
+               WHERE i.range < w AND j.range < h),
+       sat AS (SELECT k, x0 + w + i.range AS gx, y0 + 1 + j.range AS gy,
+                      CAST(CASE WHEN s < 3 THEN k+1 ELSE k+101 END AS DOUBLE) AS v
+               FROM p, range(3) i, range(3) j
+               WHERE i.range < s AND j.range < s)
+       SELECT gx, gy, v FROM big UNION ALL SELECT gx, gy, v FROM sat""",
+)
+def q68(spark, sf_dir):
+    """GDALSieveFilter MERGE semantics (alg/sievefilter.cpp): each
+    nation key burns a big rect (dn=k+1, ≥20 px) with an s×s satellite
+    of a different dn attached at its right edge; threshold 5 absorbs
+    the 1- and 4-px satellites into the big region (their largest —
+    only — neighbour) while 9-px satellites survive.  Several clusters
+    straddle tile borders, exercising the cross-tile region graph."""
+    from gdal_spark.operators.sieve import sieve_tiles
+
+    feats = spark.createDataFrame(_q68_rows(spark, sf_dir), "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = sieve_tiles(tiles, threshold=5, nodata=0.0, tile_size=32)
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
