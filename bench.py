@@ -59,6 +59,18 @@ HEADLINE = [
     "q51_polygonize_geometry",
     "q52_polygonize_dissolved",
     "q53_raster_calc",
+    "q54_contour_polylines",
+    "q55_grid_metrics",
+    "q56_pyramid_mode",
+    "q57_band_histogram",
+    "q58_line_burn",
+    "q62_polygonize_8conn",
+    "q63_contour_linestrings",
+    "q64_k_shortest",
+    "q65_warp_nearest",
+    "q66_warp_bilinear",
+    "q67_all_touched",
+    "q68_sieve_merge",
 ]
 
 

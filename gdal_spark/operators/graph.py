@@ -26,10 +26,15 @@ def connected_components(
     dst.  Big-graph variants (large-star/small-star) drop in behind the
     same signature; plain propagation is exact and O(diameter) rounds.
     """
+    # One upfront checkpoint: every round joins against `und`, and the
+    # edge list often carries an expensive lineage (e.g. the contour
+    # segment self-join) — without this the WHOLE upstream re-executes
+    # once per join per round.
     und = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         und.select(F.col("u").alias("node"))
@@ -51,27 +56,42 @@ def connected_components(
         )
         # pointer jumping (path doubling): label <- label(label).  The
         # neighbor step alone converges in O(diameter) rounds — a
-        # 500-segment iso-line would need 500 rounds; the jump step
-        # halves every label chain, giving O(log diameter) rounds.
-        ptr = labels.select(
-            F.col("node").alias("label"), F.col("label").alias("_ll")
-        )
-        new = (
-            stepped.join(ptr, "label", "left")
-            .select(
+        # 500-segment iso-line would need 500 rounds; one jump step
+        # halves every label chain.  TWO jump steps per round (the
+        # second reads the once-jumped table) quarter the chains, so
+        # the loop runs ~log₄ diameter rounds — and since each round
+        # costs a fixed scheduler/checkpoint latency that dominates at
+        # bench scale, halving the round count halves the wall time of
+        # every iso-line/graph query.  All three joins stay in ONE job
+        # per round (lazy until the checkpoint).
+        # persist each jump input: a self-join reads its input twice,
+        # and two chained jumps would otherwise re-evaluate `stepped`
+        # 4× (plan-size doubling per jump).
+        cur = stepped.persist()
+        hold = [cur]
+        for _ in range(2):
+            ptr = cur.select(
+                F.col("node").alias("label"), F.col("label").alias("_ll")
+            )
+            cur = cur.join(ptr, "label", "left").select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("_ll"), F.col("label"))).alias(
                     "label"
                 ),
-            )
-            .localCheckpoint()
-        )
+            ).persist()
+            hold.append(cur)
+        # lazy checkpoint: the convergence count below is the single
+        # materializing job for the whole round (it runs while the
+        # jump inputs are still cached; unpersist only after)
+        new = cur.localCheckpoint(eager=False)
         changed = (
             new.withColumnRenamed("label", "_new")
             .join(labels, "node")
             .filter(F.col("_new") < F.col("label"))
             .count()
         )
+        for h in hold:
+            h.unpersist()
         labels = new
         if changed == 0:
             break
@@ -99,7 +119,7 @@ def shortest_paths(
     spark = edges.sparkSession
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint()  # relaxed against every round — pin the lineage once
     dist = spark.createDataFrame([(source, 0)], "node long, cost long").localCheckpoint()
     for _ in range(max_iter):
         relax = (
@@ -121,7 +141,7 @@ def shortest_paths(
                     | (F.coalesce(F.col("cand"), F.col("cost")) < F.col("cost"))
                 ).alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("_changed")).count()
         dist = new.drop("_changed")
@@ -169,7 +189,7 @@ def k_shortest_costs(
     spark = edges.sparkSession
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
-    )
+    ).localCheckpoint()
     seed = spark.createDataFrame([(source, 0)], "node long, cand long")
     dist = spark.createDataFrame(
         [(source, [0])], "node long, costs array<long>"
@@ -187,7 +207,7 @@ def k_shortest_costs(
                     F.array_sort(F.array_distinct(F.collect_list("cand"))), 1, k
                 ).alias("costs")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new.withColumnRenamed("costs", "_new")
