@@ -86,14 +86,21 @@ def main() -> None:
     # warm the JVM + parquet footers once
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Two passes, keep the per-query MIN: this burst-throttled shared
+    # VM swings 3-4× run-to-run (see BASELINE.md "Interpretation"), and
+    # a single-shot timing conflates host stalls with engine cost — the
+    # same warm-min protocol scalebench.py uses.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        _ = n
+    for _pass in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = round(time.time() - t0, 3)
+            if name not in times or dt < times[name]:
+                times[name] = dt
+            _ = n
     total = round(sum(times.values()), 3)
     out = {
         "metric": "headline_query_wall_total",
@@ -102,6 +109,7 @@ def main() -> None:
         "queries": times,
         "sf": sf,
         "cpus": cpus,
+        "passes": 2,
     }
     spark.stop()
 
