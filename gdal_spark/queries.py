@@ -2263,3 +2263,33 @@ def q68(spark, sf_dir):
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = sieve_tiles(tiles, threshold=5, nodata=0.0, tile_size=32)
     return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q69_proximity_unbounded",
+    """WITH t AS (SELECT (n_nationkey*37)%128 AS tx, (n_nationkey*53)%128 AS ty
+                  FROM nation),
+       g AS (SELECT a.range AS gx, b.range AS gy FROM range(128) a, range(128) b),
+       d AS (SELECT gx, gy,
+                    min((gx-tx)*(gx-tx) + (gy-ty)*(gy-ty)) AS d2
+             FROM g, t GROUP BY gx, gy)
+       SELECT gx, gy, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS dist FROM d""",
+)
+def q69(spark, sf_dir):
+    """UNBOUNDED proximity (GDALComputeProximity without MAXDIST,
+    alg/gdalproximity.cpp): exact separable EDT — column target lists,
+    then the 1-D parabola envelope per row.  The oracle is the brute
+    force min over all targets for every pixel."""
+    from gdal_spark.operators.focal import proximity_unbounded
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        x, y = (k * 37) % 128, (k * 53) % 128
+        ring = np.array(
+            [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]], dtype=np.float64
+        )
+        rows.append((1.0, W.polygon_wkb([ring])))
+    feats = spark.createDataFrame(rows, "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    return proximity_unbounded(tiles, tile_size=32, width=128, height=128)
