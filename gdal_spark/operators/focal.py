@@ -443,3 +443,266 @@ def proximity_unbounded(
         .repartition(max(nblocks // 2, 1))
         .mapInPandas(per_block, out_schema)
     )
+
+
+def dem_metric_tiles(
+    tiles: DataFrame,
+    metric: str,
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """gdaldem terrain metrics over the 3×3 neighborhood
+    (apps/gdaldem_lib.cpp kernels), same halo exchange as slope:
+
+    - ``tri_riley``  — sqrt(Σ (z_i − z_c)²) over the 8 neighbors
+      (Riley et al., the reference's default -alg)
+    - ``tri_wilson`` — Σ |z_i − z_c| / 8 (the -alg Wilson variant)
+    - ``tpi``        — z_c − mean(8 neighbors)
+    - ``roughness``  — max(3×3) − min(3×3)
+
+    All four are exact over integer DEMs (sums, /8, and max−min are
+    exact doubles; sqrt is a single correctly-rounded op), which is
+    what makes the DuckDB oracles bitwise-comparable.  Interior pixels
+    only, as the reference without -compute_edges."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c = slice(1, 1 + ts)
+        lo = slice(0, ts)
+        hi = slice(2, 2 + ts)
+        zc = z[c, c]
+        nbrs = [
+            z[lo, lo], z[lo, c], z[lo, hi],
+            z[c, lo], z[c, hi],
+            z[hi, lo], z[hi, c], z[hi, hi],
+        ]
+        if metric == "tri_riley":
+            acc = np.zeros_like(zc)
+            for n in nbrs:
+                d = n - zc
+                acc += d * d
+            return np.sqrt(acc)
+        if metric == "tri_wilson":
+            acc = np.zeros_like(zc)
+            for n in nbrs:
+                acc += np.abs(n - zc)
+            return acc / 8.0
+        if metric == "tpi":
+            acc = np.zeros_like(zc)
+            for n in nbrs:
+                acc += n
+            return zc - acc / 8.0
+        if metric == "roughness":
+            mx = zc.copy()
+            mn = zc.copy()
+            for n in nbrs:
+                np.maximum(mx, n, out=mx)
+                np.minimum(mn, n, out=mn)
+            return mx - mn
+        raise ValueError(metric)
+
+    out = _apply_focal(tiles, tile_size, 1, ntx, nty, kern)
+    return out.filter(
+        (F.col("gx") > 0)
+        & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0)
+        & (F.col("gy") < height - 1)
+    )
+
+
+def dem_aspect_tiles(
+    tiles: DataFrame, tile_size: int, width: int, height: int
+) -> DataFrame:
+    """gdaldem aspect (apps/gdaldem_lib.cpp:1441-1468, GDALAspectAlg
+    with angle-as-azimuth): dx = (E column, mid doubled) − (W column),
+    dy = (S row) − (N row); aspect = atan2(dy, −dx)°, remapped to a
+    compass azimuth (>90 → 450−a, else 90−a); flat cells (dx=dy=0)
+    emit nothing (nodata).  Returns (gx, gy, az, dx, dy) — dx/dy ride
+    along so exact-integer oracles can classify the azimuth octant
+    without transcendental parity."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    out_schema = T.StructType(
+        [
+            T.StructField("gx", T.LongType()),
+            T.StructField("gy", T.LongType()),
+            T.StructField("az", T.DoubleType()),
+            T.StructField("dx", T.DoubleType()),
+            T.StructField("dy", T.DoubleType()),
+        ]
+    )
+    ts_ = tile_size
+    strips = _emit_strips(tiles, ts_, 1, ntx, nty)
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        z = _assemble_padded(pdf, ts_, 1)
+        c = slice(1, 1 + ts_)
+        lo = slice(0, ts_)
+        hi = slice(2, 2 + ts_)
+        dx = (z[lo, hi] + 2.0 * z[c, hi] + z[hi, hi]) - (
+            z[lo, lo] + 2.0 * z[c, lo] + z[hi, lo]
+        )
+        dy = (z[hi, lo] + 2.0 * z[hi, c] + z[hi, hi]) - (
+            z[lo, lo] + 2.0 * z[lo, c] + z[lo, hi]
+        )
+        a = np.degrees(np.arctan2(dy, -dx))
+        az = np.where(a > 90.0, 450.0 - a, 90.0 - a)
+        flat = (dx == 0) & (dy == 0)
+        gx = np.arange(ts_) + tx * ts_
+        gy = np.arange(ts_) + ty * ts_
+        GX, GY = np.meshgrid(gx, gy)
+        keep = (
+            ~flat
+            & (GX > 0) & (GX < width - 1) & (GY > 0) & (GY < height - 1)
+        )
+        ys, xs = np.nonzero(keep)
+        return pd.DataFrame(
+            {
+                "gx": GX[ys, xs],
+                "gy": GY[ys, xs],
+                "az": az[ys, xs],
+                "dx": dx[ys, xs],
+                "dy": dy[ys, xs],
+            }
+        )
+
+    return strips.groupBy("tx", "ty").applyInPandas(per_tile, out_schema)
+
+
+def hillshade_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+) -> DataFrame:
+    """gdaldem hillshade, Horn derivatives, ZEVENBERGEN off, no
+    combined/multidirectional (apps/gdaldem_lib.cpp:882-896, 1030-1036):
+
+        cang·254 = (254·sinα − (q·254·cosAz·cosα − p·254·sinAz·cosα))
+                   / sqrt(1 + p² + q²)
+        out = 1.0 if cang·254 ≤ 0 else 1.0 + cang·254
+
+    with p, q the Horn /8 derivatives (z-factor 1, unit resolution; the
+    reference folds scale into its precomputed constants the same way,
+    but evaluates in float32 — we stay float64 end-to-end).  The trig
+    constants are evaluated ONCE here and inlined into the SQL oracle
+    verbatim, so both engines run the identical IEEE expression."""
+    import math
+
+    c1 = 254.0 * math.sin(math.radians(altitude))
+    c2 = 254.0 * math.cos(math.radians(azimuth)) * math.cos(math.radians(altitude))
+    c3 = 254.0 * math.sin(math.radians(azimuth)) * math.cos(math.radians(altitude))
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c = slice(1, 1 + ts)
+        lo = slice(0, ts)
+        hi = slice(2, 2 + ts)
+        p = (
+            (z[lo, hi] + 2.0 * z[c, hi] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[c, lo] + z[hi, lo])
+        ) / 8.0
+        q = (
+            (z[hi, lo] + 2.0 * z[hi, c] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[lo, c] + z[lo, hi])
+        ) / 8.0
+        cang254 = (c1 - (q * c2 - p * c3)) / np.sqrt((1.0 + p * p) + q * q)
+        return np.where(cang254 <= 0.0, 1.0, 1.0 + cang254)
+
+    out = _apply_focal(tiles, tile_size, 1, ntx, nty, kern)
+    return out.filter(
+        (F.col("gx") > 0)
+        & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0)
+        & (F.col("gy") < height - 1)
+    )
+
+
+
+def hillshade_sql_consts(azimuth: float = 315.0, altitude: float = 45.0):
+    """The exact double constants the kernel uses, as SQL literals."""
+    import math
+
+    c1 = 254.0 * math.sin(math.radians(altitude))
+    c2 = 254.0 * math.cos(math.radians(azimuth)) * math.cos(math.radians(altitude))
+    c3 = 254.0 * math.sin(math.radians(azimuth)) * math.cos(math.radians(altitude))
+    return repr(c1), repr(c2), repr(c3)
+
+
+def color_relief_tiles(
+    tiles: DataFrame,
+    ramp: list[tuple],
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """gdaldem color-relief, linear interpolation mode
+    (apps/gdaldem_lib.cpp:1784-1801): between ramp entries each channel
+    is ``clamp(int(0.5 + c0 + ratio·(c1−c0)), 0, 255)`` with
+    ratio = (v−e0)/(e1−e0); below/above the ramp clamps to the end
+    colors.  ``ramp``: sorted [(elevation, r, g, b)].  Pure per-pixel
+    map — no halo, no shuffle; returns (gx, gy, r, g, b)."""
+    evals = np.array([e for e, *_ in ramp], dtype=np.float64)
+    chans = np.array([c for _, *c in ramp], dtype=np.float64)  # (n, 3)
+    ts_ = tile_size
+    out_schema = T.StructType(
+        [
+            T.StructField("gx", T.LongType()),
+            T.StructField("gy", T.LongType()),
+            T.StructField("r", T.IntegerType()),
+            T.StructField("g", T.IntegerType()),
+            T.StructField("b", T.IntegerType()),
+        ]
+    )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                v = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
+                    ts_, ts_
+                ).astype(np.float64)
+                tx, ty = int(row["tx"]), int(row["ty"])
+                idx = np.clip(np.searchsorted(evals, v, side="left"), 1, len(evals) - 1)
+                e0, e1 = evals[idx - 1], evals[idx]
+                ratio = np.clip((v - e0) / (e1 - e0), 0.0, 1.0)
+                cols = []
+                for ch in range(3):
+                    c0 = chans[idx - 1, ch]
+                    c1 = chans[idx, ch]
+                    cols.append(
+                        np.clip(np.floor(0.5 + c0 + ratio * (c1 - c0)), 0, 255).astype(
+                            np.int32
+                        )
+                    )
+                gx = np.arange(ts_) + tx * ts_
+                gy = np.arange(ts_) + ty * ts_
+                GX, GY = np.meshgrid(gx, gy)
+                keep = (GX < width) & (GY < height)
+                ys, xs = np.nonzero(keep)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gx": GX[ys, xs],
+                            "gy": GY[ys, xs],
+                            "r": cols[0][ys, xs],
+                            "g": cols[1][ys, xs],
+                            "b": cols[2][ys, xs],
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"gx": [], "gy": [], "r": [], "g": [], "b": []}
+            )
+
+    return tiles.mapInPandas(gen, out_schema)

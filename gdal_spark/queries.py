@@ -2293,3 +2293,181 @@ def q69(spark, sf_dir):
     feats = spark.createDataFrame(rows, "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     return proximity_unbounded(tiles, tile_size=32, width=128, height=128)
+
+
+_DEM_NBRS = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+_ZC = _z_sql("gx", "gy")
+_ZN = [_z_sql(f"gx{dx:+d}", f"gy{dy:+d}") for dx, dy in _DEM_NBRS]
+_DEM_G = "SELECT gx.range AS gx, gy.range AS gy FROM range(1, 127) gx, range(1, 127) gy"
+
+
+@query(
+    "q70_dem_tri",
+    f"""WITH g AS ({_DEM_G}),
+       m AS (SELECT gx, gy,
+             sqrt(CAST({' + '.join(f'({z} - {_ZC})*({z} - {_ZC})' for z in _ZN)} AS DOUBLE)) AS tri
+             FROM g)
+       SELECT gx, gy, round(tri, 6) AS tri FROM m WHERE tri <> 0""",
+)
+def q70(spark, sf_dir):
+    """gdaldem TRI, Riley algorithm (apps/gdaldem_lib.cpp, the default
+    -alg): sqrt of the sum of squared differences to the 8 neighbors —
+    integer DEM keeps everything under the sqrt exact."""
+    from gdal_spark.operators.focal import dem_metric_tiles
+
+    out = dem_metric_tiles(_dem_tiles(spark), "tri_riley", DEM_TILE, DEM_W, DEM_H)
+    return out.select("gx", "gy", F.round(F.col("v"), 6).alias("tri"))
+
+
+@query(
+    "q71_dem_tpi",
+    f"""WITH g AS ({_DEM_G}),
+       m AS (SELECT gx, gy,
+             CAST({_ZC} AS DOUBLE) - ({' + '.join(_ZN)}) / 8.0 AS tpi
+             FROM g)
+       SELECT gx, gy, round(tpi, 6) AS tpi FROM m WHERE tpi <> 0""",
+)
+def q71(spark, sf_dir):
+    """gdaldem TPI: center minus the 8-neighbor mean (exact /8)."""
+    from gdal_spark.operators.focal import dem_metric_tiles
+
+    out = dem_metric_tiles(_dem_tiles(spark), "tpi", DEM_TILE, DEM_W, DEM_H)
+    return out.select("gx", "gy", F.round(F.col("v"), 6).alias("tpi"))
+
+
+@query(
+    "q72_dem_roughness",
+    f"""WITH g AS ({_DEM_G}),
+       m AS (SELECT gx, gy,
+             CAST(greatest({_ZC}, {', '.join(_ZN)})
+                  - least({_ZC}, {', '.join(_ZN)}) AS DOUBLE) AS rough
+             FROM g)
+       SELECT gx, gy, rough FROM m WHERE rough <> 0""",
+)
+def q72(spark, sf_dir):
+    """gdaldem roughness: 3×3 max − min (exact integers)."""
+    from gdal_spark.operators.focal import dem_metric_tiles
+
+    out = dem_metric_tiles(_dem_tiles(spark), "roughness", DEM_TILE, DEM_W, DEM_H)
+    return out.select("gx", "gy", F.col("v").alias("rough"))
+
+
+_P_SQL = (
+    f"(({_z_sql('gx+1', 'gy-1')} + 2*{_z_sql('gx+1', 'gy')} + {_z_sql('gx+1', 'gy+1')})"
+    f" - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx-1', 'gy')} + {_z_sql('gx-1', 'gy+1')})) / 8.0"
+)
+_Q_SQL = (
+    f"(({_z_sql('gx-1', 'gy+1')} + 2*{_z_sql('gx', 'gy+1')} + {_z_sql('gx+1', 'gy+1')})"
+    f" - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx', 'gy-1')} + {_z_sql('gx+1', 'gy-1')})) / 8.0"
+)
+
+from gdal_spark.operators.focal import hillshade_sql_consts as _hs_consts  # noqa: E402
+
+_HS1, _HS2, _HS3 = _hs_consts()
+
+
+@query(
+    "q73_dem_hillshade",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g),
+       h AS (SELECT gx, gy,
+             ({_HS1} - (q*{_HS2} - p*{_HS3})) / sqrt((1.0 + p*p) + q*q) AS c254
+             FROM pq)
+       SELECT gx, gy,
+              round(CASE WHEN c254 <= 0 THEN 1.0 ELSE 1.0 + c254 END, 6) AS shade
+       FROM h""",
+)
+def q73(spark, sf_dir):
+    """gdaldem hillshade, Horn, az 315 / alt 45 (gdaldem_lib.cpp:
+    882-896, 1030-1036): the trig constants are computed once and
+    inlined into BOTH engines verbatim, so the whole expression is the
+    identical IEEE tree — bitwise-comparable despite the trig."""
+    from gdal_spark.operators.focal import hillshade_tiles
+
+    out = hillshade_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return out.select("gx", "gy", F.round(F.col("v"), 6).alias("shade"))
+
+
+@query(
+    "q74_dem_aspect_octant",
+    f"""WITH g AS ({_DEM_G}),
+       d AS (SELECT gx, gy,
+             (({_z_sql('gx+1', 'gy-1')} + 2*{_z_sql('gx+1', 'gy')} + {_z_sql('gx+1', 'gy+1')})
+              - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx-1', 'gy')} + {_z_sql('gx-1', 'gy+1')})) AS dx,
+             (({_z_sql('gx-1', 'gy+1')} + 2*{_z_sql('gx', 'gy+1')} + {_z_sql('gx+1', 'gy+1')})
+              - ({_z_sql('gx-1', 'gy-1')} + 2*{_z_sql('gx', 'gy-1')} + {_z_sql('gx+1', 'gy-1')})) AS dy
+             FROM g),
+       t AS (SELECT gx, gy, -dx AS u, dy AS v FROM d
+             WHERE dx <> 0 AND dy <> 0 AND abs(dx) <> abs(dy)),
+       o AS (SELECT gx, gy, CASE
+               WHEN u > 0 AND v > 0 AND v > u  THEN 0
+               WHEN u > 0 AND v > 0 AND v < u  THEN 1
+               WHEN u > 0 AND v < 0 AND -v < u THEN 2
+               WHEN u > 0 AND v < 0 AND -v > u THEN 3
+               WHEN u < 0 AND v < 0 AND v < u  THEN 4
+               WHEN u < 0 AND v < 0 AND v > u  THEN 5
+               WHEN u < 0 AND v > 0 AND v < -u THEN 6
+               ELSE 7 END AS octant
+             FROM t)
+       SELECT gx, gy, CAST(octant AS INT) AS octant FROM o""",
+)
+def q74(spark, sf_dir):
+    """gdaldem aspect as compass azimuth (gdaldem_lib.cpp:1441-1468):
+    the Spark side runs the REAL atan2 + azimuth remap and bins the
+    result into 45° octants; the oracle classifies the same octant
+    from exact integer sign/ratio comparisons on (dx, dy) — verifying
+    the direction logic without transcendental cross-engine parity.
+    Boundary ties (dx=0, dy=0, |dx|=|dy|) are filtered on both sides
+    with exact predicates."""
+    from gdal_spark.operators.focal import dem_aspect_tiles
+
+    out = dem_aspect_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    out = out.filter(
+        (F.col("dx") != 0) & (F.col("dy") != 0)
+        & (F.abs(F.col("dx")) != F.abs(F.col("dy")))
+    )
+    return out.select(
+        "gx", "gy", F.floor(F.col("az") / 45.0).cast("int").alias("octant")
+    )
+
+
+_RAMP = [(0, 0, 0, 128), (40, 0, 255, 0), (80, 255, 255, 0), (120, 255, 255, 255)]
+
+
+def _ramp_chan_sql(v: str, ch: int) -> str:
+    """CASE over ramp segments, identical expression tree to the
+    kernel: floor(0.5 + c0 + ((v-e0)/(e1-e0))*(c1-c0))."""
+    segs = []
+    for (e0, *c0), (e1, *c1) in zip(_RAMP, _RAMP[1:]):
+        expr = (
+            f"CAST(floor(0.5 + {float(c0[ch])} + (({v} - {float(e0)})"
+            f"/({float(e1)} - {float(e0)})) * ({float(c1[ch])} - {float(c0[ch])})) AS INT)"
+        )
+        segs.append((e1, expr))
+    out = "CASE "
+    for e1, expr in segs[:-1]:
+        out += f"WHEN {v} <= {float(e1)} THEN {expr} "
+    out += f"ELSE {segs[-1][1]} END"
+    return out
+
+
+@query(
+    "q75_color_relief",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       z AS (SELECT gx, gy, CAST({_ZC} AS DOUBLE) AS v FROM g)
+       SELECT gx, gy,
+              {_ramp_chan_sql('v', 0)} AS r,
+              {_ramp_chan_sql('v', 1)} AS g,
+              {_ramp_chan_sql('v', 2)} AS b
+       FROM z""",
+)
+def q75(spark, sf_dir):
+    """gdaldem color-relief, linear interpolation
+    (gdaldem_lib.cpp:1784-1801): 4-entry ramp over the synthetic DEM;
+    the clamp(int(0.5 + lerp)) per channel is reproduced with the
+    identical IEEE expression tree in SQL."""
+    from gdal_spark.operators.focal import color_relief_tiles
+
+    out = color_relief_tiles(_dem_tiles(spark), _RAMP, DEM_TILE, DEM_W, DEM_H)
+    return out.select("gx", "gy", "r", "g", "b")
