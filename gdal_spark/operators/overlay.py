@@ -133,3 +133,85 @@ def erase_area(
         a_id,
         (F.col("_area") - F.coalesce(F.col("_covered"), F.lit(0.0))).alias("erase_area"),
     )
+
+
+def layer_algebra_area(
+    a: DataFrame,
+    b_polys: list[tuple],
+    op: str,
+    a_id: str = "a_id",
+    geom_col: str = "geom",
+) -> DataFrame:
+    """The remaining ``OGRLayer`` algebra methods in area-accounting
+    form — Union (:6188), SymDifference (:6456), Identity (:6710),
+    Update (:6986), Clip (:7206) of ogrlayer.cpp — built from the same
+    two primitives as Intersection/Erase: the pairwise intersection
+    pieces and the per-feature remainders.
+
+    Piece inventory per op (both layers pairwise disjoint within
+    themselves, the rect-zone case; general inputs would pre-union):
+
+      clip      A∩B pieces aggregated per input feature
+      identity  A∩B pieces + A-remainders
+      union     A∩B pieces + A-remainders + B-remainders
+      symdiff   A-remainders + B-remainders
+      update    A-remainders + whole B features
+
+    Returns (a_id nullable, b_id nullable, area); zero-area pieces are
+    dropped (the reference skips empty geometries).  One broadcast
+    join total — the same scale shape as Intersection."""
+    from gdal_spark.kernels.clip import polygon_area
+
+    spark = a.sparkSession
+    inter = intersection_convex(a, b_polys, a_id=a_id, geom_col=geom_col).select(
+        a_id, "b_id", F.col("inter_area").alias("area")
+    ).persist()
+
+    @F.pandas_udf(T.DoubleType())
+    def wkb_area(geoms: pd.Series) -> pd.Series:
+        return pd.Series(
+            [sum(polygon_area(r) for r in W.polygon_rings(bytes(g))) for g in geoms]
+        )
+
+    base_a = a.select(a_id, wkb_area(F.col(geom_col)).alias("_area"))
+    cov_a = inter.groupBy(a_id).agg(F.sum("area").alias("_cov"))
+    a_rem = (
+        base_a.join(cov_a, a_id, "left")
+        .select(
+            a_id,
+            F.lit(None).cast("long").alias("b_id"),
+            (F.col("_area") - F.coalesce(F.col("_cov"), F.lit(0.0))).alias("area"),
+        )
+        .filter(F.col("area") > 0)
+    )
+    b_base = spark.createDataFrame(
+        [
+            (int(pid), sum(polygon_area(r) for r in W.polygon_rings(blob)))
+            for pid, blob in b_polys
+        ],
+        "b_id long, _area double",
+    )
+    cov_b = inter.groupBy("b_id").agg(F.sum("area").alias("_cov"))
+    b_rem = (
+        b_base.join(cov_b, "b_id", "left")
+        .select(
+            F.lit(None).cast("long").alias(a_id),
+            "b_id",
+            (F.col("_area") - F.coalesce(F.col("_cov"), F.lit(0.0))).alias("area"),
+        )
+        .filter(F.col("area") > 0)
+    )
+    b_whole = b_base.select(
+        F.lit(None).cast("long").alias(a_id), "b_id", F.col("_area").alias("area")
+    )
+    if op == "clip":
+        return inter.groupBy(a_id).agg(F.sum("area").alias("clip_area"))
+    if op == "identity":
+        return inter.unionByName(a_rem)
+    if op == "union":
+        return inter.unionByName(a_rem).unionByName(b_rem)
+    if op == "symdiff":
+        return a_rem.unionByName(b_rem)
+    if op == "update":
+        return a_rem.unionByName(b_whole)
+    raise ValueError(op)

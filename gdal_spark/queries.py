@@ -2471,3 +2471,124 @@ def q75(spark, sf_dir):
 
     out = color_relief_tiles(_dem_tiles(spark), _RAMP, DEM_TILE, DEM_W, DEM_H)
     return out.select("gx", "gy", "r", "g", "b")
+
+
+# A-side rects for the layer-algebra ops: pairwise disjoint on a
+# 36×40 grid (needed so remainder accounting is exact on both sides).
+A2_RECTS_SQL = (
+    "SELECT CAST(n_nationkey AS BIGINT) AS a_id, "
+    "CAST((n_nationkey%8)*36 - 144 AS DOUBLE) AS ax0, "
+    "CAST((n_nationkey//8)*40 - 70 AS DOUBLE) AS ay0, "
+    "CAST((n_nationkey%8)*36 - 144 + 10 + (n_nationkey%7)*3 AS DOUBLE) AS ax1, "
+    "CAST((n_nationkey//8)*40 - 70 + 8 + (n_nationkey%5)*5 AS DOUBLE) AS ay1 "
+    "FROM nation"
+)
+
+_ALG_INTER_SQL = f"""a AS ({A2_RECTS_SQL}), b AS ({ERASE_RECTS_SQL}),
+       inter AS (
+         SELECT a.a_id, b.b_id,
+                (least(a.ax1, b.bx1) - greatest(a.ax0, b.bx0))
+                * (least(a.ay1, b.by1) - greatest(a.ay0, b.by0)) AS area
+         FROM a JOIN b
+         ON least(a.ax1, b.bx1) > greatest(a.ax0, b.bx0)
+         AND least(a.ay1, b.by1) > greatest(a.ay0, b.by0)),
+       a_rem AS (
+         SELECT a.a_id, CAST(NULL AS BIGINT) AS b_id,
+                (a.ax1-a.ax0)*(a.ay1-a.ay0) - coalesce(c.cov, 0) AS area
+         FROM a LEFT JOIN (SELECT a_id, sum(area) AS cov FROM inter GROUP BY a_id) c
+         ON c.a_id = a.a_id
+         WHERE (a.ax1-a.ax0)*(a.ay1-a.ay0) - coalesce(c.cov, 0) > 0),
+       b_rem AS (
+         SELECT CAST(NULL AS BIGINT) AS a_id, b.b_id,
+                (b.bx1-b.bx0)*(b.by1-b.by0) - coalesce(c.cov, 0) AS area
+         FROM b LEFT JOIN (SELECT b_id, sum(area) AS cov FROM inter GROUP BY b_id) c
+         ON c.b_id = b.b_id
+         WHERE (b.bx1-b.bx0)*(b.by1-b.by0) - coalesce(c.cov, 0) > 0),
+       b_whole AS (
+         SELECT CAST(NULL AS BIGINT) AS a_id, b_id,
+                (bx1-bx0)*(by1-by0) AS area FROM b)"""
+
+
+def _a2_rect_rows(spark, sf_dir) -> list[tuple]:
+    rows = _t(spark, sf_dir, "nation").select("n_nationkey").collect()
+    out = []
+    for r in rows:
+        k = int(r[0])
+        x0 = (k % 8) * 36 - 144.0
+        y0 = (k // 8) * 40 - 70.0
+        x1 = x0 + 10 + (k % 7) * 3
+        y1 = y0 + 8 + (k % 5) * 5
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+        )
+        out.append((int(k), W.polygon_wkb([ring])))
+    return out
+
+
+def _alg(spark, sf_dir, op):
+    from gdal_spark.operators.overlay import layer_algebra_area
+
+    a_df = spark.createDataFrame(_a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
+    out = layer_algebra_area(a_df, _erase_rect_rows(spark, sf_dir), op)
+    if op == "clip":
+        return out.select("a_id", F.round(F.col("clip_area"), 6).alias("clip_area"))
+    return out.select("a_id", "b_id", F.round(F.col("area"), 6).alias("area"))
+
+
+@query(
+    "q76_overlay_union",
+    f"""WITH {_ALG_INTER_SQL}
+       SELECT a_id, b_id, round(area, 6) AS area FROM
+       (SELECT * FROM inter UNION ALL SELECT * FROM a_rem
+        UNION ALL SELECT * FROM b_rem)""",
+)
+def q76(spark, sf_dir):
+    """OGRLayer::Union (ogrlayer.cpp:6188) piece areas: A∩B pieces +
+    both remainder sets, from one broadcast candidate join."""
+    return _alg(spark, sf_dir, "union")
+
+
+@query(
+    "q77_overlay_symdiff",
+    f"""WITH {_ALG_INTER_SQL}
+       SELECT a_id, b_id, round(area, 6) AS area FROM
+       (SELECT * FROM a_rem UNION ALL SELECT * FROM b_rem)""",
+)
+def q77(spark, sf_dir):
+    """OGRLayer::SymDifference (ogrlayer.cpp:6456): both remainders."""
+    return _alg(spark, sf_dir, "symdiff")
+
+
+@query(
+    "q78_overlay_identity",
+    f"""WITH {_ALG_INTER_SQL}
+       SELECT a_id, b_id, round(area, 6) AS area FROM
+       (SELECT * FROM inter UNION ALL SELECT * FROM a_rem)""",
+)
+def q78(spark, sf_dir):
+    """OGRLayer::Identity (ogrlayer.cpp:6710): input split by method
+    boundaries — A∩B pieces + A remainders."""
+    return _alg(spark, sf_dir, "identity")
+
+
+@query(
+    "q79_overlay_update",
+    f"""WITH {_ALG_INTER_SQL}
+       SELECT a_id, b_id, round(area, 6) AS area FROM
+       (SELECT * FROM a_rem UNION ALL SELECT * FROM b_whole)""",
+)
+def q79(spark, sf_dir):
+    """OGRLayer::Update (ogrlayer.cpp:6986): A remainders + whole B."""
+    return _alg(spark, sf_dir, "update")
+
+
+@query(
+    "q80_overlay_clip",
+    f"""WITH {_ALG_INTER_SQL}
+       SELECT a_id, round(sum(area), 6) AS clip_area
+       FROM inter GROUP BY a_id""",
+)
+def q80(spark, sf_dir):
+    """OGRLayer::Clip (ogrlayer.cpp:7206): per input feature, its area
+    inside the method layer."""
+    return _alg(spark, sf_dir, "clip")
