@@ -2592,3 +2592,46 @@ def q80(spark, sf_dir):
     """OGRLayer::Clip (ogrlayer.cpp:7206): per input feature, its area
     inside the method layer."""
     return _alg(spark, sf_dir, "clip")
+
+
+def _q81_rows(spark, sf_dir, shift_x, shift_y, dn_off):
+    out = []
+    for dn, blob in _q26_rect_rows(spark, sf_dir):
+        gtype, rings = W.parse_wkb(blob)
+        r = rings[0] + np.array([shift_x, shift_y], dtype=np.float64)
+        out.append((float(dn + dn_off), W.polygon_wkb([r])))
+    return out
+
+
+@query(
+    "q81_mosaic_last",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       p1 AS (SELECT x0 + dx.range AS gx, y0 + dy.range AS gy, dn AS v
+              FROM r, range(16) dx, range(16) dy
+              WHERE dx.range < w AND dy.range < h),
+       p2 AS (SELECT x0 + 8 + dx.range AS gx, y0 + 4 + dy.range AS gy, dn + 100 AS v
+              FROM r, range(16) dx, range(16) dy
+              WHERE dx.range < w AND dy.range < h
+                AND x0 + 8 + dx.range < 128 AND y0 + 4 + dy.range < 128)
+       SELECT coalesce(p2.gx, p1.gx) AS gx, coalesce(p2.gy, p1.gy) AS gy,
+              CAST(coalesce(p2.v, p1.v) AS DOUBLE) AS v
+       FROM p1 FULL OUTER JOIN p2 ON p1.gx = p2.gx AND p1.gy = p2.gy""",
+)
+def q81(spark, sf_dir):
+    """gdal_merge / gdal raster mosaic, last-wins compositing
+    (apps/gdalalg_raster_mosaic.cpp): the shifted second layer paints
+    over the first wherever it has valid pixels; one shuffle keyed by
+    tile id."""
+    from gdal_spark.operators.mosaic import mosaic_tiles
+
+    l1 = spark.createDataFrame(
+        [(float(dn), g) for dn, g in _q26_rect_rows(spark, sf_dir)],
+        "burn double, geom binary",
+    )
+    l2 = spark.createDataFrame(
+        _q81_rows(spark, sf_dir, 8, 4, 100), "burn double, geom binary"
+    )
+    t1 = rasterize_wkb_grid(l1, IDENTITY_GT, 128, 128, tile_size=32)
+    t2 = rasterize_wkb_grid(l2, IDENTITY_GT, 128, 128, tile_size=32)
+    out = mosaic_tiles([t1, t2], tile_size=32, nodata=0.0, method="last")
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
