@@ -89,3 +89,42 @@ def test_salted_shuffle_join_has_no_broadcast(spark):
     )
     plan = plan_of(j)
     assert "ShuffledHashJoin" in plan
+
+
+def test_warp_mapping_join_no_cartesian(spark):
+    """warp's dst-tile → src-tile mapping is a pure equi-join (no
+    BroadcastNestedLoop / Cartesian), and the mapping side is computed
+    with column arithmetic — no Python eval stage before the join."""
+    df = QUERIES["q65_warp_nearest"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_layer_algebra_broadcasts_method_side(spark):
+    df = QUERIES["q76_overlay_union"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sieve_map_join_broadcasts(spark):
+    """sieve's (tile, label) → merged-dn map is broadcast back onto the
+    tile table — the big side must not shuffle for the relabel join."""
+    df = QUERIES["q68_sieve_merge"](spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mosaic_single_shuffle_on_tile_key(spark):
+    """mosaic = union + one groupBy(tx, ty): exactly one
+    hashpartitioning exchange over the tile key."""
+    import re
+
+    df = QUERIES["q81_mosaic_last"](spark, SF)
+    plan = plan_of(df)
+    hashes = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    tile_keyed = [h for h in hashes if "tx" in h and "ty" in h]
+    assert len(tile_keyed) >= 1
+    assert "CartesianProduct" not in plan
