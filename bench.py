@@ -71,6 +71,15 @@ HEADLINE = [
     "q66_warp_bilinear",
     "q67_all_touched",
     "q68_sieve_merge",
+    "q69_proximity_unbounded",
+    "q70_dem_tri",
+    "q71_dem_tpi",
+    "q72_dem_roughness",
+    "q73_dem_hillshade",
+    "q74_dem_aspect_octant",
+    "q75_color_relief",
+    "q76_overlay_union",
+    "q81_mosaic_last",
 ]
 
 

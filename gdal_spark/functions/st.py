@@ -123,3 +123,88 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_GeomFromText", st_geomfromtext)
     spark.udf.register("ST_X", st_x)
     spark.udf.register("ST_Y", st_y)
+    spark.udf.register("ST_Segmentize", st_segmentize)
+    spark.udf.register("ST_NPoints", st_npoints)
+    spark.udf.register("ST_RectRelation", st_rect_relation)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
+    """OGRGeometry::segmentize (ogr/ogrlinestring.cpp segmentize):
+    every segment longer than ``max_len`` is split into
+    ceil(len/max_len) equal parts by inserting evenly spaced vertices;
+    geometry (and so length/area) is unchanged.  Vectorized per ring."""
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob, ml in zip(wkb, max_len):
+        gtype, parts = W.parse_wkb(bytes(blob))
+        ml = float(ml)
+
+        def densify(coords: np.ndarray) -> np.ndarray:
+            pts = [coords[0]]
+            for a, b in zip(coords[:-1], coords[1:]):
+                seg = float(np.hypot(b[0] - a[0], b[1] - a[1]))
+                n = max(int(np.ceil(seg / ml)), 1)
+                for i in range(1, n + 1):
+                    pts.append(a + (b - a) * (i / n))
+            return np.asarray(pts)
+
+        if gtype == W.LINESTRING:
+            out.append(W.linestring_wkb(densify(parts)))
+        elif gtype == W.POLYGON:
+            out.append(W.polygon_wkb([densify(r) for r in parts]))
+        else:
+            out.append(bytes(blob))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.IntegerType())
+def st_npoints(wkb: pd.Series) -> pd.Series:
+    """OGR_GEOM_NumPoints-style vertex count (all rings / coords)."""
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob in wkb:
+        gtype, parts = W.parse_wkb(bytes(blob))
+        if gtype == W.LINESTRING:
+            out.append(int(parts.shape[0]))
+        elif gtype == W.POLYGON:
+            out.append(int(sum(r.shape[0] for r in parts)))
+        elif gtype == W.POINT:
+            out.append(1)
+        else:
+            out.append(0)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_rect_relation(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
+    """Named binary predicate for AXIS-ALIGNED rectangle pairs — the
+    OGRGeometry predicate surface (Equals/Contains/Within/Overlaps/
+    Touches/Disjoint, ogr/ogrgeometry.cpp:575-6409) decided by exact
+    interval arithmetic instead of GEOS (which the general-geometry
+    path would call; shapely slots in behind the same name).  First
+    match in OGC priority order: equals → contains → within →
+    overlaps → touches → disjoint."""
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for ga, gb in zip(a_wkb, b_wkb):
+        ax0, ay0, ax1, ay1 = W.wkb_bbox(bytes(ga))
+        bx0, by0, bx1, by1 = W.wkb_bbox(bytes(gb))
+        closure = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+        interior = ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1
+        if (ax0, ay0, ax1, ay1) == (bx0, by0, bx1, by1):
+            out.append("equals")
+        elif ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1:
+            out.append("contains")
+        elif bx0 <= ax0 and ax1 <= bx1 and by0 <= ay0 and ay1 <= by1:
+            out.append("within")
+        elif interior:
+            out.append("overlaps")
+        elif closure:
+            out.append("touches")
+        else:
+            out.append("disjoint")
+    return pd.Series(out)

@@ -2635,3 +2635,90 @@ def q81(spark, sf_dir):
     t2 = rasterize_wkb_grid(l2, IDENTITY_GT, 128, 128, tile_size=32)
     out = mosaic_tiles([t1, t2], tile_size=32, nodata=0.0, method="last")
     return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q82_translate",
+    f"""{Q25_PIX_SQL}
+       SELECT gx - 10 AS gx, gy - 20 AS gy, least(v * 2.0, 256.0) AS v
+       FROM rast
+       WHERE gx >= 10 AND gx < 74 AND gy >= 20 AND gy < 68""",
+)
+def q82(spark, sf_dir):
+    """gdal_translate -srcwin 10 20 64 48 -scale 0 128 0 256
+    (apps/gdal_translate_lib.cpp): window copy re-tiled from the
+    window origin (nearest warp with a translated grid) then linear
+    rescale clipped to the dst range."""
+    from gdal_spark.operators.translate import translate_tiles
+
+    src = _q25_tiles(spark, sf_dir)
+    out = translate_tiles(
+        src, tile_size=32, srcwin=(10, 20, 64, 48), scale=(0.0, 128.0, 0.0, 256.0)
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q83_segmentize",
+    f"""WITH r AS ({Q51_RECTS_SQL})
+       SELECT CAST(dn AS BIGINT) AS fid,
+              CAST(2*(ceil(w/2.0) + ceil(h/2.0)) + 1 AS INT) AS n_pts,
+              CAST(w*h AS DOUBLE) AS area
+       FROM r""",
+)
+def q83(spark, sf_dir):
+    """OGRGeometry::segmentize (ogr/ogrgeometry curves densify): each
+    rect side of length L gains ceil(L/2)−1 evenly spaced vertices at
+    max_len=2; the vertex count is analytic and the shoelace area is
+    invariant."""
+    from gdal_spark.functions.st import st_area, st_npoints, st_segmentize
+
+    feats = spark.createDataFrame(
+        [(int(dn), g) for dn, g in _q51_rect_rows(spark, sf_dir)],
+        "fid long, geom binary",
+    )
+    seg = feats.select(
+        "fid", st_segmentize(F.col("geom"), F.lit(2.0)).alias("g2")
+    )
+    return seg.select(
+        "fid",
+        st_npoints(F.col("g2")).alias("n_pts"),
+        F.round(st_area(F.col("g2")), 6).alias("area"),
+    )
+
+
+@query(
+    "q84_binary_predicates",
+    f"""WITH a AS ({A2_RECTS_SQL}), b AS ({ERASE_RECTS_SQL})
+       SELECT a.a_id, b.b_id,
+              CASE
+                WHEN a.ax0 = b.bx0 AND a.ax1 = b.bx1
+                     AND a.ay0 = b.by0 AND a.ay1 = b.by1 THEN 'equals'
+                WHEN a.ax0 <= b.bx0 AND b.bx1 <= a.ax1
+                     AND a.ay0 <= b.by0 AND b.by1 <= a.ay1 THEN 'contains'
+                WHEN b.bx0 <= a.ax0 AND a.ax1 <= b.bx1
+                     AND b.by0 <= a.ay0 AND a.ay1 <= b.by1 THEN 'within'
+                WHEN a.ax0 < b.bx1 AND b.bx0 < a.ax1
+                     AND a.ay0 < b.by1 AND b.by0 < a.ay1 THEN 'overlaps'
+                WHEN a.ax0 <= b.bx1 AND b.bx0 <= a.ax1
+                     AND a.ay0 <= b.by1 AND b.by0 <= a.ay1 THEN 'touches'
+                ELSE 'disjoint'
+              END AS rel
+       FROM a, b""",
+)
+def q84(spark, sf_dir):
+    """OGR binary predicates (ogrgeometry.cpp:575-6409) on the
+    axis-aligned rect fixtures, decided by exact interval arithmetic —
+    every (zone, method) pair classified; the oracle reproduces the
+    same OGC priority CASE."""
+    from gdal_spark.functions.st import st_rect_relation
+
+    a_df = spark.createDataFrame(_a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
+    b_df = spark.createDataFrame(
+        [(int(pid), blob) for pid, blob in _erase_rect_rows(spark, sf_dir)],
+        "b_id long, bgeom binary",
+    )
+    pairs = a_df.crossJoin(F.broadcast(b_df))
+    return pairs.select(
+        "a_id", "b_id", st_rect_relation(F.col("geom"), F.col("bgeom")).alias("rel")
+    )
