@@ -63,7 +63,10 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, bilinear):
         ua = (F.lit(gd_off) + (i0 + 0.5) * gd_scale - gs_off) / gs_scale
         ub = (F.lit(gd_off) + (i1.cast("double") + 0.5) * gd_scale - gs_off) / gs_scale
         umin, umax = F.least(ua, ub), F.greatest(ua, ub)
-        if bilinear:
+        if bilinear == "cubic":
+            lo = F.floor(umin - 0.5) - 1
+            hi = F.floor(umax - 0.5) + 2
+        elif bilinear:
             lo = F.floor(umin - 0.5)
             hi = F.floor(umax - 0.5) + 1
         else:
@@ -72,6 +75,25 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, bilinear):
         return lo.cast("long"), hi.cast("long")
 
     return bounds
+
+
+_CUBIC_A = -0.5
+
+
+def _cubic_weights(t: np.ndarray):
+    """Keys cubic-convolution weights, A = −0.5 (the reference's
+    GRA_Cubic kernel, alg/gdalwarpkernel.cpp CubicConvolution): taps at
+    offsets −1, 0, +1, +2 from floor(sample).  Horner forms are kept
+    identical in the SQL oracles."""
+    A = _CUBIC_A
+    d0 = t + 1.0
+    w0 = A * (d0 * (d0 * (d0 - 5.0) + 8.0) - 4.0)
+    w1 = t * t * ((A + 2.0) * t - (A + 3.0)) + 1.0
+    d2 = 1.0 - t
+    w2 = d2 * d2 * ((A + 2.0) * d2 - (A + 3.0)) + 1.0
+    d3 = 2.0 - t
+    w3 = A * (d3 * (d3 * (d3 - 5.0) + 8.0) - 4.0)
+    return w0, w1, w2, w3
 
 
 def warp_resample(
@@ -91,12 +113,13 @@ def warp_resample(
     sparse."""
     if gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0:
         raise NotImplementedError("rotated affines not supported")
-    if method not in ("nearest", "bilinear"):
+    if method not in ("nearest", "bilinear", "cubic"):
         raise ValueError(method)
     spark = tiles.sparkSession
     ts = tile_size
     sts = src_tile_size or tile_size
-    bilinear = method == "bilinear"
+    bilinear = "cubic" if method == "cubic" else method == "bilinear"
+    cubic = method == "cubic"
     ndtx = (dst_width + ts - 1) // ts
     ndty = (dst_height + ts - 1) // ts
 
@@ -129,7 +152,13 @@ def warp_resample(
         j = np.arange(dty * ts, min((dty + 1) * ts, dst_height))
         u = (gd0 + (i + 0.5) * gd1 - gs0) / gs1
         v = (gd3 + (j + 0.5) * gd5 - gs3) / gs5
-        if bilinear:
+        if cubic:
+            wx, wy = u - 0.5, v - 0.5
+            x_lo = int(np.floor(wx.min())) - 1
+            x_hi = int(np.floor(wx.max())) + 2
+            y_lo = int(np.floor(wy.min())) - 1
+            y_hi = int(np.floor(wy.max())) + 2
+        elif bilinear:
             wx, wy = u - 0.5, v - 0.5
             x_lo = int(np.floor(wx.min()))
             x_hi = int(np.floor(wx.max())) + 1
@@ -151,7 +180,23 @@ def warp_resample(
             win[ya - y_lo : ybnd - y_lo, xa - x_lo : xbnd - x_lo] = arr[
                 ya - oy : ybnd - oy, xa - ox : xbnd - ox
             ]
-        if bilinear:
+        if cubic:
+            x0 = np.floor(wx).astype(np.int64)
+            y0 = np.floor(wy).astype(np.int64)
+            fx = wx - x0
+            fy = wy - y0
+            X0, Y0 = np.meshgrid(x0 - x_lo, y0 - y_lo)
+            wxs = _cubic_weights(fx)
+            wys = _cubic_weights(fy)
+            out = np.zeros((j.size, i.size))
+            for jj, wyj in enumerate(wys):
+                for ii, wxi in enumerate(wxs):
+                    out += (
+                        wyj[:, None]
+                        * wxi[None, :]
+                        * win[Y0 + (jj - 1), X0 + (ii - 1)]
+                    )
+        elif bilinear:
             x0 = np.floor(wx).astype(np.int64)
             y0 = np.floor(wy).astype(np.int64)
             fx = wx - x0

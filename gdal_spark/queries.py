@@ -2722,3 +2722,65 @@ def q84(spark, sf_dir):
     return pairs.select(
         "a_id", "b_id", st_rect_relation(F.col("geom"), F.col("bgeom")).alias("rel")
     )
+
+
+# cubic-convolution weights at t = 0.25 — SAME Horner forms as
+# operators.warp._cubic_weights (A=-0.5); all dyadic-exact doubles.
+_CW = [
+    "(-0.5)*(1.25*(1.25*(1.25 - 5.0) + 8.0) - 4.0)",
+    "0.25*0.25*(1.5*0.25 - 2.5) + 1.0",
+    "0.75*0.75*(1.5*0.75 - 2.5) + 1.0",
+    "(-0.5)*(1.75*(1.75*(1.75 - 5.0) + 8.0) - 4.0)",
+]
+
+
+def _q85_oracle() -> str:
+    taps, joins = [], []
+    for j in range(-1, 3):
+        for i in range(-1, 3):
+            al = f"r{i + 1}{j + 1}"
+            joins.append(
+                f"LEFT JOIN rast {al} ON {al}.gx = g.i + {i} AND {al}.gy = g.j + {j}"
+            )
+            taps.append(f"({_CW[j + 1]}) * ({_CW[i + 1]}) * coalesce({al}.v, 0)")
+    return (
+        f"{Q25_PIX_SQL},\n"
+        "g AS (SELECT a.range AS i, b.range AS j FROM range(127) a, range(127) b),\n"
+        f"s AS (SELECT g.i, g.j, {' + '.join(taps)} AS v FROM g {' '.join(joins)})\n"
+        "SELECT i AS gx, j AS gy, v FROM s WHERE v <> 0"
+    )
+
+
+@query("q85_warp_cubic", _q85_oracle())
+def q85(spark, sf_dir):
+    """gdalwarp CUBIC (Keys convolution, A=−0.5 — the reference's
+    GRA_Cubic, alg/gdalwarpkernel.cpp): quarter-pixel-shifted grid ⇒
+    constant t=1/4 ⇒ all 16 tap weights are exact dyadic rationals,
+    so the 16-tap sum is bit-identical across engines."""
+    from gdal_spark.operators.warp import warp_resample
+
+    src = _q25_tiles(spark, sf_dir)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.25, 1.0, 0.0, 0.25, 0.0, 1.0), 127, 127,
+        tile_size=32, method="cubic",
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q86_stream_dedup",
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1""",
+)
+def q86(spark, sf_dir):
+    """Streaming exact dedup under duplicate delivery: the same events
+    file lands twice (at-least-once ingest), a watermarked
+    ``dropDuplicates`` on event_id emits each event once across
+    micro-batches; the drained result aggregates to exactly the
+    batch table."""
+    from gdal_spark.streaming.windowed import stream_dedup
+
+    deduped = stream_dedup(spark, f"{sf_dir}/events.parquet")
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+    )

@@ -66,3 +66,43 @@ def stream_hourly_agg(
         F.col("window.start").cast("timestamp_ntz").alias("hour"),
         "event_type", "n", "sum_value",
     )
+
+
+def stream_dedup(
+    spark: SparkSession,
+    events_path: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming EXACT dedup: the landing directory receives the same
+    file twice (the classic at-least-once-delivery duplicate), and a
+    watermarked ``dropDuplicates`` on the event key emits each event
+    once — the streaming form of the batch exact-dedup operator.  The
+    watermark bounds the dedup state exactly as it bounds window state:
+    keys older than max(event time) − watermark are evicted.
+
+    Returns the drained deduplicated rows (append mode)."""
+    batch_df = spark.read.parquet(events_path)
+    name = "stream_dedup_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    # duplicate delivery: the same data arrives as two files
+    os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
+    os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-1.parquet"))
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)  # the duplicate arrives in a LATER batch
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
