@@ -2784,3 +2784,65 @@ def q86(spark, sf_dir):
     return deduped.groupBy("event_type").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
     )
+
+
+def _q87_cities_values() -> str:
+    from gdal_spark.sources.pages import CITIES
+
+    rows = ", ".join(
+        f"({i}, '{n}', CAST({lon} AS DOUBLE), CAST({lat} AS DOUBLE))"
+        for i, (n, lon, lat) in enumerate(CITIES)
+    )
+    return f"c(ci, name, blon, blat) AS (VALUES {rows})"
+
+
+@query(
+    "q87_geocode_cells",
+    f"""WITH d AS (SELECT doc_id, doc_id % 15 AS ci FROM documents),
+       {_q87_cities_values()},
+       p AS (SELECT doc_id,
+                    'https://' || name || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                    blon, blat
+             FROM d JOIN c USING (ci)),
+       j AS (SELECT blon, blat,
+                    CAST(('0x' || substr(md5(url), 1, 16)) AS UBIGINT) AS h
+             FROM p),
+       g AS (SELECT blon + (CAST(h % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lon,
+                    blat + (CAST((h >> 20) % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lat
+             FROM j),
+       k AS (SELECT 7*144115188075855872
+                      + CAST(floor((lon+180)/360.0*128) AS BIGINT)*268435456
+                      + CAST(floor((90-lat)/180.0*128) AS BIGINT) AS cell7,
+                    9*144115188075855872
+                      + CAST(floor((lon+180)/360.0*512) AS BIGINT)*268435456
+                      + CAST(floor((90-lat)/180.0*512) AS BIGINT) AS cell9
+             FROM g)
+       SELECT cell7, count(*) AS n, count(DISTINCT cell9) AS n9
+       FROM k GROUP BY cell7""",
+)
+def q87(spark, sf_dir):
+    """The FLAGSHIP geocode stage end-to-end with an exact oracle: the
+    real ``sources.pages.geocode_encode`` pandas UDF (md5-of-url
+    jitter around Zipf city centers, fused multi-resolution cell
+    encode — the north rule's 'geocoded from its extracted text'
+    stage) over urls both engines construct identically; DuckDB
+    reproduces the md5 jitter bit-for-bit via hex-parsing md5(url), so
+    per-cell page counts at res 7 and distinct-subcell counts at res 9
+    are exact."""
+    from gdal_spark.sources.pages import CITIES, geocode_encode
+
+    name_arr = F.array(*[F.lit(c[0]) for c in CITIES])
+    ci = (F.col("doc_id") % 15).cast("int")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.element_at(name_arr, ci + 1),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.element_at(name_arr, ci + 1), F.lit(" x")).alias("text"),
+    )
+    enc = geocode_encode(pages, res_list=(7, 9))
+    return enc.groupBy("cell7").agg(
+        F.count("*").alias("n"), F.count_distinct("cell9").alias("n9")
+    )
