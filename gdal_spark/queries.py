@@ -2846,3 +2846,30 @@ def q87(spark, sf_dir):
     return enc.groupBy("cell7").agg(
         F.count("*").alias("n"), F.count_distinct("cell9").alias("n9")
     )
+
+
+@query(
+    "q88_band_percentiles",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       z AS (SELECT CAST({_ZC} AS DOUBLE) AS v FROM g)
+       SELECT quantile_cont(v, 0.25) AS p25,
+              quantile_cont(v, 0.5) AS p50,
+              quantile_cont(v, 0.75) AS p75,
+              quantile_cont(v, 0.98) AS p98
+       FROM z""",
+)
+def q88(spark, sf_dir):
+    """Band EXACT percentiles (the reference's GetHistogram /
+    ComputeStatistics consumers ask for cut points): Spark's exact
+    ``percentile`` (linear interpolation) over the exploded DEM equals
+    DuckDB's quantile_cont — distributed sort-based exact quantiles,
+    not the approx sketch."""
+    tiles = _dem_tiles(spark)
+    vals = tiles_to_features(tiles, tile_size=DEM_TILE, nodata=None).select("v")
+    return vals.agg(
+        F.expr("percentile(v, 0.25)").alias("p25"),
+        F.expr("percentile(v, 0.5)").alias("p50"),
+        F.expr("percentile(v, 0.75)").alias("p75"),
+        F.expr("percentile(v, 0.98)").alias("p98"),
+    )
