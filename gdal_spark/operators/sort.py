@@ -19,8 +19,11 @@ Two keys over the same 2^res grid:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _grid_expr(lon: str, lat: str, res: int):
@@ -59,3 +62,29 @@ def spatial_sort(
     df = points.withColumn(out, morton_expr(lon, lat, res))
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartitionByRange(n, out).sortWithinPartitions(out)
+
+
+def with_hilbert(
+    points: DataFrame, lon: str = "lon", lat: str = "lat", order: int = 8,
+    out: str = "hilbert",
+) -> DataFrame:
+    """Hilbert-curve sort key (the better locality of the two
+    space-filling curves — neighbors on the curve are always neighbors
+    in space, unlike Z-order's quadrant jumps).  The bit loop doesn't
+    express as a closed-form Catalyst expression like morton, so it
+    rides the batched NumPy kernel."""
+    from gdal_spark.kernels.geodesy import hilbert_xy2d
+
+    n = 1 << order
+
+    @F.pandas_udf(T.LongType())
+    def hkey(lo: pd.Series, la: pd.Series) -> pd.Series:
+        x = np.clip(
+            np.floor((lo.to_numpy(np.float64) + 180.0) / 360.0 * n), 0, n - 1
+        ).astype(np.int64)
+        y = np.clip(
+            np.floor((90.0 - la.to_numpy(np.float64)) / 180.0 * n), 0, n - 1
+        ).astype(np.int64)
+        return pd.Series(hilbert_xy2d(order, x, y))
+
+    return points.withColumn(out, hkey(F.col(lon), F.col(lat)))

@@ -2873,3 +2873,40 @@ def q88(spark, sf_dir):
         F.expr("percentile(v, 0.75)").alias("p75"),
         F.expr("percentile(v, 0.98)").alias("p98"),
     )
+
+
+@query(
+    "q89_spatial_sort_hilbert",
+    f"""WITH RECURSIVE pts AS ({POINTS_SQL}),
+       g AS (SELECT doc_id,
+                    CAST(floor((lon+180.0)/360.0*256) AS BIGINT) AS x,
+                    CAST(floor((90.0-lat)/180.0*256) AS BIGINT) AS y
+             FROM pts),
+       h(doc_id, s, x, y, d) AS (
+         SELECT doc_id, CAST(128 AS BIGINT), x, y, CAST(0 AS BIGINT) FROM g
+         UNION ALL
+         SELECT doc_id, s//2,
+                CASE WHEN ry=1 THEN x WHEN rx=0 THEN y ELSE s-1-y END,
+                CASE WHEN ry=1 THEN y WHEN rx=0 THEN x ELSE s-1-x END,
+                d + s*s*xor(3*rx, ry)
+         FROM (SELECT doc_id, s, x, y, d,
+                      CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END AS rx,
+                      CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END AS ry
+               FROM h WHERE s >= 1) b)
+       SELECT doc_id, d AS hilbert FROM h WHERE s = 0
+       ORDER BY hilbert, doc_id LIMIT 300""",
+)
+def q89(spark, sf_dir):
+    """Hilbert-curve spatial sort key (the reference's layer-sort /
+    clustered-write path, complementing the morton key of q30): the
+    oracle unrolls the per-bit rotate-and-accumulate loop as a
+    recursive CTE — 8 exact integer iterations."""
+    from gdal_spark.operators.sort import with_hilbert
+
+    pts = _points(spark, sf_dir)
+    return (
+        with_hilbert(pts, order=8)
+        .select("doc_id", "hilbert")
+        .orderBy("hilbert", "doc_id")
+        .limit(300)
+    )
