@@ -380,3 +380,98 @@ def contour_polylines(
         (F.col("n_ends") == F.col("n_seg")).alias("closed"),
         "length_u",
     )
+
+
+POLY_SCHEMA = T.StructType(
+    [
+        T.StructField("sx", T.LongType()),
+        T.StructField("sy", T.LongType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("parea", T.DoubleType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+
+def contour_polygons(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """FILLED contour polygons — ``gdal contour -p`` / ``--polygonize``
+    (apps/gdalalg_raster_contour.cpp, writer alg/contour.cpp
+    PolygonRingAppender): the region where z > level becomes polygons
+    whose boundaries are the iso-rings, holes where the surface dips
+    back below the level.
+
+    Build: ``contour_linestrings`` assembles the ordered closed rings
+    distributedly (the heavy part — O(raster) marching squares + the
+    component shuffle); ring NESTING then runs on the collected ring
+    geometries — rings are O(features), the same small-metadata
+    judgment as the polygonize merge map, and a broadcast R-tree
+    drops in for feature counts beyond driver memory.  A ring is a
+    HOLE iff an odd number of other rings contain it; its parent is
+    the innermost container.  Containment = bbox prefilter + one
+    ray-cast of a sample vertex (rings of one level never cross).
+
+    Emits (sx, sy, n_rings, parea, wkb): start-vertex key of the
+    exterior ring, ring count, exterior − holes area, polygon WKB.
+    Open polylines (clipped at the raster edge) are not closed against
+    the border here and are skipped — the reference closes them along
+    the edge; same TODO class as its edge-closing special cases."""
+    from gdal_spark.kernels import wkb as Wk
+    from gdal_spark.kernels.pip import points_in_polygon
+
+    spark = tiles.sparkSession
+    lines = contour_linestrings(tiles, level, tile_size, width, height)
+    rows = lines.filter(F.col("closed")).select("sx", "sy", "wkb").collect()
+    rings = []
+    for r in rows:
+        coords = Wk.parse_wkb(bytes(r["wkb"]))[1]
+        area = 0.5 * float(
+            np.sum(coords[:-1, 0] * coords[1:, 1] - coords[1:, 0] * coords[:-1, 1])
+        )
+        bbox = (
+            float(coords[:, 0].min()), float(coords[:, 1].min()),
+            float(coords[:, 0].max()), float(coords[:, 1].max()),
+        )
+        rings.append(
+            {"sx": int(r["sx"]), "sy": int(r["sy"]), "coords": coords,
+             "area": abs(area), "bbox": bbox}
+        )
+
+    def contains(big, small) -> bool:
+        bb, sb = big["bbox"], small["bbox"]
+        if not (bb[0] <= sb[0] and bb[1] <= sb[1] and bb[2] >= sb[2] and bb[3] >= sb[3]):
+            return False
+        v = small["coords"][0]
+        return bool(
+            points_in_polygon(
+                np.array([v[0]]), np.array([v[1]]), [big["coords"]],
+                include_boundary=False,
+            )[0]
+        )
+
+    containers = [
+        [j for j, other in enumerate(rings) if j != i and contains(other, rings[i])]
+        for i in range(len(rings))
+    ]
+    for i, ring in enumerate(rings):
+        ring["depth"] = len(containers[i])
+    for i, ring in enumerate(rings):
+        # parent = innermost container (the one with the greatest depth)
+        ring["parent"] = (
+            max(containers[i], key=lambda j: rings[j]["depth"])
+            if containers[i] else None
+        )
+    out_rows = []
+    for i, ring in enumerate(rings):
+        if ring["depth"] % 2 != 0:
+            continue  # odd depth = hole, attached to its parent below
+        holes = [r for r in rings if r["parent"] is not None and rings[r["parent"]] is ring]
+        parea = ring["area"] - sum(h["area"] for h in holes)
+        blob = Wk.polygon_wkb([ring["coords"]] + [h["coords"] for h in holes])
+        out_rows.append(
+            (ring["sx"], ring["sy"], 1 + len(holes), float(parea), blob)
+        )
+    if not out_rows:
+        return spark.createDataFrame([], POLY_SCHEMA)
+    return spark.createDataFrame(out_rows, POLY_SCHEMA)

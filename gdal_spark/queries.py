@@ -2910,3 +2910,55 @@ def q89(spark, sf_dir):
         .orderBy("hilbert", "doc_id")
         .limit(300)
     )
+
+
+def _q90_rows(spark, sf_dir) -> list[tuple]:
+    """q26 rects burned 2.0; rects ≥5×5 get a 2px-inset inner rect
+    burned back to 0 (REPLACE order) — a below-level hole."""
+    out = []
+    inners = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        x0 = (k % 8) * 16 + 2
+        y0 = (k // 8) * 16 + 3
+        w = 3 + k % 9
+        h = 2 + k % 7
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+        out.append((2.0, W.polygon_wkb([ring])))
+        if w >= 5 and h >= 5:
+            xi, yi, wi, hi = x0 + 2, y0 + 2, w - 4, h - 4
+            iring = np.array(
+                [[xi, yi], [xi + wi, yi], [xi + wi, yi + hi], [xi, yi + hi], [xi, yi]],
+                dtype=np.float64,
+            )
+            inners.append((0.0, W.polygon_wkb([iring])))
+    return out + inners  # inners AFTER outers: REPLACE burn order
+
+
+@query(
+    "q90_contour_polygons",
+    f"""WITH r AS ({Q26_RECTS_SQL})
+       SELECT CAST(2*x0 - 1 AS BIGINT) AS sx, CAST(2*y0 AS BIGINT) AS sy,
+              CAST(CASE WHEN w >= 5 AND h >= 5 THEN 2 ELSE 1 END AS INT) AS n_rings,
+              round(CASE WHEN w >= 5 AND h >= 5
+                    THEN CAST(w*h - (w-4)*(h-4) AS DOUBLE)
+                    ELSE w*h - 0.5 END, 6) AS parea
+       FROM r""",
+)
+def q90(spark, sf_dir):
+    """FILLED contour polygons (gdal contour -p,
+    apps/gdalalg_raster_contour.cpp + PolygonRingAppender): hollow
+    rects produce iso-rings with below-level holes; ring nesting by
+    containment depth attaches each hole to its innermost container.
+    Ring areas are analytic: a ring around a w×h pixel rect closes a
+    (w·h − ½) polygon (4 corner diagonals cut ⅛ each), so hollow rects
+    net exactly w·h − wi·hi."""
+    from gdal_spark.operators.contour import contour_polygons
+
+    feats = spark.createDataFrame(_q90_rows(spark, sf_dir), "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = contour_polygons(tiles, 1.0, 32, 128, 128)
+    return out.select("sx", "sy", "n_rings", F.round(F.col("parea"), 6).alias("parea"))
