@@ -134,8 +134,22 @@ SEG_SCHEMA = T.StructType(
         T.StructField("x2", T.DoubleType()),
         T.StructField("y2", T.DoubleType()),
         T.StructField("seg_len", T.DoubleType()),
+        # a pixel center guaranteed ABOVE the level for this segment's
+        # cell (the lowest set case bit) — lets polygon assembly know
+        # which side of an open polyline the z>level region lies on
+        # without re-reading the raster
+        T.StructField("inx", T.DoubleType()),
+        T.StructField("iny", T.DoubleType()),
     ]
 )
+
+# corner offset of the lowest set bit per case id: TL, TR, BR, BL
+_IN_CORNER = {}
+for _k in range(1, 15):
+    for _bit, _off in ((1, (0.0, 0.0)), (2, (1.0, 0.0)), (4, (1.0, 1.0)), (8, (0.0, 1.0))):
+        if _k & _bit:
+            _IN_CORNER[_k] = _off
+            break
 
 # endpoint selectors per case id: each segment is an (edge, edge) pair
 # over T(op)/R(ight)/B(ottom)/L(eft); saddles resolved by the center
@@ -205,28 +219,34 @@ def contour_segments(
                 for which, sel in ((hi, center[ys, xs] > L), (lo, ~(center[ys, xs] > L))):
                     yy, xx = ys[sel], xs[sel]
                     for slot, (ea, eb) in enumerate(which):
-                        _emit(rows, pts, ea, eb, xx, yy, GX, GY, slot, width)
+                        _emit(rows, pts, ea, eb, xx, yy, GX, GY, slot, width, k)
             else:
                 for slot, (ea, eb) in enumerate(_CASE_SEGS[k]):
-                    _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width)
+                    _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k)
         return pd.DataFrame(
-            rows, columns=["seg", "x1", "y1", "x2", "y2", "seg_len"]
+            rows,
+            columns=["seg", "x1", "y1", "x2", "y2", "seg_len", "inx", "iny"],
         ) if rows else pd.DataFrame(
-            {"seg": [], "x1": [], "y1": [], "x2": [], "y2": [], "seg_len": []}
+            {"seg": [], "x1": [], "y1": [], "x2": [], "y2": [],
+             "seg_len": [], "inx": [], "iny": []}
         )
 
     return strips.groupBy("tx", "ty").applyInPandas(per_tile, SEG_SCHEMA)
 
 
-def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width):
+def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k):
     ax, ay = pts[ea]
     bx, by = pts[eb]
+    ox, oy = _IN_CORNER[k]
     for x, y in zip(xs.tolist(), ys.tolist()):
         x1, y1 = float(ax[y, x]), float(ay[y, x])
         x2, y2 = float(bx[y, x]), float(by[y, x])
         dx, dy = x2 - x1, y2 - y1
         seg = (int(GY[y, x]) * (width - 1) + int(GX[y, x])) * 2 + slot
-        rows.append((seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy))))
+        rows.append(
+            (seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy)),
+             float(GX[y, x]) + ox, float(GY[y, x]) + oy)
+        )
 
 
 def _tag_components(segs: DataFrame) -> DataFrame:
@@ -257,6 +277,8 @@ LINESTRING_SCHEMA = T.StructType(
         T.StructField("sy", T.LongType()),
         T.StructField("vsum_x", T.LongType()),
         T.StructField("vsum_y", T.LongType()),
+        T.StructField("ix", T.DoubleType()),
+        T.StructField("iy", T.DoubleType()),
         T.StructField("wkb", T.BinaryType()),
     ]
 )
@@ -339,6 +361,8 @@ def contour_linestrings(
                 "sy": [int(round(2 * start[1]))],
                 "vsum_x": [vx],
                 "vsum_y": [vy],
+                "ix": [float(pdf["inx"].iloc[0])],
+                "iy": [float(pdf["iny"].iloc[0])],
                 "wkb": [blob],
             }
         )
@@ -414,18 +438,80 @@ def contour_polygons(
 
     Emits (sx, sy, n_rings, parea, wkb): start-vertex key of the
     exterior ring, ring count, exterior − holes area, polygon WKB.
-    Open polylines (clipped at the raster edge) are not closed against
-    the border here and are skipped — the reference closes them along
-    the edge; same TODO class as its edge-closing special cases."""
+    Open polylines (clipped at the raster edge) CLOSE along the
+    pixel-center hull — the closure direction is picked by ray-casting
+    the component's inside-point hint (a pixel center the marching
+    squares proved is above the level), the reference's edge-closing
+    special case without re-reading the raster."""
     from gdal_spark.kernels import wkb as Wk
     from gdal_spark.kernels.pip import points_in_polygon
 
     spark = tiles.sparkSession
     lines = contour_linestrings(tiles, level, tile_size, width, height)
-    rows = lines.filter(F.col("closed")).select("sx", "sy", "wkb").collect()
+    rows = lines.select("sx", "sy", "closed", "ix", "iy", "wkb").collect()
+
+    # hull of the interpolation domain = pixel-center rectangle
+    W1, H1 = float(width - 1), float(height - 1)
+    per = 2.0 * (W1 + H1)
+
+    def border_t(p):
+        x, y = float(p[0]), float(p[1])
+        if y == 0.0:
+            return x
+        if x == W1:
+            return W1 + y
+        if y == H1:
+            return W1 + H1 + (W1 - x)
+        if x == 0.0:
+            return 2.0 * W1 + H1 + (H1 - y)
+        return None
+
+    _CORNERS = [(0.0, 0.0), (W1, 0.0), (W1, H1), (0.0, H1)]
+    _CORNER_T = [0.0, W1, W1 + H1, 2.0 * W1 + H1]
+
+    def hull_path(t_from, t_to, clockwise):
+        # hull corner points strictly between two perimeter positions,
+        # walking the given direction
+        out = []
+        if clockwise:
+            span = (t_to - t_from) % per
+            cs = sorted(((ct - t_from) % per, i) for i, ct in enumerate(_CORNER_T))
+        else:
+            span = (t_from - t_to) % per
+            cs = sorted(((t_from - ct) % per, i) for i, ct in enumerate(_CORNER_T))
+        for d, i in cs:
+            if 0.0 < d < span:
+                out.append(_CORNERS[i])
+        return out
+
+    from gdal_spark.kernels.pip import points_in_polygon as _pip
+
+    def close_open(coords, inside):
+        # close an open polyline along the hull, on the side holding
+        # the component inside-point (z > level)
+        ts_, te_ = border_t(coords[0]), border_t(coords[-1])
+        if ts_ is None or te_ is None:
+            return None  # endpoint off-hull (degenerate junction): skip
+        for cw in (True, False):
+            path = hull_path(te_, ts_, cw)
+            ring = np.vstack([coords] + [np.array(p) for p in path] + [coords[:1]])
+            if bool(
+                _pip(
+                    np.array([inside[0]]), np.array([inside[1]]), [ring],
+                    include_boundary=False,
+                )[0]
+            ):
+                return ring
+        return None
+
     rings = []
     for r in rows:
         coords = Wk.parse_wkb(bytes(r["wkb"]))[1]
+        if not r["closed"]:
+            closed_ring = close_open(coords, (r["ix"], r["iy"]))
+            if closed_ring is None:
+                continue
+            coords = closed_ring
         area = 0.5 * float(
             np.sum(coords[:-1, 0] * coords[1:, 1] - coords[1:, 0] * coords[:-1, 1])
         )
