@@ -706,3 +706,55 @@ def color_relief_tiles(
             )
 
     return tiles.mapInPandas(gen, out_schema)
+
+
+def fillnodata_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+    max_dist: int = 4,
+    nodata: float = 0.0,
+) -> DataFrame:
+    """Nodata hole filling — the ``GDALFillNodata`` entry point
+    (alg/fillnodata.cpp; the reference interpolates from nearest found
+    pixels in up to 8 search directions).  Pinned semantics here: each
+    nodata pixel takes the VALUE OF ITS NEAREST VALID PIXEL within
+    ``max_dist``, ties broken by smallest (d², global row, global col)
+    — fully deterministic, so an ANSI-SQL argmin oracle can check it
+    exactly (the reference's directional-IDW variant drops into the
+    same halo kernel).
+
+    Bounded distance ⇒ bounded halo: one strip exchange of
+    ``max_dist``-wide borders, then a per-tile first-win sweep over
+    the (2r+1)² offsets in (d², Δy, Δx) order — for a fixed pixel that
+    ordering IS the (d², row, col) tie-break.  Returns per-pixel
+    (gx, gy, v) for all non-nodata output pixels."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    r = max_dist
+    offsets = sorted(
+        (
+            (dx * dx + dy * dy, dy, dx)
+            for dx in range(-r, r + 1)
+            for dy in range(-r, r + 1)
+            if (dx or dy) and dx * dx + dy * dy <= r * r
+        )
+    )
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2 * r
+        valid = padded != nodata
+        out = padded[r : r + ts, r : r + ts].copy()
+        done = valid[r : r + ts, r : r + ts].copy()
+        for _d2, dy, dx in offsets:
+            if done.all():
+                break
+            sel = ~done & valid[r + dy : r + dy + ts, r + dx : r + dx + ts]
+            out[sel] = padded[r + dy : r + dy + ts, r + dx : r + dx + ts][sel]
+            done |= sel
+        out[~done] = nodata
+        return out
+
+    res = _apply_focal(tiles, tile_size, r, ntx, nty, kern)
+    return res.filter((F.col("gx") < width) & (F.col("gy") < height))

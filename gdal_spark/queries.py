@@ -2962,3 +2962,75 @@ def q90(spark, sf_dir):
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = contour_polygons(tiles, 1.0, 32, 128, 128)
     return out.select("sx", "sy", "n_rings", F.round(F.col("parea"), 6).alias("parea"))
+
+
+def _q91_rows(spark, sf_dir) -> list[tuple]:
+    """Per nation key: adjacent 6×6 rects A|B with different values and
+    a 4×3 nodata hole straddling their shared edge."""
+    base = np.array(
+        [[0, 0], [128, 0], [128, 128], [0, 128], [0, 0]], dtype=np.float64
+    )
+    outers = [(999.0, W.polygon_wkb([base]))]
+    holes = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        x0 = (k % 6) * 20 + 2
+        y0 = (k // 6) * 12 + 2
+
+        def rect(xa, ya, xb, yb):
+            return np.array(
+                [[xa, ya], [xb, ya], [xb, yb], [xa, yb], [xa, ya]], dtype=np.float64
+            )
+
+        outers.append((float(k + 1), W.polygon_wkb([rect(x0, y0, x0 + 6, y0 + 6)])))
+        outers.append((float(k + 31), W.polygon_wkb([rect(x0 + 6, y0, x0 + 12, y0 + 6)])))
+        holes.append((0.0, W.polygon_wkb([rect(x0 + 4, y0 + 2, x0 + 8, y0 + 5)])))
+    # burn order (REPLACE): base plateau, rect pairs, then the holes —
+    # the base makes holes the ONLY nodata, as in a masked-raster fill
+    return outers + holes
+
+
+@query(
+    "q91_fillnodata",
+    """WITH ks AS (SELECT n_nationkey AS k FROM nation),
+       p AS (SELECT k, (k%6)*20+2 AS x0, (k//6)*12+2 AS y0 FROM ks),
+       cells AS (
+         SELECT k, x0 + i.range AS gx, y0 + j.range AS gy,
+                CAST(CASE WHEN i.range < 6 THEN k+1 ELSE k+31 END AS DOUBLE) AS v
+         FROM p, range(12) i, range(6) j),
+       hole AS (
+         SELECT k, x0 + 4 + i.range AS gx, y0 + 2 + j.range AS gy
+         FROM p, range(4) i, range(3) j),
+       valid AS (SELECT c.* FROM cells c ANTI JOIN hole h
+                 USING (k, gx, gy)),
+       cand AS (
+         SELECT h.k, h.gx, h.gy, v.v,
+                (h.gx - v.gx)*(h.gx - v.gx) + (h.gy - v.gy)*(h.gy - v.gy) AS d2,
+                v.gy AS vy, v.gx AS vx
+         FROM hole h JOIN valid v
+         ON v.k = h.k AND abs(h.gx - v.gx) <= 4 AND abs(h.gy - v.gy) <= 4
+         WHERE (h.gx - v.gx)*(h.gx - v.gx) + (h.gy - v.gy)*(h.gy - v.gy) <= 16),
+       filled AS (
+         SELECT gx, gy, v FROM (
+           SELECT gx, gy, v,
+                  row_number() OVER (PARTITION BY k, gx, gy
+                                     ORDER BY d2, vy, vx) AS rn
+           FROM cand) WHERE rn = 1)
+       SELECT gx, gy, v FROM valid
+       UNION ALL SELECT gx, gy, v FROM filled""",
+)
+def q91(spark, sf_dir):
+    """GDALFillNodata surface (alg/fillnodata.cpp) with pinned
+    nearest-valid semantics: holes straddle the boundary between two
+    differently-valued regions, so the fill splits by proximity and
+    the center column exercises the (d², row, col) tie-break; the
+    oracle is a windowed argmin."""
+    from gdal_spark.operators.focal import fillnodata_tiles
+
+    feats = spark.createDataFrame(_q91_rows(spark, sf_dir), "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = fillnodata_tiles(tiles, tile_size=32, width=128, height=128, max_dist=4)
+    # compare the rect clusters only (the base plateau pads the fill
+    # neighborhoods; every hole pixel has a rect pixel strictly closer
+    # than any base pixel, so fills never read 999)
+    return out.filter(F.col("v") != 999.0)
