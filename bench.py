@@ -80,6 +80,15 @@ HEADLINE = [
     "q75_color_relief",
     "q76_overlay_union",
     "q81_mosaic_last",
+    "q82_translate",
+    "q83_segmentize",
+    "q84_binary_predicates",
+    "q85_warp_cubic",
+    "q87_geocode_cells",
+    "q88_band_percentiles",
+    "q89_spatial_sort_hilbert",
+    "q90_contour_polygons",
+    "q91_fillnodata",
 ]
 
 
