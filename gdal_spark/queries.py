@@ -3034,3 +3034,89 @@ def q91(spark, sf_dir):
     # neighborhoods; every hole pixel has a rect pixel strictly closer
     # than any base pixel, so fills never read 999)
     return out.filter(F.col("v") != 999.0)
+
+
+@query(
+    "q92_stratified_sample",
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+                    ((doc_id * 2654435761) % 4294967296) % 100 AS h
+                  FROM documents)
+       SELECT lang, count(*) AS n_kept, sum(n_chars) AS sum_chars
+       FROM d
+       WHERE h < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+       GROUP BY lang""",
+)
+def q92(spark, sf_dir):
+    """Stratified deterministic sampling (training-data splits):
+    per-language keep rates driven by a pure-arithmetic multiplicative
+    hash — no RNG state, any executor reproduces the sample, and the
+    SQL oracle is the identical predicate.  (Spark's sample() is
+    seed-dependent per partition — useless for cross-engine parity or
+    resumable pipelines.)"""
+    d = _t(spark, sf_dir, "documents")
+    h = ((F.col("doc_id") * 2654435761) % 4294967296) % 100
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return (
+        d.filter(h < rate)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+@query(
+    "q93_sequence_packing",
+    """WITH d AS (SELECT doc_id, lang, n_chars,
+                    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM documents)
+       SELECT lang, CAST((cum - n_chars) // 50000 AS BIGINT) AS bin,
+              count(*) AS n_docs, sum(n_chars) AS total_chars
+       FROM d GROUP BY lang, bin""",
+)
+def q93(spark, sf_dir):
+    """Sequence packing (context-window binning for training): greedy
+    cumulative-size bins per language stratum — bin = floor(running
+    size before the doc / capacity), one window pass; the exact shape
+    a packing stage feeds to a tokenizer fleet."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_chars").over(w)
+    return (
+        d.withColumn("bin", F.floor((cum - F.col("n_chars")) / 50000).cast("long"))
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_Q94_PAIRS = ORACLES["q18_minhash_lsh"]
+
+
+@query(
+    "q94_dedup_canonical",
+    f"""WITH RECURSIVE pr AS ({_Q94_PAIRS}),
+       e AS (SELECT a AS u, b AS v FROM pr UNION SELECT b, a FROM pr),
+       n AS (SELECT DISTINCT u AS node FROM e),
+       reach(node, m) AS (
+         SELECT node, node FROM n
+         UNION
+         SELECT e.v, r.m FROM reach r JOIN e ON e.u = r.node)
+       SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS canonical
+       FROM reach GROUP BY node""",
+)
+def q94(spark, sf_dir):
+    """Canonical-document selection — the full near-dup dedup pipeline
+    (shingle → MinHash → LSH bands → verified Jaccard ≥ 0.5 → graph
+    CC → keep min doc_id per duplicate cluster): what a training
+    pipeline actually DOES with the pair list.  The oracle closes the
+    pair graph with a recursive CTE."""
+    from gdal_spark.operators.graph import connected_components
+
+    pairs = QUERIES["q18_minhash_lsh"](spark, sf_dir).select("a", "b")
+    comp = connected_components(pairs, src="a", dst="b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical")
+    )
