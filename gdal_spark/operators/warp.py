@@ -22,9 +22,11 @@ Distributed decomposition (target-driven, like the reference):
      tiles into a fill-initialized window and evaluate the resample
      kernel vectorized over the whole tile.
 
-Affines must be rotation-free (gt[2] == gt[4] == 0) — the common
-gdalwarp case; rotation would make the per-tile source window a
-parallelogram (same join, conservative bbox).
+Rotation-free affines take a separable fast path (per-axis
+column-arithmetic bounds, 1-D sample coordinates); ROTATED affines
+(either side) back-project each dst tile's 4 corners through the full
+2x2 inverse and join the conservative bbox of the resulting source
+parallelogram.
 
 Pixel-coordinate conventions (pinned for oracles, identical to the
 reference): target pixel (i, j) has center world coords
@@ -111,8 +113,6 @@ def warp_resample(
     (tx, ty, data float64, dtype).  Target tiles whose window touches
     no source tile are omitted (all-``fill``), keeping the tile table
     sparse."""
-    if gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0:
-        raise NotImplementedError("rotated affines not supported")
     if method not in ("nearest", "bilinear", "cubic"):
         raise ValueError(method)
     spark = tiles.sparkSession
@@ -120,17 +120,50 @@ def warp_resample(
     sts = src_tile_size or tile_size
     bilinear = "cubic" if method == "cubic" else method == "bilinear"
     cubic = method == "cubic"
+    rotated = gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0
+    det = gt_src[1] * gt_src[5] - gt_src[2] * gt_src[4]
     ndtx = (dst_width + ts - 1) // ts
     ndty = (dst_height + ts - 1) // ts
-
-    xb = _axis_bounds(gt_dst[0], gt_dst[1], gt_src[0], gt_src[1], ts, dst_width, bilinear)
-    yb = _axis_bounds(gt_dst[3], gt_dst[5], gt_src[3], gt_src[5], ts, dst_height, bilinear)
 
     dst = spark.range(ndtx * ndty).select(
         (F.col("id") % ndtx).alias("dtx"), (F.col("id") / ndtx).cast("long").alias("dty")
     )
-    sx_lo, sx_hi = xb(F.col("dtx"))
-    sy_lo, sy_hi = yb(F.col("dty"))
+    if not rotated:
+        xb = _axis_bounds(gt_dst[0], gt_dst[1], gt_src[0], gt_src[1], ts, dst_width, bilinear)
+        yb = _axis_bounds(gt_dst[3], gt_dst[5], gt_src[3], gt_src[5], ts, dst_height, bilinear)
+        sx_lo, sx_hi = xb(F.col("dtx"))
+        sy_lo, sy_hi = yb(F.col("dty"))
+    else:
+        # rotated affine: the dst tile's (u, v) extremes are at its 4
+        # pixel-center corners (the map is affine) — pure column math
+        gs0_, gs1_, gs2_, gs3_, gs4_, gs5_ = gt_src
+        gd0_, gd1_, gd2_, gd3_, gd4_, gd5_ = gt_dst
+
+        def corner_uv(icol, jcol):
+            X = F.lit(gd0_) + (icol + 0.5) * gd1_ + (jcol + 0.5) * gd2_
+            Y = F.lit(gd3_) + (icol + 0.5) * gd4_ + (jcol + 0.5) * gd5_
+            u = (F.lit(gs5_) * (X - gs0_) - F.lit(gs2_) * (Y - gs3_)) / det
+            v = (F.lit(-gs4_) * (X - gs0_) + F.lit(gs1_) * (Y - gs3_)) / det
+            return u, v
+
+        i0 = (F.col("dtx") * ts).cast("double")
+        i1 = (F.least(F.col("dtx") * ts + ts, F.lit(dst_width)) - 1).cast("double")
+        j0 = (F.col("dty") * ts).cast("double")
+        j1 = (F.least(F.col("dty") * ts + ts, F.lit(dst_height)) - 1).cast("double")
+        us, vs = [], []
+        for ic in (i0, i1):
+            for jc in (j0, j1):
+                u_, v_ = corner_uv(ic, jc)
+                us.append(u_)
+                vs.append(v_)
+        umin, umax = F.least(*us), F.greatest(*us)
+        vmin, vmax = F.least(*vs), F.greatest(*vs)
+        margin = 2 if cubic else (1 if bilinear else 0)
+        off = 0.5 if (bilinear or cubic) else 0.0
+        sx_lo = (F.floor(umin - off) - margin).cast("long")
+        sx_hi = (F.floor(umax - off) + margin).cast("long")
+        sy_lo = (F.floor(vmin - off) - margin).cast("long")
+        sy_hi = (F.floor(vmax - off) + margin).cast("long")
     mapping = (
         dst.withColumn("stx", F.explode(F.sequence(F.floor(sx_lo / sts), F.floor(sx_hi / sts))))
         .withColumn("sty", F.explode(F.sequence(F.floor(sy_lo / sts), F.floor(sy_hi / sts))))
@@ -143,30 +176,40 @@ def warp_resample(
         ["stx", "sty"],
     )
 
-    gs0, gs1, _, gs3, _, gs5 = gt_src
-    gd0, gd1, _, gd3, _, gd5 = gt_dst
+    gs0, gs1, gs2, gs3, gs4, gs5 = gt_src
+    gd0, gd1, gd2, gd3, gd4, gd5 = gt_dst
 
     def per_dst_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         dtx, dty = int(key[0]), int(key[1])
         i = np.arange(dtx * ts, min((dtx + 1) * ts, dst_width))
         j = np.arange(dty * ts, min((dty + 1) * ts, dst_height))
-        u = (gd0 + (i + 0.5) * gd1 - gs0) / gs1
-        v = (gd3 + (j + 0.5) * gd5 - gs3) / gs5
-        if cubic:
-            wx, wy = u - 0.5, v - 0.5
-            x_lo = int(np.floor(wx.min())) - 1
-            x_hi = int(np.floor(wx.max())) + 2
-            y_lo = int(np.floor(wy.min())) - 1
-            y_hi = int(np.floor(wy.max())) + 2
-        elif bilinear:
-            wx, wy = u - 0.5, v - 0.5
-            x_lo = int(np.floor(wx.min()))
-            x_hi = int(np.floor(wx.max())) + 1
-            y_lo = int(np.floor(wy.min()))
-            y_hi = int(np.floor(wy.max())) + 1
+        if not rotated:
+            # 1-D separable path kept verbatim: the oracle fixtures pin
+            # these exact IEEE expressions (meshgrid only replicates)
+            u = (gd0 + (i + 0.5) * gd1 - gs0) / gs1
+            v = (gd3 + (j + 0.5) * gd5 - gs3) / gs5
+            U, V = np.meshgrid(u, v)
         else:
-            x_lo, x_hi = int(np.floor(u.min())), int(np.floor(u.max()))
-            y_lo, y_hi = int(np.floor(v.min())), int(np.floor(v.max()))
+            I, J = np.meshgrid(i + 0.5, j + 0.5)
+            X = gd0 + I * gd1 + J * gd2
+            Y = gd3 + I * gd4 + J * gd5
+            U = (gs5 * (X - gs0) - gs2 * (Y - gs3)) / det
+            V = (-gs4 * (X - gs0) + gs1 * (Y - gs3)) / det
+        if cubic:
+            WX, WY = U - 0.5, V - 0.5
+            x_lo = int(np.floor(WX.min())) - 1
+            x_hi = int(np.floor(WX.max())) + 2
+            y_lo = int(np.floor(WY.min())) - 1
+            y_hi = int(np.floor(WY.max())) + 2
+        elif bilinear:
+            WX, WY = U - 0.5, V - 0.5
+            x_lo = int(np.floor(WX.min()))
+            x_hi = int(np.floor(WX.max())) + 1
+            y_lo = int(np.floor(WY.min()))
+            y_hi = int(np.floor(WY.max())) + 1
+        else:
+            x_lo, x_hi = int(np.floor(U.min())), int(np.floor(U.max()))
+            y_lo, y_hi = int(np.floor(V.min())), int(np.floor(V.max()))
         win = np.full((y_hi - y_lo + 1, x_hi - x_lo + 1), fill, dtype=np.float64)
         for _, row in pdf.iterrows():
             arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
@@ -181,28 +224,25 @@ def warp_resample(
                 ya - oy : ybnd - oy, xa - ox : xbnd - ox
             ]
         if cubic:
-            x0 = np.floor(wx).astype(np.int64)
-            y0 = np.floor(wy).astype(np.int64)
-            fx = wx - x0
-            fy = wy - y0
-            X0, Y0 = np.meshgrid(x0 - x_lo, y0 - y_lo)
-            wxs = _cubic_weights(fx)
-            wys = _cubic_weights(fy)
-            out = np.zeros((j.size, i.size))
+            X0 = np.floor(WX).astype(np.int64)
+            Y0 = np.floor(WY).astype(np.int64)
+            FX = WX - X0
+            FY = WY - Y0
+            X0 -= x_lo
+            Y0 -= y_lo
+            wxs = _cubic_weights(FX)
+            wys = _cubic_weights(FY)
+            out = np.zeros(U.shape)
             for jj, wyj in enumerate(wys):
                 for ii, wxi in enumerate(wxs):
-                    out += (
-                        wyj[:, None]
-                        * wxi[None, :]
-                        * win[Y0 + (jj - 1), X0 + (ii - 1)]
-                    )
+                    out += wyj * wxi * win[Y0 + (jj - 1), X0 + (ii - 1)]
         elif bilinear:
-            x0 = np.floor(wx).astype(np.int64)
-            y0 = np.floor(wy).astype(np.int64)
-            fx = wx - x0
-            fy = wy - y0
-            X0, Y0 = np.meshgrid(x0 - x_lo, y0 - y_lo)
-            FX, FY = np.meshgrid(fx, fy)
+            X0 = np.floor(WX).astype(np.int64)
+            Y0 = np.floor(WY).astype(np.int64)
+            FX = WX - X0
+            FY = WY - Y0
+            X0 -= x_lo
+            Y0 -= y_lo
             z00 = win[Y0, X0]
             z10 = win[Y0, X0 + 1]
             z01 = win[Y0 + 1, X0]
@@ -214,9 +254,8 @@ def warp_resample(
                 + FX * FY * z11
             )
         else:
-            sx = np.floor(u).astype(np.int64) - x_lo
-            sy = np.floor(v).astype(np.int64) - y_lo
-            SX, SY = np.meshgrid(sx, sy)
+            SX = np.floor(U).astype(np.int64) - x_lo
+            SY = np.floor(V).astype(np.int64) - y_lo
             out = win[SY, SX]
         full = np.full((ts, ts), fill, dtype=np.float64)
         full[: out.shape[0], : out.shape[1]] = out

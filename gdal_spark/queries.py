@@ -3120,3 +3120,23 @@ def q94(spark, sf_dir):
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical")
     )
+
+
+@query(
+    "q95_warp_rotated",
+    f"""{Q25_PIX_SQL}
+       SELECT gy AS gx, gx AS gy, v FROM rast""",
+)
+def q95(spark, sf_dir):
+    """ROTATED-affine warp (gdalwarp with a rotated target grid —
+    GDALWarpOperation back-projects through the full 2×2 inverse): a
+    pure axis-swap geotransform makes the result the exact transpose,
+    which the oracle states by swapping coordinates."""
+    from gdal_spark.operators.warp import warp_resample
+
+    src = _q25_tiles(spark, sf_dir)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 0.0, 1.0, 0.0, 1.0, 0.0), 128, 128,
+        tile_size=32, method="nearest",
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)

@@ -71,3 +71,34 @@ def test_downsample_2x_nearest(spark):
         if (2 * i + 1, 2 * j + 1) in srcpx
     }
     assert _px(tiles_to_features(out, tile_size=32, nodata=0.0)) == expect
+
+
+def test_rotated_transpose(spark):
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 0.0, 1.0, 0.0, 1.0, 0.0), 64, 64,
+        tile_size=32, method="nearest",
+    )
+    got = _px(tiles_to_features(out, tile_size=32, nodata=0.0))
+    expect = {
+        (gy, gx): v
+        for (gx, gy), v in _px(tiles_to_features(src, 32, nodata=0.0)).items()
+    }
+    assert got == expect
+
+
+def test_rotated_bilinear_identity_values(spark):
+    """45°-free sanity on the rotated path: swapping axes twice (dst
+    grid swaps, then compare against the plain transpose) with
+    bilinear at exact centers is lossless."""
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 0.0, 1.0, 0.0, 1.0, 0.0), 64, 64,
+        tile_size=32, method="bilinear",
+    )
+    got = _px(tiles_to_features(out, tile_size=32, nodata=0.0))
+    expect = {
+        (gy, gx): v
+        for (gx, gy), v in _px(tiles_to_features(src, 32, nodata=0.0)).items()
+    }
+    assert got == expect
