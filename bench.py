@@ -89,6 +89,10 @@ HEADLINE = [
     "q89_spatial_sort_hilbert",
     "q90_contour_polygons",
     "q91_fillnodata",
+    "q92_stratified_sample",
+    "q93_sequence_packing",
+    "q94_dedup_canonical",
+    "q95_warp_rotated",
 ]
 
 
