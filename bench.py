@@ -93,6 +93,7 @@ HEADLINE = [
     "q93_sequence_packing",
     "q94_dedup_canonical",
     "q95_warp_rotated",
+    "q96_zonal_mode_variety",
 ]
 
 

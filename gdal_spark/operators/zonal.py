@@ -13,6 +13,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
 
@@ -118,4 +119,60 @@ def zonal_stats_raster(
         "zone", "n", "vmin", "vmax",
         F.round(mean, 6).alias("mean"),
         F.round(F.sqrt(F.col("ss") / nD - mean * mean), 6).alias("stddev_pop"),
+    )
+
+
+def zonal_histogram(
+    zone_tiles: DataFrame,
+    value_tiles: DataFrame,
+    tile_size: int,
+    zone_nodata: float = 0.0,
+) -> DataFrame:
+    """(zone, v, cnt) — the per-zone value histogram behind the
+    reference zonal stats' mode/variety/minority outputs
+    (apps/gdalalg_raster_zonal_stats.cpp): same co-located tile-pair
+    join as ``zonal_stats_raster``, each task emitting unique
+    (zone, value) partial counts — the shuffle carries histogram rows,
+    never pixels."""
+    z = zone_tiles.select(
+        "tx", "ty", F.col("data").alias("_zdata"), F.col("dtype").alias("_zdtype")
+    )
+    v = value_tiles.select(
+        "tx", "ty", F.col("data").alias("_vdata"), F.col("dtype").alias("_vdtype")
+    )
+    joined = z.join(v, ["tx", "ty"])
+    schema = T.StructType(
+        [
+            T.StructField("zone", T.LongType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+
+    def partial(pdf_iter):
+        for pdf in pdf_iter:
+            frames = []
+            for _, row in pdf.iterrows():
+                zones = np.frombuffer(row["_zdata"], dtype=np.dtype(row["_zdtype"])).reshape(
+                    tile_size, tile_size
+                )
+                vals = np.frombuffer(row["_vdata"], dtype=np.dtype(row["_vdtype"])).reshape(
+                    tile_size, tile_size
+                )
+                m = zones != zone_nodata
+                if not m.any():
+                    continue
+                pairs = np.stack([zones[m].astype(np.int64), vals[m].astype(np.int64)])
+                uniq, cnt = np.unique(pairs, axis=1, return_counts=True)
+                frames.append(
+                    pd.DataFrame({"zone": uniq[0], "v": uniq[1], "cnt": cnt})
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"zone": [], "v": [], "cnt": []}
+            )
+
+    return (
+        joined.mapInPandas(partial, schema)
+        .groupBy("zone", "v")
+        .agg(F.sum("cnt").alias("cnt"))
     )

@@ -3140,3 +3140,43 @@ def q95(spark, sf_dir):
         tile_size=32, method="nearest",
     )
     return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q96_zonal_mode_variety",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       pix AS (SELECT CAST(dn AS BIGINT) AS zone, x0 + dx.range AS gx, y0 + dy.range AS gy
+               FROM r, range(16) dx, range(16) dy
+               WHERE dx.range < w AND dy.range < h),
+       vals AS (SELECT zone, {_z_sql('gx', 'gy')} AS v FROM pix),
+       hist AS (SELECT zone, v, count(*) AS cnt FROM vals GROUP BY zone, v),
+       rk AS (SELECT zone, v, cnt,
+                     row_number() OVER (PARTITION BY zone ORDER BY cnt DESC, v) AS rn,
+                     count(*) OVER (PARTITION BY zone) AS variety
+              FROM hist)
+       SELECT zone, CAST(variety AS BIGINT) AS variety,
+              CAST(v AS BIGINT) AS mode_v, cnt AS mode_n
+       FROM rk WHERE rn = 1""",
+)
+def q96(spark, sf_dir):
+    """Zonal MODE / VARIETY (the reference zonal-stats outputs beyond
+    min/max/mean): per-zone value histogram from the co-located
+    tile-pair fold, then a window argmax with the deterministic
+    (count desc, value) tie."""
+    from gdal_spark.operators.zonal import zonal_histogram
+
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    zone_tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    hist = zonal_histogram(zone_tiles, _dem_tiles(spark), tile_size=32)
+    w = Window.partitionBy("zone").orderBy(F.col("cnt").desc(), F.col("v"))
+    wz = Window.partitionBy("zone")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .withColumn("variety", F.count("*").over(wz))
+        .filter(F.col("rn") == 1)
+        .select(
+            "zone", F.col("variety").cast("long").alias("variety"),
+            F.col("v").alias("mode_v"), F.col("cnt").alias("mode_n"),
+        )
+    )
