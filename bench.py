@@ -94,6 +94,7 @@ HEADLINE = [
     "q94_dedup_canonical",
     "q95_warp_rotated",
     "q96_zonal_mode_variety",
+    "q97_tile_index",
 ]
 
 

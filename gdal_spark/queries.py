@@ -3180,3 +3180,32 @@ def q96(spark, sf_dir):
             F.col("v").alias("mode_v"), F.col("cnt").alias("mode_n"),
         )
     )
+
+
+@query(
+    "q97_tile_index",
+    f"""{Q25_PIX_SQL}
+       SELECT gx//32 AS tx, gy//32 AS ty, count(*) AS n_px,
+              min(gx) AS xmin, min(gy) AS ymin, max(gx) AS xmax, max(gy) AS ymax,
+              CAST(sum(v) AS DOUBLE) AS checksum_sum
+       FROM rast GROUP BY tx, ty""",
+)
+def q97(spark, sf_dir):
+    """gdaltindex / manifest surface (apps/gdaltindex_lib.cpp; our
+    plans/manifest.py is the committed form): one index row per
+    occupied tile with occupancy, pixel extent, and a content sum —
+    the footprint table a tile-pruned scan plans against."""
+    tiles = _q25_tiles(spark, sf_dir)
+    feats = tiles_to_features(tiles, tile_size=32, nodata=0.0)
+    return (
+        feats.groupBy(
+            (F.col("gx") / 32).cast("long").alias("tx"),
+            (F.col("gy") / 32).cast("long").alias("ty"),
+        )
+        .agg(
+            F.count("*").alias("n_px"),
+            F.min("gx").alias("xmin"), F.min("gy").alias("ymin"),
+            F.max("gx").alias("xmax"), F.max("gy").alias("ymax"),
+            F.sum("v").alias("checksum_sum"),
+        )
+    )

@@ -133,3 +133,80 @@ def test_pip_matches_winding_sign_for_convex_hull(angles, radius, pts):
         on_edge |= np.abs(cross) < 1e-9
     check = ~on_edge & ~np.isclose(np.abs(xs[:, None] - hull[None, :, 0]), 0).any(1)
     assert (got[check] == inside[check]).all()
+
+
+@given(
+    st.lists(
+        st.one_of(st.integers(0, 40), st.just(None)), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_edt_1d_matches_brute_force(fs):
+    """1-D parabola-envelope EDT == brute-force min over sites."""
+    from gdal_spark.operators.focal import _edt_1d_sq
+
+    f = np.array([np.inf if v is None else float(v * v) for v in fs])
+    got = _edt_1d_sq(f)
+    n = f.shape[0]
+    for q in range(n):
+        brute = min(
+            ((q - p) ** 2 + f[p] for p in range(n) if np.isfinite(f[p])),
+            default=np.inf,
+        )
+        assert got[q] == brute
+
+
+@given(st.floats(0.0, 1.0, exclude_max=True, allow_nan=False))
+@settings(max_examples=80, deadline=None)
+def test_cubic_weights_partition_of_unity(t):
+    """Keys cubic weights sum to 1 (within fp) and reproduce the
+    piecewise kernel formula at each tap distance."""
+    from gdal_spark.operators.warp import _cubic_weights
+
+    w = _cubic_weights(np.array([t]))
+    assert abs(sum(x[0] for x in w) - 1.0) < 1e-12
+    A = -0.5
+
+    def K(d):
+        d = abs(d)
+        if d < 1:
+            return (A + 2) * d**3 - (A + 3) * d**2 + 1
+        if d < 2:
+            return A * (d**3 - 5 * d**2 + 8 * d - 4)
+        return 0.0
+
+    for tapped, d in zip(w, (t + 1, t, 1 - t, 2 - t)):
+        assert abs(tapped[0] - K(d)) < 1e-12
+
+
+@given(st.integers(0, 2**31), st.integers(2, 4))
+@settings(max_examples=40, deadline=None)
+def test_ccl_8conn_matches_flood_fill(seed, nvals):
+    """8-connected label_tile component count == reference flood fill
+    on random small grids."""
+    rng = np.random.RandomState(seed % 2**31)
+    a = rng.randint(1, nvals + 1, size=(8, 8)).astype(np.float64)
+    labels = label_tile(a, connect8=True)
+    n_ours = labels.max() + 1
+    # brute-force 8-conn flood fill
+    seen = np.zeros_like(a, dtype=bool)
+    n_ref = 0
+    for sy in range(8):
+        for sx in range(8):
+            if seen[sy, sx]:
+                continue
+            n_ref += 1
+            stack = [(sy, sx)]
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        yy, xx = y + dy, x + dx
+                        if (
+                            0 <= yy < 8 and 0 <= xx < 8 and not seen[yy, xx]
+                            and a[yy, xx] == a[y, x]
+                        ):
+                            seen[yy, xx] = True
+                            stack.append((yy, xx))
+    assert n_ours == n_ref
