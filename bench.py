@@ -95,6 +95,7 @@ HEADLINE = [
     "q95_warp_rotated",
     "q96_zonal_mode_variety",
     "q97_tile_index",
+    "q98_contour_bands",
 ]
 
 

@@ -417,40 +417,18 @@ POLY_SCHEMA = T.StructType(
 )
 
 
-def contour_polygons(
-    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
-) -> DataFrame:
-    """FILLED contour polygons — ``gdal contour -p`` / ``--polygonize``
-    (apps/gdalalg_raster_contour.cpp, writer alg/contour.cpp
-    PolygonRingAppender): the region where z > level becomes polygons
-    whose boundaries are the iso-rings, holes where the surface dips
-    back below the level.
-
-    Build: ``contour_linestrings`` assembles the ordered closed rings
-    distributedly (the heavy part — O(raster) marching squares + the
-    component shuffle); ring NESTING then runs on the collected ring
-    geometries — rings are O(features), the same small-metadata
-    judgment as the polygonize merge map, and a broadcast R-tree
-    drops in for feature counts beyond driver memory.  A ring is a
-    HOLE iff an odd number of other rings contain it; its parent is
-    the innermost container.  Containment = bbox prefilter + one
-    ray-cast of a sample vertex (rings of one level never cross).
-
-    Emits (sx, sy, n_rings, parea, wkb): start-vertex key of the
-    exterior ring, ring count, exterior − holes area, polygon WKB.
-    Open polylines (clipped at the raster edge) CLOSE along the
-    pixel-center hull — the closure direction is picked by ray-casting
-    the component's inside-point hint (a pixel center the marching
-    squares proved is above the level), the reference's edge-closing
-    special case without re-reading the raster."""
+def _closed_rings(tiles, level, tile_size, width, height):
+    """Collect the level's iso-rings as CLOSED coordinate arrays:
+    ``contour_linestrings`` does the distributed assembly; open
+    polylines (clipped at the raster edge) close along the pixel-center
+    hull on the side holding their inside-point hint.  Returns ring
+    dicts (sx, sy, coords, area, bbox) — O(features) metadata."""
     from gdal_spark.kernels import wkb as Wk
-    from gdal_spark.kernels.pip import points_in_polygon
+    from gdal_spark.kernels.pip import points_in_polygon as _pip
 
-    spark = tiles.sparkSession
     lines = contour_linestrings(tiles, level, tile_size, width, height)
     rows = lines.select("sx", "sy", "closed", "ix", "iy", "wkb").collect()
 
-    # hull of the interpolation domain = pixel-center rectangle
     W1, H1 = float(width - 1), float(height - 1)
     per = 2.0 * (W1 + H1)
 
@@ -466,29 +444,23 @@ def contour_polygons(
             return 2.0 * W1 + H1 + (H1 - y)
         return None
 
-    _CORNERS = [(0.0, 0.0), (W1, 0.0), (W1, H1), (0.0, H1)]
-    _CORNER_T = [0.0, W1, W1 + H1, 2.0 * W1 + H1]
+    corners = [(0.0, 0.0), (W1, 0.0), (W1, H1), (0.0, H1)]
+    corner_t = [0.0, W1, W1 + H1, 2.0 * W1 + H1]
 
     def hull_path(t_from, t_to, clockwise):
-        # hull corner points strictly between two perimeter positions,
-        # walking the given direction
         out = []
         if clockwise:
             span = (t_to - t_from) % per
-            cs = sorted(((ct - t_from) % per, i) for i, ct in enumerate(_CORNER_T))
+            cs = sorted(((ct - t_from) % per, i) for i, ct in enumerate(corner_t))
         else:
             span = (t_from - t_to) % per
-            cs = sorted(((t_from - ct) % per, i) for i, ct in enumerate(_CORNER_T))
+            cs = sorted(((t_from - ct) % per, i) for i, ct in enumerate(corner_t))
         for d, i in cs:
             if 0.0 < d < span:
-                out.append(_CORNERS[i])
+                out.append(corners[i])
         return out
 
-    from gdal_spark.kernels.pip import points_in_polygon as _pip
-
     def close_open(coords, inside):
-        # close an open polyline along the hull, on the side holding
-        # the component inside-point (z > level)
         ts_, te_ = border_t(coords[0]), border_t(coords[-1])
         if ts_ is None or te_ is None:
             return None  # endpoint off-hull (degenerate junction): skip
@@ -523,33 +495,67 @@ def contour_polygons(
             {"sx": int(r["sx"]), "sy": int(r["sy"]), "coords": coords,
              "area": abs(area), "bbox": bbox}
         )
+    return rings
 
-    def contains(big, small) -> bool:
-        bb, sb = big["bbox"], small["bbox"]
-        if not (bb[0] <= sb[0] and bb[1] <= sb[1] and bb[2] >= sb[2] and bb[3] >= sb[3]):
-            return False
-        v = small["coords"][0]
-        return bool(
-            points_in_polygon(
-                np.array([v[0]]), np.array([v[1]]), [big["coords"]],
-                include_boundary=False,
-            )[0]
-        )
 
+def _ring_contains(big, small) -> bool:
+    from gdal_spark.kernels.pip import points_in_polygon
+
+    bb, sb = big["bbox"], small["bbox"]
+    if not (bb[0] <= sb[0] and bb[1] <= sb[1] and bb[2] >= sb[2] and bb[3] >= sb[3]):
+        return False
+    v = small["coords"][0]
+    return bool(
+        points_in_polygon(
+            np.array([v[0]]), np.array([v[1]]), [big["coords"]],
+            include_boundary=False,
+        )[0]
+    )
+
+
+def _nest(rings):
+    """depth + innermost-container parent for each ring dict."""
     containers = [
-        [j for j, other in enumerate(rings) if j != i and contains(other, rings[i])]
+        [j for j, other in enumerate(rings) if j != i and _ring_contains(other, rings[i])]
         for i in range(len(rings))
     ]
     for i, ring in enumerate(rings):
         ring["depth"] = len(containers[i])
     for i, ring in enumerate(rings):
-        # parent = innermost container (the one with the greatest depth)
         ring["parent"] = (
             max(containers[i], key=lambda j: rings[j]["depth"])
             if containers[i] else None
         )
+    return containers
+
+
+def contour_polygons(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """FILLED contour polygons — ``gdal contour -p`` / ``--polygonize``
+    (apps/gdalalg_raster_contour.cpp, writer alg/contour.cpp
+    PolygonRingAppender): the region where z > level becomes polygons
+    whose boundaries are the iso-rings, holes where the surface dips
+    back below the level.
+
+    Build: ``contour_linestrings`` assembles the ordered closed rings
+    distributedly (the heavy part — O(raster) marching squares + the
+    component shuffle); ring NESTING then runs on the collected ring
+    metadata — rings are O(features), the same small-graph judgment as
+    the polygonize merge map (a broadcast R-tree drops in beyond
+    driver memory).  A ring is a HOLE iff an odd number of other rings
+    contain it; its parent is the innermost container.  Open polylines
+    (clipped at the raster edge) close along the pixel-center hull —
+    direction picked by ray-casting the component's inside-point hint.
+
+    Emits (sx, sy, n_rings, parea, wkb)."""
+    from gdal_spark.kernels import wkb as Wk
+
+    spark = tiles.sparkSession
+    rings = _closed_rings(tiles, level, tile_size, width, height)
+    _nest(rings)
     out_rows = []
-    for i, ring in enumerate(rings):
+    for ring in rings:
         if ring["depth"] % 2 != 0:
             continue  # odd depth = hole, attached to its parent below
         holes = [r for r in rings if r["parent"] is not None and rings[r["parent"]] is ring]
@@ -561,3 +567,77 @@ def contour_polygons(
     if not out_rows:
         return spark.createDataFrame([], POLY_SCHEMA)
     return spark.createDataFrame(out_rows, POLY_SCHEMA)
+
+
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("sx", T.LongType()),
+        T.StructField("sy", T.LongType()),
+        T.StructField("n_rings", T.IntegerType()),
+        T.StructField("parea", T.DoubleType()),
+        T.StructField("wkb", T.BinaryType()),
+    ]
+)
+
+
+def contour_bands(
+    tiles: DataFrame, levels, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """MULTI-LEVEL filled contour bands — the full ``gdal contour -p``
+    output: one polygon set per interval (levels[b], levels[b+1]],
+    plus the top band above the last level.
+
+    All levels' rings nest TOGETHER; crossing a level-L ring toggles
+    the "above L" state, so the band just inside any ring is read off
+    the parity of each level among its containers (plus itself).  A
+    ring is a band-polygon EXTERIOR where the inside state maps to its
+    band and the outside state doesn't; every direct child flips some
+    toggle and is therefore a hole of that polygon.  Emits
+    (band, sx, sy, n_rings, parea, wkb) with band b = interval index
+    (z in (levels[b], levels[b+1]]), len(levels)-1 = top band."""
+    from gdal_spark.kernels import wkb as Wk
+
+    spark = tiles.sparkSession
+    rings = []
+    for li, level in enumerate(levels):
+        for r in _closed_rings(tiles, level, tile_size, width, height):
+            r["lvl"] = li
+            rings.append(r)
+    _nest(rings)
+
+    nlev = len(levels)
+
+    def band_inside(ring):
+        # parity of each level's rings among containers ∪ {self}
+        par = [0] * nlev
+        par[ring["lvl"]] ^= 1
+        p = ring["parent"]
+        while p is not None:
+            par[rings[p]["lvl"]] ^= 1
+            p = rings[p]["parent"]
+        # highest level still "on" determines the band; band b means
+        # above levels[b] but not above levels[b+1]
+        top = -1
+        for li in range(nlev):
+            if par[li]:
+                top = li
+        return top
+
+    out_rows = []
+    for ring in rings:
+        inside = band_inside(ring)
+        # outside state = inside minus own toggle
+        parent = ring["parent"]
+        outside = band_inside(rings[parent]) if parent is not None else -1
+        if inside == -1 or inside == outside:
+            continue  # not a band exterior (below all levels inside)
+        holes = [r for r in rings if r["parent"] is not None and rings[r["parent"]] is ring]
+        parea = ring["area"] - sum(h["area"] for h in holes)
+        blob = Wk.polygon_wkb([ring["coords"]] + [h["coords"] for h in holes])
+        out_rows.append(
+            (int(inside), ring["sx"], ring["sy"], 1 + len(holes), float(parea), blob)
+        )
+    if not out_rows:
+        return spark.createDataFrame([], BAND_SCHEMA)
+    return spark.createDataFrame(out_rows, BAND_SCHEMA)

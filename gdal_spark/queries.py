@@ -3209,3 +3209,59 @@ def q97(spark, sf_dir):
             F.sum("v").alias("checksum_sum"),
         )
     )
+
+
+def _q98_rows(spark, sf_dir) -> list[tuple]:
+    """q26 rects burned 2.0; rects ≥5×5 get a 2px-inset inner rect
+    burned 4.0 — a second, higher band."""
+    out, inners = [], []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        x0 = (k % 8) * 16 + 2
+        y0 = (k // 8) * 16 + 3
+        w = 3 + k % 9
+        h = 2 + k % 7
+        ring = np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+        out.append((2.0, W.polygon_wkb([ring])))
+        if w >= 5 and h >= 5:
+            xi, yi, wi, hi = x0 + 2, y0 + 2, w - 4, h - 4
+            iring = np.array(
+                [[xi, yi], [xi + wi, yi], [xi + wi, yi + hi], [xi, yi + hi], [xi, yi]],
+                dtype=np.float64,
+            )
+            inners.append((4.0, W.polygon_wkb([iring])))
+    return out + inners
+
+
+@query(
+    "q98_contour_bands",
+    f"""WITH r AS ({Q26_RECTS_SQL})
+       SELECT CAST(0 AS INT) AS band,
+              CAST(2*x0 - 1 AS BIGINT) AS sx, CAST(2*y0 AS BIGINT) AS sy,
+              CAST(CASE WHEN w >= 5 AND h >= 5 THEN 2 ELSE 1 END AS INT) AS n_rings,
+              round(CASE WHEN w >= 5 AND h >= 5
+                    THEN CAST(w*h - (w-4)*(h-4) AS DOUBLE)
+                    ELSE w*h - 0.5 END, 6) AS parea
+       FROM r
+       UNION ALL
+       SELECT 1, CAST(2*(x0+2) - 1 AS BIGINT), CAST(2*(y0+2) AS BIGINT),
+              1, round((w-4)*(h-4) - 0.5, 6)
+       FROM r WHERE w >= 5 AND h >= 5""",
+)
+def q98(spark, sf_dir):
+    """MULTI-LEVEL contour bands (full gdal contour -p output): plateau
+    value 2 with value-4 cores, levels (1, 3) → band 0 = (1,3]
+    annulus polygons with holes at the cores, band 1 = the cores; all
+    levels' rings nest together and band membership reads off per-level
+    containment parity."""
+    from gdal_spark.operators.contour import contour_bands
+
+    feats = spark.createDataFrame(_q98_rows(spark, sf_dir), "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = contour_bands(tiles, (1.0, 3.0), 32, 128, 128)
+    return out.select(
+        "band", "sx", "sy", "n_rings", F.round(F.col("parea"), 6).alias("parea")
+    )
