@@ -96,6 +96,7 @@ HEADLINE = [
     "q96_zonal_mode_variety",
     "q97_tile_index",
     "q98_contour_bands",
+    "q99_viewshed",
 ]
 
 

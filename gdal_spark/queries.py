@@ -3265,3 +3265,55 @@ def q98(spark, sf_dir):
     return out.select(
         "band", "sx", "sy", "n_rings", F.round(F.col("parea"), 6).alias("parea")
     )
+
+
+_VS_ZEYE = f"(({_z_sql('64', '64')}) + 2.0)"
+
+
+@query(
+    "q99_viewshed",
+    f"""WITH RECURSIVE t AS (
+         SELECT gx.range AS px, gy.range AS py,
+                gx.range - 64 AS dx, gy.range - 64 AS dy,
+                greatest(abs(gx.range - 64), abs(gy.range - 64)) AS n
+         FROM range(128) gx, range(128) gy),
+       walk(px, py, dx, dy, n, i, m) AS (
+         SELECT px, py, dx, dy, n, 1, CAST('-infinity' AS DOUBLE)
+         FROM t WHERE n > 1
+         UNION ALL
+         SELECT px, py, dx, dy, n, i + 1,
+                greatest(m,
+                  (({_z_sql('x0', 'y0')}) * (1.0 - fx) * (1.0 - fy)
+                   + ({_z_sql('x1', 'y0')}) * fx * (1.0 - fy)
+                   + ({_z_sql('x0', 'y1')}) * (1.0 - fx) * fy
+                   + ({_z_sql('x1', 'y1')}) * fx * fy
+                   - {_VS_ZEYE}) * CAST(n AS DOUBLE) / CAST(i AS DOUBLE))
+         FROM (
+           SELECT *,
+                  CAST(floor(x) AS BIGINT) AS x0, CAST(floor(y) AS BIGINT) AS y0,
+                  least(CAST(floor(x) AS BIGINT) + 1, 127) AS x1,
+                  least(CAST(floor(y) AS BIGINT) + 1, 127) AS y1,
+                  x - floor(x) AS fx, y - floor(y) AS fy
+           FROM (
+             SELECT px, py, dx, dy, n, i, m,
+                    64 + CAST(i * dx AS DOUBLE) / CAST(n AS DOUBLE) AS x,
+                    64 + CAST(i * dy AS DOUBLE) / CAST(n AS DOUBLE) AS y
+             FROM walk WHERE i < n))),
+       fin AS (SELECT px, py, m FROM walk WHERE i = n)
+       SELECT t.px AS gx, t.py AS gy,
+              CASE WHEN t.n = 0 THEN TRUE
+                   ELSE ({_z_sql('t.px', 't.py')}) - {_VS_ZEYE}
+                        >= coalesce(f.m, CAST('-infinity' AS DOUBLE)) END AS visible
+       FROM t LEFT JOIN fin f ON f.px = t.px AND f.py = t.py""",
+)
+def q99(spark, sf_dir):
+    """VIEWSHED (gdal_viewshed, alg/viewshed/viewshed.cpp) with pinned
+    LOS semantics: dominant-axis crossings, linear interpolation on
+    the off axis, tangent comparison with the common distance factor
+    cancelled — the oracle replays every sight line as a recursive
+    CTE (~1M exact steps) and matches per-pixel booleans."""
+    from gdal_spark.operators.viewshed import viewshed_tiles
+
+    return viewshed_tiles(
+        _dem_tiles(spark), DEM_TILE, DEM_W, DEM_H, ox=64, oy=64, eye_height=2.0
+    )
