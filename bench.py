@@ -97,6 +97,7 @@ HEADLINE = [
     "q97_tile_index",
     "q98_contour_bands",
     "q99_viewshed",
+    "q100_flagship_density",
 ]
 
 

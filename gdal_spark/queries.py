@@ -3317,3 +3317,58 @@ def q99(spark, sf_dir):
     return viewshed_tiles(
         _dem_tiles(spark), DEM_TILE, DEM_W, DEM_H, ox=64, oy=64, eye_height=2.0
     )
+
+
+@query(
+    "q100_flagship_density",
+    f"""WITH d AS (SELECT doc_id, doc_id % 15 AS ci FROM documents),
+       {_q87_cities_values()},
+       p AS (SELECT doc_id,
+                    'https://' || name || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                    blon, blat
+             FROM d JOIN c USING (ci)),
+       j AS (SELECT blon, blat,
+                    CAST(('0x' || substr(md5(url), 1, 16)) AS UBIGINT) AS h
+             FROM p),
+       g AS (SELECT blon + (CAST(h % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lon,
+                    blat + (CAST((h >> 20) % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lat
+             FROM j),
+       zz AS (SELECT g.lon, g.lat, c2.ci AS zone_id
+              FROM g JOIN c c2
+              ON g.lon >= c2.blon - 0.6 AND g.lon <= c2.blon + 0.6
+             AND g.lat >= c2.blat - 0.6 AND g.lat <= c2.blat + 0.6),
+       k AS (SELECT zone_id,
+                    9*144115188075855872
+                      + CAST(floor((lon+180)/360.0*512) AS BIGINT)*268435456
+                      + CAST(floor((90-lat)/180.0*512) AS BIGINT) AS cell9
+             FROM zz)
+       SELECT zone_id, cell9, count(*) AS n FROM k GROUP BY zone_id, cell9""",
+)
+def q100(spark, sf_dir):
+    """The NORTH-STAR pipeline end-to-end as ONE oracle-checked query:
+    pages geocoded from text (real md5-jitter pandas UDF), fused
+    res-9 cell encode, broadcast cell-cover + exact-PIP zone join
+    against the metro polygons, and the per-(zone, cell) web-density
+    rollup — the tile table the whole engine exists to produce.  The
+    oracle replays geocode bit-for-bit (hex-parsed md5) and the PIP as
+    exact interval predicates on the rect zones."""
+    from gdal_spark.operators.spatial_join import spatial_join_points_in_polygons
+    from gdal_spark.plans.pipeline import metro_zones
+    from gdal_spark.sources.pages import CITIES, geocode_encode
+
+    name_arr = F.array(*[F.lit(c[0]) for c in CITIES])
+    ci = (F.col("doc_id") % 15).cast("int")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.element_at(name_arr, ci + 1),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.element_at(name_arr, ci + 1), F.lit(" x")).alias("text"),
+    )
+    pts = geocode_encode(pages, res_list=(9,))
+    joined = spatial_join_points_in_polygons(
+        pts, metro_zones(), poly_id_col="zone_id"
+    )
+    return joined.groupBy("zone_id", "cell9").agg(F.count("*").alias("n"))
