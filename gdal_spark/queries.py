@@ -1367,7 +1367,7 @@ def q57(spark, sf_dir):
               round((xmax - xmin) * (ymax - ymin), 6) AS area,
               (CAST(zone_id AS VARCHAR) LIKE '1%') AS starts1
        FROM zones WHERE zone_id BETWEEN 2 AND 20 AND zone_id % 2 = 0
-       ORDER BY area DESC LIMIT 8""",
+       ORDER BY area DESC, fid LIMIT 8""",
 )
 def q39(spark, sf_dir):
     """ExecuteSQL veneer: OGR-SQL text (FID / OGR_GEOM_AREA pseudo-
@@ -1382,7 +1382,7 @@ def q39(spark, sf_dir):
         """SELECT FID, round(OGR_GEOM_AREA, 6) AS area,
                   (CAST(FID AS STRING) LIKE '1%') AS starts1
            FROM zones WHERE FID BETWEEN 2 AND 20 AND FID % 2 = 0
-           ORDER BY area DESC LIMIT 8""",
+           ORDER BY area DESC, FID LIMIT 8""",
         layers={"zones": layer},
     )
     return out
