@@ -128,6 +128,7 @@ def contour_cells(
 
 SEG_SCHEMA = T.StructType(
     [
+        T.StructField("lvl", T.IntegerType()),
         T.StructField("seg", T.LongType()),
         T.StructField("x1", T.DoubleType()),
         T.StructField("y1", T.DoubleType()),
@@ -164,14 +165,18 @@ _SADDLE = {
 }
 
 
-def contour_segments(
-    tiles: DataFrame, level: float, tile_size: int, width: int, height: int
+def contour_segments_multi(
+    tiles: DataFrame, levels, tile_size: int, width: int, height: int
 ) -> DataFrame:
-    """One row per iso-line SEGMENT with exact endpoints in global cell
-    coords and a deterministic id ((cy·(W−1)+cx)·2 + slot).  Endpoint
-    floats are identical wherever two cells share an edge crossing (the
-    same two pixels feed the same interpolation), which is what lets
-    polyline assembly join on them exactly."""
+    """One row per (level, iso-line SEGMENT) with exact endpoints in
+    global cell coords and a deterministic id ((cy·(W−1)+cx)·2 + slot).
+    ALL levels are computed in ONE halo exchange + one applyInPandas
+    pass (the reference's contour writer also walks each block once for
+    every level, alg/contour.cpp).  Endpoint floats are identical
+    wherever two cells share an edge crossing (the same two pixels feed
+    the same interpolation), which is what lets polyline assembly join
+    on them exactly."""
+    levels = [float(l) for l in levels]
     ntx = (width + tile_size - 1) // tile_size
     nty = (height + tile_size - 1) // tile_size
     ts = tile_size
@@ -183,58 +188,63 @@ def contour_segments(
         c = slice(1, 1 + ts)
         p1 = slice(2, 2 + ts)
         zTL, zTR, zBR, zBL = z[c, c], z[c, p1], z[p1, p1], z[p1, c]
-        L = level
-        case = (
-            (zTL > L).astype(np.int64) + 2 * (zTR > L).astype(np.int64)
-            + 4 * (zBR > L).astype(np.int64) + 8 * (zBL > L).astype(np.int64)
-        )
         gx = np.arange(ts) + tx * ts
         gy = np.arange(ts) + ty * ts
         GX, GY = np.meshgrid(gx, gy)
         valid = (GX < width - 1) & (GY < height - 1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tt = (L - zTL) / (zTR - zTL)
-            tr = (L - zTR) / (zBR - zTR)
-            tb = (L - zBL) / (zBR - zBL)
-            tl = (L - zTL) / (zBL - zTL)
-        center = (zTL + zTR + zBR + zBL) / 4.0
         CX = GX.astype(np.float64)
         CY = GY.astype(np.float64)
-        pts = {
-            "T": (CX + tt, CY),
-            "R": (CX + 1.0, CY + tr),
-            "B": (CX + tb, CY + 1.0),
-            "L": (CX, CY + tl),
-        }
         rows = []
-        for k in range(1, 15):
-            if k in (0, 15):
-                continue
-            m = (case == k) & valid
-            if not m.any():
-                continue
-            ys, xs = np.nonzero(m)
-            if k in _SADDLE:
-                hi, lo = _SADDLE[k]
-                for which, sel in ((hi, center[ys, xs] > L), (lo, ~(center[ys, xs] > L))):
-                    yy, xx = ys[sel], xs[sel]
-                    for slot, (ea, eb) in enumerate(which):
-                        _emit(rows, pts, ea, eb, xx, yy, GX, GY, slot, width, k)
-            else:
-                for slot, (ea, eb) in enumerate(_CASE_SEGS[k]):
-                    _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k)
+        for li, L in enumerate(levels):
+            case = (
+                (zTL > L).astype(np.int64) + 2 * (zTR > L).astype(np.int64)
+                + 4 * (zBR > L).astype(np.int64) + 8 * (zBL > L).astype(np.int64)
+            )
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tt = (L - zTL) / (zTR - zTL)
+                tr = (L - zTR) / (zBR - zTR)
+                tb = (L - zBL) / (zBR - zBL)
+                tl = (L - zTL) / (zBL - zTL)
+            center = (zTL + zTR + zBR + zBL) / 4.0
+            pts = {
+                "T": (CX + tt, CY),
+                "R": (CX + 1.0, CY + tr),
+                "B": (CX + tb, CY + 1.0),
+                "L": (CX, CY + tl),
+            }
+            for k in range(1, 15):
+                m = (case == k) & valid
+                if not m.any():
+                    continue
+                ys, xs = np.nonzero(m)
+                if k in _SADDLE:
+                    hi, lo = _SADDLE[k]
+                    for which, sel in ((hi, center[ys, xs] > L), (lo, ~(center[ys, xs] > L))):
+                        yy, xx = ys[sel], xs[sel]
+                        for slot, (ea, eb) in enumerate(which):
+                            _emit(rows, pts, ea, eb, xx, yy, GX, GY, slot, width, k, li)
+                else:
+                    for slot, (ea, eb) in enumerate(_CASE_SEGS[k]):
+                        _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k, li)
         return pd.DataFrame(
             rows,
-            columns=["seg", "x1", "y1", "x2", "y2", "seg_len", "inx", "iny"],
+            columns=["lvl", "seg", "x1", "y1", "x2", "y2", "seg_len", "inx", "iny"],
         ) if rows else pd.DataFrame(
-            {"seg": [], "x1": [], "y1": [], "x2": [], "y2": [],
+            {"lvl": [], "seg": [], "x1": [], "y1": [], "x2": [], "y2": [],
              "seg_len": [], "inx": [], "iny": []}
         )
 
     return strips.groupBy("tx", "ty").applyInPandas(per_tile, SEG_SCHEMA)
 
 
-def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k):
+def contour_segments(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int
+) -> DataFrame:
+    """Single-level segment table (see ``contour_segments_multi``)."""
+    return contour_segments_multi(tiles, [level], tile_size, width, height).drop("lvl")
+
+
+def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k, li):
     ax, ay = pts[ea]
     bx, by = pts[eb]
     ox, oy = _IN_CORNER[k]
@@ -244,31 +254,48 @@ def _emit(rows, pts, ea, eb, xs, ys, GX, GY, slot, width, k):
         dx, dy = x2 - x1, y2 - y1
         seg = (int(GY[y, x]) * (width - 1) + int(GX[y, x])) * 2 + slot
         rows.append(
-            (seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy)),
+            (li, seg, x1, y1, x2, y2, float(np.sqrt(dx * dx + dy * dy)),
              float(GX[y, x]) + ox, float(GY[y, x]) + oy)
         )
 
 
-def _tag_components(segs: DataFrame) -> DataFrame:
+def _tag_components(segs: DataFrame, nlev: int = 1) -> DataFrame:
     """Label each segment with its polyline component: segments sharing
-    an exact endpoint connect (identical doubles — both cells interpolate
-    the crossing from the same two pixels), components via pointer-
-    jumping CC."""
+    an exact endpoint AT THE SAME LEVEL connect (identical doubles —
+    both cells interpolate the crossing from the same two pixels),
+    components via pointer-jumping CC.  All levels' components resolve
+    in ONE CC run — node ids are seg·nlev + lvl, so component ids are
+    globally unique across levels.  ``segs`` must carry ``lvl`` when
+    nlev > 1 (it is synthesized as 0 otherwise)."""
     from gdal_spark.operators.graph import connected_components
 
-    ends = segs.select("seg", F.col("x1").alias("x"), F.col("y1").alias("y")).unionByName(
-        segs.select("seg", F.col("x2").alias("x"), F.col("y2").alias("y"))
+    if "lvl" not in segs.columns:
+        segs = segs.withColumn("lvl", F.lit(0))
+    segs = segs.withColumn("node", F.col("seg") * nlev + F.col("lvl"))
+    ends = segs.select(
+        "node", "lvl", F.col("x1").alias("x"), F.col("y1").alias("y")
+    ).unionByName(
+        segs.select("node", "lvl", F.col("x2").alias("x"), F.col("y2").alias("y"))
     )
-    a = ends.select(F.col("seg").alias("src"), "x", "y")
-    b = ends.select(F.col("seg").alias("dst"), "x", "y")
-    shared = a.join(b, ["x", "y"]).filter(F.col("src") != F.col("dst")).select("src", "dst")
-    selfloops = segs.select(F.col("seg").alias("src"), F.col("seg").alias("dst"))
+    a = ends.select(F.col("node").alias("src"), "lvl", "x", "y")
+    b = ends.select(F.col("node").alias("dst"), "lvl", "x", "y")
+    shared = (
+        a.join(b, ["lvl", "x", "y"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+    )
+    selfloops = segs.select(F.col("node").alias("src"), F.col("node").alias("dst"))
     comp = connected_components(shared.unionByName(selfloops))
-    return segs.join(comp.withColumnRenamed("node", "seg"), "seg"), ends, comp
+    return (
+        segs.join(comp, "node"),
+        ends.withColumnRenamed("node", "seg"),
+        comp.withColumnRenamed("node", "seg"),
+    )
 
 
 LINESTRING_SCHEMA = T.StructType(
     [
+        T.StructField("lvl", T.IntegerType()),
         T.StructField("component", T.LongType()),
         T.StructField("n_pts", T.IntegerType()),
         T.StructField("closed", T.BooleanType()),
@@ -284,13 +311,16 @@ LINESTRING_SCHEMA = T.StructType(
 )
 
 
-def contour_linestrings(
-    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+def contour_linestrings_multi(
+    tiles: DataFrame, levels, tile_size: int, width: int, height: int,
 ) -> DataFrame:
-    """Ordered polyline GEOMETRY per iso-line component (the reference's
-    contour writer emits one linestring per merged polyline,
-    alg/contour.cpp SegmentMerger/RingAppender): one shuffle keyed by
-    component, then a deterministic chain walk per component.
+    """Ordered polyline GEOMETRY per (level, iso-line component) — the
+    reference's contour writer emits one linestring per merged polyline
+    (alg/contour.cpp SegmentMerger/RingAppender): one shuffle keyed by
+    component, then a deterministic chain walk per component.  ALL
+    levels share one marching-squares pass and ONE connected-components
+    run (node = seg·nlev + lvl), so multi-level extraction costs one
+    extra case evaluation per level, not a full pipeline per level.
 
     Walk order contract (pinned for the oracle): open polylines start
     at the lexicographically smallest degree-1 endpoint; closed rings
@@ -304,14 +334,19 @@ def contour_linestrings(
     ORDER (all crossing coordinates are halves of integers whenever
     pixel values are integers and the level is a half-integer).
     length_u = Σ floor(seg_len·10⁶ + 0.5) as in ``contour_polylines``.
-    """
+
+    Degenerate levels (a crossing landing exactly on a pixel center
+    gives a vertex degree > 2) FAIL LOUDLY instead of silently dropping
+    the component's remaining segments."""
     from gdal_spark.kernels import wkb as W
 
-    segs = contour_segments(tiles, level, tile_size, width, height).persist()
-    tagged, _, _ = _tag_components(segs)
+    nlev = len(levels)
+    segs = contour_segments_multi(tiles, levels, tile_size, width, height).persist()
+    tagged, _, _ = _tag_components(segs, nlev)
 
     def walk(key, pdf: pd.DataFrame) -> pd.DataFrame:
         comp = int(key[0])
+        lvl = int(pdf["lvl"].iloc[0])
         adj: dict = {}
         for x1, y1, x2, y2, sl in zip(
             pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"], pdf["seg_len"]
@@ -329,7 +364,6 @@ def contour_linestrings(
         pts = [start]
         length_u = 0
         cur = start
-        prev = None
         while True:
             cands = [e for e in adj[cur] if not e[2]]
             if not cands:
@@ -343,16 +377,22 @@ def contour_linestrings(
                     e[2] = True
                     break
             length_u += int(np.floor(nxt[1] * 1e6 + 0.5))
-            prev, cur = cur, nxt[0]
+            cur = nxt[0]
             if cur == start:
                 break
             pts.append(cur)
+        if any(not e[2] for nbrs in adj.values() for e in nbrs):
+            raise ValueError(
+                "degenerate contour component (vertex degree > 2) — "
+                "pick a level that is not an attainable z value"
+            )
         seq = pts + [start] if closed else pts
         vx = sum((i + 1) * int(round(2 * p[0])) for i, p in enumerate(pts))
         vy = sum((i + 1) * int(round(2 * p[1])) for i, p in enumerate(pts))
         blob = W.linestring_wkb(np.array(seq, dtype=np.float64))
         return pd.DataFrame(
             {
+                "lvl": [lvl],
                 "component": [comp],
                 "n_pts": [len(pts)],
                 "closed": [closed],
@@ -368,6 +408,15 @@ def contour_linestrings(
         )
 
     return tagged.groupBy("component").applyInPandas(walk, LINESTRING_SCHEMA)
+
+
+def contour_linestrings(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """Single-level linestrings (see ``contour_linestrings_multi``)."""
+    return contour_linestrings_multi(
+        tiles, [level], tile_size, width, height
+    ).drop("lvl")
 
 
 def contour_polylines(
@@ -406,31 +455,39 @@ def contour_polylines(
     )
 
 
-POLY_SCHEMA = T.StructType(
+RING_SCHEMA = T.StructType(
     [
+        T.StructField("lvl", T.IntegerType()),
+        T.StructField("rid", T.LongType()),
         T.StructField("sx", T.LongType()),
         T.StructField("sy", T.LongType()),
-        T.StructField("n_rings", T.IntegerType()),
-        T.StructField("parea", T.DoubleType()),
-        T.StructField("wkb", T.BinaryType()),
+        T.StructField("area", T.DoubleType()),
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+        T.StructField("vx", T.DoubleType()),
+        T.StructField("vy", T.DoubleType()),
+        T.StructField("coords", T.BinaryType()),
     ]
 )
 
 
-def _closed_rings(tiles, level, tile_size, width, height):
-    """Collect the level's iso-rings as CLOSED coordinate arrays:
-    ``contour_linestrings`` does the distributed assembly; open
-    polylines (clipped at the raster edge) close along the pixel-center
-    hull on the side holding their inside-point hint.  Returns ring
-    dicts (sx, sy, coords, area, bbox) — O(features) metadata."""
+def _ring_table(lines: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed closed-ring table from ``contour_linestrings_multi``
+    output: open polylines (clipped at the raster edge) close along the
+    pixel-center hull — direction picked by ray-casting the component's
+    inside-point hint.  Every ring is independent, so the closure is a
+    ``mapInPandas`` over the lines; NOTHING collects to the driver.
+    Rows carry O(1) metadata (bbox, |area|, first vertex as containment
+    probe) plus the closed coords as a linestring blob."""
     from gdal_spark.kernels import wkb as Wk
     from gdal_spark.kernels.pip import points_in_polygon as _pip
 
-    lines = contour_linestrings(tiles, level, tile_size, width, height)
-    rows = lines.select("sx", "sy", "closed", "ix", "iy", "wkb").collect()
-
     W1, H1 = float(width - 1), float(height - 1)
     per = 2.0 * (W1 + H1)
+    corners = [(0.0, 0.0), (W1, 0.0), (W1, H1), (0.0, H1)]
+    corner_t = [0.0, W1, W1 + H1, 2.0 * W1 + H1]
 
     def border_t(p):
         x, y = float(p[0]), float(p[1])
@@ -443,9 +500,6 @@ def _closed_rings(tiles, level, tile_size, width, height):
         if x == 0.0:
             return 2.0 * W1 + H1 + (H1 - y)
         return None
-
-    corners = [(0.0, 0.0), (W1, 0.0), (W1, H1), (0.0, H1)]
-    corner_t = [0.0, W1, W1 + H1, 2.0 * W1 + H1]
 
     def hull_path(t_from, t_to, clockwise):
         out = []
@@ -476,98 +530,115 @@ def _closed_rings(tiles, level, tile_size, width, height):
                 return ring
         return None
 
-    rings = []
-    for r in rows:
-        coords = Wk.parse_wkb(bytes(r["wkb"]))[1]
-        if not r["closed"]:
-            closed_ring = close_open(coords, (r["ix"], r["iy"]))
-            if closed_ring is None:
-                continue
-            coords = closed_ring
-        area = 0.5 * float(
-            np.sum(coords[:-1, 0] * coords[1:, 1] - coords[1:, 0] * coords[:-1, 1])
-        )
-        bbox = (
-            float(coords[:, 0].min()), float(coords[:, 1].min()),
-            float(coords[:, 0].max()), float(coords[:, 1].max()),
-        )
-        rings.append(
-            {"sx": int(r["sx"]), "sy": int(r["sy"]), "coords": coords,
-             "area": abs(area), "bbox": bbox}
-        )
-    return rings
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, r in pdf.iterrows():
+                coords = Wk.parse_wkb(bytes(r["wkb"]))[1]
+                if not r["closed"]:
+                    ring = close_open(coords, (float(r["ix"]), float(r["iy"])))
+                    if ring is None:
+                        continue
+                    coords = ring
+                area = 0.5 * float(
+                    np.sum(coords[:-1, 0] * coords[1:, 1] - coords[1:, 0] * coords[:-1, 1])
+                )
+                rows.append(
+                    (
+                        int(r["lvl"]), int(r["component"]),
+                        int(r["sx"]), int(r["sy"]), abs(area),
+                        float(coords[:, 0].min()), float(coords[:, 1].min()),
+                        float(coords[:, 0].max()), float(coords[:, 1].max()),
+                        float(coords[0, 0]), float(coords[0, 1]),
+                        Wk.linestring_wkb(coords),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "lvl", "rid", "sx", "sy", "area",
+                    "xmin", "ymin", "xmax", "ymax", "vx", "vy", "coords",
+                ],
+            )
+
+    return lines.mapInPandas(gen, RING_SCHEMA)
 
 
-def _ring_contains(big, small) -> bool:
-    from gdal_spark.kernels.pip import points_in_polygon
+_PAIR_SCHEMA = T.StructType(
+    [
+        T.StructField("h_lvl", T.IntegerType()),
+        T.StructField("h_rid", T.LongType()),
+        T.StructField("c_lvl", T.IntegerType()),
+        T.StructField("c_rid", T.LongType()),
+    ]
+)
 
-    bb, sb = big["bbox"], small["bbox"]
-    if not (bb[0] <= sb[0] and bb[1] <= sb[1] and bb[2] >= sb[2] and bb[3] >= sb[3]):
-        return False
-    v = small["coords"][0]
-    return bool(
-        points_in_polygon(
-            np.array([v[0]]), np.array([v[1]]), [big["coords"]],
-            include_boundary=False,
-        )[0]
+
+def _containment_pairs(rings: DataFrame, band_w: float) -> DataFrame:
+    """(hole-candidate, container) pairs, fully distributed: candidate
+    generation is an equi-join on x-bands (containers explode to the
+    bands their bbox spans; each containee probes exactly ONE band with
+    its test vertex, so pairs appear once), filtered by bbox
+    containment, then verified by the exact PIP kernel vectorized per
+    container inside a ``mapInPandas``.  O(candidate pairs) work —
+    never O(rings²)."""
+    from gdal_spark.kernels import wkb as Wk
+    from gdal_spark.kernels.pip import points_in_polygon as _pip
+
+    cont = rings.select(
+        F.col("lvl").alias("c_lvl"), F.col("rid").alias("c_rid"),
+        F.col("xmin").alias("cxmin"), F.col("ymin").alias("cymin"),
+        F.col("xmax").alias("cxmax"), F.col("ymax").alias("cymax"),
+        F.col("coords").alias("c_coords"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col("xmin") / band_w), F.floor(F.col("xmax") / band_w)
+            )
+        ).alias("bx"),
+    )
+    child = rings.select(
+        F.col("lvl").alias("h_lvl"), F.col("rid").alias("h_rid"),
+        "xmin", "ymin", "xmax", "ymax", "vx", "vy",
+        F.floor(F.col("vx") / band_w).alias("bx"),
+    )
+    cand = child.join(cont, "bx").filter(
+        (F.col("cxmin") <= F.col("xmin"))
+        & (F.col("cymin") <= F.col("ymin"))
+        & (F.col("cxmax") >= F.col("xmax"))
+        & (F.col("cymax") >= F.col("ymax"))
+        & ~((F.col("c_lvl") == F.col("h_lvl")) & (F.col("c_rid") == F.col("h_rid")))
     )
 
+    def verify(pdf_iter):
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {"h_lvl": [], "h_rid": [], "c_lvl": [], "c_rid": []}
+                )
+                continue
+            outs = []
+            for (cl, cr), g in pdf.groupby(["c_lvl", "c_rid"], sort=False):
+                ring = Wk.parse_wkb(bytes(g["c_coords"].iloc[0]))[1]
+                inside = _pip(
+                    g["vx"].to_numpy(), g["vy"].to_numpy(), [ring],
+                    include_boundary=False,
+                )
+                kept = g.loc[np.asarray(inside, dtype=bool), ["h_lvl", "h_rid"]]
+                if len(kept):
+                    kept = kept.copy()
+                    kept["c_lvl"] = int(cl)
+                    kept["c_rid"] = int(cr)
+                    outs.append(kept)
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({"h_lvl": [], "h_rid": [], "c_lvl": [], "c_rid": []})
+            )
 
-def _nest(rings):
-    """depth + innermost-container parent for each ring dict."""
-    containers = [
-        [j for j, other in enumerate(rings) if j != i and _ring_contains(other, rings[i])]
-        for i in range(len(rings))
-    ]
-    for i, ring in enumerate(rings):
-        ring["depth"] = len(containers[i])
-    for i, ring in enumerate(rings):
-        ring["parent"] = (
-            max(containers[i], key=lambda j: rings[j]["depth"])
-            if containers[i] else None
-        )
-    return containers
+    return cand.mapInPandas(verify, _PAIR_SCHEMA)
 
 
-def contour_polygons(
-    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
-) -> DataFrame:
-    """FILLED contour polygons — ``gdal contour -p`` / ``--polygonize``
-    (apps/gdalalg_raster_contour.cpp, writer alg/contour.cpp
-    PolygonRingAppender): the region where z > level becomes polygons
-    whose boundaries are the iso-rings, holes where the surface dips
-    back below the level.
-
-    Build: ``contour_linestrings`` assembles the ordered closed rings
-    distributedly (the heavy part — O(raster) marching squares + the
-    component shuffle); ring NESTING then runs on the collected ring
-    metadata — rings are O(features), the same small-graph judgment as
-    the polygonize merge map (a broadcast R-tree drops in beyond
-    driver memory).  A ring is a HOLE iff an odd number of other rings
-    contain it; its parent is the innermost container.  Open polylines
-    (clipped at the raster edge) close along the pixel-center hull —
-    direction picked by ray-casting the component's inside-point hint.
-
-    Emits (sx, sy, n_rings, parea, wkb)."""
-    from gdal_spark.kernels import wkb as Wk
-
-    spark = tiles.sparkSession
-    rings = _closed_rings(tiles, level, tile_size, width, height)
-    _nest(rings)
-    out_rows = []
-    for ring in rings:
-        if ring["depth"] % 2 != 0:
-            continue  # odd depth = hole, attached to its parent below
-        holes = [r for r in rings if r["parent"] is not None and rings[r["parent"]] is ring]
-        parea = ring["area"] - sum(h["area"] for h in holes)
-        blob = Wk.polygon_wkb([ring["coords"]] + [h["coords"] for h in holes])
-        out_rows.append(
-            (ring["sx"], ring["sy"], 1 + len(holes), float(parea), blob)
-        )
-    if not out_rows:
-        return spark.createDataFrame([], POLY_SCHEMA)
-    return spark.createDataFrame(out_rows, POLY_SCHEMA)
-
+POLY_OUT_COLS = ["band", "sx", "sy", "n_rings", "parea", "wkb"]
 
 BAND_SCHEMA = T.StructType(
     [
@@ -583,61 +654,149 @@ BAND_SCHEMA = T.StructType(
 
 def contour_bands(
     tiles: DataFrame, levels, tile_size: int, width: int, height: int,
+    band_w: float | None = None,
 ) -> DataFrame:
     """MULTI-LEVEL filled contour bands — the full ``gdal contour -p``
-    output: one polygon set per interval (levels[b], levels[b+1]],
-    plus the top band above the last level.
+    output (apps/gdalalg_raster_contour.cpp, writer alg/contour.cpp
+    PolygonRingAppender): one polygon set per interval
+    (levels[b], levels[b+1]], plus the top band above the last level.
 
-    All levels' rings nest TOGETHER; crossing a level-L ring toggles
-    the "above L" state, so the band just inside any ring is read off
-    the parity of each level among its containers (plus itself).  A
-    ring is a band-polygon EXTERIOR where the inside state maps to its
-    band and the outside state doesn't; every direct child flips some
-    toggle and is therefore a hole of that polygon.  Emits
-    (band, sx, sy, n_rings, parea, wkb) with band b = interval index
-    (z in (levels[b], levels[b+1]]), len(levels)-1 = top band."""
+    Fully distributed plan — no per-feature geometry ever reaches the
+    driver:
+
+      1. ``contour_linestrings_multi`` assembles ALL levels' ordered
+         rings in one marching-squares pass + one CC run;
+      2. ``_ring_table`` closes edge-clipped polylines along the hull
+         (per-ring local work in a ``mapInPandas``);
+      3. ring nesting = x-band equi-join candidates + exact-PIP verify
+         (``_containment_pairs``);
+      4. crossing a level-L ring toggles the "above L" state, so the
+         band inside any ring is the HIGHEST level with odd parity
+         among its containers ∪ itself — parity is a groupBy over the
+         verified pairs (plus a self row), no parent-chain walk;
+      5. a ring is a band-polygon EXTERIOR iff its inside band differs
+         from its innermost container's (= outside) band; its direct
+         children (innermost container = this ring) are its holes;
+      6. polygon assembly = one shuffle keyed by the exterior ring,
+         ``applyInPandas`` concatenates hole rings (sorted by (sy, sx,
+         rid) — deterministic float summation order for parea).
+
+    Emits (band, sx, sy, n_rings, parea, wkb) with band b = interval
+    index (z in (levels[b], levels[b+1]]), len(levels)-1 = top band."""
+    from pyspark.sql import Window
+
     from gdal_spark.kernels import wkb as Wk
 
-    spark = tiles.sparkSession
-    rings = []
-    for li, level in enumerate(levels):
-        for r in _closed_rings(tiles, level, tile_size, width, height):
-            r["lvl"] = li
-            rings.append(r)
-    _nest(rings)
-
     nlev = len(levels)
+    lines = contour_linestrings_multi(tiles, levels, tile_size, width, height)
+    rings = _ring_table(lines, width, height).persist()
+    bw = float(band_w if band_w is not None else max(tile_size, 16))
+    pairs = _containment_pairs(rings, bw).persist()
 
-    def band_inside(ring):
-        # parity of each level's rings among containers ∪ {self}
-        par = [0] * nlev
-        par[ring["lvl"]] ^= 1
-        p = ring["parent"]
-        while p is not None:
-            par[rings[p]["lvl"]] ^= 1
-            p = rings[p]["parent"]
-        # highest level still "on" determines the band; band b means
-        # above levels[b] but not above levels[b+1]
-        top = -1
-        for li in range(nlev):
-            if par[li]:
-                top = li
-        return top
+    # inside band: parity per container LEVEL over containers ∪ self
+    self_rows = rings.select(
+        F.col("lvl").alias("h_lvl"), F.col("rid").alias("h_rid"),
+        F.col("lvl").alias("c_lvl"),
+    )
+    par = (
+        pairs.select("h_lvl", "h_rid", "c_lvl")
+        .unionByName(self_rows)
+        .groupBy("h_lvl", "h_rid", "c_lvl")
+        .agg((F.count("*") % 2).alias("odd"))
+    )
+    inside = (
+        par.filter(F.col("odd") == 1)
+        .groupBy("h_lvl", "h_rid")
+        .agg(F.max("c_lvl").alias("inside"))
+        .withColumnRenamed("h_lvl", "lvl")
+        .withColumnRenamed("h_rid", "rid")
+    )
 
-    out_rows = []
-    for ring in rings:
-        inside = band_inside(ring)
-        # outside state = inside minus own toggle
-        parent = ring["parent"]
-        outside = band_inside(rings[parent]) if parent is not None else -1
-        if inside == -1 or inside == outside:
-            continue  # not a band exterior (below all levels inside)
-        holes = [r for r in rings if r["parent"] is not None and rings[r["parent"]] is ring]
-        parea = ring["area"] - sum(h["area"] for h in holes)
-        blob = Wk.polygon_wkb([ring["coords"]] + [h["coords"] for h in holes])
-        out_rows.append(
-            (int(inside), ring["sx"], ring["sy"], 1 + len(holes), float(parea), blob)
+    # parent = innermost container = the container with max depth
+    # (containers of a ring form a nesting chain, so depths are
+    # distinct; the order-by tail is only a determinism guard)
+    depth = pairs.groupBy("h_lvl", "h_rid").agg(F.count("*").alias("depth"))
+    cd = depth.select(
+        F.col("h_lvl").alias("c_lvl"), F.col("h_rid").alias("c_rid"),
+        F.col("depth").alias("c_depth"),
+    )
+    w = Window.partitionBy("h_lvl", "h_rid").orderBy(
+        F.desc("c_depth"), "c_lvl", "c_rid"
+    )
+    parent = (
+        pairs.join(cd, ["c_lvl", "c_rid"], "left")
+        .fillna({"c_depth": 0})
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("h_lvl").alias("lvl"), F.col("h_rid").alias("rid"),
+            F.col("c_lvl").alias("p_lvl"), F.col("c_rid").alias("p_rid"),
         )
-    if not out_rows:
-        return spark.createDataFrame([], BAND_SCHEMA)
-    return spark.createDataFrame(out_rows, BAND_SCHEMA)
+    )
+
+    r2 = (
+        rings.join(inside, ["lvl", "rid"], "left")
+        .withColumn("inside", F.coalesce("inside", F.lit(-1)))
+        .join(parent, ["lvl", "rid"], "left")
+    )
+    pin = r2.select(
+        F.col("lvl").alias("p_lvl"), F.col("rid").alias("p_rid"),
+        F.col("inside").alias("outside"),
+    )
+    r3 = r2.join(pin, ["p_lvl", "p_rid"], "left").withColumn(
+        "outside", F.coalesce("outside", F.lit(-1))
+    )
+
+    ext_rows = r3.filter(
+        (F.col("inside") != -1) & (F.col("inside") != F.col("outside"))
+    ).select(
+        F.col("lvl").alias("k_lvl"), F.col("rid").alias("k_rid"),
+        F.lit("E").alias("kind"), F.col("inside").alias("band"),
+        "sx", "sy", "area", "coords",
+    )
+    kid_rows = r3.filter(F.col("p_rid").isNotNull()).select(
+        F.col("p_lvl").alias("k_lvl"), F.col("p_rid").alias("k_rid"),
+        F.lit("H").alias("kind"), F.lit(None).cast("int").alias("band"),
+        "sx", "sy", "area", "coords",
+    )
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        e = pdf[pdf["kind"] == "E"]
+        if len(e) == 0:
+            return pd.DataFrame({c: [] for c in POLY_OUT_COLS})
+        ext = e.iloc[0]
+        holes = pdf[pdf["kind"] == "H"].sort_values(["sy", "sx"])
+        parea = float(ext["area"]) - sum(float(a) for a in holes["area"])
+        ext_coords = Wk.parse_wkb(bytes(ext["coords"]))[1]
+        hole_coords = [Wk.parse_wkb(bytes(b))[1] for b in holes["coords"]]
+        blob = Wk.polygon_wkb([ext_coords] + hole_coords)
+        return pd.DataFrame(
+            {
+                "band": [int(ext["band"])],
+                "sx": [int(ext["sx"])],
+                "sy": [int(ext["sy"])],
+                "n_rings": [1 + len(holes)],
+                "parea": [parea],
+                "wkb": [blob],
+            }
+        )
+
+    return (
+        ext_rows.unionByName(kid_rows)
+        .groupBy("k_lvl", "k_rid")
+        .applyInPandas(assemble, BAND_SCHEMA)
+    )
+
+
+def contour_polygons(
+    tiles: DataFrame, level: float, tile_size: int, width: int, height: int,
+) -> DataFrame:
+    """FILLED contour polygons — ``gdal contour -p`` / ``--polygonize``
+    for a single level: the region where z > level becomes polygons
+    whose boundaries are the iso-rings, holes where the surface dips
+    back below the level.  The single-level specialization of
+    ``contour_bands`` (depth-even rings are exactly the rings whose
+    single-level parity is odd and whose innermost container's parity
+    is even).  Emits (sx, sy, n_rings, parea, wkb) — all assembly
+    distributed, see ``contour_bands``."""
+    return contour_bands(tiles, [level], tile_size, width, height).drop("band")

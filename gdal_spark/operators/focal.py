@@ -83,10 +83,14 @@ def _emit_strips(tiles: DataFrame, tile_size: int, radius: int, ntx: int, nty: i
     return tiles.mapInPandas(gen, _EXCHANGE_SCHEMA)
 
 
-def _assemble_padded(pdf: pd.DataFrame, tile_size: int, radius: int) -> np.ndarray:
-    """Strip rows of one target tile → (ts+2r)² padded float64 array."""
+def _assemble_padded(
+    pdf: pd.DataFrame, tile_size: int, radius: int, fill: float = 0.0
+) -> np.ndarray:
+    """Strip rows of one target tile → (ts+2r)² padded float64 array.
+    Halo cells with no source strip (outside the raster) take ``fill``
+    — pass the nodata value when validity is inferred from != nodata."""
     ts, r = tile_size, radius
-    padded = np.zeros((ts + 2 * r, ts + 2 * r), dtype=np.float64)
+    padded = np.full((ts + 2 * r, ts + 2 * r), fill, dtype=np.float64)
     for _, row in pdf.iterrows():
         part = np.frombuffer(row["data"], dtype=np.float64).reshape(
             int(row["h"]), int(row["w"])
@@ -107,9 +111,20 @@ def _assemble_padded(pdf: pd.DataFrame, tile_size: int, radius: int) -> np.ndarr
     return padded
 
 
-def _apply_focal(tiles: DataFrame, tile_size: int, radius: int, ntx: int, nty: int, kernel):
+def _apply_focal(
+    tiles: DataFrame,
+    tile_size: int,
+    radius: int,
+    ntx: int,
+    nty: int,
+    kernel,
+    pad_fill: float = 0.0,
+    keep=None,
+):
     """Halo exchange then per-tile ``kernel(padded) -> (ts, ts) array``;
-    returns per-pixel rows (gx, gy, v) for nonzero outputs."""
+    returns per-pixel rows (gx, gy, v) for kept outputs (default:
+    nonzero; pass ``keep=lambda res: res != nodata`` for rasters whose
+    empty value isn't 0)."""
     strips = _emit_strips(tiles, tile_size, radius, ntx, nty)
     out_schema = T.StructType(
         [
@@ -122,9 +137,10 @@ def _apply_focal(tiles: DataFrame, tile_size: int, radius: int, ntx: int, nty: i
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         tx, ty = int(key[0]), int(key[1])
-        padded = _assemble_padded(pdf, ts, radius)
+        padded = _assemble_padded(pdf, ts, radius, fill=pad_fill)
         res = kernel(padded)
-        ys, xs = np.nonzero(res)
+        m = (res != 0) if keep is None else keep(res)
+        ys, xs = np.nonzero(m)
         return pd.DataFrame(
             {"gx": xs + tx * ts, "gy": ys + ty * ts, "v": res[ys, xs]}
         )
@@ -756,5 +772,8 @@ def fillnodata_tiles(
         out[~done] = nodata
         return out
 
-    res = _apply_focal(tiles, tile_size, r, ntx, nty, kern)
+    res = _apply_focal(
+        tiles, tile_size, r, ntx, nty, kern,
+        pad_fill=nodata, keep=lambda a: a != nodata,
+    )
     return res.filter((F.col("gx") < width) & (F.col("gy") < height))

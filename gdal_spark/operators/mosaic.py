@@ -54,14 +54,17 @@ def mosaic_tiles(
         tx, ty = int(key[0]), int(key[1])
         pdf = pdf.sort_values("_layer")
         out = np.full((ts, ts), nodata, dtype=np.float64)
+        # explicit occupancy mask: a composite ('sum' especially) can
+        # legitimately produce a value equal to nodata, so emptiness is
+        # tracked, never inferred from out == nodata
+        occupied = np.zeros((ts, ts), dtype=bool)
         for _, row in pdf.iterrows():
             arr = np.frombuffer(row["data"], dtype=np.dtype(row["dtype"])).reshape(
                 ts, ts
             ).astype(np.float64)
             valid = arr != nodata
-            empty = out == nodata  # composited values never equal nodata
-            both = valid & ~empty
-            fresh = valid & empty
+            both = valid & occupied
+            fresh = valid & ~occupied
             if method == "last":
                 out[valid] = arr[valid]
             elif method == "first":
@@ -75,6 +78,8 @@ def mosaic_tiles(
             elif method == "min":
                 out[both] = np.minimum(out[both], arr[both])
                 out[fresh] = arr[fresh]
+            occupied |= valid
+        out[~occupied] = nodata
         return pd.DataFrame(
             {"tx": [tx], "ty": [ty], "data": [out.tobytes()], "dtype": ["float64"]}
         )

@@ -80,10 +80,17 @@ def _tile_pass(tiles: DataFrame, nodata, connect8, tile_size):
                 for side, s, e, lab, dn in border_runs(arr, labels):
                     rows.append(("B", tx, ty, lab, float(dn), None, side, s, e, None))
                 # in-tile adjacency: different labels, both valid
-                for a, b in (
+                # (diagonal shifts included under 8-connectivity)
+                shifts = [
                     (labels[:, :-1], labels[:, 1:]),
                     (labels[:-1, :], labels[1:, :]),
-                ):
+                ]
+                if connect8:
+                    shifts += [
+                        (labels[:-1, :-1], labels[1:, 1:]),
+                        (labels[:-1, 1:], labels[1:, :-1]),
+                    ]
+                for a, b in shifts:
                     m = (a >= 0) & (b >= 0) & (a != b)
                     if m.any():
                         pairs = np.unique(
@@ -100,9 +107,13 @@ def _tile_pass(tiles: DataFrame, nodata, connect8, tile_size):
     return tiles.mapInPandas(gen, _MIX_SCHEMA)
 
 
-def _cross_tile_pairs(borders: DataFrame):
+def _cross_tile_pairs(borders: DataFrame, connect8: bool, tile_size: int):
     """Facing-run join WITHOUT the dn-equality predicate: overlapping
-    different-region contacts across tile edges (4-connected)."""
+    region contacts across tile edges.  Under 8-connectivity the
+    interval test relaxes to ±1 touch and the diagonal tile-corner
+    contacts are added — same geometry as ``polygonize._merge_edges``
+    but keeping (dn, rdn) so callers can split same-region merges
+    (dn == rdn) from cross-region adjacency (dn != rdn)."""
     right = (
         borders.withColumnRenamed("tx", "rtx")
         .withColumnRenamed("ty", "rty")
@@ -112,7 +123,10 @@ def _cross_tile_pairs(borders: DataFrame):
         .withColumnRenamed("end", "rend")
         .withColumnRenamed("dn", "rdn")
     )
-    ov = (F.col("rstart") < F.col("end")) & (F.col("rend") > F.col("start"))
+    if connect8:
+        ov = (F.col("rstart") <= F.col("end")) & (F.col("rend") >= F.col("start"))
+    else:
+        ov = (F.col("rstart") < F.col("end")) & (F.col("rend") > F.col("start"))
     east = borders.filter(F.col("side") == "E").join(
         right.filter(F.col("rside") == "W"),
         (F.col("rtx") == F.col("tx") + 1) & (F.col("rty") == F.col("ty")) & ov,
@@ -121,7 +135,25 @@ def _cross_tile_pairs(borders: DataFrame):
         right.filter(F.col("rside") == "N"),
         (F.col("rtx") == F.col("tx")) & (F.col("rty") == F.col("ty") + 1) & ov,
     )
-    return east.unionByName(south).select(
+    parts = [east, south]
+    if connect8:
+        se = borders.filter(
+            (F.col("side") == "S") & (F.col("end") == tile_size)
+        ).join(
+            right.filter((F.col("rside") == "N") & (F.col("rstart") == 0)),
+            (F.col("rtx") == F.col("tx") + 1) & (F.col("rty") == F.col("ty") + 1),
+        )
+        sw = borders.filter(
+            (F.col("side") == "S") & (F.col("start") == 0)
+        ).join(
+            right.filter((F.col("rside") == "N") & (F.col("rend") == tile_size)),
+            (F.col("rtx") == F.col("tx") - 1) & (F.col("rty") == F.col("ty") + 1),
+        )
+        parts += [se, sw]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
         "tx", "ty", "local_label", "dn", "rtx", "rty", "rlabel", "rdn"
     )
 
@@ -138,7 +170,7 @@ def sieve_tiles(
     spark = tiles.sparkSession
     mixed = _tile_pass(tiles, nodata, connect8, tile_size).persist()
     borders = mixed.filter(F.col("kind") == "B").drop("kind", "pixel_count", "lab_b")
-    pairs = _cross_tile_pairs(borders)
+    pairs = _cross_tile_pairs(borders, connect8, tile_size)
 
     # same-region merge edges = equal-dn facing overlaps
     same = pairs.filter(F.col("dn") == F.col("rdn")).collect()

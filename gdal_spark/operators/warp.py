@@ -54,10 +54,10 @@ _TILE_SCHEMA = T.StructType(
 )
 
 
-def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, bilinear):
+def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, method):
     """Column expressions for the source-pixel range a dst tile needs
-    along one axis.  Returns (lo_expr, hi_expr) as functions of the dst
-    tile index column."""
+    along one axis (``method`` in nearest|bilinear|cubic).  Returns
+    (lo_expr, hi_expr) as functions of the dst tile index column."""
 
     def bounds(dt_col):
         i0 = dt_col * ts
@@ -65,10 +65,10 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, bilinear):
         ua = (F.lit(gd_off) + (i0 + 0.5) * gd_scale - gs_off) / gs_scale
         ub = (F.lit(gd_off) + (i1.cast("double") + 0.5) * gd_scale - gs_off) / gs_scale
         umin, umax = F.least(ua, ub), F.greatest(ua, ub)
-        if bilinear == "cubic":
+        if method == "cubic":
             lo = F.floor(umin - 0.5) - 1
             hi = F.floor(umax - 0.5) + 2
-        elif bilinear:
+        elif method == "bilinear":
             lo = F.floor(umin - 0.5)
             hi = F.floor(umax - 0.5) + 1
         else:
@@ -118,7 +118,7 @@ def warp_resample(
     spark = tiles.sparkSession
     ts = tile_size
     sts = src_tile_size or tile_size
-    bilinear = "cubic" if method == "cubic" else method == "bilinear"
+    bilinear = method == "bilinear"
     cubic = method == "cubic"
     rotated = gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0
     det = gt_src[1] * gt_src[5] - gt_src[2] * gt_src[4]
@@ -129,8 +129,8 @@ def warp_resample(
         (F.col("id") % ndtx).alias("dtx"), (F.col("id") / ndtx).cast("long").alias("dty")
     )
     if not rotated:
-        xb = _axis_bounds(gt_dst[0], gt_dst[1], gt_src[0], gt_src[1], ts, dst_width, bilinear)
-        yb = _axis_bounds(gt_dst[3], gt_dst[5], gt_src[3], gt_src[5], ts, dst_height, bilinear)
+        xb = _axis_bounds(gt_dst[0], gt_dst[1], gt_src[0], gt_src[1], ts, dst_width, method)
+        yb = _axis_bounds(gt_dst[3], gt_dst[5], gt_src[3], gt_src[5], ts, dst_height, method)
         sx_lo, sx_hi = xb(F.col("dtx"))
         sy_lo, sy_hi = yb(F.col("dty"))
     else:
