@@ -218,24 +218,132 @@ def simhash(docs: DataFrame, bits: int = 16, id_col="doc_id", text_col="text") -
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _banded_hamming_pairs(
+    sigs: DataFrame,
+    sig_cols: list[str],
+    band_exprs: list,
+    max_hamming: int,
+    id_col: str,
+) -> DataFrame:
+    """Multi-index (banded) Hamming join: each signature is split into
+    ``len(band_exprs)`` band values; every band is an equi-join key
+    (one bucket table unioned over bands), candidates verify exact
+    Hamming over the full signature columns.
+
+    EXACT by pigeonhole when max_hamming < number of bands: a pair
+    with ≤ max_hamming flipped bits leaves at least one band untouched,
+    so it collides in that band's table — no recall loss, unlike
+    single-block prefix blocking.  Per-band buckets shrink as 2^-band
+    bits of the corpus, so the within-bucket self-join stays linear-ish
+    at 10^12 docs (the standard Manku/Jain/Sarma multi-table scheme).
+    """
+    bands = []
+    for bi, expr in enumerate(band_exprs):
+        bands.append(
+            sigs.select(F.col(id_col), expr.alias("bval")).withColumn(
+                "band", F.lit(bi)
+            )
+        )
+    buckets = bands[0]
+    for b in bands[1:]:
+        buckets = buckets.unionByName(b)
+    left = buckets.withColumnRenamed(id_col, "a")
+    right = buckets.withColumnRenamed(id_col, "b")
+    cand = (
+        left.join(right, ["band", "bval"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col(id_col).alias("a"),
+        *[F.col(c).alias(f"a_{c}") for c in sig_cols],
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("b"),
+        *[F.col(c).alias(f"b_{c}") for c in sig_cols],
+    )
+    ham = F.lit(0)
+    for c in sig_cols:
+        ham = ham + F.bit_count(F.col(f"a_{c}").bitwiseXOR(F.col(f"b_{c}")))
+    return (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("ham", ham.cast("long"))
+        .filter(F.col("ham") <= max_hamming)
+        .select("a", "b", "ham")
+    )
+
+
 def simhash_pairs(
     docs: DataFrame, bits: int = 16, max_hamming: int = 3, id_col="doc_id", text_col="text"
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
-    Candidate generation blocks on the high byte of the signature
-    (near-dups share it unless a flipped bit lands there — the usual
-    probabilistic trade of SimHash blocking)."""
-    sigs = simhash(docs, bits, id_col, text_col)
-    blocked = sigs.withColumn("block", (F.col("simhash") / 256).cast("long"))
-    a = blocked.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sa"), "block"
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming over
+    the 16-bit signature, candidates from 4 rotated 4-bit band tables
+    — EXACT for max_hamming ≤ 3 (pigeonhole over 4 bands), and each
+    band bucket holds ~N/16 docs instead of the N/256 high-byte block
+    of naive prefix blocking that silently drops boundary flips."""
+    sigs = simhash(docs, bits, id_col, text_col).persist()
+    bw = bits // 4
+    mask = (1 << bw) - 1
+    band_exprs = [
+        F.shiftright(F.col("simhash"), bi * bw).bitwiseAND(F.lit(mask))
+        for bi in range(4)
+    ]
+    return _banded_hamming_pairs(sigs, ["simhash"], band_exprs, max_hamming, id_col)
+
+
+def simhash64(docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+    """64-bit SimHash carried as two 32-bit halves (sig_hi, sig_lo) so
+    every value fits a signed long on every engine: bit j of the token
+    hash comes from md5 hex chars 1-8 (high word) / 9-16 (low word),
+    parsed as 32-bit integers — portable to DuckDB via
+    CAST('0x' || substr(md5(t), …) AS BIGINT)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    b = blocked.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sb"), "block"
+    md5h = F.md5(F.col("tok").cast("binary"))
+    toks = toks.withColumn(
+        "h_hi", F.conv(F.substring(md5h, 1, 8), 16, 10).cast("long")
+    ).withColumn("h_lo", F.conv(F.substring(md5h, 9, 8), 16, 10).cast("long"))
+    bit_cols = []
+    for j in range(32):
+        bit_cols.append(
+            F.sum(
+                F.when((F.col("h_lo").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+            ).alias(f"lo{j}")
+        )
+        bit_cols.append(
+            F.sum(
+                F.when((F.col("h_hi").bitwiseAND(F.lit(1 << j))) != 0, 1).otherwise(-1)
+            ).alias(f"hi{j}")
+        )
+    agg = toks.groupBy(id_col).agg(*bit_cols)
+    sig_lo = F.lit(0).cast("long")
+    sig_hi = F.lit(0).cast("long")
+    for j in range(32):
+        sig_lo = sig_lo + F.when(F.col(f"lo{j}") > 0, F.lit(1 << j)).otherwise(0)
+        sig_hi = sig_hi + F.when(F.col(f"hi{j}") > 0, F.lit(1 << j)).otherwise(0)
+    return agg.select(
+        F.col(id_col), sig_hi.alias("sig_hi"), sig_lo.alias("sig_lo")
     )
-    pairs = a.join(b, "block").filter(F.col("a") < F.col("b"))
-    return (
-        pairs.withColumn("ham", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
-        .filter(F.col("ham") <= max_hamming)
-        .select("a", "b", "ham")
+
+
+def simhash64_pairs(
+    docs: DataFrame, max_hamming: int = 3, id_col="doc_id", text_col="text"
+) -> DataFrame:
+    """Near-dup pairs over the 64-bit SimHash: 4 rotated 16-bit band
+    tables as equi-join keys, exact Hamming verify on candidates.
+    Exact for max_hamming ≤ 3 (pigeonhole); 2^16 buckets per band keep
+    candidate growth ~linear in corpus size on real text."""
+    sigs = simhash64(docs, id_col, text_col).persist()
+    mask = F.lit((1 << 16) - 1)
+    band_exprs = [
+        F.col("sig_lo").bitwiseAND(mask),
+        F.shiftright(F.col("sig_lo"), 16).bitwiseAND(mask),
+        F.col("sig_hi").bitwiseAND(mask),
+        F.shiftright(F.col("sig_hi"), 16).bitwiseAND(mask),
+    ]
+    return _banded_hamming_pairs(
+        sigs, ["sig_hi", "sig_lo"], band_exprs, max_hamming, id_col
     )

@@ -995,17 +995,18 @@ def q20(spark, sf_dir):
               CAST(SUM(CASE WHEN s > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
                    AS BIGINT) AS simhash
               FROM bits GROUP BY doc_id),
-       blk AS (SELECT doc_id, simhash, simhash // 256 AS block FROM sigs),
        p AS (SELECT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
-             FROM blk x JOIN blk y ON x.block = y.block AND x.doc_id < y.doc_id),
+             FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id),
        hm AS (SELECT a, b,
               CAST(sum((xor(sa, sb) // CAST(power(2, j.range) AS BIGINT)) % 2) AS BIGINT) AS ham
               FROM p, range(16) j GROUP BY a, b, sa, sb)
        SELECT a, b, ham FROM hm WHERE ham <= 3""",
 )
 def q60(spark, sf_dir):
-    """SimHash near-dup pairs: high-byte blocking + Hamming ≤ 3 on the
-    16-bit signatures (the classic fingerprint-blocking trade)."""
+    """SimHash near-dup pairs, Hamming ≤ 3 on the 16-bit signatures.
+    Candidates come from 4 rotated 4-bit band tables — EXACT by
+    pigeonhole (≤ 3 flips leave one band intact), so the oracle is the
+    plain all-pairs Hamming join: banded blocking must lose nothing."""
     from gdal_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(_t(spark, sf_dir, "documents"), bits=16, max_hamming=3)
@@ -3372,3 +3373,42 @@ def q100(spark, sf_dir):
         pts, metro_zones(), poly_id_col="zone_id"
     )
     return joined.groupBy("zone_id", "cell9").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q101_simhash64_pairs",
+    """WITH toks AS (
+         SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+         FROM documents),
+       h AS (SELECT doc_id,
+                    CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS th_hi,
+                    CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS th_lo
+             FROM toks),
+       bits AS (SELECT doc_id, j,
+                SUM(CASE WHEN (th_lo // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS slo,
+                SUM(CASE WHEN (th_hi // CAST(power(2, j) AS BIGINT)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS shi
+                FROM h, range(32) t(j) GROUP BY doc_id, j),
+       sigs AS (SELECT doc_id,
+              CAST(SUM(CASE WHEN shi > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS sig_hi,
+              CAST(SUM(CASE WHEN slo > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS sig_lo
+              FROM bits GROUP BY doc_id),
+       p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                    CAST(bit_count(xor(x.sig_hi, y.sig_hi))
+                         + bit_count(xor(x.sig_lo, y.sig_lo)) AS BIGINT) AS ham
+             FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id)
+       SELECT a, b, ham FROM p WHERE ham <= 3""",
+)
+def q101(spark, sf_dir):
+    """64-bit SimHash near-dup pairs — the scale-safe candidate
+    generator: 4 rotated 16-bit band tables as equi-join keys (2^16
+    buckets per band → ~linear candidate growth on real corpora),
+    exact Hamming verify; EXACT for ham ≤ 3 by pigeonhole, so the
+    oracle is the brute-force all-pairs join.  Signatures ride as two
+    32-bit halves so every value fits a signed long on both engines."""
+    from gdal_spark.operators.dedup import simhash64_pairs
+
+    return simhash64_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
