@@ -387,38 +387,32 @@ def proximity_unbounded(
     width: int,
     height: int,
     row_block: int = 64,
+    col_block: int = 256,
 ) -> DataFrame:
     """UNBOUNDED exact Euclidean proximity — ``GDALComputeProximity``
     without MAXDIST (alg/gdalproximity.cpp runs two whole-raster scan
     passes, which don't distribute).
 
-    Spark re-expression as the separable exact EDT — no iteration:
+    Spark re-expression as the separable exact EDT — no iteration and
+    no driver-side target list (dense masks scale the same as sparse):
 
-      phase A (columns): nearest-target |Δy| per pixel needs only its
-        COLUMN's sparse target list — targets shuffle once, keyed by
-        column (here: collected, because proximity targets are sparse
-        burn products; a per-column join drops in for dense masks);
-      phase B (rows): the exact transform composes per ROW,
+      phase A (column pass): targets shuffle ONCE keyed by column
+        block; per column the nearest-target |Δy| for every row comes
+        from a searchsorted against that column's sorted target ys.
+        Output is the g(x, y) field, packed as one blob per
+        (row block × column block) cell;
+      phase B (row pass): the g blobs shuffle keyed by row block and
+        the exact transform composes per ROW,
         D(x,y)² = min_x' ( g(x',y)² + (x-x')² ) — the 1-D parabola
-        envelope over the row of column-distances, rows partition
-        freely into blocks.
+        envelope (Felzenszwalb–Huttenlocher) over the assembled row.
 
-    Two narrow exchanges total, each task O(row_block · width); the
-    result is the EXACT Euclidean distance (brute-force oracle), not
-    the chamfer approximation.
+    Two O(pixels) exchanges total, each task O(row_block · width);
+    the result is the EXACT Euclidean distance (brute-force oracle),
+    not the chamfer approximation.
     """
     from gdal_spark.operators.rasterize import tiles_to_features
 
-    spark = tiles.sparkSession
-    targ = (
-        tiles_to_features(tiles, tile_size=tile_size, nodata=0.0)
-        .select("gx", "gy")
-        .collect()
-    )
-    tgx = np.array([r["gx"] for r in targ], dtype=np.int64)
-    tgy = np.array([r["gy"] for r in targ], dtype=np.int64)
-
-    nblocks = (height + row_block - 1) // row_block
+    nrb = (height + row_block - 1) // row_block
     out_schema = T.StructType(
         [
             T.StructField("gx", T.LongType()),
@@ -426,39 +420,78 @@ def proximity_unbounded(
             T.StructField("dist", T.DoubleType()),
         ]
     )
-
-    def per_block(pdf_iter):
-        for pdf in pdf_iter:
-            frames = []
-            for _, row in pdf.iterrows():
-                blk = int(row["id"])
-                y0 = blk * row_block
-                y1 = min(y0 + row_block, height)
-                for r in range(y0, y1):
-                    g = np.full(width, np.inf)
-                    if tgx.size:
-                        np.minimum.at(g, tgx, np.abs(r - tgy).astype(np.float64))
-                    D2 = _edt_1d_sq(g * g)
-                    fin = np.isfinite(D2)
-                    xs = np.nonzero(fin)[0]
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "gx": xs,
-                                "gy": np.full(xs.size, r, dtype=np.int64),
-                                "dist": np.round(np.sqrt(D2[fin]), 6),
-                            }
-                        )
-                    )
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                {"gx": [], "gy": [], "dist": []}
-            )
-
-    return (
-        spark.range(nblocks)
-        .repartition(max(nblocks // 2, 1))
-        .mapInPandas(per_block, out_schema)
+    g_schema = T.StructType(
+        [
+            T.StructField("rb", T.LongType()),
+            T.StructField("cb", T.LongType()),
+            T.StructField("g", T.BinaryType()),
+        ]
     )
+
+    targets = (
+        tiles_to_features(tiles, tile_size=tile_size, nodata=0.0)
+        .select("gx", "gy")
+        .withColumn("cbk", (F.col("gx") / col_block).cast("long"))
+    )
+
+    def col_pass(key, pdf: pd.DataFrame):
+        cb = int(key[0])
+        x0 = cb * col_block
+        ncols = min(col_block, width - x0)
+        gfield = np.full((height, ncols), np.inf)
+        Y = np.arange(height, dtype=np.int64)
+        lx = pdf["gx"].to_numpy(np.int64) - x0
+        ly = pdf["gy"].to_numpy(np.int64)
+        for x in np.unique(lx):
+            ys = np.sort(ly[lx == x])
+            idx = np.searchsorted(ys, Y)
+            lo = ys[np.clip(idx - 1, 0, ys.size - 1)]
+            hi = ys[np.clip(idx, 0, ys.size - 1)]
+            gfield[:, x] = np.minimum(
+                np.abs(Y - lo), np.abs(Y - hi)
+            ).astype(np.float64)
+        rows = []
+        for rb in range(nrb):
+            y0 = rb * row_block
+            y1 = min(y0 + row_block, height)
+            rows.append((rb, cb, gfield[y0:y1].tobytes()))
+        return pd.DataFrame(rows, columns=["rb", "cb", "g"])
+
+    gblobs = targets.groupBy("cbk").applyInPandas(col_pass, g_schema)
+
+    def row_pass(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rb = int(key[0])
+        y0 = rb * row_block
+        nrows = min(row_block, height - y0)
+        g = np.full((nrows, width), np.inf)
+        for _, row in pdf.iterrows():
+            cb = int(row["cb"])
+            x0 = cb * col_block
+            ncols = min(col_block, width - x0)
+            g[:, x0 : x0 + ncols] = np.frombuffer(
+                row["g"], dtype=np.float64
+            ).reshape(nrows, ncols)
+        frames = []
+        for i in range(nrows):
+            D2 = _edt_1d_sq(g[i] * g[i])
+            fin = np.isfinite(D2)
+            xs = np.nonzero(fin)[0]
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gx": xs,
+                        "gy": np.full(xs.size, y0 + i, dtype=np.int64),
+                        "dist": np.round(np.sqrt(D2[fin]), 6),
+                    }
+                )
+            )
+        return (
+            pd.concat(frames)
+            if frames
+            else pd.DataFrame({"gx": [], "gy": [], "dist": []})
+        )
+
+    return gblobs.groupBy("rb").applyInPandas(row_pass, out_schema)
 
 
 def dem_metric_tiles(

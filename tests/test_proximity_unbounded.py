@@ -57,3 +57,23 @@ def test_agrees_with_bounded_kernel(spark):
     }
     for k, v in bnd.items():
         assert unb[k] == v
+
+
+def test_dense_mask_matches_brute_force(spark):
+    """Dense target mask (~40% of pixels): the per-column-block target
+    shuffle must handle thousands of targets with no driver collect and
+    still be exact; also exercises multiple row/col blocks."""
+    rng = np.random.RandomState(7)
+    mask = rng.rand(64, 64) < 0.4
+    pts = sorted((int(x), int(y)) for y, x in zip(*np.nonzero(mask)))
+    tiles = _tiles_from_points(spark, pts)
+    got = {
+        (r["gx"], r["gy"]): r["dist"]
+        for r in proximity_unbounded(
+            tiles, 32, 64, 64, row_block=16, col_block=16
+        ).collect()
+    }
+    want = _brute(pts)
+    assert len(got) == 64 * 64
+    for (x, y), d in got.items():
+        assert d == want[y, x]
