@@ -98,6 +98,7 @@ HEADLINE = [
     "q98_contour_bands",
     "q99_viewshed",
     "q100_flagship_density",
+    "q101_simhash64_pairs",
 ]
 
 
@@ -134,6 +135,19 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "passes": 2,
+    }
+    # compact mirror for the ONE printed line (driver keeps only a short
+    # tail of stdout — round 1 recorded "parsed": null on the full dict):
+    # qNN keys, 2-decimal times, scaling summarized to the decision
+    # numbers; the full structures go to BENCH_DETAIL.json instead.
+    compact = {
+        "metric": "headline_query_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {n.split("_")[0]: round(t, 2) for n, t in times.items()},
         "sf": sf,
         "cpus": cpus,
         "passes": 2,
@@ -214,7 +228,23 @@ def main() -> None:
         except Exception as e:  # never break the bench line
             out["pages_pipeline"] = {"error": f"{type(e).__name__}: {e}"}
 
-    print(json.dumps(out))
+    def scaling_compact(d):
+        if not isinstance(d, dict) or "scaling_efficiency" not in d:
+            return d
+        return {
+            "pps": d["pages_per_sec"],
+            "eff": d["scaling_efficiency"],
+            "eff_vs_hw": d.get("efficiency_vs_hw"),
+            "pass_0.8": d["pass_0.8"],
+        }
+
+    for k in ("pages_pipeline", "pages_pipeline_8_32"):
+        if k in out:
+            compact[k] = scaling_compact(out[k])
+
+    with open(Path(__file__).resolve().parent / "BENCH_DETAIL.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
