@@ -99,6 +99,12 @@ HEADLINE = [
     "q99_viewshed",
     "q100_flagship_density",
     "q101_simhash64_pairs",
+    "q102_pyramid_bilinear",
+    "q103_pyramid_cubic",
+    "q104_pyramid_cubicspline",
+    "q105_pyramid_lanczos",
+    "q106_pyramid_gauss",
+    "q107_pyramid_rms",
 ]
 
 

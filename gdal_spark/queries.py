@@ -3412,3 +3412,121 @@ def q101(spark, sf_dir):
     from gdal_spark.operators.dedup import simhash64_pairs
 
     return simhash64_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+# --- convolution / gauss / rms overview modes (q102-q107) -----------------
+# gcore/overview.cpp:4302-4440 dispatch; weights from
+# operators.pyramid.conv_weights are inlined VERBATIM into the oracle so
+# both engines accumulate the identical left-associated IEEE expression
+# (interior pixels only — edge truncation renormalizes in the engine and
+# is excluded from the compare window).
+
+
+def _conv_oracle_sql(method: str) -> str:
+    from gdal_spark.operators.pyramid import _CONV_RADIUS, conv_weights
+
+    w = conv_weights(method)
+    R = _CONV_RADIUS[method]
+    lo, hi = 2 * R - 1, 63 - R  # full-window interior dest range
+
+    # weight literals go through CAST(string AS DOUBLE): DuckDB parses
+    # long bare decimals as DECIMAL(38,38) and overflows on multiply;
+    # string→double is correctly rounded, matching Python repr exactly
+    def wlit(k: int) -> str:
+        return f"CAST('{w[k]!r}' AS DOUBLE)"
+
+    def h_expr(y: str) -> str:
+        terms = [
+            f"{wlit(k)}*({_z_sql(f'2*px+{1 - 2 * R + k}', y)})"
+            for k in range(4 * R)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    v_terms = [
+        f"{wlit(k)}*{h_expr(f'2*py+{1 - 2 * R + k}')}" for k in range(4 * R)
+    ]
+    expr = " + ".join(v_terms)
+    return (
+        "WITH g AS (SELECT px.range AS px, py.range AS py "
+        "FROM range(64) px, range(64) py) "
+        f"SELECT px, py, round({expr}, 6) AS v FROM g "
+        f"WHERE px >= {lo} AND px <= {hi} AND py >= {lo} AND py <= {hi}"
+    )
+
+
+def _conv_query(method: str):
+    from gdal_spark.operators.pyramid import _CONV_RADIUS
+
+    R = _CONV_RADIUS[method]
+    lo, hi = 2 * R - 1, 63 - R
+
+    def fn(spark, sf_dir):
+        from gdal_spark.operators.pyramid import pyramid_convolution
+
+        out = pyramid_convolution(
+            _dem_tiles(spark), method, DEM_TILE, DEM_W, DEM_H
+        )
+        return out.filter(
+            (F.col("px") >= lo) & (F.col("px") <= hi)
+            & (F.col("py") >= lo) & (F.col("py") <= hi)
+        ).select("px", "py", F.round("v", 6).alias("v"))
+
+    return fn
+
+
+query("q102_pyramid_bilinear", _conv_oracle_sql("bilinear"))(_conv_query("bilinear"))
+query("q103_pyramid_cubic", _conv_oracle_sql("cubic"))(_conv_query("cubic"))
+query("q104_pyramid_cubicspline", _conv_oracle_sql("cubicspline"))(
+    _conv_query("cubicspline")
+)
+query("q105_pyramid_lanczos", _conv_oracle_sql("lanczos"))(_conv_query("lanczos"))
+
+
+_GAUSS_TERMS = " + ".join(
+    f"{mval}.0*({_z_sql(f'2*px+{kx}', f'2*py+{ky}')})"
+    for ky, mrow in enumerate([[1, 2, 1], [2, 4, 2], [1, 2, 1]])
+    for kx, mval in enumerate(mrow)
+)
+
+
+@query(
+    "q106_pyramid_gauss",
+    f"""WITH g AS (SELECT px.range AS px, py.range AS py
+                   FROM range(64) px, range(64) py)
+       SELECT px, py, round(({_GAUSS_TERMS}) / 16.0, 6) AS v FROM g
+       WHERE px <= 62 AND py <= 62""",
+)
+def q106(spark, sf_dir):
+    """GAUSS overview: 3×3 [1 2 1; 2 4 2; 1 2 1] kernel anchored at the
+    2×2 block origin, normalized over the in-raster window
+    (gcore/overview.cpp:2032-2120); interior window sum = 16."""
+    from gdal_spark.operators.pyramid import pyramid_convolution
+
+    out = pyramid_convolution(_dem_tiles(spark), "gauss", DEM_TILE, DEM_W, DEM_H)
+    return out.filter((F.col("px") <= 62) & (F.col("py") <= 62)).select(
+        "px", "py", F.round("v", 6).alias("v")
+    )
+
+
+@query(
+    "q107_pyramid_rms",
+    f"""WITH par AS (SELECT px.range AS px, py.range AS py
+                     FROM range(64) px, range(64) py)
+       SELECT px, py,
+              round(sqrt((({_z_sql('2*px', '2*py')})*({_z_sql('2*px', '2*py')})
+                    + ({_z_sql('2*px+1', '2*py')})*({_z_sql('2*px+1', '2*py')})
+                    + ({_z_sql('2*px', '2*py+1')})*({_z_sql('2*px', '2*py+1')})
+                    + ({_z_sql('2*px+1', '2*py+1')})*({_z_sql('2*px+1', '2*py+1')})) / 4.0), 6) AS v
+       FROM par""",
+)
+def q107(spark, sf_dir):
+    """RMS overview (GDALResampleChunk_AverageOrRMS<true>, float path):
+    sqrt of the mean of squares over each 2×2 child block — integer
+    DEM values keep the sum of squares exact on both engines."""
+    from gdal_spark.operators.pyramid import pyramid_level
+
+    level = pyramid_level(_dem_tiles(spark), method="rms", tile_size=DEM_TILE)
+    return tiles_to_features(level, tile_size=DEM_TILE, nodata=None).select(
+        F.col("gx").alias("px"), F.col("gy").alias("py"),
+        F.round("v", 6).alias("v"),
+    )
