@@ -105,6 +105,10 @@ HEADLINE = [
     "q105_pyramid_lanczos",
     "q106_pyramid_gauss",
     "q107_pyramid_rms",
+    "q108_st_distance",
+    "q109_st_centroid",
+    "q110_st_convexhull",
+    "q111_st_simplify",
 ]
 
 

@@ -126,6 +126,10 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_Segmentize", st_segmentize)
     spark.udf.register("ST_NPoints", st_npoints)
     spark.udf.register("ST_RectRelation", st_rect_relation)
+    spark.udf.register("ST_Distance", st_distance)
+    spark.udf.register("ST_Centroid", st_centroid)
+    spark.udf.register("ST_ConvexHull", st_convexhull)
+    spark.udf.register("ST_Simplify", st_simplify)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -175,6 +179,82 @@ def st_npoints(wkb: pd.Series) -> pd.Series:
             out.append(1)
         else:
             out.append(0)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_distance(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
+    """OGRGeometry::Distance (ogr/ogrgeometry.cpp:3818, GEOS-backed in
+    the reference) — exact min vertex/segment distance with a proper-
+    crossing zero test (kernels/geomops.min_distance)."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels import wkb as W
+
+    out = np.zeros(len(a_wkb))
+    for i, (ga, gb) in enumerate(zip(a_wkb, b_wkb)):
+        ta, pa = W.parse_wkb(bytes(ga))
+        tb, pb = W.parse_wkb(bytes(gb))
+        ca = np.vstack(W._collect_coords(ta, pa))
+        cb = np.vstack(W._collect_coords(tb, pb))
+        out[i] = G.min_distance(ca, cb)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    """Area-weighted polygon centroid [cx, cy]
+    (OGRGeometry::Centroid surface; kernels/geomops.polygon_centroid)."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob in wkb:
+        gtype, parts = W.parse_wkb(bytes(blob))
+        if gtype == W.POINT:
+            out.append([float(parts[0, 0]), float(parts[0, 1])])
+        elif gtype == W.POLYGON:
+            cx, cy = G.polygon_centroid(parts[0])
+            out.append([cx, cy])
+        else:
+            coords = np.vstack(W._collect_coords(gtype, parts))
+            out.append([float(coords[:, 0].mean()), float(coords[:, 1].mean())])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_convexhull(wkb: pd.Series) -> pd.Series:
+    """Convex hull of the geometry's vertices as a polygon WKB
+    (OGRGeometry::ConvexHull, ogr/ogrgeometry.cpp:4449 — monotone
+    chain instead of GEOS)."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob in wkb:
+        gtype, parts = W.parse_wkb(bytes(blob))
+        coords = np.vstack(W._collect_coords(gtype, parts))
+        out.append(W.polygon_wkb([G.convex_hull(coords)]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
+    """Douglas–Peucker simplification (OGRGeometry::Simplify surface;
+    kernels/geomops.simplify_dp, pinned first-max tie-break)."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob, t in zip(wkb, tol):
+        gtype, parts = W.parse_wkb(bytes(blob))
+        if gtype == W.LINESTRING:
+            out.append(W.linestring_wkb(G.simplify_dp(parts, float(t))))
+        elif gtype == W.POLYGON:
+            out.append(
+                W.polygon_wkb([G.simplify_dp(r, float(t)) for r in parts])
+            )
+        else:
+            out.append(bytes(blob))
     return pd.Series(out)
 
 

@@ -1,0 +1,172 @@
+"""GEOS-free geometry method kernels: Distance, Centroid, ConvexHull,
+Simplify — pure NumPy, exact pinned semantics mirrored by ANSI-SQL
+oracles in gdal_spark.queries.
+
+Reference surface: OGRGeometry::Distance (ogr/ogrgeometry.cpp:3818),
+::Centroid (ogr/ogrgeometry.cpp, area-weighted surface centroid),
+::ConvexHull (ogr/ogrgeometry.cpp:4449), ::Simplify (Douglas–Peucker
+via GEOS).  The reference delegates all four to GEOS; these kernels
+re-state the published algorithms directly so the engine needs no
+native dependency, with deterministic tie-breaks that both engines can
+replay bit-for-bit:
+
+- distance: point↔segment uses t = clamp(dot/len², 0, 1) then the
+  hypotenuse to the clamped foot — the IEEE expression tree is part of
+  the contract;
+- convex hull: Andrew monotone chain, STRICT turns (collinear interior
+  vertices dropped), CCW orientation from the lexicographic-min vertex;
+- simplify: classic Douglas–Peucker on segment distance, keep when
+  dmax > tolerance, split at the FIRST index attaining the max.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def point_segment_dist(px, py, ax, ay, bx, by):
+    """Vectorized distance point → segment with the pinned expression
+    tree (identical term order in the SQL oracles)."""
+    px = np.asarray(px, dtype=np.float64)
+    dx = np.asarray(bx, dtype=np.float64) - ax
+    dy = np.asarray(by, dtype=np.float64) - ay
+    l2 = dx * dx + dy * dy
+    tn = (px - ax) * dx + (py - ay) * dy
+    t = np.clip(np.where(l2 == 0.0, 0.0, tn / np.where(l2 == 0.0, 1.0, l2)), 0.0, 1.0)
+    cx = ax + t * dx
+    cy = ay + t * dy
+    return np.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+def _segments(coords: np.ndarray):
+    return coords[:-1], coords[1:]
+
+
+def _orient(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _proper_intersect(a0, a1, b0, b1) -> np.ndarray:
+    """Pairwise proper-crossing test for all segment pairs (broadcast):
+    a0/a1 (n,2), b0/b1 (m,2) → (n, m) bool."""
+    ax, ay = a0[:, None, 0], a0[:, None, 1]
+    bx, by = a1[:, None, 0], a1[:, None, 1]
+    cx, cy = b0[None, :, 0], b0[None, :, 1]
+    dx, dy = b1[None, :, 0], b1[None, :, 1]
+    d1 = _orient(ax, ay, bx, by, cx, cy)
+    d2 = _orient(ax, ay, bx, by, dx, dy)
+    d3 = _orient(cx, cy, dx, dy, ax, ay)
+    d4 = _orient(cx, cy, dx, dy, bx, by)
+    return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+
+def min_distance(coords_a: np.ndarray, coords_b: np.ndarray) -> float:
+    """Min Euclidean distance between two vertex chains (point = one
+    row).  Zero when any segment pair properly crosses; otherwise the
+    min over vertex-to-segment distances in both directions — the
+    standard exact result for non-crossing polylines/boundaries."""
+    coords_a = np.atleast_2d(np.asarray(coords_a, dtype=np.float64))
+    coords_b = np.atleast_2d(np.asarray(coords_b, dtype=np.float64))
+    best = np.inf
+    if coords_a.shape[0] > 1 and coords_b.shape[0] > 1:
+        a0, a1 = _segments(coords_a)
+        b0, b1 = _segments(coords_b)
+        if _proper_intersect(a0, a1, b0, b1).any():
+            return 0.0
+    if coords_b.shape[0] > 1:
+        b0, b1 = _segments(coords_b)
+        for x, y in coords_a:
+            best = min(
+                best,
+                float(
+                    point_segment_dist(
+                        x, y, b0[:, 0], b0[:, 1], b1[:, 0], b1[:, 1]
+                    ).min()
+                ),
+            )
+    if coords_a.shape[0] > 1:
+        a0, a1 = _segments(coords_a)
+        for x, y in coords_b:
+            best = min(
+                best,
+                float(
+                    point_segment_dist(
+                        x, y, a0[:, 0], a0[:, 1], a1[:, 0], a1[:, 1]
+                    ).min()
+                ),
+            )
+    if coords_a.shape[0] == 1 and coords_b.shape[0] == 1:
+        dx = coords_a[0, 0] - coords_b[0, 0]
+        dy = coords_a[0, 1] - coords_b[0, 1]
+        best = float(np.sqrt(dx * dx + dy * dy))
+    return best
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid of a simple ring (closed, first == last).
+    Integer vertex coordinates keep every term exact:
+      S  = Σ (x_i·y_{i+1} − x_{i+1}·y_i)            (2A, signed)
+      Sx = Σ (x_i + x_{i+1})·(x_i·y_{i+1} − x_{i+1}·y_i)
+      Cx = Sx / (3·S)   (Cy analogous)"""
+    x0, y0 = ring[:-1, 0], ring[:-1, 1]
+    x1, y1 = ring[1:, 0], ring[1:, 1]
+    cross = x0 * y1 - x1 * y0
+    s = float(np.sum(cross))
+    sx = float(np.sum((x0 + x1) * cross))
+    sy = float(np.sum((y0 + y1) * cross))
+    return sx / (3.0 * s), sy / (3.0 * s)
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain (CCW, strict turns — collinear boundary
+    points dropped).  Returns the closed hull ring starting at the
+    lexicographic-min point.  O(n log n)."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)  # lex sort
+    if pts.shape[0] <= 2:
+        return np.vstack([pts, pts[:1]]) if pts.shape[0] else pts
+
+    def half(seq):
+        out: list = []
+        for p in seq:
+            while (
+                len(out) >= 2
+                and _orient(out[-2][0], out[-2][1], out[-1][0], out[-1][1], p[0], p[1])
+                <= 0
+            ):
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
+def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
+    """Iterative Douglas–Peucker: for interval (i, j) find the vertex
+    with max distance to segment (v_i, v_j) (FIRST index on ties); if
+    that distance > tol, keep it and recurse on both halves.  Endpoints
+    always kept.  Matches GEOS DouglasPeuckerLineSimplifier semantics
+    (the reference's OGRGeometry::Simplify backend) with a pinned
+    tie-break."""
+    coords = np.asarray(coords, dtype=np.float64)
+    n = coords.shape[0]
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        ks = np.arange(i + 1, j)
+        d = point_segment_dist(
+            coords[ks, 0], coords[ks, 1],
+            coords[i, 0], coords[i, 1], coords[j, 0], coords[j, 1],
+        )
+        kmax = int(ks[int(np.argmax(d))])  # np.argmax → first max index
+        if float(d[kmax - i - 1]) > tol:
+            keep[kmax] = True
+            stack.append((i, kmax))
+            stack.append((kmax, j))
+    return coords[keep]

@@ -3530,3 +3530,235 @@ def q107(spark, sf_dir):
         F.col("gx").alias("px"), F.col("gy").alias("py"),
         F.round("v", 6).alias("v"),
     )
+
+
+# --- GEOS-free geometry methods (q108-q111) --------------------------------
+# OGRGeometry::Distance (ogr/ogrgeometry.cpp:3818), ::Centroid,
+# ::ConvexHull (:4449), ::Simplify — the reference delegates to GEOS;
+# kernels/geomops.py re-states the published algorithms with pinned
+# IEEE expression trees and tie-breaks that the DuckDB oracles replay.
+
+
+@query(
+    "q108_st_distance",
+    """WITH p AS (SELECT n_nationkey AS n,
+                       CAST((n_nationkey*37)%101 AS DOUBLE) AS px,
+                       CAST((n_nationkey*53)%89 AS DOUBLE) AS py
+                FROM nation),
+       v AS (SELECT k.range AS k, CAST((k.range*29)%61 AS DOUBLE) AS vx,
+                    CAST((k.range*41)%73 AS DOUBLE) AS vy
+             FROM range(10) k),
+       seg AS (SELECT a.k, a.vx AS ax, a.vy AS ay, b.vx AS x2, b.vy AS y2
+               FROM v a JOIN v b ON b.k = a.k + 1),
+       d AS (SELECT n, px, py, ax, ay, (x2-ax) AS dx, (y2-ay) AS dy
+             FROM p, seg),
+       t AS (SELECT n, px, py, ax, ay, dx, dy,
+                    least(greatest(((px-ax)*dx + (py-ay)*dy) / (dx*dx + dy*dy),
+                                   0.0), 1.0) AS tt
+             FROM d),
+       e AS (SELECT n, sqrt((px-cx)*(px-cx) + (py-cy)*(py-cy)) AS dist
+             FROM (SELECT n, px, py, ax + tt*dx AS cx, ay + tt*dy AS cy FROM t))
+       SELECT n, round(min(dist), 6) AS dist FROM e GROUP BY n""",
+)
+def q108(spark, sf_dir):
+    """ST_Distance point → polyline: min over the 9 segment distances
+    with the pinned clamp-projection expression tree (both engines run
+    t = clamp(dot/len², 0, 1) then the hypotenuse to the foot)."""
+    from gdal_spark.functions.st import st_distance, st_point
+    from gdal_spark.kernels import wkb as W
+
+    k = np.arange(10)
+    line = W.linestring_wkb(
+        np.column_stack([(k * 29) % 61, (k * 41) % 73]).astype(np.float64)
+    )
+    pts = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n"),
+        ((F.col("n_nationkey") * 37) % 101).cast("double").alias("px"),
+        ((F.col("n_nationkey") * 53) % 89).cast("double").alias("py"),
+    )
+    return pts.select(
+        "n",
+        F.round(
+            st_distance(st_point("px", "py"), F.lit(line)), 6
+        ).alias("dist"),
+    )
+
+
+@query(
+    "q109_st_centroid",
+    """WITH d AS (SELECT n_nationkey AS n,
+                       6 + (n_nationkey*7)%11 AS w, 6 + (n_nationkey*5)%9 AS h,
+                       (n_nationkey%5)*30 AS ox, (n_nationkey//5)*30 AS oy
+                FROM nation),
+       q AS (SELECT n, w, h, ox, oy,
+                    2 + (n*3)%(w-3) AS w1, 2 + (n*11)%(h-3) AS h1 FROM d),
+       vv AS (SELECT n,
+              CAST(ox AS BIGINT) AS x0, CAST(oy AS BIGINT) AS y0,
+              CAST(ox+w AS BIGINT) AS x1, CAST(oy AS BIGINT) AS y1,
+              CAST(ox+w AS BIGINT) AS x2, CAST(oy+h1 AS BIGINT) AS y2,
+              CAST(ox+w1 AS BIGINT) AS x3, CAST(oy+h1 AS BIGINT) AS y3,
+              CAST(ox+w1 AS BIGINT) AS x4, CAST(oy+h AS BIGINT) AS y4,
+              CAST(ox AS BIGINT) AS x5, CAST(oy+h AS BIGINT) AS y5
+              FROM q),
+       s AS (SELECT n,
+              (x0*y1 - x1*y0) + (x1*y2 - x2*y1) + (x2*y3 - x3*y2)
+              + (x3*y4 - x4*y3) + (x4*y5 - x5*y4) + (x5*y0 - x0*y5) AS ss,
+              (x0+x1)*(x0*y1 - x1*y0) + (x1+x2)*(x1*y2 - x2*y1)
+              + (x2+x3)*(x2*y3 - x3*y2) + (x3+x4)*(x3*y4 - x4*y3)
+              + (x4+x5)*(x4*y5 - x5*y4) + (x5+x0)*(x5*y0 - x0*y5) AS sx,
+              (y0+y1)*(x0*y1 - x1*y0) + (y1+y2)*(x1*y2 - x2*y1)
+              + (y2+y3)*(x2*y3 - x3*y2) + (y3+y4)*(x3*y4 - x4*y3)
+              + (y4+y5)*(x4*y5 - x5*y4) + (y5+y0)*(x5*y0 - x0*y5) AS sy
+              FROM vv)
+       SELECT n, round(CAST(sx AS DOUBLE) / (3.0*CAST(ss AS DOUBLE)), 6) AS cx,
+              round(CAST(sy AS DOUBLE) / (3.0*CAST(ss AS DOUBLE)), 6) AS cy
+       FROM s""",
+)
+def q109(spark, sf_dir):
+    """ST_Centroid of integer-vertex L-shaped (concave) polygons: the
+    shoelace cross terms stay integers on both engines, so the area-
+    weighted centroid Sx/(3S) is bit-exact."""
+    from gdal_spark.functions.st import st_centroid
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        n = int(r["n_nationkey"])
+        w, h = 6 + (n * 7) % 11, 6 + (n * 5) % 9
+        ox, oy = (n % 5) * 30, (n // 5) * 30
+        w1, h1 = 2 + (n * 3) % (w - 3), 2 + (n * 11) % (h - 3)
+        ring = np.array(
+            [
+                [ox, oy], [ox + w, oy], [ox + w, oy + h1],
+                [ox + w1, oy + h1], [ox + w1, oy + h], [ox, oy + h],
+                [ox, oy],
+            ],
+            dtype=np.float64,
+        )
+        rows.append((n, W.polygon_wkb([ring])))
+    feats = spark.createDataFrame(rows, "n long, geom binary")
+    c = feats.select("n", st_centroid(F.col("geom")).alias("c"))
+    return c.select(
+        "n",
+        F.round(F.element_at("c", 1), 6).alias("cx"),
+        F.round(F.element_at("c", 2), 6).alias("cy"),
+    )
+
+
+@query(
+    "q110_st_convexhull",
+    """WITH pts AS (
+         SELECT i.range // 40 AS g, i.range % 40 AS i,
+                CAST(((i.range // 40)*31 + (i.range % 40)*17
+                      + ((i.range % 40)*(i.range % 40)*7)%23)%97 AS BIGINT) AS x,
+                CAST(((i.range // 40)*43 + (i.range % 40)*23
+                      + ((i.range % 40)*(i.range % 40)*29)%43)%89 AS BIGINT) AS y
+         FROM range(200) i),
+       u AS (SELECT DISTINCT g, x, y FROM pts),
+       hullv AS (
+         SELECT DISTINCT a.g, a.x, a.y
+         FROM u a JOIN u b ON b.g = a.g AND (b.x <> a.x OR b.y <> a.y)
+         WHERE NOT EXISTS (
+           SELECT 1 FROM u c
+           WHERE c.g = a.g AND (c.x <> a.x OR c.y <> a.y)
+             AND (c.x <> b.x OR c.y <> b.y)
+             AND (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <= 0))
+       SELECT g, CAST(x AS DOUBLE) AS hx, CAST(y AS DOUBLE) AS hy
+       FROM hullv""",
+)
+def q110(spark, sf_dir):
+    """ST_ConvexHull (monotone chain) over 5 groups of 40 integer
+    points in general position; the oracle derives hull vertices by the
+    O(N³) all-points-strictly-left edge test — both must produce the
+    identical vertex set."""
+    from gdal_spark.kernels.geomops import convex_hull
+
+    pts = spark.range(200).select(
+        (F.col("id") / 40).cast("long").alias("g"),
+        (F.col("id") % 40).alias("i"),
+    )
+    pts = pts.select(
+        "g",
+        ((F.col("g") * 31 + F.col("i") * 17 + (F.col("i") * F.col("i") * 7) % 23) % 97)
+        .cast("double").alias("x"),
+        ((F.col("g") * 43 + F.col("i") * 23 + (F.col("i") * F.col("i") * 29) % 43) % 89)
+        .cast("double").alias("y"),
+    )
+    schema = "g long, hx double, hy double"
+
+    def hull_of(key, pdf):
+        ring = convex_hull(pdf[["x", "y"]].to_numpy())
+        return pd.DataFrame(
+            {"g": int(key[0]), "hx": ring[:-1, 0], "hy": ring[:-1, 1]}
+        )
+
+    return pts.groupBy("g").applyInPandas(hull_of, schema)
+
+
+_Q111_TOL = 6.0
+
+
+@query(
+    "q111_st_simplify",
+    f"""WITH RECURSIVE
+       v AS (SELECT n.n_nationkey AS n, i.range AS i,
+                    CAST(i.range*10 AS DOUBLE) AS x,
+                    CAST(((n.n_nationkey*7 + i.range*i.range*13)%41) - 20 AS DOUBLE) AS y
+             FROM nation n, range(16) i),
+       dd AS (SELECT a.n, a.i AS i, b.i AS j, c.i AS k,
+                     sqrt((c.x-cx)*(c.x-cx) + (c.y-cy)*(c.y-cy)) AS d
+              FROM (
+                SELECT a.n, a.i, b.i AS bi, c.i AS ci, c.x, c.y,
+                       a.x + tt*(b.x-a.x) AS cx, a.y + tt*(b.y-a.y) AS cy
+                FROM (SELECT aa.n, aa.i, aa.x, aa.y FROM v aa) a
+                JOIN v b ON b.n = a.n AND b.i > a.i + 1
+                JOIN v c ON c.n = a.n AND c.i > a.i AND c.i < b.i,
+                LATERAL (SELECT least(greatest(
+                          ((c.x-a.x)*(b.x-a.x) + (c.y-a.y)*(b.y-a.y))
+                          / ((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)), 0.0), 1.0) AS tt) l
+              ) q(n, i, bi, ci, x, y, cx, cy)
+              JOIN v a ON a.n = q.n AND a.i = q.i
+              JOIN v b ON b.n = q.n AND b.i = q.bi
+              JOIN v c ON c.n = q.n AND c.i = q.ci),
+       pick AS (SELECT n, i, j, k, d,
+                       ROW_NUMBER() OVER (PARTITION BY n, i, j
+                                          ORDER BY d DESC, k) AS rnk
+                FROM dd),
+       p1 AS (SELECT n, i, j, k, d FROM pick WHERE rnk = 1),
+       iv(n, i, j) AS (
+         SELECT n_nationkey, 0, 15 FROM nation
+         UNION ALL
+         SELECT t.n,
+                CASE s.s WHEN 0 THEN t.i ELSE p.k END,
+                CASE s.s WHEN 0 THEN p.k ELSE t.j END
+         FROM iv t
+         JOIN p1 p ON p.n = t.n AND p.i = t.i AND p.j = t.j
+                   AND p.d > {_Q111_TOL}, (VALUES (0), (1)) s(s)
+       ),
+       kept AS (SELECT DISTINCT n, i FROM
+                (SELECT n, i FROM iv UNION ALL SELECT n, j AS i FROM iv))
+       SELECT k.n, v.x, v.y FROM kept k JOIN v ON v.n = k.n AND v.i = k.i""",
+)
+def q111(spark, sf_dir):
+    """ST_Simplify: Douglas–Peucker with segment distance, keep when
+    dmax > tol, split at the FIRST max index — the oracle replays the
+    recursion as a recursive CTE over (i, j) intervals with a
+    ROW_NUMBER (d DESC, k) argmax."""
+    from gdal_spark.kernels.geomops import simplify_dp
+
+    pts = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n")
+    ).crossJoin(spark.range(16).select(F.col("id").alias("i")))
+    pts = pts.select(
+        "n",
+        (F.col("i") * 10).cast("double").alias("x"),
+        (((F.col("n") * 7 + F.col("i") * F.col("i") * 13) % 41) - 20)
+        .cast("double").alias("y"),
+    )
+    schema = "n long, x double, y double"
+
+    def simp(key, pdf):
+        coords = pdf.sort_values("x")[["x", "y"]].to_numpy()
+        kept = simplify_dp(coords, _Q111_TOL)
+        return pd.DataFrame({"n": int(key[0]), "x": kept[:, 0], "y": kept[:, 1]})
+
+    return pts.groupBy("n").applyInPandas(simp, schema)
