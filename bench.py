@@ -109,6 +109,10 @@ HEADLINE = [
     "q109_st_centroid",
     "q110_st_convexhull",
     "q111_st_simplify",
+    "q112_overlay_general_intersection",
+    "q113_overlay_general_union",
+    "q114_overlay_general_difference",
+    "q115_overlay_general_symdiff",
 ]
 
 

@@ -126,6 +126,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_Segmentize", st_segmentize)
     spark.udf.register("ST_NPoints", st_npoints)
     spark.udf.register("ST_RectRelation", st_rect_relation)
+    spark.udf.register("ST_ClipArea", st_clip_area)
     spark.udf.register("ST_Distance", st_distance)
     spark.udf.register("ST_Centroid", st_centroid)
     spark.udf.register("ST_ConvexHull", st_convexhull)
@@ -255,6 +256,28 @@ def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
             )
         else:
             out.append(bytes(blob))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_clip_area(a_wkb: pd.Series, b_wkb: pd.Series, op: pd.Series) -> pd.Series:
+    """Boolean-overlay area for GENERAL (concave) polygon pairs via the
+    Greiner–Hormann kernel (kernels/clipgen.py) — the layer-algebra
+    surface of ogrlayer.cpp:5385-7846 beyond rectangles.  op ∈
+    intersection | union | difference | symdiff."""
+    from gdal_spark.kernels import clipgen as C
+    from gdal_spark.kernels import wkb as W
+
+    out = np.zeros(len(a_wkb))
+    for i, (ga, gb, o) in enumerate(zip(a_wkb, b_wkb, op)):
+        pa = W.polygon_rings(bytes(ga))[0][0]
+        pb = W.polygon_rings(bytes(gb))[0][0]
+        if o == "symdiff":
+            out[i] = C.clip_area(pa, pb, "difference") + C.clip_area(
+                pb, pa, "difference"
+            )
+        else:
+            out[i] = C.clip_area(pa, pb, str(o))
     return pd.Series(out)
 
 

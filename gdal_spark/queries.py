@@ -3762,3 +3762,133 @@ def q111(spark, sf_dir):
         return pd.DataFrame({"n": int(key[0]), "x": kept[:, 0], "y": kept[:, 1]})
 
     return pts.groupBy("n").applyInPandas(simp, schema)
+
+
+# --- general concave overlay (q112-q115) -----------------------------------
+# Greiner–Hormann boolean overlay (kernels/clipgen.py) on CONCAVE
+# staircase fixtures.  A-polygons live on integer coordinates, B on
+# half-odd coordinates — structurally general position (no vertex-on-
+# edge, no collinear overlap), the kernel's contract.  The oracle
+# never clips: each staircase is a union of 3 DISJOINT rectangles, so
+# every overlay area follows from rect-pair interval arithmetic
+# (inclusion-exclusion) — a brute-force oracle fully independent of
+# the traversal.
+
+_STAIR_SQL = """
+       a AS (SELECT k.range AS a_id, (k.range%3)*40 AS ax0, (k.range//3)*40 AS ay0,
+                    3 + (k.range*2)%5 AS swa, 2 + (k.range*3)%5 AS sha
+             FROM range(6) k),
+       ra AS (SELECT a_id, CAST(ax0 + j.range*swa AS DOUBLE) AS rx0,
+                     CAST(ay0 AS DOUBLE) AS ry0,
+                     CAST(ax0 + (j.range+1)*swa AS DOUBLE) AS rx1,
+                     CAST(ay0 + (j.range+1)*sha AS DOUBLE) AS ry1
+              FROM a, range(3) j),
+       b AS (SELECT m.range AS b_id, (m.range%3)*40 + 2.5 AS bx0,
+                    (m.range//3)*40 + 1.5 AS by0,
+                    2 + (m.range*3)%5 AS swb, 2 + (m.range*2)%5 AS shb
+             FROM range(6) m),
+       rb AS (SELECT b_id, bx0 + j.range*swb AS rx0, by0 AS ry0,
+                     bx0 + (j.range+1)*swb AS rx1,
+                     by0 + (3-j.range)*shb AS ry1
+              FROM b, range(3) j),
+       inter AS (SELECT a_id, b_id,
+                 SUM(greatest(0.0, least(ra.rx1, rb.rx1) - greatest(ra.rx0, rb.rx0))
+                     * greatest(0.0, least(ra.ry1, rb.ry1) - greatest(ra.ry0, rb.ry0))) AS s
+                 FROM ra, rb GROUP BY a_id, b_id),
+       areas AS (SELECT a_id, SUM((rx1-rx0)*(ry1-ry0)) AS area_a FROM ra GROUP BY a_id),
+       areab AS (SELECT b_id, SUM((rx1-rx0)*(ry1-ry0)) AS area_b FROM rb GROUP BY b_id)
+"""
+
+
+def _stair_feats(spark):
+    """The same fixtures as polygon WKB rings (A ascending integer
+    staircase, B descending half-odd staircase)."""
+    arows, brows = [], []
+    for k in range(6):
+        ax0, ay0 = (k % 3) * 40, (k // 3) * 40
+        sw, sh = 3 + (k * 2) % 5, 2 + (k * 3) % 5
+        ring = np.array(
+            [
+                [ax0, ay0], [ax0 + 3 * sw, ay0],
+                [ax0 + 3 * sw, ay0 + 3 * sh], [ax0 + 2 * sw, ay0 + 3 * sh],
+                [ax0 + 2 * sw, ay0 + 2 * sh], [ax0 + sw, ay0 + 2 * sh],
+                [ax0 + sw, ay0 + sh], [ax0, ay0 + sh], [ax0, ay0],
+            ],
+            dtype=np.float64,
+        )
+        arows.append((k, W.polygon_wkb([ring])))
+    for m in range(6):
+        bx0, by0 = (m % 3) * 40 + 2.5, (m // 3) * 40 + 1.5
+        sw, sh = 2 + (m * 3) % 5, 2 + (m * 2) % 5
+        ring = np.array(
+            [
+                [bx0, by0], [bx0 + 3 * sw, by0],
+                [bx0 + 3 * sw, by0 + sh], [bx0 + 2 * sw, by0 + sh],
+                [bx0 + 2 * sw, by0 + 2 * sh], [bx0 + sw, by0 + 2 * sh],
+                [bx0 + sw, by0 + 3 * sh], [bx0, by0 + 3 * sh], [bx0, by0],
+            ],
+            dtype=np.float64,
+        )
+        brows.append((m, W.polygon_wkb([ring])))
+    fa = spark.createDataFrame(arows, "a_id long, ga binary")
+    fb = spark.createDataFrame(brows, "b_id long, gb binary")
+    return fa, fb
+
+
+def _overlay_general(spark, op):
+    from gdal_spark.functions.st import st_clip_area
+
+    fa, fb = _stair_feats(spark)
+    pairs = fa.crossJoin(fb)
+    return pairs.select(
+        "a_id", "b_id",
+        F.round(
+            st_clip_area(F.col("ga"), F.col("gb"), F.lit(op)), 6
+        ).alias("area"),
+    )
+
+
+@query(
+    "q112_overlay_general_intersection",
+    f"""WITH {_STAIR_SQL}
+       SELECT a_id, b_id, round(s, 6) AS area FROM inter WHERE s > 0""",
+)
+def q112(spark, sf_dir):
+    """Concave ∩ concave via the GH traversal; oracle = Σ rect-pair
+    overlaps of the disjoint-rect decompositions."""
+    return _overlay_general(spark, "intersection").filter(F.col("area") > 0)
+
+
+@query(
+    "q113_overlay_general_union",
+    f"""WITH {_STAIR_SQL}
+       SELECT i.a_id, i.b_id, round(area_a + area_b - s, 6) AS area
+       FROM inter i JOIN areas USING (a_id) JOIN areab USING (b_id)""",
+)
+def q113(spark, sf_dir):
+    """Concave ∪ concave (incl. disjoint two-ring and hole-nesting
+    cases) — the engine result is the traversal's ring set measured by
+    nesting-signed areas, never the |A|+|B|−|A∩B| identity."""
+    return _overlay_general(spark, "union")
+
+
+@query(
+    "q114_overlay_general_difference",
+    f"""WITH {_STAIR_SQL}
+       SELECT i.a_id, i.b_id, round(area_a - s, 6) AS area
+       FROM inter i JOIN areas USING (a_id)""",
+)
+def q114(spark, sf_dir):
+    """Concave A − B (multi-piece results when B splits A)."""
+    return _overlay_general(spark, "difference")
+
+
+@query(
+    "q115_overlay_general_symdiff",
+    f"""WITH {_STAIR_SQL}
+       SELECT i.a_id, i.b_id, round(area_a + area_b - 2*s, 6) AS area
+       FROM inter i JOIN areas USING (a_id) JOIN areab USING (b_id)""",
+)
+def q115(spark, sf_dir):
+    """Concave symmetric difference = (A−B) ⊎ (B−A), two traversals."""
+    return _overlay_general(spark, "symdiff")
