@@ -113,6 +113,9 @@ HEADLINE = [
     "q113_overlay_general_union",
     "q114_overlay_general_difference",
     "q115_overlay_general_symdiff",
+    "q116_zonal_minority_frac",
+    "q117_zonal_weighted",
+    "q118_zonal_minmax_center",
 ]
 
 

@@ -3892,3 +3892,148 @@ def q114(spark, sf_dir):
 def q115(spark, sf_dir):
     """Concave symmetric difference = (A−B) ⊎ (B−A), two traversals."""
     return _overlay_general(spark, "symdiff")
+
+
+# --- extended zonal statistics (q116-q118) ---------------------------------
+# alg/zonal.cpp Stat enum rows beyond the core set: MINORITY, FRAC,
+# WEIGHTED_SUM/MEAN/VARIANCE/STDEV, MIN/MAX_CENTER_X/Y.
+
+
+def _w_sql(a: str, b: str) -> str:
+    """Weight raster formula (integers ≥ 1, exact on both engines)."""
+    return f"((({a})*11 + ({b})*5)%13 + 1)"
+
+
+def _weight_tiles(spark):
+    from gdal_spark.operators.rasterize import TILE_SCHEMA
+
+    ntx, nty = DEM_W // DEM_TILE, DEM_H // DEM_TILE
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                t = int(row["id"])
+                tx, ty = t % ntx, t // ntx
+                gx = np.arange(DEM_TILE) + tx * DEM_TILE
+                gy = np.arange(DEM_TILE) + ty * DEM_TILE
+                GX, GY = np.meshgrid(gx, gy)
+                w = ((GX * 11 + GY * 5) % 13 + 1).astype(np.float64)
+                rows.append((0, tx, ty, 1, w.tobytes(), "float64", 0.0))
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "band", "data", "dtype", "nodata"]
+            )
+
+    from pyspark.sql import types as T2
+
+    return spark.range(ntx * nty).mapInPandas(
+        gen,
+        "z int, tx long, ty long, band int, data binary, dtype string, nodata double",
+    )
+
+
+def _zone_tiles_q116(spark, sf_dir):
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    return rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+
+
+@query(
+    "q116_zonal_minority_frac",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       pix AS (SELECT CAST(dn AS BIGINT) AS zone, x0 + dx.range AS gx, y0 + dy.range AS gy
+               FROM r, range(16) dx, range(16) dy
+               WHERE dx.range < w AND dy.range < h),
+       vals AS (SELECT zone, {_z_sql('gx', 'gy')} AS v FROM pix),
+       hist AS (SELECT zone, v, count(*) AS cnt FROM vals GROUP BY zone, v),
+       rk AS (SELECT zone, v, cnt,
+                     row_number() OVER (PARTITION BY zone ORDER BY cnt ASC, v) AS rn,
+                     sum(cnt) OVER (PARTITION BY zone) AS total
+              FROM hist)
+       SELECT zone, CAST(v AS BIGINT) AS minority_v, cnt AS minority_n,
+              round(cnt / CAST(total AS DOUBLE), 6) AS minority_frac
+       FROM rk WHERE rn = 1""",
+)
+def q116(spark, sf_dir):
+    """Zonal MINORITY (least frequent value, ties → smallest) and its
+    FRAC share — a window pick over the distributed zonal histogram."""
+    from gdal_spark.operators.zonal import zonal_histogram
+
+    hist = zonal_histogram(
+        _zone_tiles_q116(spark, sf_dir), _dem_tiles(spark), tile_size=32
+    )
+    w = Window.partitionBy("zone").orderBy(F.col("cnt").asc(), F.col("v"))
+    wz = Window.partitionBy("zone")
+    return (
+        hist.withColumn("rn", F.row_number().over(w))
+        .withColumn("total", F.sum("cnt").over(wz))
+        .filter(F.col("rn") == 1)
+        .select(
+            "zone", F.col("v").alias("minority_v"), F.col("cnt").alias("minority_n"),
+            F.round(F.col("cnt") / F.col("total").cast("double"), 6)
+            .alias("minority_frac"),
+        )
+    )
+
+
+@query(
+    "q117_zonal_weighted",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       pix AS (SELECT CAST(dn AS BIGINT) AS zone, x0 + dx.range AS gx, y0 + dy.range AS gy
+               FROM r, range(16) dx, range(16) dy
+               WHERE dx.range < w AND dy.range < h),
+       vals AS (SELECT zone, {_z_sql('gx', 'gy')} AS v, {_w_sql('gx', 'gy')} AS wt
+                FROM pix),
+       a AS (SELECT zone, CAST(sum(wt) AS BIGINT) AS sw,
+                    CAST(sum(wt*v) AS BIGINT) AS swv,
+                    CAST(sum(wt*v*v) AS BIGINT) AS swvv
+             FROM vals GROUP BY zone)
+       SELECT zone, swv AS wsum,
+              round(swv / CAST(sw AS DOUBLE), 6) AS wmean,
+              round(swvv / CAST(sw AS DOUBLE)
+                    - (swv / CAST(sw AS DOUBLE)) * (swv / CAST(sw AS DOUBLE)), 6)
+                  AS wvariance,
+              round(sqrt(swvv / CAST(sw AS DOUBLE)
+                    - (swv / CAST(sw AS DOUBLE)) * (swv / CAST(sw AS DOUBLE))), 6)
+                  AS wstdev
+       FROM a""",
+)
+def q117(spark, sf_dir):
+    """Zonal WEIGHTED_SUM/MEAN/VARIANCE/STDEV with a weight raster —
+    three-way co-located tile join, integer-exact partials."""
+    from gdal_spark.operators.zonal import zonal_weighted_raster
+
+    return zonal_weighted_raster(
+        _zone_tiles_q116(spark, sf_dir), _dem_tiles(spark), _weight_tiles(spark),
+        tile_size=32,
+    )
+
+
+@query(
+    "q118_zonal_minmax_center",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       pix AS (SELECT CAST(dn AS BIGINT) AS zone, x0 + dx.range AS gx, y0 + dy.range AS gy
+               FROM r, range(16) dx, range(16) dy
+               WHERE dx.range < w AND dy.range < h),
+       vals AS (SELECT zone, gx, gy, {_z_sql('gx', 'gy')} AS v FROM pix),
+       mn AS (SELECT zone, v, gx, gy,
+                     row_number() OVER (PARTITION BY zone ORDER BY v ASC, gy, gx) AS rn
+              FROM vals),
+       mx AS (SELECT zone, v, gx, gy,
+                     row_number() OVER (PARTITION BY zone ORDER BY v DESC, gy, gx) AS rn
+              FROM vals)
+       SELECT mn.zone, CAST(mn.v AS BIGINT) AS vmin,
+              mn.gx + 0.5 AS min_cx, mn.gy + 0.5 AS min_cy,
+              CAST(mx.v AS BIGINT) AS vmax,
+              mx.gx + 0.5 AS max_cx, mx.gy + 0.5 AS max_cy
+       FROM mn JOIN mx ON mx.zone = mn.zone AND mx.rn = 1
+       WHERE mn.rn = 1""",
+)
+def q118(spark, sf_dir):
+    """Zonal MIN/MAX_CENTER_X/Y: cell-center coords of the extreme
+    pixels, ties → first in row-major scan order."""
+    from gdal_spark.operators.zonal import zonal_minmax_location
+
+    return zonal_minmax_location(
+        _zone_tiles_q116(spark, sf_dir), _dem_tiles(spark), tile_size=32
+    )
