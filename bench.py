@@ -116,6 +116,8 @@ HEADLINE = [
     "q116_zonal_minority_frac",
     "q117_zonal_weighted",
     "q118_zonal_minmax_center",
+    "q119_grid_linear_tin",
+    "q120_grid_idw_quadrant",
 ]
 
 

@@ -4037,3 +4037,110 @@ def q118(spark, sf_dir):
     return zonal_minmax_location(
         _zone_tiles_q116(spark, sf_dir), _dem_tiles(spark), tile_size=32
     )
+
+
+# --- remaining grid algorithms (q119-q120) ---------------------------------
+
+
+@query(
+    "q119_grid_linear_tin",
+    """WITH p AS (SELECT n_nationkey AS n,
+                       CAST((n_nationkey*37)%101 AS BIGINT) AS x,
+                       CAST((n_nationkey*53)%89 AS BIGINT) AS y,
+                       CAST((n_nationkey*29)%53 AS DOUBLE) AS z
+              FROM nation),
+       tri AS (
+         SELECT a.n AS na, b.n AS nb, c.n AS nc,
+                a.x AS x1, a.y AS y1, a.z AS z1,
+                b.x AS x2, b.y AS y2, b.z AS z2,
+                c.x AS x3, c.y AS y3, c.z AS z3
+         FROM p a JOIN p b ON b.n > a.n JOIN p c ON c.n > b.n
+         WHERE (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) <> 0
+           AND NOT EXISTS (
+             SELECT 1 FROM p d
+             WHERE d.n NOT IN (a.n, b.n, c.n)
+               AND ((b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x))
+                   * ( (a.x-d.x)*((b.y-d.y)*((c.x-d.x)*(c.x-d.x)+(c.y-d.y)*(c.y-d.y))
+                                  - (c.y-d.y)*((b.x-d.x)*(b.x-d.x)+(b.y-d.y)*(b.y-d.y)))
+                     - (a.y-d.y)*((b.x-d.x)*((c.x-d.x)*(c.x-d.x)+(c.y-d.y)*(c.y-d.y))
+                                  - (c.x-d.x)*((b.x-d.x)*(b.x-d.x)+(b.y-d.y)*(b.y-d.y)))
+                     + ((a.x-d.x)*(a.x-d.x)+(a.y-d.y)*(a.y-d.y))
+                       * ((b.x-d.x)*(c.y-d.y) - (c.x-d.x)*(b.y-d.y)) ) > 0)),
+       cells AS (SELECT i.range AS i, j.range AS j,
+                        0 + (i.range + 0.5)*10.0 AS qx,
+                        0 + (j.range + 0.5)*10.0 AS qy
+                 FROM range(10) i, range(8) j),
+       cand AS (
+         SELECT i, j, na, nb, nc, l1, l2, 1.0 - l1 - l2 AS l3, z1, z2, z3
+         FROM (
+           SELECT c.i, c.j, t.na, t.nb, t.nc, t.z1, t.z2, t.z3,
+                  ((t.y2-t.y3)*(c.qx-t.x3) + (t.x3-t.x2)*(c.qy-t.y3))
+                  / CAST((t.y2-t.y3)*(t.x1-t.x3) + (t.x3-t.x2)*(t.y1-t.y3) AS DOUBLE) AS l1,
+                  ((t.y3-t.y1)*(c.qx-t.x3) + (t.x1-t.x3)*(c.qy-t.y3))
+                  / CAST((t.y2-t.y3)*(t.x1-t.x3) + (t.x3-t.x2)*(t.y1-t.y3) AS DOUBLE) AS l2
+           FROM cells c, tri t)
+         WHERE l1 >= 0 AND l2 >= 0 AND 1.0 - l1 - l2 >= 0),
+       pick AS (SELECT i, j, l1, l2, l3, z1, z2, z3,
+                       row_number() OVER (PARTITION BY i, j
+                                          ORDER BY na, nb, nc) AS rnk
+                FROM cand)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              round(l1*z1 + l2*z2 + l3*z3, 6) AS linear_v
+       FROM pick WHERE rnk = 1""",
+)
+def q119(spark, sf_dir):
+    """GDALGridLinear: Delaunay TIN + barycentric interpolation.  The
+    oracle derives the SAME triangulation from the defining property
+    (no point strictly inside a facet's circumcircle, exact integer
+    determinants) — fully independent of the engine's construction."""
+    from gdal_spark.operators.grid import grid_linear_tin
+
+    rows = [
+        (n, float((n * 37) % 101), float((n * 53) % 89), float((n * 29) % 53))
+        for n in range(25)
+    ]
+    return grid_linear_tin(rows, spark, x0=0.0, y0=0.0, cell=10.0, nx=10, ny=8)
+
+
+@query(
+    "q120_grid_idw_quadrant",
+    f"""WITH pts AS ({POINTS_SQL}),
+       cand AS (
+         SELECT doc_id AS pid, pv, i, j,
+                px - (-180.0 + (i+0.5)*20.0) AS rx,
+                py - (-80.0 + (j+0.5)*20.0) AS ry
+         FROM (SELECT doc_id, lon AS px, lat AS py, CAST(v AS DOUBLE) AS pv FROM pts),
+              range(18) a(i), range(8) b(j)),
+       infr AS (SELECT pid, pv, i, j, rx*rx + ry*ry AS d2,
+                       CASE WHEN rx >= 0 THEN 1 ELSE 0 END
+                       + CASE WHEN ry >= 0 THEN 2 ELSE 0 END AS quad
+                FROM cand WHERE rx*rx + ry*ry <= 225.0),
+       rk AS (SELECT *, row_number() OVER (PARTITION BY i, j, quad
+                                           ORDER BY d2, pid) AS rnk
+              FROM infr),
+       sel AS (SELECT * FROM rk WHERE rnk <= 3),
+       agg AS (SELECT i, j,
+                      SUM(CASE WHEN d2 > 0 THEN pv / d2 ELSE 0 END) AS nom,
+                      SUM(CASE WHEN d2 > 0 THEN 1.0 / d2 ELSE 0 END) AS den,
+                      SUM(CASE WHEN quad = 0 THEN 1 ELSE 0 END) AS nq0,
+                      SUM(CASE WHEN quad = 1 THEN 1 ELSE 0 END) AS nq1,
+                      SUM(CASE WHEN quad = 2 THEN 1 ELSE 0 END) AS nq2,
+                      SUM(CASE WHEN quad = 3 THEN 1 ELSE 0 END) AS nq3,
+                      SUM(CASE WHEN d2 = 0 THEN 1 ELSE 0 END) AS nhit,
+                      round(AVG(CASE WHEN d2 = 0 THEN pv END), 6) AS hitval
+               FROM sel GROUP BY i, j)
+       SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+              CASE WHEN nhit > 0 THEN hitval ELSE round(nom / den, 6) END AS idw
+       FROM agg
+       WHERE nhit > 0 OR (nq0 >= 1 AND nq1 >= 1 AND nq2 >= 1 AND nq3 >= 1)""",
+)
+def q120(spark, sf_dir):
+    """Per-quadrant IDW-NN (alg/gdalgrid.cpp:351-470): each quadrant
+    contributes its 3 nearest in-radius points (tie → smallest id),
+    nodes missing a populated quadrant are nodata."""
+    from gdal_spark.operators.grid import grid_idw_nn_quadrant
+
+    return grid_idw_nn_quadrant(
+        _points(spark, sf_dir), x0=-180.0, y0=-80.0, cell=20.0, nx=18, ny=8,
+        radius=15.0, power=2, max_per_quadrant=3, min_per_quadrant=1,
+    )
