@@ -118,6 +118,8 @@ HEADLINE = [
     "q118_zonal_minmax_center",
     "q119_grid_linear_tin",
     "q120_grid_idw_quadrant",
+    "q121_utm_roundtrip",
+    "q122_lcc_roundtrip",
 ]
 
 

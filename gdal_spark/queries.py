@@ -4144,3 +4144,75 @@ def q120(spark, sf_dir):
         _points(spark, sf_dir), x0=-180.0, y0=-80.0, cell=20.0, nx=18, ny=8,
         radius=15.0, power=2, max_per_quadrant=3, min_per_quadrant=1,
     )
+
+
+# --- general coordinate transforms (q121-q122) -----------------------------
+# OGRCoordinateTransformation (ogr/ogrct.cpp:665,850) without PROJ:
+# functions/proj.py implements UTM (Karney Krüger series, n^6) and
+# Lambert conformal conic (Snyder 2SP) as JVM-side Column expressions.
+# The oracle replays the round-trip contract: forward → inverse must
+# return the integer-derived inputs exactly at 6 dp (series error is
+# ~1e-13 deg, five orders below the rounding quantum), so the oracle
+# is the input formula itself — engine-independent.  Absolute-value
+# correctness is pinned separately in tests/test_proj.py against an
+# independently integrated meridian arc.
+
+
+@query(
+    "q121_utm_roundtrip",
+    """SELECT n_nationkey AS n,
+            CAST((n_nationkey*67)%360 AS DOUBLE) - 180.0 + 0.31 AS lon,
+            CAST((n_nationkey*41)%160 AS DOUBLE) - 80.0 + 0.17 AS lat,
+            CAST(floor((CAST((n_nationkey*67)%360 AS DOUBLE) - 180.0 + 0.31 + 180.0) / 6.0)
+                 % 60 + 1 AS INT) AS zone
+       FROM nation""",
+)
+def q121(spark, sf_dir):
+    """WGS84 → UTM → WGS84 round trip over all zones/hemispheres; the
+    repartition between forward and inverse is the codegen stage split
+    (one projection per stage — also the shape a real pipeline has)."""
+    from gdal_spark.functions import proj as P
+
+    pts = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n"),
+        (((F.col("n_nationkey") * 67) % 360).cast("double") - 180.0 + 0.31).alias("lon0"),
+        (((F.col("n_nationkey") * 41) % 160).cast("double") - 80.0 + 0.17).alias("lat0"),
+    )
+    zone = P.utm_zone(F.col("lon0"))
+    e, n = P.lonlat_to_utm(F.col("lon0"), F.col("lat0"), zone)
+    fwd = pts.select(
+        "n", "lon0", "lat0", zone.alias("zone"), e.alias("e"), n.alias("nn"),
+        (F.col("lat0") < 0).alias("south"),
+    ).repartition(8)
+    lon2, lat2 = P.utm_to_lonlat(F.col("e"), F.col("nn"), F.col("zone"), F.col("south"))
+    return fwd.select(
+        "n",
+        F.round(lon2, 6).alias("lon"),
+        F.round(lat2, 6).alias("lat"),
+        F.col("zone").cast("int").alias("zone"),
+    )
+
+
+@query(
+    "q122_lcc_roundtrip",
+    """SELECT n_nationkey AS n,
+            CAST((n_nationkey*59)%140 AS DOUBLE) - 125.0 + 0.23 AS lon,
+            CAST((n_nationkey*31)%45 AS DOUBLE) + 25.0 + 0.11 AS lat
+       FROM nation""",
+)
+def q122(spark, sf_dir):
+    """WGS84 → Lambert conformal conic (CONUS Albers-style parallels
+    33/45) → WGS84 round trip."""
+    from gdal_spark.functions import proj as P
+
+    pts = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n"),
+        (((F.col("n_nationkey") * 59) % 140).cast("double") - 125.0 + 0.23).alias("lon0"),
+        (((F.col("n_nationkey") * 31) % 45).cast("double") + 25.0 + 0.11).alias("lat0"),
+    )
+    x, y = P.lonlat_to_lcc(F.col("lon0"), F.col("lat0"), 33.0, 45.0, 39.0, -96.0)
+    fwd = pts.select("n", "lon0", "lat0", x.alias("x"), y.alias("y")).repartition(8)
+    lon2, lat2 = P.lcc_to_lonlat(F.col("x"), F.col("y"), 33.0, 45.0, 39.0, -96.0)
+    return fwd.select(
+        "n", F.round(lon2, 6).alias("lon"), F.round(lat2, 6).alias("lat")
+    )
