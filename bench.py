@@ -120,6 +120,7 @@ HEADLINE = [
     "q120_grid_idw_quadrant",
     "q121_utm_roundtrip",
     "q122_lcc_roundtrip",
+    "q123_predicates_general",
 ]
 
 

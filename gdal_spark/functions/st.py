@@ -127,6 +127,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_NPoints", st_npoints)
     spark.udf.register("ST_RectRelation", st_rect_relation)
     spark.udf.register("ST_ClipArea", st_clip_area)
+    spark.udf.register("ST_RelationGeneral", st_relation_general)
     spark.udf.register("ST_Distance", st_distance)
     spark.udf.register("ST_Centroid", st_centroid)
     spark.udf.register("ST_ConvexHull", st_convexhull)
@@ -310,4 +311,35 @@ def st_rect_relation(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
             out.append("touches")
         else:
             out.append("disjoint")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_relation_general(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
+    """Named binary predicate for GENERAL (concave) polygon pairs in
+    general position (no shared boundary ⇒ no 'touches'):
+    equals / contains / within / overlaps / disjoint decided from the
+    Greiner–Hormann intersection area against the operand areas —
+    the ogrgeometry.cpp:575-6409 predicate family beyond rectangles.
+    Rectangle pairs (which may share boundary) keep st_rect_relation."""
+    from gdal_spark.kernels import clipgen as C
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for ga, gb in zip(a_wkb, b_wkb):
+        pa = W.polygon_rings(bytes(ga))[0][0]
+        pb = W.polygon_rings(bytes(gb))[0][0]
+        area_a = abs(C._ring_signed_area(C._close(pa)))
+        area_b = abs(C._ring_signed_area(C._close(pb)))
+        inter = C.clip_area(pa, pb, "intersection")
+        if inter == 0.0:
+            out.append("disjoint")
+        elif inter == area_a and inter == area_b:
+            out.append("equals")
+        elif inter == area_b:
+            out.append("contains")
+        elif inter == area_a:
+            out.append("within")
+        else:
+            out.append("overlaps")
     return pd.Series(out)

@@ -4216,3 +4216,29 @@ def q122(spark, sf_dir):
     return fwd.select(
         "n", F.round(lon2, 6).alias("lon"), F.round(lat2, 6).alias("lat")
     )
+
+
+@query(
+    "q123_predicates_general",
+    f"""WITH {_STAIR_SQL},
+       rel AS (SELECT i.a_id, i.b_id, i.s, a.area_a, bb.area_b
+               FROM inter i JOIN areas a USING (a_id) JOIN areab bb USING (b_id))
+       SELECT a_id, b_id,
+              CASE WHEN s = 0 THEN 'disjoint'
+                   WHEN s = area_a AND s = area_b THEN 'equals'
+                   WHEN s = area_b THEN 'contains'
+                   WHEN s = area_a THEN 'within'
+                   ELSE 'overlaps' END AS rel
+       FROM rel""",
+)
+def q123(spark, sf_dir):
+    """General-polygon binary predicates (concave staircases, general
+    position): relation derived from the GH intersection area, oracle
+    from the disjoint-rect decomposition."""
+    from gdal_spark.functions.st import st_relation_general
+
+    fa, fb = _stair_feats(spark)
+    return fa.crossJoin(fb).select(
+        "a_id", "b_id",
+        st_relation_general(F.col("ga"), F.col("gb")).alias("rel"),
+    )
