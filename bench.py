@@ -121,6 +121,7 @@ HEADLINE = [
     "q121_utm_roundtrip",
     "q122_lcc_roundtrip",
     "q123_predicates_general",
+    "q124_spatial_join_df_cover",
 ]
 
 

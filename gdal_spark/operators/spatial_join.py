@@ -83,7 +83,9 @@ def with_cell_kernel(points: DataFrame, lon="lon", lat="lat", res: int = DEFAULT
 
 def polygon_cover(polys: list[tuple], res: int = DEFAULT_RES) -> list[tuple]:
     """[(poly_id, wkb)] → [(cell, poly_id, wkb)] cover rows (superset
-    cover; exact phase removes false positives)."""
+    cover; exact phase removes false positives).  Driver-side — for the
+    broadcastable small-dim case only; big polygon tables use
+    ``polygon_cover_df``."""
     rows = []
     for pid, blob in polys:
         cover: set[int] = set()
@@ -91,6 +93,38 @@ def polygon_cover(polys: list[tuple], res: int = DEFAULT_RES) -> list[tuple]:
             cover.update(cells_cover_polygon(rings, res).tolist())
         rows.extend((int(c), pid, blob) for c in cover)
     return rows
+
+
+def polygon_cover_df(
+    polys: DataFrame,
+    res: int = DEFAULT_RES,
+    poly_id_col: str = "poly_id",
+    wkb_col: str = "geom",
+) -> DataFrame:
+    """DataFrame-native cell cover: (poly_id, wkb) rows → (cell,
+    poly_id, _poly_wkb) cover rows via a batched pandas UDF — the
+    cover of a MILLIONS-of-features polygon table is computed where
+    the features live, never on the driver.  Same superset-cover
+    contract as ``polygon_cover``."""
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField(poly_id_col, T.LongType()),
+            T.StructField("_poly_wkb", T.BinaryType()),
+        ]
+    )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for pid, blob in zip(pdf[poly_id_col], pdf[wkb_col]):
+                cover: set[int] = set()
+                for rings in W.polygon_rings(bytes(blob)):
+                    cover.update(cells_cover_polygon(rings, res).tolist())
+                rows.extend((int(c), int(pid), bytes(blob)) for c in cover)
+            yield pd.DataFrame(rows, columns=["cell", poly_id_col, "_poly_wkb"])
+
+    return polys.mapInPandas(gen, schema)
 
 
 def auto_salt_map(
@@ -131,7 +165,7 @@ def auto_salt_map(
 
 def spatial_join_points_in_polygons(
     points: DataFrame,
-    polys: list[tuple],
+    polys: list[tuple] | DataFrame,
     lon: str = "lon",
     lat: str = "lat",
     res: int = DEFAULT_RES,
@@ -144,7 +178,10 @@ def spatial_join_points_in_polygons(
 ) -> DataFrame:
     """points × polygon set → matching (point row, poly_id) rows.
 
-    ``polys``: [(poly_id, wkb_bytes)].
+    ``polys``: [(poly_id, wkb_bytes)] for a broadcastable small dim, or
+    a DataFrame with columns (poly_id_col, geom) for polygon tables too
+    large for the driver — the cover then comes from
+    ``polygon_cover_df`` (computed distributedly).
 
     Join strategy (the scale decision):
 
@@ -165,25 +202,38 @@ def spatial_join_points_in_polygons(
       mass; the rest of the cover is not exploded.
     """
     spark = points.sparkSession
-    cover_rows = polygon_cover(polys, res)
-    cover_schema = T.StructType(
-        [
-            T.StructField("cell", T.LongType()),
-            T.StructField(poly_id_col, T.LongType()),
-            T.StructField("_poly_wkb", T.BinaryType()),
-        ]
-    )
     pts = with_cell(points, lon, lat, res)
-    cover = spark.createDataFrame(cover_rows, cover_schema)
+    if isinstance(polys, DataFrame):
+        # big polygon side: cover computed distributedly where the
+        # features live (polygon_cover_df); auto-salt needs the cover
+        # cell set — derived from a cover aggregation, not the driver
+        cover = polygon_cover_df(polys, res, poly_id_col=poly_id_col)
+        cover_rows = None
+    else:
+        cover_rows = polygon_cover(polys, res)
+        cover_schema = T.StructType(
+            [
+                T.StructField("cell", T.LongType()),
+                T.StructField(poly_id_col, T.LongType()),
+                T.StructField("_poly_wkb", T.BinaryType()),
+            ]
+        )
+        cover = spark.createDataFrame(cover_rows, cover_schema)
 
     if broadcast_cover:
         joined = pts.join(F.broadcast(cover), "cell")
         salted = False
     elif salt_factor == "auto":
         # per-cell factors from the sampled histogram; cold cells k=1
+        if cover_rows is not None:
+            cover_cells = {c for c, _, _ in cover_rows}
+        else:
+            cover_cells = {
+                r["cell"] for r in cover.select("cell").distinct().collect()
+            }
         kmap = auto_salt_map(
             pts,
-            {c for c, _, _ in cover_rows},
+            cover_cells,
             sample_fraction=salt_sample_fraction,
             target_rows_per_key=salt_target_rows_per_key,
         )

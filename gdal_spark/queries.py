@@ -4242,3 +4242,45 @@ def q123(spark, sf_dir):
         "a_id", "b_id",
         st_relation_general(F.col("ga"), F.col("gb")).alias("rel"),
     )
+
+
+@query(
+    "q124_spatial_join_df_cover",
+    f"""WITH pts AS ({POINTS_SQL}), rects AS ({RECTS_SQL})
+       SELECT p.doc_id, r.zone_id FROM pts p JOIN rects r
+       ON p.lon >= r.xmin AND p.lon <= r.xmax
+       AND p.lat >= r.ymin AND p.lat <= r.ymax""",
+)
+def q124(spark, sf_dir):
+    """The spatial join with a DATAFRAME polygon side: the cell cover
+    is computed distributedly (polygon_cover_df pandas UDF over the
+    polygon table — the millions-of-features path), shuffle-hash join
+    on cell, exact PIP verify.  Must equal q11's broadcast-list path
+    row for row (same oracle)."""
+    from gdal_spark.kernels import wkb as Wk
+
+    pts = _points(spark, sf_dir)
+    n = _t(spark, sf_dir, "nation").select("n_nationkey")
+
+    def mk(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for k in pdf["n_nationkey"]:
+                k = int(k)
+                xmin = float((k * 61) % 300 - 160)
+                ymin = float((k * 83) % 140 - 75)
+                xmax = xmin + 10 + (k % 7) * 5
+                ymax = ymin + 8 + (k % 5) * 4
+                ring = np.array(
+                    [[xmin, ymin], [xmax, ymin], [xmax, ymax], [xmin, ymax],
+                     [xmin, ymin]]
+                )
+                rows.append((k, Wk.polygon_wkb([ring])))
+            yield pd.DataFrame(rows, columns=["zone_id", "geom"])
+
+    zones = n.mapInPandas(mk, "zone_id long, geom binary")
+    j = spatial_join_points_in_polygons(
+        pts, zones, include_boundary=True, poly_id_col="zone_id",
+        broadcast_cover=False,
+    )
+    return j.select("doc_id", "zone_id")
