@@ -56,23 +56,36 @@ def st_intersects_point(poly_wkb: pd.Series, lon: pd.Series, lat: pd.Series) -> 
     return _pip_batch(lon, lat, poly_wkb, boundary=True)
 
 
+def _row_area(blob: bytes) -> float:
+    total = 0.0
+    for rings in W.polygon_rings(blob):
+        for j, r in enumerate(rings):
+            a = 0.5 * float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]))
+            total += abs(a) if j == 0 else -abs(a)
+    return total
+
+
 @F.pandas_udf(T.DoubleType())
 def st_area(poly_wkb: pd.Series) -> pd.Series:
     """Shoelace area (exterior minus holes), WKB-direct — role of
-    OGRWKBPolygonGetArea (ogr/ogr_wkb.h:25)."""
-    out = np.zeros(len(poly_wkb))
-    for i, blob in enumerate(poly_wkb):
-        if blob is None:
-            out[i] = np.nan
+    OGRWKBPolygonGetArea (ogr/ogr_wkb.h:25).  Batch-vectorized: blobs
+    with the dominant single-ring layout parse in one reshape+view and
+    the shoelace runs over the whole group (W.batch_single_ring_groups);
+    only irregular rows fall back to the per-row parser."""
+    blobs = [None if b is None else bytes(b) for b in poly_wkb]
+    out = np.full(len(blobs), np.nan)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                if blobs[i] is not None:
+                    out[i] = _row_area(blobs[i])
             continue
-        total = 0.0
-        for rings in W.polygon_rings(bytes(blob)):
-            for j, r in enumerate(rings):
-                a = 0.5 * float(
-                    np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
-                )
-                total += abs(a) if j == 0 else -abs(a)
-        out[i] = total
+        a = 0.5 * np.sum(
+            coords[:, :-1, 0] * coords[:, 1:, 1]
+            - coords[:, 1:, 0] * coords[:, :-1, 1],
+            axis=1,
+        )
+        out[idx] = np.abs(a)
     return pd.Series(out)
 
 
@@ -167,21 +180,26 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.IntegerType())
 def st_npoints(wkb: pd.Series) -> pd.Series:
-    """OGR_GEOM_NumPoints-style vertex count (all rings / coords)."""
+    """OGR_GEOM_NumPoints-style vertex count (all rings / coords).
+    Single-ring polygon groups answer from the header alone (batch
+    parse); irregular rows fall back per-row."""
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob in wkb:
-        gtype, parts = W.parse_wkb(bytes(blob))
-        if gtype == W.LINESTRING:
-            out.append(int(parts.shape[0]))
-        elif gtype == W.POLYGON:
-            out.append(int(sum(r.shape[0] for r in parts)))
-        elif gtype == W.POINT:
-            out.append(1)
-        else:
-            out.append(0)
-    return pd.Series(out)
+    blobs = [None if b is None else bytes(b) for b in wkb]
+    out = np.zeros(len(blobs), dtype=np.int64)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is not None:
+            out[idx] = coords.shape[1]
+            continue
+        for i in idx:
+            gtype, parts = W.parse_wkb(blobs[i])
+            if gtype == W.LINESTRING:
+                out[i] = int(parts.shape[0])
+            elif gtype == W.POLYGON:
+                out[i] = int(sum(r.shape[0] for r in parts))
+            elif gtype == W.POINT:
+                out[i] = 1
+    return pd.Series(out).astype("int32")
 
 
 @F.pandas_udf(T.DoubleType())
@@ -293,24 +311,42 @@ def st_rect_relation(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
     overlaps → touches → disjoint."""
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for ga, gb in zip(a_wkb, b_wkb):
-        ax0, ay0, ax1, ay1 = W.wkb_bbox(bytes(ga))
-        bx0, by0, bx1, by1 = W.wkb_bbox(bytes(gb))
-        closure = ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
-        interior = ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1
-        if (ax0, ay0, ax1, ay1) == (bx0, by0, bx1, by1):
-            out.append("equals")
-        elif ax0 <= bx0 and bx1 <= ax1 and ay0 <= by0 and by1 <= ay1:
-            out.append("contains")
-        elif bx0 <= ax0 and ax1 <= bx1 and by0 <= ay0 and ay1 <= by1:
-            out.append("within")
-        elif interior:
-            out.append("overlaps")
-        elif closure:
-            out.append("touches")
-        else:
-            out.append("disjoint")
+    def bboxes(series):
+        blobs = [bytes(b) for b in series]
+        bb = np.zeros((len(blobs), 4))
+        for idx, coords in W.batch_single_ring_groups(blobs):
+            if coords is not None:
+                bb[idx, 0] = coords[:, :, 0].min(axis=1)
+                bb[idx, 1] = coords[:, :, 1].min(axis=1)
+                bb[idx, 2] = coords[:, :, 0].max(axis=1)
+                bb[idx, 3] = coords[:, :, 1].max(axis=1)
+            else:
+                for i in idx:
+                    bb[i] = W.wkb_bbox(blobs[i])
+        return bb
+
+    A = bboxes(a_wkb)
+    B = bboxes(b_wkb)
+    ax0, ay0, ax1, ay1 = A[:, 0], A[:, 1], A[:, 2], A[:, 3]
+    bx0, by0, bx1, by1 = B[:, 0], B[:, 1], B[:, 2], B[:, 3]
+    closure = (ax0 <= bx1) & (bx0 <= ax1) & (ay0 <= by1) & (by0 <= ay1)
+    interior = (ax0 < bx1) & (bx0 < ax1) & (ay0 < by1) & (by0 < ay1)
+    eq = (ax0 == bx0) & (ay0 == by0) & (ax1 == bx1) & (ay1 == by1)
+    contains = (ax0 <= bx0) & (bx1 <= ax1) & (ay0 <= by0) & (by1 <= ay1)
+    within = (bx0 <= ax0) & (ax1 <= bx1) & (by0 <= ay0) & (ay1 <= by1)
+    out = np.where(
+        eq, "equals",
+        np.where(
+            contains, "contains",
+            np.where(
+                within, "within",
+                np.where(
+                    interior, "overlaps",
+                    np.where(closure, "touches", "disjoint"),
+                ),
+            ),
+        ),
+    )
     return pd.Series(out)
 
 

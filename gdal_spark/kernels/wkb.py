@@ -218,3 +218,41 @@ def wkb_to_wkt(wkb: bytes) -> str:
         )
         return f"MULTIPOLYGON ({inner})"
     raise ValueError(f"unsupported type {gtype}")
+
+
+def batch_single_ring_groups(blobs):
+    """Vectorized batch parse for the dominant layout: little-endian
+    single-ring POLYGON blobs.  Rows are grouped by byte length; a
+    group whose header fields all match the fast layout (byte order 1,
+    type 3, nrings 1, consistent npts) parses in ONE reshape+view —
+    no per-row Python.  Yields (index_array, coords) with coords of
+    shape (g, npts, 2), or (index_array, None) for rows needing the
+    generic per-row parser (multi-ring, multi-part, big-endian).
+
+    This is the batch strategy the reference's Arrow path uses for
+    fixed-stride geometry columns (ogr/ogrlayerarrow.cpp) — offsets are
+    computable without visiting rows."""
+    from collections import defaultdict
+
+    by_len: dict[int, list[int]] = defaultdict(list)
+    for i, b in enumerate(blobs):
+        by_len[len(b) if b is not None else -1].append(i)
+    for L, idxs in by_len.items():
+        idx = np.asarray(idxs, dtype=np.int64)
+        if L < 13 + 16 or (L - 13) % 16 != 0:
+            yield idx, None
+            continue
+        npts = (L - 13) // 16
+        buf = np.frombuffer(
+            b"".join(blobs[i] for i in idxs), dtype=np.uint8
+        ).reshape(len(idxs), L)
+        hdr_ok = (
+            (buf[:, 0] == 1).all()
+            and (buf[:, 1:9].copy().view("<u4") == [POLYGON, 1]).all()
+            and (buf[:, 9:13].copy().view("<u4") == npts).all()
+        )
+        if not hdr_ok:
+            yield idx, None
+            continue
+        coords = buf[:, 13:].copy().view("<f8").reshape(len(idxs), npts, 2)
+        yield idx, coords
