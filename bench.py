@@ -122,6 +122,8 @@ HEADLINE = [
     "q122_lcc_roundtrip",
     "q123_predicates_general",
     "q124_spatial_join_df_cover",
+    "q125_wkb_zm_stats",
+    "q126_curvepolygon_linearize",
 ]
 
 

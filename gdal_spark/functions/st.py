@@ -145,6 +145,8 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_Centroid", st_centroid)
     spark.udf.register("ST_ConvexHull", st_convexhull)
     spark.udf.register("ST_Simplify", st_simplify)
+    spark.udf.register("ST_ZMStats", st_zm_stats)
+    spark.udf.register("ST_Linearize", st_linearize)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -379,3 +381,29 @@ def st_relation_general(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
         else:
             out.append("overlaps")
     return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def st_zm_stats(wkb: pd.Series) -> pd.Series:
+    """[npoints, z_sum, m_sum] for ISO Z/M/ZM geometries
+    (kernels/wkbext.py — the ogr_core.h:422-533 dimension surface)."""
+    from gdal_spark.kernels import wkbext as X
+
+    out = []
+    for blob in wkb:
+        n, zs, ms = X.zm_stats(bytes(blob))
+        out.append([float(n), zs, ms])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_linearize(wkb: pd.Series, max_angle: pd.Series) -> pd.Series:
+    """CircularString / CompoundCurve / CurvePolygon → linearized
+    LineString / Polygon (OGRGeometryFactory::curveToLineString
+    surface; defining points kept verbatim, half-arcs subdivided by
+    max_angle)."""
+    from gdal_spark.kernels import wkbext as X
+
+    return pd.Series(
+        [X.linearize_wkb(bytes(b), float(a)) for b, a in zip(wkb, max_angle)]
+    )

@@ -4284,3 +4284,83 @@ def q124(spark, sf_dir):
         broadcast_cover=False,
     )
     return j.select("doc_id", "zone_id")
+
+
+# --- curve / Z / M geometry types (q125-q126) ------------------------------
+# ogr/ogr_core.h:422-533 beyond 2D: ISO Z/M/ZM parsing and the curve
+# family (CircularString / CurvePolygon), linearized at read like the
+# reference's own consumers (alg/gdalrasterize.cpp:571 "linearize
+# curves"; ogr/ogrgeometryfactory.cpp curveToLineString).
+
+
+@query(
+    "q125_wkb_zm_stats",
+    """WITH d AS (SELECT n_nationkey AS n, 4 + n_nationkey % 5 AS k FROM nation),
+       t AS (SELECT n, k, i.range AS i FROM d, range(8) i WHERE i.range < k)
+       SELECT n, CAST(max(k) AS BIGINT) AS npts,
+              CAST(SUM((n*7 + i*i*3) % 41) AS DOUBLE) AS z_sum,
+              CAST(SUM((n*11 + i*13) % 97) AS DOUBLE) AS m_sum
+       FROM t GROUP BY n""",
+)
+def q125(spark, sf_dir):
+    """ISO LineString ZM parse: per-nation chains with integer-derived
+    Z and M streams; the engine parses real ZM WKB blobs, the oracle
+    computes the analytic sums."""
+    from gdal_spark.functions.st import st_zm_stats
+    from gdal_spark.kernels import wkbext as X
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        n = int(r["n_nationkey"])
+        k = 4 + n % 5
+        i = np.arange(k)
+        coords = np.column_stack(
+            [i * 10, (n + i) % 7, (n * 7 + i * i * 3) % 41, (n * 11 + i * 13) % 97]
+        ).astype(np.float64)
+        rows.append((n, X.linestring_zm_wkb(coords, flavor=3)))
+    feats = spark.createDataFrame(rows, "n long, geom binary")
+    s = feats.select("n", st_zm_stats(F.col("geom")).alias("s"))
+    return s.select(
+        "n",
+        F.element_at("s", 1).cast("long").alias("npts"),
+        F.element_at("s", 2).alias("z_sum"),
+        F.element_at("s", 3).alias("m_sum"),
+    )
+
+
+@query(
+    "q126_curvepolygon_linearize",
+    """SELECT n_nationkey AS n,
+            CAST(5 AS INT) AS npts,
+            CAST(2 * (1 + n_nationkey % 4) * (1 + n_nationkey % 4) AS DOUBLE) AS area
+       FROM nation""",
+)
+def q126(spark, sf_dir):
+    """CurvePolygon with a full-circle CircularString ring (radius
+    R = 1 + n%4, integer center), linearized at max_angle = 90°: the
+    defining points are emitted verbatim, so the result is the exact
+    integer diamond with area 2·R² — the oracle's closed form.  Finer
+    angles converge to πR² (property-tested in pytest)."""
+    from gdal_spark.functions.st import st_area, st_linearize, st_npoints
+    from gdal_spark.kernels import wkbext as X
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        n = int(r["n_nationkey"])
+        cx, cy, R = (n % 5) * 20, (n // 5) * 20, 1 + n % 4
+        cs = X.circularstring_wkb(
+            np.array(
+                [[cx + R, cy], [cx, cy + R], [cx - R, cy], [cx, cy - R], [cx + R, cy]],
+                dtype=np.float64,
+            )
+        )
+        rows.append((n, X.curvepolygon_wkb([cs])))
+    feats = spark.createDataFrame(rows, "n long, geom binary")
+    lin = feats.select(
+        "n", st_linearize(F.col("geom"), F.lit(90.0)).alias("g")
+    )
+    return lin.select(
+        "n",
+        st_npoints(F.col("g")).alias("npts"),
+        F.round(st_area(F.col("g")), 6).alias("area"),
+    )
