@@ -81,3 +81,25 @@ def test_sieve_distributed_cc_matches_driver(spark):
             for r in tiles_to_features(dist, tile_size=32, nodata=0.0).collect()}
     assert px_a == px_b
     assert 9.0 not in px_a.values()  # satellite absorbed into the L
+
+
+def test_no_driver_dsu_past_threshold(spark, monkeypatch):
+    """Plan hygiene: with cc_threshold=0 the driver union-find must
+    never engage — sabotage _DSU and require the distributed CC path
+    to carry polygonize and sieve end to end."""
+    import gdal_spark.operators.polygonize as P
+    import gdal_spark.operators.sieve as S
+
+    class Boom:
+        def __init__(self):
+            raise AssertionError("driver DSU used past cc_threshold")
+
+    tiles = _fixture(spark)
+    monkeypatch.setattr(P, "_DSU", Boom)
+    out = polygonize_tiles(tiles, nodata=0.0, tile_size=32, cc_threshold=0)
+    assert out.count() > 0
+    # sieve: the absorption-loop DSU (module-level import in sieve) is
+    # legitimately driver-side over the SMALL subgraph; only the label
+    # CC must avoid the driver — exercised via polygonize._label_roots
+    px = sieve_tiles(tiles, threshold=5, nodata=0.0, tile_size=32, cc_threshold=0)
+    assert px.count() > 0
