@@ -3114,10 +3114,10 @@ def q94(spark, sf_dir):
     CC → keep min doc_id per duplicate cluster): what a training
     pipeline actually DOES with the pair list.  The oracle closes the
     pair graph with a recursive CTE."""
-    from gdal_spark.operators.graph import connected_components
+    from gdal_spark.operators.graph import connected_components_auto
 
     pairs = QUERIES["q18_minhash_lsh"](spark, sf_dir).select("a", "b")
-    comp = connected_components(pairs, src="a", dst="b")
+    comp = connected_components_auto(pairs, src="a", dst="b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical")
     )
