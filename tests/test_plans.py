@@ -128,3 +128,60 @@ def test_mosaic_single_shuffle_on_tile_key(spark):
     tile_keyed = [h for h in hashes if "tx" in h and "ty" in h]
     assert len(tile_keyed) >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_df_cover_join_is_shuffle_hash_not_cartesian(spark):
+    """The DataFrame-polygon-side join (polygon_cover_df path) must be
+    an equi-join on cell (shuffle-hash), never a cartesian product."""
+    import numpy as np
+    import pandas as pd
+
+    from gdal_spark.kernels import wkb as W
+
+    pts = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+
+    def mk(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for k in pdf["doc_id"].head(5):
+                k = int(k)
+                ring = np.array(
+                    [[k % 50, 0], [k % 50 + 10, 0], [k % 50 + 10, 10],
+                     [k % 50, 10], [k % 50, 0]], float
+                )
+                rows.append((k, W.polygon_wkb([ring])))
+            yield pd.DataFrame(rows, columns=["zone_id", "geom"])
+
+    zones = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id").limit(5).mapInPandas(mk, "zone_id long, geom binary")
+    )
+    j = spatial_join_points_in_polygons(
+        pts, zones, poly_id_col="zone_id", broadcast_cover=False
+    )
+    plan = plan_of(j)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pyramid_convolution_single_exchange(spark):
+    """The convolution overview is one halo-strip exchange (the
+    groupBy(tile)) — no extra shuffles in the plan."""
+    from gdal_spark.operators.pyramid import pyramid_convolution
+    from gdal_spark.queries import _dem_tiles
+
+    out = pyramid_convolution(_dem_tiles(spark), "bilinear", 32, 128, 128)
+    import re
+
+    plan = plan_of(out)
+    # RoundRobin comes from the fixture's synthesis repartition; the
+    # OPERATOR itself contributes exactly one hash exchange (the halo
+    # groupBy)
+    hashes = [
+        e for e in re.findall(r"Exchange (\w+)", plan) if e.startswith("hash")
+    ]
+    assert len(hashes) == 1, hashes
