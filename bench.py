@@ -232,7 +232,10 @@ def main() -> None:
             # 10^12-doc operating model) at N=2 vs 4N=8 cores, inside
             # the host's real parallel capacity
             out["pages_pipeline"] = summarize(
-                run_weak_scaling(n_base=n_base, levels=(2, 8)), 2, 8
+                run_weak_scaling(
+                    n_base=n_base, levels=(2, 8),
+                    repeats=int(os.environ.get("BENCH_SCALING_REPEATS", "4")),
+                ), 2, 8
             )
             out["host_calibration"] = cal
             # secondary: weak scaling 8 vs 32 — capped by the VM itself

@@ -3830,8 +3830,10 @@ def _stair_feats(spark):
             dtype=np.float64,
         )
         brows.append((m, W.polygon_wkb([ring])))
-    fa = spark.createDataFrame(arows, "a_id long, ga binary")
-    fb = spark.createDataFrame(brows, "b_id long, gb binary")
+    # single-partition tiny dims: a 32×32-partition cartesian of 6×6
+    # rows would schedule 1024 tasks of pure overhead
+    fa = spark.createDataFrame(arows, "a_id long, ga binary").coalesce(1)
+    fb = spark.createDataFrame(brows, "b_id long, gb binary").coalesce(1)
     return fa, fb
 
 
