@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gdal_spark.session import local_df
+
 
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
@@ -120,7 +122,7 @@ def shortest_paths(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).localCheckpoint()  # relaxed against every round — pin the lineage once
-    dist = spark.createDataFrame([(source, 0)], "node long, cost long").localCheckpoint()
+    dist = local_df(spark, [(source, 0)], "node long, cost long").localCheckpoint()
     for _ in range(max_iter):
         relax = (
             e.join(dist.withColumnRenamed("node", "u"), "u")
@@ -190,8 +192,8 @@ def k_shortest_costs(
     e = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
     ).localCheckpoint()
-    seed = spark.createDataFrame([(source, 0)], "node long, cand long")
-    dist = spark.createDataFrame(
+    seed = local_df(spark, [(source, 0)], "node long, cand long")
+    dist = local_df(spark, 
         [(source, [0])], "node long, costs array<long>"
     ).localCheckpoint()
     for _ in range(max_iter):
@@ -261,4 +263,4 @@ def connected_components_auto(
             parent[max(ra, rb)] = min(ra, rb)
     edges.unpersist()
     rows = [(int(a), int(find(a))) for a in list(parent)]
-    return spark.createDataFrame(rows, "node long, component long")
+    return local_df(spark, rows, "node long, component long")

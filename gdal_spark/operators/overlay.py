@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.session import local_df
+
 from gdal_spark.kernels import wkb as W
 from gdal_spark.kernels.clip import clip_convex, ring_area
 
@@ -53,7 +55,7 @@ def intersection_convex(
             T.StructField("_by1", T.DoubleType()),
         ]
     )
-    b_df = spark.createDataFrame(rows, b_schema)
+    b_df = local_df(spark, rows, b_schema)
 
     @F.pandas_udf(T.ArrayType(T.DoubleType()))
     def bbox_of(geoms: pd.Series) -> pd.Series:
@@ -184,7 +186,7 @@ def layer_algebra_area(
         )
         .filter(F.col("area") > 0)
     )
-    b_base = spark.createDataFrame(
+    b_base = local_df(spark, 
         [
             (int(pid), sum(polygon_area(r) for r in W.polygon_rings(blob)))
             for pid, blob in b_polys

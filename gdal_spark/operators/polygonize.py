@@ -35,6 +35,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.session import local_df
+
 from gdal_spark.kernels.ccl import border_runs, extract_polygons, label_tile, region_table
 
 REGION_SCHEMA = T.StructType(
@@ -133,7 +135,7 @@ def _label_roots(
             for a in list(dsu.p)
             for root in [dsu.find(a)]
         ]
-        return spark.createDataFrame(
+        return local_df(spark, 
             mapping,
             "tx long, ty long, local_label int, root_tx long, root_ty long, root_label int",
         )

@@ -44,6 +44,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.session import local_df
+
 from gdal_spark.kernels.ccl import border_runs, label_tile, region_table
 from gdal_spark.operators.polygonize import _DSU, _label_roots
 
@@ -300,7 +302,7 @@ def sieve_tiles(
         adj.setdefault(b, set()).add(a)
         endpoints[a] = None
         endpoints[b] = None
-    ep_df = spark.createDataFrame(
+    ep_df = local_df(spark, 
         [(int(k[0]), int(k[1]), int(k[2])) for k in endpoints] or [(0, 0, -1)],
         "root_tx long, root_ty long, root_label int",
     )
@@ -354,14 +356,14 @@ def sieve_tiles(
         if rep(k) != k
     ]
     if changed_rows:
-        changed_df = spark.createDataFrame(
+        changed_df = local_df(spark, 
             changed_rows, "root_tx long, root_ty long, root_label int, new_dn double"
         )
         map_df = keyed.join(
             F.broadcast(changed_df), ["root_tx", "root_ty", "root_label"], "inner"
         ).select("tx", "ty", "local_label", "new_dn")
     else:
-        map_df = spark.createDataFrame(
+        map_df = local_df(spark, 
             [], "tx long, ty long, local_label int, new_dn double"
         )
     root_stats.unpersist()

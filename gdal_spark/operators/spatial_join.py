@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from gdal_spark.session import local_df
+
 from gdal_spark.functions.st import st_intersects_point, st_contains_point
 from gdal_spark.kernels import wkb as W
 from gdal_spark.kernels.cells import cell_encode, cells_cover_polygon
@@ -218,7 +220,7 @@ def spatial_join_points_in_polygons(
                 T.StructField("_poly_wkb", T.BinaryType()),
             ]
         )
-        cover = spark.createDataFrame(cover_rows, cover_schema)
+        cover = local_df(spark, cover_rows, cover_schema)
 
     if broadcast_cover:
         joined = pts.join(F.broadcast(cover), "cell")
@@ -242,7 +244,7 @@ def spatial_join_points_in_polygons(
             salted = False
         else:
             kdf = F.broadcast(
-                spark.createDataFrame(list(kmap.items()), "cell long, _k int")
+                local_df(spark, list(kmap.items()), "cell long, _k int")
             )
             pts = pts.join(kdf, "cell", "left").withColumn(
                 "_salt",

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gdal_spark.session import local_df
+
 from gdal_spark.functions import text as TXT
 from gdal_spark.kernels import wkb as W
 from gdal_spark.operators.dedup import (
@@ -546,7 +548,7 @@ def q25(spark, sf_dir):
     a 128² grid of 32² blocks, MERGE_ALG=ADD, verified pixel-for-pixel
     against the analytic half-open pixel-center rule."""
     rects = _q25_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     tiles = rasterize_wkb_grid(
         feats, IDENTITY_GT, 128, 128, tile_size=32, merge_add=True
     )
@@ -596,7 +598,7 @@ def q26(spark, sf_dir):
     per-tile CCL + border-run join + union-find merge; disjoint integer
     rectangles make the expected region table analytic."""
     rects = _q26_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     regions = polygonize_tiles(tiles, nodata=0.0, connect8=False, tile_size=32)
     return regions.select(
@@ -645,7 +647,7 @@ def q58(spark, sf_dir):
     the reference's reversed vertex order and last-segment endpoint
     inclusion), MERGE_ALG=ADD; axis-aligned lines make the burned pixel
     runs analytic, and crossings verify the additive merge."""
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q58_line_rows(spark, sf_dir), "burn double, geom binary"
     )
     tiles = rasterize_wkb_grid(
@@ -669,7 +671,7 @@ Q25_PIX_SQL = (
 
 
 def _q25_tiles(spark, sf_dir):
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q25_rect_rows(spark, sf_dir), "burn double, geom binary"
     )
     return rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32, merge_add=True)
@@ -831,7 +833,7 @@ def q29(spark, sf_dir):
     from gdal_spark.operators.overlay import intersection_convex
 
     a_rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
-    a_df = spark.createDataFrame(a_rows, "a_id long, geom binary")
+    a_df = local_df(spark, a_rows, "a_id long, geom binary")
     out = intersection_convex(a_df, _b_rect_rows(spark, sf_dir))
     return out.select("a_id", "b_id", F.round(F.col("inter_area"), 6).alias("inter_area"))
 
@@ -1377,7 +1379,7 @@ def q39(spark, sf_dir):
     from gdal_spark.functions.ogrsql import execute_sql
 
     rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
-    layer = spark.createDataFrame(rows, "fid long, geom binary")
+    layer = local_df(spark, rows, "fid long, geom binary")
     out = execute_sql(
         spark,
         """SELECT FID, round(OGR_GEOM_AREA, 6) AS area,
@@ -1419,7 +1421,7 @@ def q41(spark, sf_dir):
     this is the filter form (alg/gdalsievefilter.cpp:640 does CCL +
     size test with the same two-pass labeling as polygonize)."""
     rects = _q26_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     regions = polygonize_tiles(tiles, nodata=0.0, connect8=False, tile_size=32)
     return regions.filter(F.col("pixel_count") >= 20).select(
@@ -1531,7 +1533,7 @@ def q43(spark, sf_dir):
     from gdal_spark.operators.overlay import erase_area
 
     a_rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
-    a_df = spark.createDataFrame(a_rows, "a_id long, geom binary")
+    a_df = local_df(spark, a_rows, "a_id long, geom binary")
     out = erase_area(a_df, _erase_rect_rows(spark, sf_dir))
     return out.select("a_id", F.round(F.col("erase_area"), 6).alias("erase_area"))
 
@@ -1561,7 +1563,7 @@ def q44(spark, sf_dir):
     from gdal_spark.operators.zonal import zonal_stats_raster
 
     rects = _q26_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     zone_tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     return zonal_stats_raster(zone_tiles, _dem_tiles(spark), tile_size=32)
 
@@ -1718,7 +1720,7 @@ def q51(spark, sf_dir):
     must recover exactly their rings (perimeter 2(w+h), area w·h)."""
     from gdal_spark.operators.polygonize import polygonize_geometry
 
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q51_rect_rows(spark, sf_dir), "burn double, geom binary"
     )
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
@@ -1746,7 +1748,7 @@ def q52(spark, sf_dir):
     dissolved rings must recover the exact rects."""
     from gdal_spark.operators.polygonize import polygonize_dissolved
 
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q26_rect_rows(spark, sf_dir), "burn double, geom binary"
     )
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
@@ -2021,7 +2023,7 @@ def q62(spark, sf_dir):
     two through mid-edge ±1 diagonal offsets.  4-connected labeling
     would emit 18 regions per chain; the oracle asserts ONE region per
     chain with the exact pixel and tile counts."""
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q62_stair_rows(spark, sf_dir), "burn double, geom binary"
     )
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
@@ -2072,7 +2074,7 @@ def q63(spark, sf_dir):
     the right vertex set."""
     from gdal_spark.operators.contour import contour_linestrings
 
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         [(2.0, g) for _dn, g in _q26_rect_rows(spark, sf_dir)],
         "burn double, geom binary",
     )
@@ -2201,7 +2203,7 @@ def q67(spark, sf_dir):
     traversal sample coordinates exact quarters, so the touched-cell
     set is the closed-form 3-cells-per-period staircase the oracle
     enumerates: (a+2t, b+t), (a+2t+1, b+t), (a+2t+1, b+t+1)."""
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         _q67_line_rows(spark, sf_dir), "burn double, geom binary"
     )
     tiles = rasterize_wkb_grid(
@@ -2260,7 +2262,7 @@ def q68(spark, sf_dir):
     straddle tile borders, exercising the cross-tile region graph."""
     from gdal_spark.operators.sieve import sieve_tiles
 
-    feats = spark.createDataFrame(_q68_rows(spark, sf_dir), "burn double, geom binary")
+    feats = local_df(spark, _q68_rows(spark, sf_dir), "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = sieve_tiles(tiles, threshold=5, nodata=0.0, tile_size=32)
     return tiles_to_features(out, tile_size=32, nodata=0.0)
@@ -2291,7 +2293,7 @@ def q69(spark, sf_dir):
             [[x, y], [x + 1, y], [x + 1, y + 1], [x, y + 1], [x, y]], dtype=np.float64
         )
         rows.append((1.0, W.polygon_wkb([ring])))
-    feats = spark.createDataFrame(rows, "burn double, geom binary")
+    feats = local_df(spark, rows, "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     return proximity_unbounded(tiles, tile_size=32, width=128, height=128)
 
@@ -2529,7 +2531,7 @@ def _a2_rect_rows(spark, sf_dir) -> list[tuple]:
 def _alg(spark, sf_dir, op):
     from gdal_spark.operators.overlay import layer_algebra_area
 
-    a_df = spark.createDataFrame(_a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
+    a_df = local_df(spark, _a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
     out = layer_algebra_area(a_df, _erase_rect_rows(spark, sf_dir), op)
     if op == "clip":
         return out.select("a_id", F.round(F.col("clip_area"), 6).alias("clip_area"))
@@ -2625,11 +2627,11 @@ def q81(spark, sf_dir):
     tile id."""
     from gdal_spark.operators.mosaic import mosaic_tiles
 
-    l1 = spark.createDataFrame(
+    l1 = local_df(spark, 
         [(float(dn), g) for dn, g in _q26_rect_rows(spark, sf_dir)],
         "burn double, geom binary",
     )
-    l2 = spark.createDataFrame(
+    l2 = local_df(spark, 
         _q81_rows(spark, sf_dir, 8, 4, 100), "burn double, geom binary"
     )
     t1 = rasterize_wkb_grid(l1, IDENTITY_GT, 128, 128, tile_size=32)
@@ -2674,7 +2676,7 @@ def q83(spark, sf_dir):
     invariant."""
     from gdal_spark.functions.st import st_area, st_npoints, st_segmentize
 
-    feats = spark.createDataFrame(
+    feats = local_df(spark, 
         [(int(dn), g) for dn, g in _q51_rect_rows(spark, sf_dir)],
         "fid long, geom binary",
     )
@@ -2714,8 +2716,8 @@ def q84(spark, sf_dir):
     same OGC priority CASE."""
     from gdal_spark.functions.st import st_rect_relation
 
-    a_df = spark.createDataFrame(_a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
-    b_df = spark.createDataFrame(
+    a_df = local_df(spark, _a2_rect_rows(spark, sf_dir), "a_id long, geom binary")
+    b_df = local_df(spark, 
         [(int(pid), blob) for pid, blob in _erase_rect_rows(spark, sf_dir)],
         "b_id long, bgeom binary",
     )
@@ -2959,7 +2961,7 @@ def q90(spark, sf_dir):
     net exactly w·h − wi·hi."""
     from gdal_spark.operators.contour import contour_polygons
 
-    feats = spark.createDataFrame(_q90_rows(spark, sf_dir), "burn double, geom binary")
+    feats = local_df(spark, _q90_rows(spark, sf_dir), "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = contour_polygons(tiles, 1.0, 32, 128, 128)
     return out.select("sx", "sy", "n_rings", F.round(F.col("parea"), 6).alias("parea"))
@@ -3028,7 +3030,7 @@ def q91(spark, sf_dir):
     oracle is a windowed argmin."""
     from gdal_spark.operators.focal import fillnodata_tiles
 
-    feats = spark.createDataFrame(_q91_rows(spark, sf_dir), "burn double, geom binary")
+    feats = local_df(spark, _q91_rows(spark, sf_dir), "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = fillnodata_tiles(tiles, tile_size=32, width=128, height=128, max_dist=4)
     # compare the rect clusters only (the base plateau pads the fill
@@ -3167,7 +3169,7 @@ def q96(spark, sf_dir):
     from gdal_spark.operators.zonal import zonal_histogram
 
     rects = _q26_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     zone_tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     hist = zonal_histogram(zone_tiles, _dem_tiles(spark), tile_size=32)
     w = Window.partitionBy("zone").orderBy(F.col("cnt").desc(), F.col("v"))
@@ -3260,7 +3262,7 @@ def q98(spark, sf_dir):
     containment parity."""
     from gdal_spark.operators.contour import contour_bands
 
-    feats = spark.createDataFrame(_q98_rows(spark, sf_dir), "burn double, geom binary")
+    feats = local_df(spark, _q98_rows(spark, sf_dir), "burn double, geom binary")
     tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
     out = contour_bands(tiles, (1.0, 3.0), 32, 128, 128)
     return out.select(
@@ -3635,7 +3637,7 @@ def q109(spark, sf_dir):
             dtype=np.float64,
         )
         rows.append((n, W.polygon_wkb([ring])))
-    feats = spark.createDataFrame(rows, "n long, geom binary")
+    feats = local_df(spark, rows, "n long, geom binary")
     c = feats.select("n", st_centroid(F.col("geom")).alias("c"))
     return c.select(
         "n",
@@ -3832,8 +3834,8 @@ def _stair_feats(spark):
         brows.append((m, W.polygon_wkb([ring])))
     # single-partition tiny dims: a 32×32-partition cartesian of 6×6
     # rows would schedule 1024 tasks of pure overhead
-    fa = spark.createDataFrame(arows, "a_id long, ga binary").coalesce(1)
-    fb = spark.createDataFrame(brows, "b_id long, gb binary").coalesce(1)
+    fa = local_df(spark, arows, "a_id long, ga binary").coalesce(1)
+    fb = local_df(spark, brows, "b_id long, gb binary").coalesce(1)
     return fa, fb
 
 
@@ -3936,7 +3938,7 @@ def _weight_tiles(spark):
 
 def _zone_tiles_q116(spark, sf_dir):
     rects = _q26_rect_rows(spark, sf_dir)
-    feats = spark.createDataFrame(rects, "burn double, geom binary")
+    feats = local_df(spark, rects, "burn double, geom binary")
     return rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
 
 
@@ -4320,7 +4322,7 @@ def q125(spark, sf_dir):
             [i * 10, (n + i) % 7, (n * 7 + i * i * 3) % 41, (n * 11 + i * 13) % 97]
         ).astype(np.float64)
         rows.append((n, X.linestring_zm_wkb(coords, flavor=3)))
-    feats = spark.createDataFrame(rows, "n long, geom binary")
+    feats = local_df(spark, rows, "n long, geom binary")
     s = feats.select("n", st_zm_stats(F.col("geom")).alias("s"))
     return s.select(
         "n",
@@ -4357,7 +4359,7 @@ def q126(spark, sf_dir):
             )
         )
         rows.append((n, X.curvepolygon_wkb([cs])))
-    feats = spark.createDataFrame(rows, "n long, geom binary")
+    feats = local_df(spark, rows, "n long, geom binary")
     lin = feats.select(
         "n", st_linearize(F.col("geom"), F.lit(90.0)).alias("g")
     )

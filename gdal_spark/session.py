@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 # Arrow batch size mirrors the reference's own columnar fast path
@@ -58,3 +59,28 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark, rows, schema):
+    """Arrow-native creation of a small driver-side table.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` routes through
+    ``applySchemaToPythonRDD`` — a pickled Python RDD whose EVERY scan
+    pays a Python-worker round-trip per upstream partition (measured
+    4-9 s per job for a 6-row table on this host).  Routing the same
+    rows through a pandas DataFrame instead converts once to Arrow
+    record batches on the driver; all subsequent scans are JVM-side
+    (measured 0.2 s for the identical plan).  At cluster scale the same
+    reasoning holds: broadcast-sized dims should never drag a Python
+    worker into every task that scans them.
+    """
+    rows = list(rows)
+    if not rows:
+        return spark.createDataFrame([], schema)
+    names = (
+        [f.strip().split()[0] for f in schema.split(",")]
+        if isinstance(schema, str)
+        else schema.names
+    )
+    pdf = pd.DataFrame(rows, columns=names)
+    return spark.createDataFrame(pdf, schema=schema)
