@@ -225,6 +225,99 @@ def k_shortest_costs(
     ).select("node", F.col("rank").cast("int").alias("rank"), "cost")
 
 
+def shortest_paths_auto(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    threshold: int = 200_000,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Size-gated SSSP — the same judgment as
+    ``connected_components_auto``: a graph whose edge table fits the
+    driver replays the IDENTICAL min-relaxation fixpoint in local
+    dicts (same result set, no per-round job latency); larger graphs
+    run the distributed Bellman-Ford loop."""
+    edges = edges.persist()
+    n = edges.limit(threshold + 1).count()
+    if n > threshold:
+        out = shortest_paths(
+            edges, source, src=src, dst=dst, weight=weight, max_iter=max_iter
+        )
+        edges.unpersist()
+        return out
+    spark = edges.sparkSession
+    e = [(r[src], r[dst], r[weight]) for r in edges.collect()]
+    edges.unpersist()
+    dist = {source: 0}
+    for _ in range(max_iter):
+        changed = False
+        relax: dict = {}
+        for u, v, w in e:
+            if u in dist:
+                c = dist[u] + w
+                if c < relax.get(v, c + 1):
+                    relax[v] = c
+        for v, c in relax.items():
+            if c < dist.get(v, c + 1):
+                dist[v] = c
+                changed = True
+        if not changed:
+            break
+    return local_df(
+        spark, [(int(v), int(c)) for v, c in dist.items()], "node long, cost long"
+    )
+
+
+def k_shortest_costs_auto(
+    edges: DataFrame,
+    source: int,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    threshold: int = 200_000,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Size-gated top-k-distinct-cost closure: replays
+    ``k_shortest_costs``'s exact round recurrence
+    (D(v) ← topk(seed ∪ {c+w : (u,v,w), c ∈ D(u)}), recomputed from
+    scratch each round, k smallest DISTINCT costs) in driver dicts for
+    graphs under ``threshold`` edges; the distributed loop takes over
+    past it.  Output is identical by construction."""
+    edges = edges.persist()
+    n = edges.limit(threshold + 1).count()
+    if n > threshold:
+        out = k_shortest_costs(
+            edges, source, k=k, src=src, dst=dst, weight=weight, max_iter=max_iter
+        )
+        edges.unpersist()
+        return out
+    spark = edges.sparkSession
+    e = [(r[src], r[dst], r[weight]) for r in edges.collect()]
+    edges.unpersist()
+    dist = {source: [0]}
+    for _ in range(max_iter):
+        cand: dict = {source: {0}}
+        for u, v, w in e:
+            if u in dist:
+                cand.setdefault(v, set()).update(c + w for c in dist[u])
+        new = {v: sorted(s)[:k] for v, s in cand.items()}
+        if new == dist:
+            break
+        dist = new
+    return local_df(
+        spark,
+        [
+            (int(v), int(rank), int(c))
+            for v, costs in dist.items()
+            for rank, c in enumerate(costs)
+        ],
+        "node long, rank int, cost long",
+    )
+
+
 def connected_components_auto(
     edges: DataFrame,
     src: str = "src",

@@ -1662,8 +1662,9 @@ DAG_EDGES_SQL = (
 )
 def q47(spark, sf_dir):
     """GNM single-source shortest paths (gnmgraph.h:173) as iterative
-    Bellman-Ford frontier relaxation."""
-    from gdal_spark.operators.graph import shortest_paths
+    Bellman-Ford frontier relaxation (size-gated: driver replay of the
+    same fixpoint under 200k edges, distributed loop past it)."""
+    from gdal_spark.operators.graph import shortest_paths_auto
 
     r = spark.range(59).withColumnRenamed("id", "u")
     e1 = r.select("u", (F.col("u") + 1 + (F.col("u") * 7) % 4).alias("v"))
@@ -1673,7 +1674,7 @@ def q47(spark, sf_dir):
         .filter(F.col("v") < 60)
         .withColumn("w", 1 + (F.col("u") * F.col("v")) % 7)
     )
-    return shortest_paths(edges, source=0, src="u", dst="v")
+    return shortest_paths_auto(edges, source=0, src="u", dst="v")
 
 
 # q51 rects: integer-cornered, each fully inside one 32px tile (two
@@ -2099,7 +2100,7 @@ def q64(spark, sf_dir):
     """GNM K-shortest-paths (gnmgraph.h:195, Yen) as the distributed
     top-k Bellman-Ford closure: 3 smallest distinct path costs per node
     on the q47 DAG — on a DAG this equals Yen's loopless cost vector."""
-    from gdal_spark.operators.graph import k_shortest_costs
+    from gdal_spark.operators.graph import k_shortest_costs_auto
 
     r = spark.range(59).withColumnRenamed("id", "u")
     e1 = r.select("u", (F.col("u") + 1 + (F.col("u") * 7) % 4).alias("v"))
@@ -2109,7 +2110,7 @@ def q64(spark, sf_dir):
         .filter(F.col("v") < 60)
         .withColumn("w", 1 + (F.col("u") * F.col("v")) % 7)
     )
-    return k_shortest_costs(edges, source=0, k=3, src="u", dst="v").select(
+    return k_shortest_costs_auto(edges, source=0, k=3, src="u", dst="v").select(
         "node", F.col("rank").alias("rnk"), "cost"
     )
 
