@@ -4369,3 +4369,118 @@ def q126(spark, sf_dir):
         st_npoints(F.col("g")).alias("npts"),
         F.round(st_area(F.col("g")), 6).alias("area"),
     )
+
+
+# Shared DuckDB replay of the integer-exact Lloyd k-means in
+# operators/similarity.ivf_kmeans (2 iterations, 8 cells, 64 dims):
+# init = 8 smallest vec_ids, assignment = argmin L2 (tie low cell),
+# update = round-half-up integer mean, empty cells keep their codeword.
+_KMEANS_CTE = """
+  v AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+  c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qv AS c
+         FROM (SELECT vec_id, qv FROM v ORDER BY vec_id LIMIT 8)),
+  d0 AS (SELECT v.vec_id, c0.cell,
+          CAST(list_sum(list_transform(list_zip(v.qv, c0.c),
+               s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+         FROM v CROSS JOIN c0),
+  a0 AS (SELECT vec_id, cell FROM
+          (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM d0) WHERE rn = 1),
+  s0 AS (SELECT a0.cell, d.range AS d,
+                SUM(v.qv[CAST(d.range AS INT) + 1]) AS s, COUNT(*) AS n
+         FROM a0 JOIN v USING (vec_id) CROSS JOIN range(64) d
+         GROUP BY a0.cell, d.range),
+  u0 AS (SELECT cell, list(CAST(floor((2.0*s + n) / (2.0*n)) AS BIGINT) ORDER BY d) AS c
+         FROM s0 GROUP BY cell),
+  c1 AS (SELECT cell, c FROM u0
+         UNION ALL
+         SELECT cell, c FROM c0 WHERE cell NOT IN (SELECT cell FROM u0)),
+  d1 AS (SELECT v.vec_id, c1.cell,
+          CAST(list_sum(list_transform(list_zip(v.qv, c1.c),
+               s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+         FROM v CROSS JOIN c1),
+  a1 AS (SELECT vec_id, cell FROM
+          (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM d1) WHERE rn = 1),
+  s1 AS (SELECT a1.cell, d.range AS d,
+                SUM(v.qv[CAST(d.range AS INT) + 1]) AS s, COUNT(*) AS n
+         FROM a1 JOIN v USING (vec_id) CROSS JOIN range(64) d
+         GROUP BY a1.cell, d.range),
+  u1 AS (SELECT cell, list(CAST(floor((2.0*s + n) / (2.0*n)) AS BIGINT) ORDER BY d) AS c
+         FROM s1 GROUP BY cell),
+  c2 AS (SELECT cell, c FROM u1
+         UNION ALL
+         SELECT cell, c FROM c1 WHERE cell NOT IN (SELECT cell FROM u1)),
+  d2f AS (SELECT v.vec_id, c2.cell,
+           CAST(list_sum(list_transform(list_zip(v.qv, c2.c),
+                s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+          FROM v CROSS JOIN c2),
+  a2 AS (SELECT vec_id, cell, d2 FROM
+          (SELECT vec_id, cell, d2,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM d2f) WHERE rn = 1)
+"""
+
+
+@query(
+    "q127_ivf_kmeans",
+    "WITH " + _KMEANS_CTE + """
+       SELECT a2.cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+              CAST(SUM(a2.d2) AS BIGINT) AS inertia,
+              CAST(list_sum(c2.c) AS BIGINT) AS centroid_sum
+       FROM a2 JOIN c2 USING (cell)
+       GROUP BY a2.cell, c2.c""",
+)
+def q127(spark, sf_dir):
+    """Trained IVF coarse quantizer: integer-exact Lloyd k-means over
+    the embeddings table (FAISS-style IVF training; closes round 1's
+    "formula centroids" gap).  Per final cell: member count, inertia
+    (sum of squared distances), codeword checksum.  Assignment is an
+    Arrow-batched map-side UDF vs the broadcast codebook; the update is
+    a map-side-combinable groupBy(cell, dim) SUM — only k*dim ints ever
+    reach the driver."""
+    from gdal_spark.operators.similarity import ivf_kmeans
+
+    assigned, cent = ivf_kmeans(_t(spark, sf_dir, "embeddings"))
+    csum = F.element_at(
+        F.array(*[F.lit(int(sum(c))) for c in cent]), F.col("cell").cast("int") + 1
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count("*").alias("n_members"), F.sum("d2").alias("inertia"))
+        .withColumn("centroid_sum", csum)
+    )
+
+
+@query(
+    "q128_ann_ivf_trained",
+    "WITH " + _KMEANS_CTE + """,
+       probes AS (SELECT vec_id AS qid, cell FROM
+                   (SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                    FROM d2f WHERE vec_id < 10) WHERE rn <= 2),
+       cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN a2 a USING (cell)
+                WHERE a.vec_id <> p.qid),
+       scored AS (SELECT c.qid, c.vec_id,
+                   CAST(list_sum(list_transform(list_zip(vq.qv, vv.qv),
+                        s -> s[1]*s[2])) AS BIGINT) AS score
+                  FROM cand c JOIN v vq ON vq.vec_id = c.qid
+                              JOIN v vv ON vv.vec_id = c.vec_id),
+       r AS (SELECT qid, vec_id, score,
+              row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS ivf_rank
+             FROM scored)
+       SELECT qid, vec_id, CAST(ivf_rank AS INT) AS ivf_rank, score
+       FROM r WHERE ivf_rank <= 5""",
+)
+def q128(spark, sf_dir):
+    """ANN over the LEARNED codebook: probe the 2 nearest trained
+    cells per query (distance asc, tie low cell), exact-score only
+    those inverted lists — the q32 equi-join scale shape with k-means
+    centroids instead of the fixed formula."""
+    from gdal_spark.operators.similarity import ann_ivf_trained
+
+    return ann_ivf_trained(_t(spark, sf_dir, "embeddings"))
