@@ -87,16 +87,115 @@ def extract_image_meta(
     return docs.select(id_col, content_col).mapInPandas(gen, IMAGE_META_SCHEMA)
 
 
-def resize_images(docs: DataFrame, width: int, height: int, **kw) -> DataFrame:
-    """Pixel resize — requires a real decoder; plumbing-only stub."""
-    raise NotImplementedError(
-        "resize requires an image library (PIL) absent from this container; "
-        "the mapInPandas shape is identical to extract_image_meta"
-    )
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("pix_sum", T.LongType()),
+        T.StructField("pix_min", T.LongType()),
+        T.StructField("pix_max", T.LongType()),
+    ]
+)
 
 
-def sample_video_frames(docs: DataFrame, every_n: int = 30, **kw) -> DataFrame:
-    """Frame sampling — requires ffmpeg; plumbing-only stub."""
-    raise NotImplementedError(
-        "frame sampling requires ffmpeg, absent from this container"
-    )
+def resize_images(
+    docs: DataFrame,
+    out_w: int = 16,
+    out_h: int = 16,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Nearest-neighbour resize with GDAL's half-pixel source mapping
+    (src = floor((i + 0.5) · src_size / out_size) — the gdal_translate
+    -outsize nearest rule), then per-image pixel aggregates.
+
+    The decode stage is the stub seam: ``decode="fake"`` materializes
+    the deterministic pixel function p(y, x) = (h8 + 31·y + 17·x) mod
+    251 over the md5-derived dims (every downstream byte of plumbing —
+    mapInPandas batch loop, schema, resize index math, aggregation —
+    is exactly what a PIL-backed decode would feed); ``decode="real"``
+    gates on PIL and raises here."""
+    if decode == "real":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as exc:
+            raise NotImplementedError(
+                "real image decode requires PIL, absent from this container"
+            ) from exc
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = {k: [] for k in ("doc_id", "pix_sum", "pix_min", "pix_max")}
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, _ = _fake_decode(bytes(blob))
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                sy = ((2 * np.arange(out_h) + 1) * h) // (2 * out_h)
+                sx = ((2 * np.arange(out_w) + 1) * w) // (2 * out_w)
+                p = (h8 + 31 * sy[:, None] + 17 * sx[None, :]) % 251
+                out["doc_id"].append(int(did))
+                out["pix_sum"].append(int(p.sum()))
+                out["pix_min"].append(int(p.min()))
+                out["pix_max"].append(int(p.max()))
+            n = len(out["doc_id"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.array(out["doc_id"], dtype=np.int64),
+                    "out_w": np.full(n, out_w, dtype=np.int64),
+                    "out_h": np.full(n, out_h, dtype=np.int64),
+                    "pix_sum": np.array(out["pix_sum"], dtype=np.int64),
+                    "pix_min": np.array(out["pix_min"], dtype=np.int64),
+                    "pix_max": np.array(out["pix_max"], dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, content_col).mapInPandas(gen, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("luma_int", T.LongType()),
+    ]
+)
+
+
+def sample_video_frames(
+    docs: DataFrame,
+    every_n: int = 16,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Every-n-th frame sampling: one input row explodes to one row
+    per sampled frame inside ``mapInPandas`` — the real ffmpeg shape
+    (decode a container, emit selected frames; at scale the task is
+    I/O + codec bound, no shuffle).  Fake decode: n_frames = 8 +
+    h8 mod 120, per-frame luma_int = (h8 + 97·f) mod 256;
+    ``decode="real"`` gates on ffmpeg and raises here."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg, absent from this container"
+        )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            ids, fs, ls = [], [], []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                n_frames = 8 + h8 % 120
+                f = np.arange(0, n_frames, every_n, dtype=np.int64)
+                ids.append(np.full(len(f), int(did), dtype=np.int64))
+                fs.append(f)
+                ls.append((h8 + 97 * f) % 256)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids) if ids else np.array([], dtype=np.int64),
+                    "frame_idx": np.concatenate(fs) if fs else np.array([], dtype=np.int64),
+                    "luma_int": np.concatenate(ls) if ls else np.array([], dtype=np.int64),
+                }
+            )
+
+    return docs.select(id_col, content_col).mapInPandas(gen, FRAME_SCHEMA)

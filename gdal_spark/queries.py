@@ -4484,3 +4484,56 @@ def q128(spark, sf_dir):
     from gdal_spark.operators.similarity import ann_ivf_trained
 
     return ann_ivf_trained(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q129_resize_images",
+    """WITH d AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h8
+        FROM documents),
+      dims AS (SELECT doc_id, h8, 16 + h8 % 64 AS w, 16 + (h8 // 64) % 64 AS h FROM d),
+      px AS (SELECT doc_id,
+              (h8 + 31*(((2*i.range + 1) * h) // 32) + 17*(((2*j.range + 1) * w) // 32)) % 251 AS p
+             FROM dims CROSS JOIN range(16) i CROSS JOIN range(16) j)
+      SELECT doc_id, CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+             CAST(sum(p) AS BIGINT) AS pix_sum,
+             CAST(min(p) AS BIGINT) AS pix_min,
+             CAST(max(p) AS BIGINT) AS pix_max
+      FROM px GROUP BY doc_id""",
+)
+def q129(spark, sf_dir):
+    """Multimodal resize plumbing: deterministic fake decode →
+    nearest-neighbour 16×16 resize with GDAL's half-pixel source rule
+    (src = floor((i+0.5)·size/out)) → per-image pixel aggregates, all
+    inside one mapInPandas pass (the PIL-backed path swaps only the
+    decode line)."""
+    from gdal_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return resize_images(d)
+
+
+@query(
+    "q130_video_frames",
+    """WITH d AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h8
+        FROM documents),
+      n AS (SELECT doc_id, h8, 8 + h8 % 120 AS n_frames FROM d),
+      f AS (SELECT doc_id, CAST(g.range AS BIGINT) AS frame_idx,
+                   (h8 + 97*g.range) % 256 AS luma_int
+            FROM n CROSS JOIN range(128) g
+            WHERE g.range < n_frames AND g.range % 16 = 0)
+      SELECT doc_id, frame_idx, CAST(luma_int AS BIGINT) AS luma_int FROM f""",
+)
+def q130(spark, sf_dir):
+    """Video frame-sampling plumbing: one row per every-16th frame of
+    the fake-decoded stream, exploded inside mapInPandas (the ffmpeg
+    shape: decode a container, emit selected frames, no shuffle)."""
+    from gdal_spark.operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    return sample_video_frames(d)
