@@ -810,3 +810,62 @@ def fillnodata_tiles(
         pad_fill=nodata, keep=lambda a: a != nodata,
     )
     return res.filter((F.col("gx") < width) & (F.col("gy") < height))
+
+
+# Fixed direction order (E, W, S, N, SE, SW, NE, NW with gy down) —
+# the IDW accumulation is a left-associated chain in THIS order on
+# both engines, so the doubles match bitwise.
+_IDW_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, 1), (-1, 1), (1, -1), (-1, -1))
+
+
+def fillnodata_idw_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+    max_dist: int = 4,
+    nodata: float = 0.0,
+) -> DataFrame:
+    """The reference's DEFAULT ``GDALFillNodata`` shape
+    (alg/fillnodata.cpp): interpolate each nodata pixel from the
+    nearest valid pixel found along each of 8 search directions,
+    inverse-distance weighted.  Pinned semantics: walk ≤ ``max_dist``
+    unit steps per direction, stop at the first valid pixel, weight =
+    1/d² with d² = (dx²+dy²)·k² (integer — keeps every term a single
+    IEEE division), accumulate num/den in the fixed ``_IDW_DIRS``
+    order, fill = num/den when any direction found.  Same bounded-halo
+    strip exchange as ``fillnodata_tiles``; smoothing iterations (the
+    reference's optional 3×3 post-pass) are not applied."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+    r = max_dist
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2 * r
+        valid = padded != nodata
+        center_valid = valid[r : r + ts, r : r + ts]
+        num = np.zeros((ts, ts))
+        den = np.zeros((ts, ts))
+        for dx, dy in _IDW_DIRS:
+            found = np.zeros((ts, ts), dtype=bool)
+            vdir = np.zeros((ts, ts))
+            dd2 = np.ones((ts, ts))
+            for k in range(1, r + 1):
+                sh = padded[r + dy * k : r + dy * k + ts, r + dx * k : r + dx * k + ts]
+                shv = valid[r + dy * k : r + dy * k + ts, r + dx * k : r + dx * k + ts]
+                sel = ~found & shv
+                vdir[sel] = sh[sel]
+                dd2[sel] = float(dx * dx + dy * dy) * k * k
+                found |= sel
+            num = num + np.where(found, vdir / dd2, 0.0)
+            den = den + np.where(found, 1.0 / dd2, 0.0)
+        out = padded[r : r + ts, r : r + ts].copy()
+        fill = ~center_valid & (den > 0)
+        out[fill] = (num / den)[fill]
+        return out
+
+    res = _apply_focal(
+        tiles, tile_size, r, ntx, nty, kern,
+        pad_fill=nodata, keep=lambda a: a != nodata,
+    )
+    return res.filter((F.col("gx") < width) & (F.col("gy") < height))

@@ -4537,3 +4537,64 @@ def q130(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
     )
     return sample_video_frames(d)
+
+
+@query(
+    "q131_fillnodata_idw",
+    """WITH ks AS (SELECT n_nationkey AS k FROM nation),
+       p AS (SELECT k, (k%6)*20+2 AS x0, (k//6)*12+2 AS y0 FROM ks),
+       cells AS (
+         SELECT k, x0 + i.range AS gx, y0 + j.range AS gy,
+                CAST(CASE WHEN i.range < 6 THEN k+1 ELSE k+31 END AS DOUBLE) AS v
+         FROM p, range(12) i, range(6) j),
+       hole AS (
+         SELECT k, x0 + 4 + i.range AS gx, y0 + 2 + j.range AS gy
+         FROM p, range(4) i, range(3) j),
+       valid AS (SELECT c.* FROM cells c ANTI JOIN hole h USING (k, gx, gy)),
+       dirs AS (SELECT * FROM (VALUES (0, 1, 0), (1, -1, 0), (2, 0, 1), (3, 0, -1),
+                                      (4, 1, 1), (5, -1, 1), (6, 1, -1), (7, -1, -1))
+                AS t(i, dx, dy)),
+       walk AS (
+         SELECT h.k, h.gx, h.gy, d.i, d.dx, d.dy, kk.range AS kk, v.v,
+                row_number() OVER (PARTITION BY h.k, h.gx, h.gy, d.i
+                                   ORDER BY kk.range) AS rn
+         FROM hole h CROSS JOIN dirs d CROSS JOIN range(1, 5) kk
+         JOIN valid v ON v.k = h.k AND v.gx = h.gx + kk.range*d.dx
+                     AND v.gy = h.gy + kk.range*d.dy),
+       fst AS (SELECT k, gx, gy, i, v,
+                      (dx*dx + dy*dy)*kk*kk AS dd2
+               FROM walk WHERE rn = 1),
+       piv AS (SELECT k, gx, gy,
+                 max(CASE WHEN i=0 THEN v/dd2 END) AS t0, max(CASE WHEN i=0 THEN 1.0/dd2 END) AS w0,
+                 max(CASE WHEN i=1 THEN v/dd2 END) AS t1, max(CASE WHEN i=1 THEN 1.0/dd2 END) AS w1,
+                 max(CASE WHEN i=2 THEN v/dd2 END) AS t2, max(CASE WHEN i=2 THEN 1.0/dd2 END) AS w2,
+                 max(CASE WHEN i=3 THEN v/dd2 END) AS t3, max(CASE WHEN i=3 THEN 1.0/dd2 END) AS w3,
+                 max(CASE WHEN i=4 THEN v/dd2 END) AS t4, max(CASE WHEN i=4 THEN 1.0/dd2 END) AS w4,
+                 max(CASE WHEN i=5 THEN v/dd2 END) AS t5, max(CASE WHEN i=5 THEN 1.0/dd2 END) AS w5,
+                 max(CASE WHEN i=6 THEN v/dd2 END) AS t6, max(CASE WHEN i=6 THEN 1.0/dd2 END) AS w6,
+                 max(CASE WHEN i=7 THEN v/dd2 END) AS t7, max(CASE WHEN i=7 THEN 1.0/dd2 END) AS w7
+               FROM fst GROUP BY k, gx, gy),
+       filled AS (
+         SELECT gx, gy,
+                round((coalesce(t0,0)+coalesce(t1,0)+coalesce(t2,0)+coalesce(t3,0)
+                      +coalesce(t4,0)+coalesce(t5,0)+coalesce(t6,0)+coalesce(t7,0))
+                     /(coalesce(w0,0)+coalesce(w1,0)+coalesce(w2,0)+coalesce(w3,0)
+                      +coalesce(w4,0)+coalesce(w5,0)+coalesce(w6,0)+coalesce(w7,0)), 6) AS v
+         FROM piv)
+       SELECT gx, gy, round(v, 6) AS v FROM valid
+       UNION ALL SELECT gx, gy, v FROM filled""",
+)
+def q131(spark, sf_dir):
+    """GDALFillNodata's DEFAULT directional-IDW interpolation
+    (alg/fillnodata.cpp): 8-direction nearest-valid walk, 1/d²
+    weights, left-associated accumulation pinned to the same direction
+    order on both engines (bitwise-equal doubles) — closes NOTES gap
+    #3 (round-1 shipped only the nearest-valid variant, q91)."""
+    from gdal_spark.operators.focal import fillnodata_idw_tiles
+
+    feats = local_df(spark, _q91_rows(spark, sf_dir), "burn double, geom binary")
+    tiles = rasterize_wkb_grid(feats, IDENTITY_GT, 128, 128, tile_size=32)
+    out = fillnodata_idw_tiles(tiles, tile_size=32, width=128, height=128, max_dist=4)
+    return out.filter(F.col("v") != 999.0).select(
+        "gx", "gy", F.round(F.col("v"), 6).alias("v")
+    )
