@@ -145,6 +145,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_Centroid", st_centroid)
     spark.udf.register("ST_ConvexHull", st_convexhull)
     spark.udf.register("ST_Simplify", st_simplify)
+    spark.udf.register("ST_Buffer", st_buffer)
     spark.udf.register("ST_ZMStats", st_zm_stats)
     spark.udf.register("ST_Linearize", st_linearize)
 
@@ -277,6 +278,32 @@ def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
             )
         else:
             out.append(bytes(blob))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_buffer(wkb: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
+    """GEOS-free Buffer for CONVEX geometry (OGRGeometry::Buffer,
+    ogr/ogrgeometry.cpp:4949): Minkowski sum of the input's convex
+    hull with a disc approximant — ``square`` (Chebyshev, exact),
+    ``diamond`` (Manhattan, exact), ``round`` (quadsegs=8 regular
+    32-gon, the reference's quadrant-segment approximation).  Concave
+    inputs buffer their hull (documented contract; true concave
+    offsetting needs GEOS noding — see NOTES.md)."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels import wkb as W
+
+    out = []
+    for blob, d, s in zip(wkb, dist, style):
+        gtype, parts = W.parse_wkb(bytes(blob))
+        coords = np.vstack(W._collect_coords(gtype, parts))
+        struct = G.buffer_structuring(float(d), str(s))
+        if coords.shape[0] == 1:
+            ring = struct + coords[0]
+        else:
+            hull = G.convex_hull(coords)
+            ring = G.minkowski_sum_convex(hull, struct)
+        out.append(W.polygon_wkb([ring]))
     return pd.Series(out)
 
 

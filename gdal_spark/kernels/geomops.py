@@ -170,3 +170,75 @@ def simplify_dp(coords: np.ndarray, tol: float) -> np.ndarray:
             stack.append((i, kmax))
             stack.append((kmax, j))
     return coords[keep]
+
+
+def _bottom_start(ring: np.ndarray) -> np.ndarray:
+    """Open CCW vertex list rotated to start at the bottom-most
+    (lowest y, then lowest x) vertex."""
+    pts = ring[:-1] if ring.shape[0] > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    i = int(np.lexsort((pts[:, 0], pts[:, 1]))[0])
+    return np.roll(pts, -i, axis=0)
+
+
+def minkowski_sum_convex(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Minkowski sum of two CONVEX CCW rings (closed or open): the
+    classic edge merge by polar angle starting both chains at their
+    bottom-most vertex.  Collinear same-direction edges combine into
+    one step, so axis-aligned ⊕ axis-aligned stays minimal (rect ⊕
+    square = rect).  Returns a closed CCW ring.
+
+    Reference surface: OGRGeometry::Buffer (ogr/ogrgeometry.cpp:4949)
+    delegates to GEOS; for convex inputs the buffer polygon IS the
+    Minkowski sum with the (approximated) disc, which this computes
+    without GEOS."""
+    p = _bottom_start(np.asarray(a, dtype=np.float64))
+    k = _bottom_start(np.asarray(b, dtype=np.float64))
+    n, m = p.shape[0], k.shape[0]
+
+    def half(e):
+        return 0 if (e[1] > 0 or (e[1] == 0 and e[0] > 0)) else 1
+
+    out = [p[0] + k[0]]
+    i = j = 0
+    while i < n or j < m:
+        ep = p[(i + 1) % n] - p[i % n] if i < n else None
+        ek = k[(j + 1) % m] - k[j % m] if j < m else None
+        if ek is None:
+            step = ep; i += 1
+        elif ep is None:
+            step = ek; j += 1
+        else:
+            hp, hk = half(ep), half(ek)
+            cr = ep[0] * ek[1] - ep[1] * ek[0]
+            if hp == hk and cr == 0:
+                step = ep + ek; i += 1; j += 1
+            elif hp < hk or (hp == hk and cr > 0):
+                step = ep; i += 1
+            else:
+                step = ek; j += 1
+        out.append(out[-1] + step)
+    ring = np.array(out)
+    # the merge closes by construction; drop the duplicate end point
+    # if present, then re-close
+    if np.allclose(ring[0], ring[-1]):
+        ring = ring[:-1]
+    return np.vstack([ring, ring[:1]])
+
+
+def buffer_structuring(dist: float, style: str = "square", quadsegs: int = 8) -> np.ndarray:
+    """Structuring element ring for ``minkowski_sum_convex`` buffers:
+    ``square`` = Chebyshev disc (exact), ``diamond`` = Manhattan disc
+    (exact), ``round`` = the reference's quadsegs-per-quarter regular
+    polygon approximation of the Euclidean disc (4·quadsegs-gon;
+    quadsegs=1 is routed to the exact diamond)."""
+    d = float(dist)
+    if style == "square":
+        ring = np.array([[-d, -d], [d, -d], [d, d], [-d, d]])
+    elif style == "diamond" or (style == "round" and quadsegs == 1):
+        ring = np.array([[0.0, -d], [d, 0.0], [0.0, d], [-d, 0.0]])
+    elif style == "round":
+        th = 2.0 * np.pi * np.arange(4 * quadsegs) / (4.0 * quadsegs)
+        ring = np.column_stack([d * np.cos(th), d * np.sin(th)])
+    else:
+        raise ValueError(f"unknown buffer style {style!r}")
+    return np.vstack([ring, ring[:1]])

@@ -4598,3 +4598,38 @@ def q131(spark, sf_dir):
     return out.filter(F.col("v") != 999.0).select(
         "gx", "gy", F.round(F.col("v"), 6).alias("v")
     )
+
+
+@query(
+    "q132_buffer",
+    """WITH ks AS (SELECT n_nationkey AS k FROM nation),
+       dims AS (SELECT k, 10 + (k%7)*5 AS w, 8 + (k%5)*4 AS h FROM ks),
+       s AS (SELECT * FROM (VALUES ('square'), ('diamond')) AS t(style))
+       SELECT k AS fid, style,
+              CAST(CASE WHEN style = 'square' THEN (w + 4) * (h + 4)
+                   ELSE w*h + 2*(w + h)*2 + 8 END AS DOUBLE) AS area,
+              CAST(CASE WHEN style = 'square' THEN 5 ELSE 9 END AS INT) AS npts
+       FROM dims CROSS JOIN s""",
+)
+def q132(spark, sf_dir):
+    """GEOS-free Buffer (OGRGeometry::Buffer surface,
+    ogr/ogrgeometry.cpp:4949): convex Minkowski sum with a Chebyshev
+    square / Manhattan diamond disc at dist=2 over the rect fixtures —
+    closed-form areas A + P·d + K_area and exact vertex counts; the
+    round (32-gon) style is property-tested in pytest (area → A + P·d
+    + πd² as quadsegs grows)."""
+    from gdal_spark.functions.st import st_area, st_buffer, st_npoints
+
+    rows = [(int(pid), blob) for pid, blob in _rects(spark, sf_dir)]
+    layer = local_df(spark, rows, "fid long, geom binary")
+    both = layer.withColumn(
+        "style", F.explode(F.array(F.lit("square"), F.lit("diamond")))
+    )
+    buf = both.withColumn(
+        "bg", st_buffer(F.col("geom"), F.lit(2.0), F.col("style"))
+    )
+    return buf.select(
+        "fid", "style",
+        F.round(st_area(F.col("bg")), 6).alias("area"),
+        st_npoints(F.col("bg")).alias("npts"),
+    )
