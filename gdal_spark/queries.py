@@ -4633,3 +4633,70 @@ def q132(spark, sf_dir):
         F.round(st_area(F.col("bg")), 6).alias("area"),
         st_npoints(F.col("bg")).alias("npts"),
     )
+
+
+@query(
+    "q133_extract_text",
+    """WITH esc AS (
+         SELECT doc_id,
+                replace(replace(replace(replace(replace(text,
+                    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                    '"', '&quot;'), '''', '&#39;') AS e
+         FROM documents WHERE doc_id % 7 = 0),
+       h AS (SELECT doc_id,
+                    '<html><head><meta charset="utf-8"></head>'
+                    || '<body class="c7"><p>' || e || '</p></body></html>' AS html
+             FROM esc),
+       strip AS (SELECT doc_id, regexp_replace(html, '<[^>]*>', '', 'g') AS s
+                 FROM h)
+       SELECT doc_id,
+              replace(replace(replace(replace(replace(s,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&amp;', '&') AS text_extracted,
+              length(replace(replace(replace(replace(replace(s,
+                  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', ''''), '&amp;', '&')) AS n_chars_extracted
+       FROM strip""",
+)
+def q133(spark, sf_dir):
+    """HTML -> text extraction with the pinned spec (tag strip + pinned
+    five-entity unescape, amp last) — the north rule's byte-identical-
+    text-per-url invariant, exercised as an oracle query: both engines
+    build the same escaped HTML wrapper around ``documents.text``, the
+    engine extracts with the vectorized pandas UDF
+    (functions/html.py), the oracle replays the spec in SQL; values
+    match iff extraction is byte-exact (escape -> extract roundtrips to
+    the original text).  Reference surface: the simple tag-stripping
+    text accessors (the reference reads "extracted text" fields from
+    its sources; CPLUnescapeString(..., CPLES_XML), port/cpl_string.cpp)."""
+    from gdal_spark.functions.html import extract_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    esc = docs.withColumn(
+        "e",
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(F.col("text"), "&", "&amp;"),
+                        "<", "&lt;"),
+                    ">", "&gt;"),
+                '"', "&quot;"),
+            "'", "&#39;"),
+    )
+    html = esc.withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><head><meta charset="utf-8"></head><body class="c7"><p>'),
+            F.col("e"),
+            F.lit("</p></body></html>"),
+        ).cast("binary"),
+    )
+    out = html.withColumn("text_extracted", extract_text(F.col("html")))
+    return out.select(
+        "doc_id",
+        "text_extracted",
+        F.length("text_extracted").alias("n_chars_extracted"),
+    )

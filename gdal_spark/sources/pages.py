@@ -107,7 +107,17 @@ def synth_pages_pdf(start: int, count: int) -> pd.DataFrame:
         texts.append(city + " " + " ".join(words_arr[widx[r, : n_words[r]]]))
         urls.append(f"https://{city}.example.com/p/{ids[r]}")
     ts = pd.to_datetime(1704067200 + (h % np.uint64(86400 * 30)).astype(np.int64), unit="s")
-    html = [t.encode() for t in texts]  # deterministic fake raw bytes
+    # deterministic raw page bytes: REAL markup around the body text
+    # (city rides in an attribute — inside a tag — so the pinned
+    # tag-strip extraction spec recovers `text` byte-identically;
+    # functions/html.py + tests/test_extract_text.py)
+    html = [
+        (
+            '<html><head><meta charset="utf-8"/></head><body class="page" '
+            'data-city="' + c + '"><p>' + t + "</p></body></html>"
+        ).encode()
+        for c, t in zip(city_names[city_idx], texts)
+    ]
     return pd.DataFrame(
         {
             "page_id": ids,
@@ -177,11 +187,31 @@ def geocode(pages: DataFrame) -> DataFrame:
     )
 
 
-def geocode_encode(pages: DataFrame, res_list: tuple[int, ...] = (7, 9)) -> DataFrame:
-    """Fused geocode + cell-encode: ONE pandas UDF / one Arrow round
-    trip producing (lon, lat, cell{r}...).  Chaining separate UDFs
-    costs one Python transfer each — at 10^12 rows the fusion is the
-    difference between 1 and len(res_list)+1 passes over the batch."""
+def geocode_encode(
+    pages: DataFrame, res_list: tuple[int, ...] = (7, 9), native: bool = True
+) -> DataFrame:
+    """Fused geocode + cell-encode producing (lon, lat, cell{r}...).
+
+    Default path is PURE Column expressions (``native=True``): the
+    md5 jitter runs JVM-side (``F.md5`` + hex halves parsed with
+    ``conv``, exact 64-bit long arithmetic), the city lookup is a
+    literal ``create_map``, and the cell encode is the same
+    floor/clip/shift formula as ``kernels.cells.cell_encode`` — the
+    whole stage stays inside whole-stage codegen with NO Python
+    worker at all, which is both the fast path and the one that
+    weak-scales (no Arrow transfer, no per-row ``hashlib`` calls —
+    the round-1 geocode stage was the last per-row-Python hot loop).
+    Bitwise identical to the Arrow-UDF path (``native=False``, kept
+    for the parity test tests/test_pipeline.py): jitter integers are
+    exact in 64-bit, and the float expression tree matches the NumPy
+    one term for term.
+
+    ``native=False``: ONE pandas UDF / one Arrow round trip.
+    Chaining separate UDFs costs one Python transfer each — at 10^12
+    rows the fusion is the difference between 1 and len(res_list)+1
+    passes over the batch."""
+    if native:
+        return _geocode_encode_native(pages, res_list)
     from gdal_spark.kernels.cells import cell_encode
 
     city_lon = {c[0]: c[1] for c in CITIES}
@@ -211,3 +241,53 @@ def geocode_encode(pages: DataFrame, res_list: tuple[int, ...] = (7, 9)) -> Data
 
     cols = [F.col("_g")[f].alias(f) for f in ["lon", "lat"] + [f"cell{r}" for r in res_list]]
     return pages.withColumn("_g", geo(F.col("text"), F.col("url"))).select("*", *cols).drop("_g")
+
+
+# 2^32 mod 20001 — folds the high md5 half into the unsigned-64 modulus
+# without ever materializing a 64-bit unsigned value in a signed long
+_POW32_MOD = (1 << 32) % 20001
+
+
+def _geocode_encode_native(pages: DataFrame, res_list: tuple[int, ...]) -> DataFrame:
+    """Column-expression geocode + cell encode (see geocode_encode).
+
+    jit = int.from_bytes(md5(url)[:8], 'big') = hi·2^32 + lo where
+    hi/lo are the first/second 4 hex-byte halves; then
+      jit % 20001        == (hi·(2^32 % 20001) + lo) % 20001
+      (jit >> 20) % 20001 == (hi·2^12 + (lo >> 20)) % 20001
+    — every intermediate fits a signed 64-bit long, so the JVM longs
+    reproduce the NumPy uint64 arithmetic exactly."""
+    city_map = F.create_map(
+        *[F.lit(v) for c in CITIES for v in (c[0], float(c[1]))]
+    )
+    city_map_lat = F.create_map(
+        *[F.lit(v) for c in CITIES for v in (c[0], float(c[2]))]
+    )
+    first = F.split(F.col("text"), " ", 2).getItem(0)
+    base_lon = F.coalesce(F.element_at(city_map, first), F.lit(0.0))
+    base_lat = F.coalesce(F.element_at(city_map_lat, first), F.lit(0.0))
+
+    hhex = F.md5(F.col("url"))
+    hi = F.conv(F.substring(hhex, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hhex, 9, 8), 16, 10).cast("long")
+    h_mod = F.pmod(hi * F.lit(_POW32_MOD) + lo, F.lit(20001))
+    h20_mod = F.pmod(F.shiftleft(hi, 12) + F.shiftright(lo, 20), F.lit(20001))
+    jlon = (h_mod.cast("double") - F.lit(10000.0)) / F.lit(10000.0) * F.lit(0.5)
+    jlat = (h20_mod.cast("double") - F.lit(10000.0)) / F.lit(10000.0) * F.lit(0.5)
+    lon = base_lon + jlon
+    lat = base_lat + jlat
+
+    out = pages.withColumn("lon", lon).withColumn("lat", lat)
+    for r in res_list:
+        n = 1 << r
+        x = F.floor((F.col("lon") + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+        y = F.floor((F.lit(90.0) - F.col("lat")) / F.lit(180.0) * F.lit(float(n)))
+        x = F.least(F.greatest(x, F.lit(0)), F.lit(n - 1)).cast("long")
+        y = F.least(F.greatest(y, F.lit(0)), F.lit(n - 1)).cast("long")
+        cell = (
+            F.lit(int(r) << 57).cast("long")
+            + F.shiftleft(x, 28).cast("long")
+            + y
+        )
+        out = out.withColumn(f"cell{r}", cell)
+    return out
