@@ -4700,3 +4700,72 @@ def q133(spark, sf_dir):
         "text_extracted",
         F.length("text_extracted").alias("n_chars_extracted"),
     )
+
+
+@query(
+    "q134_pansharpen",
+    """WITH c AS (SELECT count(*) AS n FROM nation),
+       g AS (SELECT x.range AS gx, y.range AS gy FROM range(16) x, range(16) y),
+       v AS (SELECT gx, gy,
+               CAST(4*c.n + 3*gx + 5*gy AS DOUBLE) AS pan,
+               CAST(1 + 0 + 2*(gx//2) + (gy//2) AS DOUBLE) AS ms0,
+               CAST(1 + 1 + 2*(gx//2) + (gy//2) AS DOUBLE) AS ms1,
+               CAST(1 + 2 + 2*(gx//2) + (gy//2) AS DOUBLE) AS ms2
+             FROM g, c),
+       f AS (SELECT gx, gy, ms0, ms1, ms2,
+                    pan/(0.25*ms0 + 0.5*ms1 + 0.25*ms2) AS factor
+             FROM v)
+       SELECT gx, gy, band,
+              round(CASE band WHEN 0 THEN ms0*factor
+                              WHEN 1 THEN ms1*factor
+                              ELSE ms2*factor END, 6) AS val
+       FROM f, (VALUES (0), (1), (2)) b(band)""",
+)
+def q134(spark, sf_dir):
+    """Weighted-Brovey pan-sharpening
+    (GDALPansharpenOperation::WeightedBrovey3,
+    alg/gdalpansharpen.cpp:588-620): 2x2 pan tiles (16x16 px, values
+    4N + 3X + 5Y anchored on the nation count) sharpened by one
+    3-band parent MS tile (nearest upsample, dz=1), weights
+    (1/4, 1/2, 1/4) — dyadic, so pseudo_pan is exact and the single
+    division is the only rounding site, identical on both engines."""
+    from gdal_spark.operators.pansharpen import pansharpen_tiles
+
+    n = _t(spark, sf_dir, "nation").count()
+    ts = 8
+    pan_rows = []
+    for tx in range(2):
+        for ty in range(2):
+            xs = np.arange(ts, dtype=np.float64) + tx * ts
+            ys = np.arange(ts, dtype=np.float64) + ty * ts
+            arr = 4.0 * n + 3.0 * xs[None, :] + 5.0 * ys[:, None]
+            pan_rows.append((tx, ty, arr.tobytes()))
+    ms_rows = []
+    for b in range(3):
+        x = np.arange(ts, dtype=np.float64)
+        y = np.arange(ts, dtype=np.float64)
+        arr = 1.0 + b + 2.0 * x[None, :] + y[:, None]
+        ms_rows.append((0, 0, b, arr.tobytes()))
+    pan = local_df(spark, pan_rows, "tx long, ty long, data binary")
+    ms = local_df(spark, ms_rows, "tx long, ty long, band int, data binary")
+    sharp = pansharpen_tiles(pan, ms, [0.25, 0.5, 0.25], dz=1, tile_size=ts)
+
+    out_schema = "gx long, gy long, band int, val double"
+
+    def unpack(it):
+        for pdf in it:
+            for r in pdf.itertuples(index=False):
+                arr = np.frombuffer(r.data, dtype=np.float64).reshape(ts, ts)
+                ys, xs = np.indices((ts, ts))
+                yield pd.DataFrame(
+                    {
+                        "gx": (xs + int(r.tx) * ts).ravel(),
+                        "gy": (ys + int(r.ty) * ts).ravel(),
+                        "band": int(r.band),
+                        "val": arr.ravel(),
+                    }
+                )
+
+    return sharp.mapInPandas(unpack, out_schema).select(
+        "gx", "gy", "band", F.round(F.col("val"), 6).alias("val")
+    )
