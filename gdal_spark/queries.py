@@ -4769,3 +4769,33 @@ def q134(spark, sf_dir):
     return sharp.mapInPandas(unpack, out_schema).select(
         "gx", "gy", "band", F.round(F.col("val"), 6).alias("val")
     )
+
+
+@query(
+    "q135_warp_cutline",
+    f"""{Q25_PIX_SQL},
+       w AS (SELECT gx//2 AS gx, gy//2 AS gy, v FROM rast
+             WHERE gx%2 = 1 AND gy%2 = 1)
+       SELECT gx, gy, v FROM w
+       WHERE (gy >= 2 AND gy < 18 AND gx >= 2 AND gx < 44)
+          OR (gy >= 18 AND gy < 44 AND gx >= 2 AND gx < 22)""",
+)
+def q135(spark, sf_dir):
+    """gdalwarp -cutline (GDALWarpCutlineMaskerEx,
+    alg/gdalwarper.cpp:1447-1628): the q65 nearest warp masked by a
+    concave L-shaped cutline polygon rasterized per destination tile
+    with the exact scanline pixel-center rule — outside pixels take
+    the fill and drop out of the feature view; the oracle applies the
+    L-shape's half-open pixel ranges analytically."""
+    from gdal_spark.operators.cutline import warp_cutline
+
+    ring = np.array(
+        [[4, 4], [88, 4], [88, 36], [44, 36], [44, 88], [4, 88], [4, 4]],
+        dtype=np.float64,
+    )
+    src = _q25_tiles(spark, sf_dir)
+    out = warp_cutline(
+        src, IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0), 64, 64,
+        cutline_wkb=W.polygon_wkb([ring]), tile_size=32, method="nearest",
+    )
+    return tiles_to_features(out, tile_size=32, nodata=0.0)
