@@ -29,6 +29,7 @@ import struct
 import numpy as np
 
 CIRCULARSTRING, COMPOUNDCURVE, CURVEPOLYGON = 8, 9, 10
+POLYHEDRALSURFACE, TIN, TRIANGLE = 15, 16, 17
 
 _DIM_NAMES = {0: "xy", 1: "xyz", 2: "xym", 3: "xyzm"}
 
@@ -64,7 +65,7 @@ def _parse(buf: memoryview, off: int):
             buf, dtype=fmt + "f8", count=ncoord * n, offset=off + 4
         )
         return base, dims, coords.reshape(n, ncoord).copy(), off + 4 + 8 * ncoord * n
-    if base == 3:  # polygon
+    if base in (3, TRIANGLE):  # polygon / triangle (same ring layout)
         nr = struct.unpack_from(fmt + "I", buf, off)[0]
         off += 4
         rings = []
@@ -76,6 +77,14 @@ def _parse(buf: memoryview, off: int):
             rings.append(coords.reshape(n, ncoord).copy())
             off += 4 + 8 * ncoord * n
         return base, dims, rings, off
+    if base in (POLYHEDRALSURFACE, TIN):  # count + full patch WKBs
+        n = struct.unpack_from(fmt + "I", buf, off)[0]
+        off += 4
+        patches = []
+        for _ in range(n):
+            t, _d, p, off = _parse(buf, off)
+            patches.append((t, p))
+        return base, dims, patches, off
     if base == COMPOUNDCURVE:
         n = struct.unpack_from(fmt + "I", buf, off)[0]
         off += 4
@@ -113,6 +122,49 @@ def curvepolygon_wkb(ring_curves: list[bytes]) -> bytes:
     return struct.pack("<BII", 1, CURVEPOLYGON, len(ring_curves)) + b"".join(
         ring_curves
     )
+
+
+def polygon_z_wkb(rings: list[np.ndarray], base: int = 3) -> bytes:
+    """rings [(N, 3)] → ISO Polygon Z (or Triangle Z with base=17) WKB."""
+    out = [struct.pack("<BII", 1, base + 1000, len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype="<f8")
+        out.append(struct.pack("<I", r.shape[0]) + r.tobytes())
+    return b"".join(out)
+
+
+def polyhedralsurface_wkb(patches: list[bytes], tin: bool = False) -> bytes:
+    """Full patch WKBs → PolyhedralSurface Z / TIN Z WKB
+    (ogr_core.h:441-447 wkbPolyhedralSurface=15 / wkbTIN=16; patch
+    list layout per OGRPolyhedralSurface::exportToWkb,
+    ogr/ogrpolyhedralsurface.cpp)."""
+    code = (TIN if tin else POLYHEDRALSURFACE) + 1000
+    return struct.pack("<BII", 1, code, len(patches)) + b"".join(patches)
+
+
+def surface_stats(wkb: bytes):
+    """(n_patches, n_points, area) for PolyhedralSurface/TIN.
+
+    Area = Σ patch areas, each the planar-polygon area in 3D
+    (0.5·‖Σ rᵢ × rᵢ₊₁‖ over the outer ring, holes subtracted) — the
+    reference's OGRPolyhedralSurface::get_Area sums patch get_Area
+    (ogr/ogrpolyhedralsurface.cpp); axis-aligned integer faces make
+    it exact."""
+    t, dims, patches = parse_ext(wkb)
+    if t not in (POLYHEDRALSURFACE, TIN):
+        raise ValueError("surface_stats: not a surface type")
+    n_pts = 0
+    area = 0.0
+    for _pt, rings in patches:
+        for k, ring in enumerate(rings):
+            n_pts += ring.shape[0]
+            r = ring[:, :3] if ring.shape[1] >= 3 else np.column_stack(
+                [ring, np.zeros(ring.shape[0])]
+            )
+            cr = np.cross(r[:-1], r[1:]).sum(axis=0)
+            a = 0.5 * math.sqrt(float((cr * cr).sum()))
+            area += a if k == 0 else -a
+    return len(patches), n_pts, area
 
 
 # --- linearization ---------------------------------------------------------

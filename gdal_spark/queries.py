@@ -4799,3 +4799,71 @@ def q135(spark, sf_dir):
         cutline_wkb=W.polygon_wkb([ring]), tile_size=32, method="nearest",
     )
     return tiles_to_features(out, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q136_polyhedral_surface",
+    """SELECT n_nationkey AS fid,
+              CAST(6 * (1 + n_nationkey % 5) * (1 + n_nationkey % 5) AS DOUBLE)
+                  AS ps_area,
+              6 AS ps_npatches, 30 AS ps_npts,
+              CAST(6 * (1 + n_nationkey % 5) * (1 + n_nationkey % 5) AS DOUBLE)
+                  AS tin_area,
+              12 AS tin_npatches, 48 AS tin_npts
+       FROM nation""",
+)
+def q136(spark, sf_dir):
+    """PolyhedralSurface Z and TIN Z types (ogr_core.h:441-447,
+    OGRPolyhedralSurface::get_Area summing patch areas,
+    ogr/ogrpolyhedralsurface.cpp): axis-aligned unit-side-s cubes as a
+    6-face surface and the same cubes as a 12-triangle TIN; 3D planar
+    patch areas via the cross-product norm are exact integers, so the
+    closed form 6s^2 oracles both representations."""
+    import pandas as pd
+    from gdal_spark.kernels import wkbext as X
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        s = float(1 + k % 5)
+        ox, oy, oz = float(k), float(k % 7), 0.0
+
+        def sq(p0, p1, p2, p3):
+            return np.array([p0, p1, p2, p3, p0], dtype=np.float64)
+
+        a = (ox, oy, oz); b = (ox + s, oy, oz)
+        c = (ox + s, oy + s, oz); d = (ox, oy + s, oz)
+        e = (ox, oy, oz + s); f = (ox + s, oy, oz + s)
+        g = (ox + s, oy + s, oz + s); h = (ox, oy + s, oz + s)
+        faces = [sq(a, b, c, d), sq(e, f, g, h), sq(a, b, f, e),
+                 sq(d, c, g, h), sq(a, d, h, e), sq(b, c, g, f)]
+        ps = X.polyhedralsurface_wkb([X.polygon_z_wkb([fc]) for fc in faces])
+        tris = []
+        for fc in faces:
+            tris.append(X.polygon_z_wkb(
+                [np.array([fc[0], fc[1], fc[2], fc[0]])], base=X.TRIANGLE))
+            tris.append(X.polygon_z_wkb(
+                [np.array([fc[0], fc[2], fc[3], fc[0]])], base=X.TRIANGLE))
+        tin = X.polyhedralsurface_wkb(tris, tin=True)
+        rows.append((k, ps, tin))
+    layer = local_df(spark, rows, "fid long, ps binary, tin binary")
+
+    @F.pandas_udf("ps_area double, ps_npatches int, ps_npts int, "
+                  "tin_area double, tin_npatches int, tin_npts int")
+    def stats(ps: pd.Series, tin: pd.Series) -> pd.DataFrame:
+        from gdal_spark.kernels import wkbext as XX
+
+        out = []
+        for pb, tb in zip(ps, tin):
+            pn, pp, pa = XX.surface_stats(bytes(pb))
+            tn, tp, ta = XX.surface_stats(bytes(tb))
+            out.append((pa, pn, pp, ta, tn, tp))
+        return pd.DataFrame(
+            out, columns=["ps_area", "ps_npatches", "ps_npts",
+                          "tin_area", "tin_npatches", "tin_npts"])
+
+    res = layer.withColumn("_s", stats(F.col("ps"), F.col("tin")))
+    return res.select(
+        "fid", "_s.ps_area", "_s.ps_npatches", "_s.ps_npts",
+        "_s.tin_area", "_s.tin_npatches", "_s.tin_npts",
+    )
