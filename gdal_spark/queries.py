@@ -4867,3 +4867,58 @@ def q136(spark, sf_dir):
         "fid", "_s.ps_area", "_s.ps_npatches", "_s.ps_npts",
         "_s.tin_area", "_s.tin_npatches", "_s.tin_npts",
     )
+
+
+@query(
+    "q137_overlay_shared_edge",
+    """SELECT n_nationkey AS fid,
+              round(CAST((3 + n_nationkey % 9) * (2 + n_nationkey % 7)
+                    + (2 + n_nationkey % 5) * (2 + n_nationkey % 6) AS DOUBLE), 6)
+                  AS a_union,
+              CAST(0.0 AS DOUBLE) AS a_inter,
+              round(CAST((3 + n_nationkey % 9) * (2 + n_nationkey % 7) AS DOUBLE), 6)
+                  AS a_diff
+       FROM nation""",
+)
+def q137(spark, sf_dir):
+    """Degenerate (shared-edge) general overlay — the GH kernel's
+    robustness path (kernels/clipgen.py clip_area_robust): rect B
+    shares rect A's full right edge, violating general position the
+    way real dissolved/tiled layers always do; the deterministic
+    2^-34 micro-perturbation resolves it and the 1e-6 rounding
+    recovers the exact closed forms (union = |A|+|B|, inter = 0,
+    diff = |A|).  Reference: GEOS noding gives the reference this for
+    free (ogrlayer.cpp:5385+ overlay ops never reject shared edges)."""
+    import pandas as pd
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        x0, y0 = float(k % 11), float(k % 13)
+        w, h = float(3 + k % 9), float(2 + k % 7)
+        w2, h2 = float(2 + k % 5), float(2 + k % 6)
+        A = np.array([[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                      [x0, y0 + h], [x0, y0]])
+        B = np.array([[x0 + w, y0], [x0 + w + w2, y0],
+                      [x0 + w + w2, y0 + h2], [x0 + w, y0 + h2],
+                      [x0 + w, y0]])
+        rows.append((k, A.tobytes(), B.tobytes()))
+    layer = local_df(spark, rows, "fid long, a binary, b binary")
+
+    @F.pandas_udf("a_union double, a_inter double, a_diff double")
+    def ovl(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        from gdal_spark.kernels.clipgen import clip_area_robust
+
+        out = []
+        for ab, bb in zip(a, b):
+            P = np.frombuffer(ab, dtype=np.float64).reshape(-1, 2)
+            Q = np.frombuffer(bb, dtype=np.float64).reshape(-1, 2)
+            out.append((
+                round(clip_area_robust(P, Q, "union"), 6),
+                round(clip_area_robust(P, Q, "intersection"), 6),
+                round(clip_area_robust(P, Q, "difference"), 6),
+            ))
+        return pd.DataFrame(out, columns=["a_union", "a_inter", "a_diff"])
+
+    res = layer.withColumn("_o", ovl(F.col("a"), F.col("b")))
+    return res.select("fid", "_o.a_union", "_o.a_inter", "_o.a_diff")

@@ -1,0 +1,54 @@
+"""GH robustness path: shared edges, vertex-on-edge contact, and
+identical rings all resolve via the deterministic micro-perturbation
+to within 1e-6 of the exact closed forms."""
+
+import numpy as np
+
+from gdal_spark.kernels.clipgen import clip_area_robust, is_degenerate_pair
+
+
+def _rect(x0, y0, w, h):
+    return np.array(
+        [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+        dtype=np.float64,
+    )
+
+
+def test_shared_edge():
+    A, B = _rect(0, 0, 4, 3), _rect(4, 0, 2, 3)
+    assert is_degenerate_pair(A, B)
+    assert abs(clip_area_robust(A, B, "union") - 18.0) < 1e-6
+    assert abs(clip_area_robust(A, B, "intersection")) < 1e-6
+    assert abs(clip_area_robust(A, B, "difference") - 12.0) < 1e-6
+
+
+def test_vertex_on_edge():
+    A = _rect(0, 0, 6, 6)
+    tri = np.array([[6, 2], [9, 1], [9, 5], [6, 2]], dtype=np.float64)
+    assert is_degenerate_pair(A, tri)
+    a_union = clip_area_robust(A, tri, "union")
+    assert abs(a_union - (36.0 + 6.0)) < 1e-6  # triangle area 6, contact only
+
+
+def test_identical_rings():
+    A = _rect(1, 1, 5, 4)
+    assert is_degenerate_pair(A, A)
+    assert abs(clip_area_robust(A, A.copy(), "union") - 20.0) < 1e-5
+    assert abs(clip_area_robust(A, A.copy(), "intersection") - 20.0) < 1e-5
+    assert abs(clip_area_robust(A, A.copy(), "difference")) < 1e-5
+
+
+def test_partial_collinear_overlap():
+    # B's bottom edge rides along A's top edge for half its length
+    A, B = _rect(0, 0, 8, 4), _rect(4, 4, 8, 3)
+    assert is_degenerate_pair(A, B)
+    assert abs(clip_area_robust(A, B, "union") - (32.0 + 24.0)) < 1e-6
+    assert abs(clip_area_robust(A, B, "intersection")) < 1e-6
+
+
+def test_general_position_untouched():
+    A, B = _rect(0, 0, 4, 4), _rect(2, 2, 4, 4)
+    assert not is_degenerate_pair(A, B)
+    # exact — no perturbation on clean inputs
+    assert clip_area_robust(A, B, "intersection") == 4.0
+    assert clip_area_robust(A, B, "union") == 28.0
