@@ -353,3 +353,70 @@ def ann_ivf_trained(
         .filter(F.col("ivf_rank") <= k)
         .select("qid", vec_id, "ivf_rank", "score")
     )
+
+
+def pq_encode(
+    vectors: DataFrame,
+    m: int = 2,
+    k_sub: int = 4,
+    n_iter: int = 2,
+    dim: int = 64,
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (the 100-TB embedding-compression path:
+    Jégou et al. 2011, FAISS IndexPQ): the vector splits into ``m``
+    contiguous subspaces, each trained with the SAME integer-exact
+    Lloyd quantizer as ``ivf_kmeans`` (pinned init/tie/update rules →
+    SQL-replayable), and every vector encodes to ``m`` small codes —
+    64 floats become 2 bytes here.  ADC distances then need only the
+    k_sub·m codeword table, not the original vectors.
+
+    Returns (codes, codebooks): ``codes`` = one row per vector with
+    ``code{j}`` (cell in subspace j) and ``qerr{j}`` (exact squared
+    quantization error); ``codebooks`` = per-subspace integer codeword
+    lists.  Training scans are per-subspace ``ivf_kmeans`` calls —
+    map-side-combinable sums, broadcast codebooks, nothing but
+    k_sub·dim ints at the driver."""
+    sub = dim // m
+    codes = None
+    books = []
+    for j in range(m):
+        vj = vectors.select(
+            vec_id, F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col)
+        )
+        assigned, cent = ivf_kmeans(
+            vj, n_centroids=k_sub, n_iter=n_iter, dim=sub,
+            vec_id=vec_id, vec_col=vec_col,
+        )
+        part = assigned.select(
+            vec_id,
+            F.col("cell").alias(f"code{j}"),
+            F.col("d2").alias(f"qerr{j}"),
+        )
+        codes = part if codes is None else codes.join(part, vec_id)
+        books.append(cent)
+    return codes, books
+
+
+def pq_adc_distances(
+    codes: DataFrame,
+    books: list[list[list[int]]],
+    query_subs: list[list[int]],
+    vec_id: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance computation: squared L2 from a fixed query
+    to every ENCODED vector via the per-subspace lookup tables — the
+    PQ search primitive (distance = Σ_j table_j[code_j]).  The tables
+    (m·k_sub ints) are literal arrays in the plan; the scan is pure
+    Column arithmetic over the codes table, no vectors touched."""
+    out = codes
+    total = F.lit(0).cast("long")
+    for j, (cb, q) in enumerate(zip(books, query_subs)):
+        qa = np.asarray(q, dtype=np.int64)
+        table = [int(((np.asarray(c, dtype=np.int64) - qa) ** 2).sum()) for c in cb]
+        dist_j = F.element_at(
+            F.array(*[F.lit(t) for t in table]), F.col(f"code{j}").cast("int") + 1
+        )
+        total = total + dist_j
+    return out.withColumn("adc_d2", total)

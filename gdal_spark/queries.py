@@ -4922,3 +4922,99 @@ def q137(spark, sf_dir):
 
     res = layer.withColumn("_o", ovl(F.col("a"), F.col("b")))
     return res.select("fid", "_o.a_union", "_o.a_inter", "_o.a_diff")
+
+
+def _pq_cte(p: str, lo: int, hi: int, k: int, dims: int) -> str:
+    """Parameterized DuckDB replay of the integer-exact Lloyd k-means
+    (same pinned rules as _KMEANS_CTE) over a sub-slice of qv —
+    one block per PQ subspace, CTE names prefixed with ``p``."""
+    return f"""
+  {p}v AS (SELECT vec_id, qv[{lo}:{hi}] AS qv FROM v),
+  {p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, qv AS c
+         FROM (SELECT vec_id, qv FROM {p}v ORDER BY vec_id LIMIT {k})),
+  {p}d0 AS (SELECT {p}v.vec_id, {p}c0.cell,
+          CAST(list_sum(list_transform(list_zip({p}v.qv, {p}c0.c),
+               s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+         FROM {p}v CROSS JOIN {p}c0),
+  {p}a0 AS (SELECT vec_id, cell FROM
+          (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM {p}d0) WHERE rn = 1),
+  {p}s0 AS (SELECT {p}a0.cell, d.range AS d,
+                SUM({p}v.qv[CAST(d.range AS INT) + 1]) AS s, COUNT(*) AS n
+         FROM {p}a0 JOIN {p}v USING (vec_id) CROSS JOIN range({dims}) d
+         GROUP BY {p}a0.cell, d.range),
+  {p}u0 AS (SELECT cell, list(CAST(floor((2.0*s + n) / (2.0*n)) AS BIGINT) ORDER BY d) AS c
+         FROM {p}s0 GROUP BY cell),
+  {p}c1 AS (SELECT cell, c FROM {p}u0
+         UNION ALL
+         SELECT cell, c FROM {p}c0 WHERE cell NOT IN (SELECT cell FROM {p}u0)),
+  {p}d1 AS (SELECT {p}v.vec_id, {p}c1.cell,
+          CAST(list_sum(list_transform(list_zip({p}v.qv, {p}c1.c),
+               s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+         FROM {p}v CROSS JOIN {p}c1),
+  {p}a1 AS (SELECT vec_id, cell FROM
+          (SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM {p}d1) WHERE rn = 1),
+  {p}s1 AS (SELECT {p}a1.cell, d.range AS d,
+                SUM({p}v.qv[CAST(d.range AS INT) + 1]) AS s, COUNT(*) AS n
+         FROM {p}a1 JOIN {p}v USING (vec_id) CROSS JOIN range({dims}) d
+         GROUP BY {p}a1.cell, d.range),
+  {p}u1 AS (SELECT cell, list(CAST(floor((2.0*s + n) / (2.0*n)) AS BIGINT) ORDER BY d) AS c
+         FROM {p}s1 GROUP BY cell),
+  {p}c2 AS (SELECT cell, c FROM {p}u1
+         UNION ALL
+         SELECT cell, c FROM {p}c1 WHERE cell NOT IN (SELECT cell FROM {p}u1)),
+  {p}d2f AS (SELECT {p}v.vec_id, {p}c2.cell,
+           CAST(list_sum(list_transform(list_zip({p}v.qv, {p}c2.c),
+                s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+          FROM {p}v CROSS JOIN {p}c2),
+  {p}a2 AS (SELECT vec_id, cell, d2 FROM
+          (SELECT vec_id, cell, d2,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+           FROM {p}d2f) WHERE rn = 1),
+  {p}q AS (SELECT qv FROM {p}v ORDER BY vec_id LIMIT 1),
+  {p}adc AS (SELECT c.cell,
+           CAST(list_sum(list_transform(list_zip(q.qv, c.c),
+                s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+          FROM {p}c2 c, {p}q q)"""
+
+
+@query(
+    "q138_pq_encode",
+    """WITH v AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),"""
+    + _pq_cte("p0", 1, 32, 4, 32) + ","
+    + _pq_cte("p1", 33, 64, 4, 32) + """
+       SELECT a.vec_id, a.cell AS code0, b.cell AS code1,
+              CAST(a.d2 + b.d2 AS BIGINT) AS recon_err,
+              CAST(x.d2 + y.d2 AS BIGINT) AS adc_d2
+       FROM p0a2 a
+       JOIN p1a2 b USING (vec_id)
+       JOIN p0adc x ON x.cell = a.cell
+       JOIN p1adc y ON y.cell = b.cell""",
+)
+def q138(spark, sf_dir):
+    """Product quantization over the embeddings table (Jégou et al.
+    2011 / FAISS IndexPQ; the PQ stage a 100-TB embedding store
+    compresses through): 2 subspaces x 4 codewords trained with the
+    pinned integer-exact Lloyd rules, every vector encoded to 2 codes,
+    plus the ADC squared distance to the smallest-id vector via the
+    m x k lookup tables.  The oracle replays BOTH subspace trainings,
+    the encoding argmins, and the ADC tables in SQL."""
+    from gdal_spark.operators.similarity import pq_adc_distances, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(emb, m=2, k_sub=4, n_iter=2, dim=64)
+
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = np.floor(np.asarray(qrow["embedding"], dtype=np.float64) * 1000.0 + 0.5
+                  ).astype(np.int64)
+    out = pq_adc_distances(codes, books, [qv[:32].tolist(), qv[32:].tolist()])
+    return out.select(
+        "vec_id", "code0", "code1",
+        (F.col("qerr0") + F.col("qerr1")).cast("long").alias("recon_err"),
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+    )
