@@ -265,6 +265,7 @@ def rasterize_wkb_grid(
     dtype: str = "float64",
     merge_add: bool = False,
     all_touched: bool = False,
+    salt: int | None = None,
 ) -> DataFrame:
     """GDALRasterizeLayers analog onto an arbitrary target grid: burn
     WKB polygon features into a ``width × height`` raster defined by a
@@ -280,7 +281,20 @@ def rasterize_wkb_grid(
 
     ``merge_add=False`` (REPLACE) burns in deterministic
     ``_feature_seq`` order; ``merge_add=True`` (ADD) is order-free.
-    """
+
+    ``salt`` > 1 splits each block's feature list across ``salt``
+    reducers keyed by ``_feature_seq % salt`` — the skew escape for a
+    hot block covered by a large share of all features (same shape as
+    ``rasterize_points``).  ADD partials merge by vectorized sum;
+    REPLACE partials additionally burn each feature's sequence number
+    into a parallel array with the same kernels, and the merge keeps
+    the per-pixel value of the HIGHEST sequence — exactly the
+    last-writer order the single-phase plan burns in.  Features are
+    never split across salts, so within-feature semantics (line
+    ``visited`` sets, ring nesting) are untouched; parity with the
+    single-phase plan is bitwise (tests/test_rasterize_salted.py).
+    Sequence numbers ride float64 arrays — exact below 2^53, far above
+    any realistic feature count."""
     ntx = (width + tile_size - 1) // tile_size
     nty = (height + tile_size - 1) // tile_size
 
@@ -311,13 +325,15 @@ def rasterize_wkb_grid(
         .drop("_tile")
     )
 
-    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _burn(key, pdf: pd.DataFrame, seqarr: np.ndarray | None) -> np.ndarray:
         tx, ty = int(key[0]), int(key[1])
         nx = min(tile_size, width - tx * tile_size)
         ny = min(tile_size, height - ty * tile_size)
         arr = np.zeros((ny, nx), dtype=np.dtype(dtype))
         pdf = pdf.sort_values("_feature_seq")
-        for blob, bv in zip(pdf[geom_col], pdf[burn_value_col]):
+        for blob, bv, seq in zip(
+            pdf[geom_col], pdf[burn_value_col], pdf["_feature_seq"]
+        ):
             gtype, parts = W.parse_wkb(bytes(blob))
             if gtype in (W.LINESTRING, W.MULTILINESTRING):
                 lines = [parts] if gtype == W.LINESTRING else [p for _, p in parts]
@@ -329,6 +345,11 @@ def rasterize_wkb_grid(
                         arr, px_ - tx * tile_size, py_ - ty * tile_size, float(bv),
                         merge_add=merge_add, visited=visited if merge_add else None,
                     )
+                    if seqarr is not None:
+                        line_fn(
+                            seqarr, px_ - tx * tile_size, py_ - ty * tile_size,
+                            float(seq) + 1.0, merge_add=False,
+                        )
                 continue
             for rings in W.polygon_rings(bytes(blob)):
                 pix_rings = []
@@ -338,23 +359,69 @@ def rasterize_wkb_grid(
                         np.column_stack([px_ - tx * tile_size, py_ - ty * tile_size])
                     )
                 burn_polygon(arr, pix_rings, float(bv), merge_add=merge_add)
-        return pd.DataFrame(
-            {
-                "z": [0],
-                "tx": [tx],
-                "ty": [ty],
-                "band": [1],
-                "data": [arr.tobytes()],
-                "dtype": [dtype],
-                "nodata": [0.0],
-            }
-        )
+                if seqarr is not None:
+                    burn_polygon(seqarr, pix_rings, float(seq) + 1.0, merge_add=False)
+        return arr
 
-    return (
-        feats.select("tx", "ty", "_feature_seq", geom_col, burn_value_col)
-        .groupBy("tx", "ty")
-        .applyInPandas(burn_tile, TILE_SCHEMA)
+    def _row(tx, ty, arr, extra=None):
+        d = {
+            "z": [0], "tx": [tx], "ty": [ty], "band": [1],
+            "data": [arr.tobytes()], "dtype": [dtype], "nodata": [0.0],
+        }
+        if extra:
+            d.update(extra)
+        return pd.DataFrame(d)
+
+    def burn_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = _burn(key, pdf, None)
+        return _row(int(key[0]), int(key[1]), arr)
+
+    keyed = feats.select("tx", "ty", "_feature_seq", geom_col, burn_value_col)
+    if not salt or salt <= 1:
+        return keyed.groupBy("tx", "ty").applyInPandas(burn_tile, TILE_SCHEMA)
+
+    partial_schema = T.StructType(
+        TILE_SCHEMA.fields
+        + [T.StructField("salt", T.IntegerType()), T.StructField("seq", T.BinaryType())]
     )
+
+    def burn_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        nx = min(tile_size, width - tx * tile_size)
+        ny = min(tile_size, height - ty * tile_size)
+        seqarr = None if merge_add else np.zeros((ny, nx), dtype=np.float64)
+        arr = _burn(key[:2], pdf, seqarr)
+        return _row(tx, ty, arr, {
+            "salt": [int(key[2])],
+            "seq": [b"" if seqarr is None else seqarr.tobytes()],
+        })
+
+    def merge_partials(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("salt")
+        dt = np.dtype(pdf["dtype"].iloc[0])
+        acc = np.frombuffer(pdf["data"].iloc[0], dtype=dt).copy()
+        if merge_add:
+            for blob in pdf["data"].iloc[1:]:
+                acc += np.frombuffer(blob, dtype=dt)
+        else:
+            acc_seq = np.frombuffer(pdf["seq"].iloc[0], dtype=np.float64).copy()
+            for blob, sblob in zip(pdf["data"].iloc[1:], pdf["seq"].iloc[1:]):
+                v = np.frombuffer(blob, dtype=dt)
+                s = np.frombuffer(sblob, dtype=np.float64)
+                newer = s > acc_seq
+                acc[newer] = v[newer]
+                acc_seq[newer] = s[newer]
+        out = pdf.iloc[:1].drop(columns=["salt", "seq"]).copy()
+        out["data"] = [acc.tobytes()]
+        return out
+
+    salted = keyed.withColumn(
+        "_salt", F.pmod(F.col("_feature_seq"), F.lit(int(salt))).cast("int")
+    )
+    partials = salted.groupBy("tx", "ty", "_salt").applyInPandas(
+        burn_partial, partial_schema
+    )
+    return partials.groupBy("tx", "ty").applyInPandas(merge_partials, TILE_SCHEMA)
 
 
 def tiles_to_features(
