@@ -199,3 +199,61 @@ def sample_video_frames(
             )
 
     return docs.select(id_col, content_col).mapInPandas(gen, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("max_frame_energy", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    docs: DataFrame,
+    frame: int = 64,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Audio feature extraction plumbing: decode → frame → per-frame
+    energy, the first stage of any speech/audio training pipeline
+    (the real path is soundfile/ffmpeg + an FFT; both are container-
+    absent, so ``decode="real"`` raises at the same one-line seam as
+    the image/video ops).  Fake decode (pure function of the bytes):
+    n_samples = 256 + h8 mod 512, sample[i] = (h8 + 37·i) mod 201 −
+    100; frames are non-overlapping windows of ``frame`` samples
+    (trailing partial frame dropped, the standard hop=frame case) and
+    energy is the integer Σ s² — exact on both engines.  Shape: one
+    ``mapInPandas`` pass, no shuffle; at scale the task is I/O +
+    codec bound exactly like the real decoder."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real audio decode requires soundfile/ffmpeg, absent from this container"
+        )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                n = 256 + h8 % 512
+                i = np.arange(n, dtype=np.int64)
+                s = (h8 + 37 * i) % 201 - 100
+                nf = n // frame
+                e = (s[: nf * frame].reshape(nf, frame) ** 2).sum(axis=1)
+                rows.append(
+                    (int(did), n, nf, int(e.sum()), int(e.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_samples", "n_frames",
+                    "total_energy", "max_frame_energy",
+                ],
+            )
+
+    return docs.select(id_col, content_col).mapInPandas(gen, AUDIO_SCHEMA)

@@ -5018,3 +5018,106 @@ def q138(spark, sf_dir):
         (F.col("qerr0") + F.col("qerr1")).cast("long").alias("recon_err"),
         F.col("adc_d2").cast("long").alias("adc_d2"),
     )
+
+
+@query(
+    "q139_ann_recall",
+    "WITH " + _KMEANS_CTE + """,
+       probes AS (SELECT vec_id AS qid, cell FROM
+                   (SELECT vec_id, cell,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+                    FROM d2f WHERE vec_id < 10) WHERE rn <= 2),
+       cand AS (SELECT p.qid, a.vec_id FROM probes p JOIN a2 a USING (cell)
+                WHERE a.vec_id <> p.qid),
+       scored AS (SELECT c.qid, c.vec_id,
+                   CAST(list_sum(list_transform(list_zip(vq.qv, vv.qv),
+                        s -> s[1]*s[2])) AS BIGINT) AS score
+                  FROM cand c JOIN v vq ON vq.vec_id = c.qid
+                              JOIN v vv ON vv.vec_id = c.vec_id),
+       ivf5 AS (SELECT qid, vec_id FROM
+                 (SELECT qid, vec_id,
+                         row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                  FROM scored) WHERE rn <= 5),
+       ex AS (SELECT vq.vec_id AS qid, vv.vec_id,
+               CAST(list_sum(list_transform(list_zip(vq.qv, vv.qv),
+                    s -> s[1]*s[2])) AS BIGINT) AS score
+              FROM v vq JOIN v vv ON vv.vec_id <> vq.vec_id
+              WHERE vq.vec_id < 10),
+       exact5 AS (SELECT qid, vec_id FROM
+                   (SELECT qid, vec_id,
+                           row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+                    FROM ex) WHERE rn <= 5)
+       SELECT e.qid, CAST(count(i.vec_id) AS BIGINT) AS hits,
+              CAST(count(i.vec_id) AS DOUBLE) / 5.0 AS recall_at_5
+       FROM exact5 e LEFT JOIN ivf5 i
+         ON i.qid = e.qid AND i.vec_id = e.vec_id
+       GROUP BY e.qid""",
+)
+def q139(spark, sf_dir):
+    """ANN quality measurement: recall@5 of the trained-IVF search
+    (2-probe) against the brute-force exact top-5 on the SAME integer
+    dot-product score — the metric a 100-TB ANN deployment tunes
+    n_probe by.  Both sides and the intersection are replayed in SQL;
+    exact search is the small-query-set broadcast crossJoin (the q23
+    shape), IVF the q128 inverted-list equi-join."""
+    from gdal_spark.operators.similarity import ann_ivf_trained, ivf_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ivf5 = ann_ivf_trained(emb, k=5).select("qid", "vec_id")
+
+    assigned, _ = ivf_kmeans(emb)
+    assigned = assigned.select("vec_id", "qv").localCheckpoint()
+    qs = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    pairs = F.broadcast(qs).crossJoin(assigned).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    score = F.aggregate(
+        F.zip_with("qqv", "qv", lambda x, y: x * y), F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    exact5 = (
+        pairs.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    hit = ivf5.withColumn("_hit", F.lit(1))
+    joined = exact5.join(hit, ["qid", "vec_id"], "left")
+    return joined.groupBy("qid").agg(
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("hits"),
+    ).withColumn("recall_at_5", F.col("hits").cast("double") / 5.0)
+
+
+@query(
+    "q140_audio_frames",
+    """WITH d AS (SELECT doc_id, text,
+         CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h8
+        FROM documents),
+       dims AS (SELECT doc_id, h8, 256 + h8 % 512 AS n FROM d),
+       s AS (SELECT doc_id, n, i.range AS i, i.range // 64 AS f,
+                    (h8 + 37 * i.range) % 201 - 100 AS v
+             FROM dims CROSS JOIN range(768) i
+             WHERE i.range < (n // 64) * 64),
+       fe AS (SELECT doc_id, n, f, CAST(sum(v * v) AS BIGINT) AS e
+              FROM s GROUP BY doc_id, n, f)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+              CAST(n // 64 AS BIGINT) AS n_frames,
+              CAST(sum(e) AS BIGINT) AS total_energy,
+              CAST(max(e) AS BIGINT) AS max_frame_energy
+       FROM fe GROUP BY doc_id, n""",
+)
+def q140(spark, sf_dir):
+    """Audio-modality plumbing: deterministic fake decode → 64-sample
+    frame energies over one mapInPandas pass (operators/multimodal.py
+    audio_frame_energy; the real soundfile/ffmpeg decode gates at the
+    same seam as image/video).  Integer samples make every energy
+    exact; the oracle replays decode, framing, and the energy sums."""
+    from gdal_spark.operators.multimodal import audio_frame_energy
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("content")
+    )
+    return audio_frame_energy(docs)
