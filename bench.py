@@ -124,6 +124,20 @@ HEADLINE = [
     "q124_spatial_join_df_cover",
     "q125_wkb_zm_stats",
     "q126_curvepolygon_linearize",
+    "q127_ivf_kmeans",
+    "q128_ann_ivf_trained",
+    "q129_resize_images",
+    "q130_video_frames",
+    "q131_fillnodata_idw",
+    "q132_buffer",
+    "q133_extract_text",
+    "q134_pansharpen",
+    "q135_warp_cutline",
+    "q136_polyhedral_surface",
+    "q137_overlay_shared_edge",
+    "q138_pq_encode",
+    "q139_ann_recall",
+    "q140_audio_frames",
 ]
 
 

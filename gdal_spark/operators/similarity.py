@@ -248,7 +248,13 @@ def ivf_kmeans(
     """
     quantized = _quantize_udf()
     vq = vectors.select(vec_id, quantized(F.col(vec_col)).alias("qv"))
-    vq = vq.localCheckpoint()  # quantize once; every round scans this
+    # quantize once; every round scans this.  The training scans are
+    # latency-bound, not data-bound (k·dim sums), so pack the rows into
+    # few partitions — at real corpus scale the input arrives with its
+    # own partitioning and this coalesce is a no-op cap.
+    if vq.rdd.getNumPartitions() > 8:
+        vq = vq.coalesce(8)
+    vq = vq.localCheckpoint()
 
     init = vq.orderBy(vec_id).limit(n_centroids).collect()
     cent = [list(r.qv) for r in init]
@@ -310,13 +316,15 @@ def ann_ivf_trained(
     n_queries: int = 10,
     vec_id: str = "vec_id",
     vec_col: str = "embedding",
+    trained: tuple | None = None,
 ) -> DataFrame:
     """``ann_ivf`` with the learned codebook from ``ivf_kmeans``:
     probe the ``n_probe`` nearest cells per query (distance asc, tie
     low cell), exact-score only those inverted lists.  Same equi-join
     scale shape as ``ann_ivf``; the codebook rides the closure like any
-    broadcast model."""
-    assigned, cent = ivf_kmeans(
+    broadcast model.  ``trained`` = a prior (assigned, centroids) pair
+    to reuse (a deployment trains once and serves many searches)."""
+    assigned, cent = trained if trained is not None else ivf_kmeans(
         vectors, n_centroids=n_centroids, n_iter=n_iter, dim=dim,
         vec_id=vec_id, vec_col=vec_col,
     )

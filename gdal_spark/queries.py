@@ -5063,10 +5063,10 @@ def q139(spark, sf_dir):
     from gdal_spark.operators.similarity import ann_ivf_trained, ivf_kmeans
 
     emb = _t(spark, sf_dir, "embeddings")
-    ivf5 = ann_ivf_trained(emb, k=5).select("qid", "vec_id")
+    trained = ivf_kmeans(emb)
+    ivf5 = ann_ivf_trained(emb, k=5, trained=trained).select("qid", "vec_id")
 
-    assigned, _ = ivf_kmeans(emb)
-    assigned = assigned.select("vec_id", "qv").localCheckpoint()
+    assigned = trained[0].select("vec_id", "qv").localCheckpoint()
     qs = assigned.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
     )
