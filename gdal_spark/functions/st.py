@@ -146,6 +146,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_ConvexHull", st_convexhull)
     spark.udf.register("ST_Simplify", st_simplify)
     spark.udf.register("ST_Buffer", st_buffer)
+    spark.udf.register("ST_MakeValid", st_makevalid)
     spark.udf.register("ST_ZMStats", st_zm_stats)
     spark.udf.register("ST_Linearize", st_linearize)
 
@@ -304,6 +305,24 @@ def st_buffer(wkb: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
             hull = G.convex_hull(coords)
             ring = G.minkowski_sum_convex(hull, struct)
         out.append(W.polygon_wkb([ring]))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_makevalid(wkb: pd.Series) -> pd.Series:
+    """MakeValid for self-crossing polygon rings
+    (OGRGeometry::MakeValid, ogr/ogrgeometry.cpp:4183): node at proper
+    self-crossings, pinch into simple lobes, return a MultiPolygon of
+    the lobes (kernels/geomops.py::make_valid_ring; q141)."""
+    from gdal_spark.kernels import wkb as W2
+    from gdal_spark.kernels.geomops import make_valid_ring
+
+    out = []
+    for blob in wkb:
+        gtype, parts = W2.parse_wkb(bytes(blob))
+        ring = parts[0] if isinstance(parts, list) else parts
+        lobes = make_valid_ring(ring)
+        out.append(W2.multipolygon_wkb([[r] for r in lobes]))
     return pd.Series(out)
 
 

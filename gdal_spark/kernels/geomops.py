@@ -242,3 +242,73 @@ def buffer_structuring(dist: float, style: str = "square", quadsegs: int = 8) ->
     else:
         raise ValueError(f"unknown buffer style {style!r}")
     return np.vstack([ring, ring[:1]])
+
+
+def make_valid_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """MakeValid for a self-intersecting ring (OGRGeometry::MakeValid,
+    ogr/ogrgeometry.cpp:4183 — the reference delegates to GEOS's
+    structure method): node the ring at every PROPER self-crossing,
+    then "pinch" it into simple sub-rings — walking the noded vertex
+    cycle with a stack, each return to an open crossing point pops one
+    simple lobe.  Contract: proper crossings whose occurrence pattern
+    along the walk is NESTED or DISJOINT (bowties, figure-eights,
+    bowtie chains — the overwhelming bulk of real invalid rings);
+    interleaved patterns (star polygons), doubly-wound rings and
+    collinear-overlap contact need a full arrangement noder and are
+    out of contract.  Returns closed simple rings; Σ|area| is the
+    valid region's area."""
+    P = ring[:-1] if ring.shape[0] > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    P = np.asarray(P, dtype=np.float64)
+    n = P.shape[0]
+    a0 = P
+    a1 = np.roll(P, -1, axis=0)
+    r = a1 - a0
+    # pairwise proper intersections between non-adjacent edges
+    ax, ay = a0[:, None, 0], a0[:, None, 1]
+    rx, ry = r[:, None, 0], r[:, None, 1]
+    cx, cy = a0[None, :, 0], a0[None, :, 1]
+    sx, sy = r[None, :, 0], r[None, :, 1]
+    den = rx * sy - ry * sx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((cx - ax) * sy - (cy - ay) * sx) / den
+        u = ((cx - ax) * ry - (cy - ay) * rx) / den
+    proper = (den != 0) & (t > 0) & (t < 1) & (u > 0) & (u < 1)
+    iis, jjs = np.nonzero(np.triu(proper, 1))
+    per_edge: dict[int, list] = {}
+    for pid, (i, j) in enumerate(zip(iis.tolist(), jjs.tolist())):
+        x = float(a0[i, 0] + t[i, j] * r[i, 0])
+        y = float(a0[i, 1] + t[i, j] * r[i, 1])
+        per_edge.setdefault(i, []).append((float(t[i, j]), pid, x, y))
+        per_edge.setdefault(j, []).append((float(u[i, j]), pid, x, y))
+    # noded cycle: (kind, id, x, y) — kind 0 = original vertex
+    seq: list[tuple[int, int, float, float]] = []
+    for e in range(n):
+        seq.append((0, e, float(P[e, 0]), float(P[e, 1])))
+        for alpha, pid, x, y in sorted(per_edge.get(e, [])):
+            seq.append((1, pid, x, y))
+    if not iis.size:
+        return [np.vstack([P, P[:1]])]
+    # pinch walk: pop a simple lobe at each crossing-point revisit
+    rings: list[np.ndarray] = []
+    stack: list[tuple[int, int, float, float]] = []
+    open_at: dict[int, int] = {}
+    for item in seq:
+        kind, pid, x, y = item
+        if kind == 1 and pid in open_at:
+            k = open_at.pop(pid)
+            lobe = stack[k:]
+            stack = stack[:k]
+            # re-open ids swallowed by the pop
+            open_at = {p: i for p, i in open_at.items() if i <= len(stack)}
+            pts = np.array([(px, py) for _, _, px, py in lobe] + [(x, y)])
+            pts = np.vstack([pts, pts[:1]]) if not np.array_equal(pts[0], pts[-1]) else pts
+            rings.append(pts)
+            stack.append(item)  # the crossing point rejoins the outer path
+        else:
+            if kind == 1:
+                open_at[pid] = len(stack)
+            stack.append(item)
+    if len(stack) >= 3:
+        pts = np.array([(px, py) for _, _, px, py in stack])
+        rings.append(np.vstack([pts, pts[:1]]))
+    return rings

@@ -5121,3 +5121,48 @@ def q140(spark, sf_dir):
         "doc_id", F.col("text").cast("binary").alias("content")
     )
     return audio_frame_energy(docs)
+
+
+@query(
+    "q141_makevalid",
+    """SELECT n_nationkey AS fid, 2 AS n_lobes,
+              round(CAST((4 + n_nationkey % 9) * (4 + n_nationkey % 7) AS DOUBLE)
+                    / 2.0, 6) AS valid_area
+       FROM nation""",
+)
+def q141(spark, sf_dir):
+    """ST_MakeValid for self-crossing rings (OGRGeometry::MakeValid,
+    ogr/ogrgeometry.cpp:4183 → GEOS structure method): bowtie rings
+    (0,0)-(w,h)-(w,0)-(0,h) node at their proper center crossing and
+    pinch into two simple triangle lobes; the valid area is exactly
+    w·h/2.  Kernel: kernels/geomops.py::make_valid_ring."""
+    import pandas as pd
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        w, h = float(4 + k % 9), float(4 + k % 7)
+        ring = np.array([[0, 0], [w, h], [w, 0], [0, h], [0, 0]], dtype=np.float64)
+        rows.append((k, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, geom binary")
+
+    @F.pandas_udf("n_lobes int, valid_area double")
+    def mv(wkb: pd.Series) -> pd.DataFrame:
+        from gdal_spark.kernels.geomops import make_valid_ring
+        from gdal_spark.kernels import wkb as WW
+
+        out = []
+        for blob in wkb:
+            gtype, parts = WW.parse_wkb(bytes(blob))
+            ring = parts[0] if isinstance(parts, list) else parts
+            lobes = make_valid_ring(ring)
+            area = 0.0
+            for lr in lobes:
+                x0, y0 = lr[:-1, 0], lr[:-1, 1]
+                x1, y1 = lr[1:, 0], lr[1:, 1]
+                area += abs(0.5 * float(np.sum(x0 * y1 - x1 * y0)))
+            out.append((len(lobes), round(area, 6)))
+        return pd.DataFrame(out, columns=["n_lobes", "valid_area"])
+
+    res = layer.withColumn("_m", mv(F.col("geom")))
+    return res.select("fid", "_m.n_lobes", "_m.valid_area")
