@@ -138,6 +138,7 @@ HEADLINE = [
     "q138_pq_encode",
     "q139_ann_recall",
     "q140_audio_frames",
+    "q141_makevalid",
 ]
 
 
