@@ -139,6 +139,7 @@ HEADLINE = [
     "q139_ann_recall",
     "q140_audio_frames",
     "q141_makevalid",
+    "q142_stream_geocode_density",
 ]
 
 

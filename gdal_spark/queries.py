@@ -5166,3 +5166,48 @@ def q141(spark, sf_dir):
 
     res = layer.withColumn("_m", mv(F.col("geom")))
     return res.select("fid", "_m.n_lobes", "_m.valid_area")
+
+
+@query(
+    "q142_stream_geocode_density",
+    """WITH c AS (SELECT * FROM (VALUES
+         ('nyc', 0), ('london', 1), ('tokyo', 2), ('paris', 3), ('berlin', 4),
+         ('madrid', 5), ('sydney', 6), ('saopaulo', 7), ('lagos', 8),
+         ('delhi', 9), ('smalltown1', 10), ('smalltown2', 11),
+         ('smalltown3', 12), ('smalltown4', 13), ('smalltown5', 14))
+         AS t(name, ci)),
+       co AS (SELECT * FROM (VALUES
+         (0, -73.98, 40.75), (1, -0.12, 51.50), (2, 139.69, 35.69),
+         (3, 2.35, 48.86), (4, 13.40, 52.52), (5, -3.70, 40.42),
+         (6, 151.21, -33.87), (7, -46.63, -23.55), (8, 3.39, 6.45),
+         (9, 77.21, 28.61), (10, -100.5, 41.2), (11, 24.7, -29.1),
+         (12, 133.8, -23.7), (13, -63.6, -8.8), (14, 37.6, 55.8))
+         AS t(ci, blon, blat)),
+       d AS (SELECT doc_id, CAST(doc_id % 15 AS INT) AS ci FROM documents),
+       p AS (SELECT doc_id,
+                    'https://' || name || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                    blon, blat
+             FROM d JOIN c USING (ci) JOIN co USING (ci)),
+       j AS (SELECT blon, blat,
+                    CAST(('0x' || substr(md5(url), 1, 16)) AS UBIGINT) AS h
+             FROM p),
+       g AS (SELECT blon + (CAST(h % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lon,
+                    blat + (CAST((h >> 20) % 20001 AS DOUBLE) - 10000.0)/10000.0*0.5 AS lat
+             FROM j),
+       k AS (SELECT 9*144115188075855872
+                      + CAST(floor((lon+180)/360.0*512) AS BIGINT)*268435456
+                      + CAST(floor((90-lat)/180.0*512) AS BIGINT) AS cell
+             FROM g)
+       SELECT cell, count(*) AS n FROM k GROUP BY cell""",
+)
+def q142(spark, sf_dir):
+    """The north-star ingest pipeline as REAL Structured Streaming:
+    file-streamed pages → in-stream HTML extraction (pandas UDF) →
+    JVM-native geocode+cell-encode inside the micro-batch → incremental
+    per-cell density (complete mode, availableNow drain).  The oracle
+    replays the geocode bit-for-bit; the extraction contributes
+    byte-identity (wrap → strip is the identity on the body text), so
+    streaming and batch produce the same tile table."""
+    from gdal_spark.streaming.windowed import stream_geocode_density
+
+    return stream_geocode_density(spark, f"{sf_dir}/documents.parquet")

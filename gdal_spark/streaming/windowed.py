@@ -106,3 +106,63 @@ def stream_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_geocode_density(
+    spark: SparkSession,
+    documents_path: str,
+    res: int = 9,
+) -> DataFrame:
+    """The north-star ingest pipeline as a REAL Structured Streaming
+    query: pages stream in (file source), raw bytes → extracted text
+    (the pinned tag-strip spec, a pandas UDF running inside the
+    stream), extracted text → geocode + cell-encode (the JVM-native
+    Column path — whole-stage codegen inside a streaming micro-batch),
+    then an incremental per-cell density rollup (complete mode).
+    ``availableNow`` drains the current files and stops, making the
+    result batch-comparable; a deployment leaves the trigger running
+    and gets the same tile table continuously.
+    """
+    from gdal_spark.functions.html import extract_text
+    from gdal_spark.sources.pages import CITIES, geocode_encode
+
+    batch_df = spark.read.parquet(documents_path)
+    name = "stream_geo_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(
+        os.path.abspath(documents_path), os.path.join(src_dir, "part-0.parquet")
+    )
+
+    name_arr = F.array(*[F.lit(c[0]) for c in CITIES])
+    ci = (F.col("doc_id") % 15).cast("int")
+    pages = (
+        spark.readStream.schema(batch_df.schema).parquet(src_dir)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("https://"), F.element_at(name_arr, ci + 1),
+                F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            ).alias("url"),
+            # raw page bytes: the same markup wrap the synthesizer uses
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.concat(F.element_at(name_arr, ci + 1), F.lit(" x")),
+                F.lit("</p></body></html>"),
+            ).cast("binary").alias("html"),
+        )
+        .withColumn("text", extract_text(F.col("html")))
+    )
+    cells = geocode_encode(pages, res_list=(res,)).groupBy(f"cell{res}").count()
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col(f"cell{res}").alias("cell"), F.col("count").alias("n")
+    )
