@@ -140,6 +140,7 @@ HEADLINE = [
     "q140_audio_frames",
     "q141_makevalid",
     "q142_stream_geocode_density",
+    "q143_lsh_buckets",
 ]
 
 

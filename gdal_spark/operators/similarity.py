@@ -428,3 +428,39 @@ def pq_adc_distances(
         )
         total = total + dist_j
     return out.withColumn("adc_d2", total)
+
+
+def lsh_planes_int(n_planes: int = 8, dim: int = 64, seed: int = 42) -> np.ndarray:
+    """The seeded hyperplanes quantized to integers (floor(1000·c+0.5))
+    — projections of quantized vectors against them are exact integer
+    arithmetic, so bucket bits are bit-stable across engines."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    return np.floor(planes * 1000.0 + 0.5).astype(np.int64)
+
+
+def hyperplane_lsh_buckets_int(
+    vectors: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """`hyperplane_lsh_buckets` on the EXACT integer lattice: quantized
+    vectors against quantized planes (both ×1000 round-half-up), sign
+    bits as the bucket id.  Same scale shape (bucket equi-join keys);
+    now oracle-replayable because every projection is an exact integer
+    and proj > 0 has one bit-stable answer."""
+    planes_q = lsh_planes_int(n_planes, dim, seed)
+    qv = _quantize_udf()(F.col(vec_col))
+    out = vectors.withColumn("_qv", qv)
+    bucket = F.lit(0).cast("long")
+    for j in range(n_planes):
+        coeffs = F.array(*[F.lit(int(c)) for c in planes_q[j]])
+        proj = F.aggregate(
+            F.zip_with("_qv", coeffs, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(0)
+    return out.withColumn("bucket", bucket).drop("_qv")

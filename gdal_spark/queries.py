@@ -5211,3 +5211,41 @@ def q142(spark, sf_dir):
     from gdal_spark.streaming.windowed import stream_geocode_density
 
     return stream_geocode_density(spark, f"{sf_dir}/documents.parquet")
+
+
+def _lsh_bucket_sql() -> str:
+    from gdal_spark.operators.similarity import lsh_planes_int
+
+    planes = lsh_planes_int()
+    terms = []
+    for j, row in enumerate(planes):
+        lst = "[" + ",".join(str(int(c)) for c in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(qv, {lst}), "
+            f"s -> s[1]*s[2])) > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "q143_lsh_buckets",
+    f"""WITH v AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+       b AS (SELECT vec_id, CAST({{expr}} AS BIGINT) AS bucket FROM v)
+       SELECT bucket, count(*) AS n, CAST(min(vec_id) AS BIGINT) AS min_id
+       FROM b GROUP BY bucket""".replace("{expr}", _lsh_bucket_sql()),
+)
+def q143(spark, sf_dir):
+    """Hyperplane-LSH bucketing on the exact integer lattice (closes
+    round 1's 'untested helper' note): quantized vectors project
+    against the seeded quantized hyperplanes entirely JVM-side
+    (zip_with/aggregate fold — exact integer arithmetic, bit-stable
+    signs), bucket id = the 8 sign bits.  The oracle stamps the SAME
+    integer planes into SQL and replays every projection."""
+    from gdal_spark.operators.similarity import hyperplane_lsh_buckets_int
+
+    b = hyperplane_lsh_buckets_int(_t(spark, sf_dir, "embeddings"))
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.min("vec_id").cast("long").alias("min_id")
+    )
