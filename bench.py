@@ -141,6 +141,7 @@ HEADLINE = [
     "q141_makevalid",
     "q142_stream_geocode_density",
     "q143_lsh_buckets",
+    "q144_rasterize_invert",
 ]
 
 

@@ -5249,3 +5249,28 @@ def q143(spark, sf_dir):
     return b.groupBy("bucket").agg(
         F.count("*").alias("n"), F.min("vec_id").cast("long").alias("min_id")
     )
+
+
+@query(
+    "q144_rasterize_invert",
+    f"""WITH r AS ({Q26_RECTS_SQL}),
+       g AS (SELECT x.range AS gx, y.range AS gy
+             FROM range(128) x, range(128) y),
+       cov AS (SELECT DISTINCT gx, gy FROM g JOIN r
+               ON gx >= x0 AND gx < x0 + w AND gy >= y0 AND gy < y0 + h)
+       SELECT gx, gy, CAST(7 AS DOUBLE) AS v
+       FROM g ANTI JOIN cov USING (gx, gy)""",
+)
+def q144(spark, sf_dir):
+    """gdal_rasterize -i (inverse burn): value 7 into every pixel NO
+    q26 rectangle covers — the full tile grid drives the shuffle so
+    untouched tiles materialize as constant tiles; scanline rule
+    unchanged (the burned set is the exact complement of q26's)."""
+    from gdal_spark.operators.rasterize_invert import rasterize_invert_grid
+
+    rects = _q26_rect_rows(spark, sf_dir)
+    feats = local_df(spark, rects, "burn double, geom binary")
+    tiles = rasterize_invert_grid(
+        feats, IDENTITY_GT, 128, 128, burn_value=7.0, tile_size=32
+    )
+    return tiles_to_features(tiles, tile_size=32, nodata=0.0)
