@@ -142,6 +142,7 @@ HEADLINE = [
     "q142_stream_geocode_density",
     "q143_lsh_buckets",
     "q144_rasterize_invert",
+    "q145_image_ahash_dedup",
 ]
 
 

@@ -257,3 +257,50 @@ def audio_frame_energy(
             )
 
     return docs.select(id_col, content_col).mapInPandas(gen, AUDIO_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hash_hi", T.LongType()),
+        T.StructField("hash_lo", T.LongType()),
+    ]
+)
+
+
+def image_ahash(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) per image — the standard
+    image-near-dup key for web-scale corpora: resize to 8×8 (same
+    half-pixel nearest rule as ``resize_images``), bit k set iff pixel
+    k exceeds the image mean, done in EXACT integer arithmetic
+    (64·p > Σp — no float mean), packed as two 32-bit halves so both
+    engines stay in signed-long range.  Identical images hash equal;
+    dedup is then a hash equi-join (never all-pairs).  ``decode="real"``
+    gates on PIL at the same seam as the other image ops."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires PIL, absent from this container"
+        )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                w, h, _ = _fake_decode(bytes(blob))
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                sy = ((2 * np.arange(8) + 1) * h) // 16
+                sx = ((2 * np.arange(8) + 1) * w) // 16
+                p = ((h8 + 31 * sy[:, None] + 17 * sx[None, :]) % 251).ravel()
+                s = int(p.sum())
+                bits = 64 * p > s
+                lo = int(sum(1 << k for k in range(32) if bits[k]))
+                hi = int(sum(1 << k for k in range(32) if bits[32 + k]))
+                rows.append((int(did), hi, lo))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash_hi", "hash_lo"])
+
+    return docs.select(id_col, content_col).mapInPandas(gen, AHASH_SCHEMA)

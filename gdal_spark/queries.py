@@ -5274,3 +5274,49 @@ def q144(spark, sf_dir):
         feats, IDENTITY_GT, 128, 128, burn_value=7.0, tile_size=32
     )
     return tiles_to_features(tiles, tile_size=32, nodata=0.0)
+
+
+@query(
+    "q145_image_ahash_dedup",
+    """WITH d AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8)) AS BIGINT) AS h8
+        FROM documents),
+       dims AS (SELECT doc_id, h8, 16 + h8 % 64 AS w, 16 + (h8 // 64) % 64 AS h FROM d),
+       px AS (SELECT doc_id, y.range * 8 + x.range AS k,
+               (h8 + 31*(((2*y.range + 1) * h) // 16)
+                   + 17*(((2*x.range + 1) * w) // 16)) % 251 AS p
+              FROM dims CROSS JOIN range(8) y CROSS JOIN range(8) x),
+       s AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+       b AS (SELECT px.doc_id, k, CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS bit
+             FROM px JOIN s ON s.doc_id = px.doc_id),
+       hsh AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                    THEN CAST(power(2, k - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_lo
+               FROM b GROUP BY doc_id),
+       keep AS (SELECT hash_hi, hash_lo, min(doc_id) AS keeper, count(*) AS n_dups
+                FROM hsh GROUP BY hash_hi, hash_lo)
+       SELECT h.doc_id, h.hash_hi, h.hash_lo, k.keeper, CAST(k.n_dups AS BIGINT) AS n_dups
+       FROM hsh h JOIN keep k USING (hash_hi, hash_lo)""",
+)
+def q145(spark, sf_dir):
+    """Image near-dup via perceptual aHash (the web-pipeline image
+    dedup key): every page's image decodes (fake seam), resizes to
+    8x8, hashes by exact integer mean-threshold bits; dedup = a hash
+    equi-join picking the min-id keeper per hash class — never an
+    all-pairs comparison.  Images repeat every 50 docs, so classes
+    have real duplicates; the oracle replays decode, resize lattice,
+    threshold bits and the keeper join."""
+    from gdal_spark.operators.multimodal import image_ahash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 50).cast("string").cast("binary").alias("content")
+    )
+    h = image_ahash(docs)
+    keep = h.groupBy("hash_hi", "hash_lo").agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups")
+    )
+    return h.join(keep, ["hash_hi", "hash_lo"]).select(
+        "doc_id", "hash_hi", "hash_lo", "keeper", F.col("n_dups").cast("long")
+    )
