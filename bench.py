@@ -143,6 +143,7 @@ HEADLINE = [
     "q143_lsh_buckets",
     "q144_rasterize_invert",
     "q145_image_ahash_dedup",
+    "q146_training_pipeline",
 ]
 
 

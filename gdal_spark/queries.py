@@ -5320,3 +5320,72 @@ def q145(spark, sf_dir):
     return h.join(keep, ["hash_hi", "hash_lo"]).select(
         "doc_id", "hash_hi", "hash_lo", "keeper", F.col("n_dups").cast("long")
     )
+
+
+@query(
+    "q146_training_pipeline",
+    """WITH q AS (
+         SELECT doc_id, lang, text, length(text) AS n_char,
+                len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok
+         FROM documents WHERE length(text) > 0),
+       f AS (SELECT * FROM q
+             WHERE n_tok >= 10
+               AND CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                   / n_tok <= 8.0),
+       fp AS (SELECT doc_id, lang, n_char, n_tok, md5(text) AS h FROM f),
+       keep AS (SELECT h, min(doc_id) AS keeper FROM fp GROUP BY h),
+       k AS (SELECT fp.doc_id, fp.lang, fp.n_char, fp.n_tok
+             FROM fp JOIN keep ON fp.h = keep.h AND fp.doc_id = keep.keeper),
+       packed AS (SELECT lang, n_char, n_tok,
+                    sum(n_char) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM k)
+       SELECT lang, CAST((cum - n_char) // 50000 AS BIGINT) AS bin,
+              count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+              CAST(sum(n_char) AS BIGINT) AS total_chars
+       FROM packed GROUP BY lang, bin""",
+)
+def q146(spark, sf_dir):
+    """The LLM training-data pipeline END-TO-END as one plan: quality
+    gate (token count + mean token length), exact dedup with min-id
+    keeper (md5 fingerprint groupBy — one shuffle on the hash), token
+    accounting, and greedy 50k-char sequence packing per language
+    stratum (one window pass), rolled up per (lang, bin).  Every stage
+    is a built-in JVM operator; the oracle replays the identical
+    chain.  This is the composition a 100-TB corpus actually runs —
+    the per-stage operators q17/q21/q48/q93 verify in isolation."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    q = d.select(
+        "doc_id", "lang", "text",
+        F.length("text").alias("n_char"),
+        TXT.token_count(F.col("text")).cast("long").alias("n_tok"),
+    )
+    f = q.filter(
+        (F.col("n_tok") >= 10)
+        & (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / F.col("n_tok")
+            <= 8.0
+        )
+    )
+    fp = f.withColumn("h", F.md5(F.col("text")))
+    keep = fp.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    k = fp.join(keep, "h").filter(F.col("doc_id") == F.col("keeper"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = k.withColumn("cum", F.sum("n_char").over(w))
+    return (
+        packed.withColumn(
+            "bin", F.floor((F.col("cum") - F.col("n_char")) / 50000).cast("long")
+        )
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("n_char").cast("long").alias("total_chars"),
+        )
+    )
