@@ -144,6 +144,7 @@ HEADLINE = [
     "q144_rasterize_invert",
     "q145_image_ahash_dedup",
     "q146_training_pipeline",
+    "q147_mdarray",
 ]
 
 

@@ -5389,3 +5389,45 @@ def q146(spark, sf_dir):
             F.sum("n_char").cast("long").alias("total_chars"),
         )
     )
+
+
+@query(
+    "q147_mdarray",
+    """WITH a AS (SELECT t.range AS t, y.range AS y, x.range AS x,
+                   CAST((t.range*100 + y.range*10 + x.range*3) % 97 AS DOUBLE) AS v
+                  FROM range(8) t, range(6) y, range(5) x),
+       s AS (SELECT t - 2 AS t, y, x, v FROM a WHERE t >= 2 AND t < 6),
+       r AS (SELECT y, x, avg(v) AS v FROM s GROUP BY y, x)
+       SELECT x AS i0, y AS i1, round(v, 6) AS v FROM r""",
+)
+def q147(spark, sf_dir):
+    """MDArray API (gcore/gdalmultidim.cpp — GetView :3181, Transpose
+    :4049, statistics :7776) over the long-format distributed
+    representation: an 8x6x5 (t,y,x) hypercube sliced to t in [2,6)
+    (range filter, partition-prunable), mean-reduced over t (groupBy
+    with map-side partials), then transposed to (x,y) — a pure
+    projection, zero data movement, matching the reference's
+    view-semantics Transpose."""
+    from gdal_spark.operators.mdim import (
+        mdarray_reduce,
+        mdarray_slice,
+        mdarray_transpose,
+    )
+
+    arr = (
+        spark.range(8 * 6 * 5)
+        .select(
+            (F.col("id") / 30).cast("long").alias("i0"),
+            ((F.col("id") / 5) % 6).cast("long").alias("i1"),
+            (F.col("id") % 5).alias("i2"),
+        )
+        .withColumn(
+            "v",
+            ((F.col("i0") * 100 + F.col("i1") * 10 + F.col("i2") * 3) % 97)
+            .cast("double"),
+        )
+    )
+    sliced = mdarray_slice(arr, axis=0, lo=2, hi=6)
+    reduced = mdarray_reduce(sliced, axis=0, op="mean")  # dims now (y, x)
+    out = mdarray_transpose(reduced, [1, 0])  # (x, y)
+    return out.select("i0", "i1", F.round("v", 6).alias("v"))
