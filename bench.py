@@ -139,7 +139,6 @@ HEADLINE = [
     "q139_ann_recall",
     "q140_audio_frames",
     "q141_makevalid",
-    "q142_stream_geocode_density",
     "q143_lsh_buckets",
     "q144_rasterize_invert",
     "q145_image_ahash_dedup",
