@@ -144,6 +144,7 @@ HEADLINE = [
     "q145_image_ahash_dedup",
     "q146_training_pipeline",
     "q147_mdarray",
+    "q148_pq_ann_search",
 ]
 
 

@@ -5431,3 +5431,89 @@ def q147(spark, sf_dir):
     reduced = mdarray_reduce(sliced, axis=0, op="mean")  # dims now (y, x)
     out = mdarray_transpose(reduced, [1, 0])  # (x, y)
     return out.select("i0", "i1", F.round("v", 6).alias("v"))
+
+
+@query(
+    "q148_pq_ann_search",
+    """WITH v AS (SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),"""
+    + _pq_cte("p0", 1, 32, 4, 32) + ","
+    + _pq_cte("p1", 33, 64, 4, 32) + """,
+       qs0 AS (SELECT vec_id AS qid, qv FROM p0v WHERE vec_id < 10),
+       qs1 AS (SELECT vec_id AS qid, qv FROM p1v WHERE vec_id < 10),
+       t0 AS (SELECT q.qid, c.cell,
+               CAST(list_sum(list_transform(list_zip(q.qv, c.c),
+                    s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+              FROM p0c2 c, qs0 q),
+       t1 AS (SELECT q.qid, c.cell,
+               CAST(list_sum(list_transform(list_zip(q.qv, c.c),
+                    s -> (s[1]-s[2])*(s[1]-s[2]))) AS BIGINT) AS d2
+              FROM p1c2 c, qs1 q),
+       enc AS (SELECT a.vec_id, a.cell AS c0, b.cell AS c1
+               FROM p0a2 a JOIN p1a2 b USING (vec_id)),
+       scored AS (SELECT t0.qid, e.vec_id, t0.d2 + t1.d2 AS adc
+                  FROM enc e
+                  JOIN t0 ON t0.cell = e.c0
+                  JOIN t1 ON t1.cell = e.c1 AND t1.qid = t0.qid
+                  WHERE e.vec_id <> t0.qid)
+       SELECT qid, vec_id, CAST(rn AS INT) AS rnk, CAST(adc AS BIGINT) AS adc_d2
+       FROM (SELECT qid, vec_id, adc,
+                    row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+             FROM scored)
+       WHERE rn <= 5""",
+)
+def q148(spark, sf_dir):
+    """PQ SERVING (completes the IndexPQ surface): top-5 ADC search
+    for 10 queries over the 2-byte codes table — distance = the two
+    per-subspace lookup-table entries, never the vectors; the tables
+    are a 10x4 literal 2-D array in the plan (element_at twice), the
+    rank a per-query window.  At corpus scale the scan touches only
+    codes: the 100-TB embedding store serves from ~1/128 of its bytes.
+    The oracle replays training, encoding, the 80 table entries and
+    the ranking."""
+    from gdal_spark.operators.similarity import lsh_planes_int  # noqa: F401
+    from gdal_spark.operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, books = pq_encode(emb, m=2, k_sub=4, n_iter=2, dim=64)
+    codes = codes.localCheckpoint()
+
+    qrows = emb.orderBy("vec_id").limit(10).collect()
+    import numpy as _np
+
+    tables = []  # tables[j][qidx][code]
+    qids = []
+    for j in range(2):
+        per_q = []
+        for r in qrows:
+            qv = _np.floor(
+                _np.asarray(r["embedding"], dtype=_np.float64) * 1000.0 + 0.5
+            ).astype(_np.int64)
+            sub = qv[j * 32 : (j + 1) * 32]
+            per_q.append(
+                [int(((_np.asarray(c, dtype=_np.int64) - sub) ** 2).sum())
+                 for c in books[j]]
+            )
+        tables.append(per_q)
+    qids = [int(r["vec_id"]) for r in qrows]
+
+    qdf = local_df(
+        spark, [(q, i) for i, q in enumerate(qids)], "qid long, qidx int"
+    )
+    pairs = codes.crossJoin(F.broadcast(qdf)).filter(F.col("vec_id") != F.col("qid"))
+    adc = F.lit(0).cast("long")
+    for j in range(2):
+        t2d = F.array(*[
+            F.array(*[F.lit(d) for d in per_q]) for per_q in tables[j]
+        ])
+        adc = adc + F.element_at(
+            F.element_at(t2d, F.col("qidx") + 1), F.col(f"code{j}").cast("int") + 1
+        )
+    w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
+    return (
+        pairs.withColumn("adc", adc)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("qid", "vec_id", "rnk", F.col("adc").cast("long").alias("adc_d2"))
+    )
