@@ -129,6 +129,43 @@ class Manifest:
         self.record(res, parts)
         return res
 
+    # --- snapshot history / time travel (the Iceberg read semantics the
+    # manifest stands in for: every committed stage attempt is a
+    # snapshot row; outputs for DIFFERENT fingerprints live at
+    # different paths, so history stays readable until expired) -------
+
+    def snapshots(self, stage: str) -> list[dict]:
+        """All committed snapshots of a stage, oldest first — the
+        Iceberg snapshot log (one row per commit, with ts, fp, row/byte
+        metrics and per-partition lineage)."""
+        return [
+            r for r in self._read()
+            if r["stage"] == stage and r["status"] == "done"
+        ]
+
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        stage: str,
+        ts: float | None = None,
+        snapshot_fp: str | None = None,
+    ) -> DataFrame:
+        """Time-travel read (Iceberg `VERSION AS OF` / `TIMESTAMP AS
+        OF`): the stage's output at the given snapshot fingerprint, or
+        the latest snapshot committed at-or-before ``ts``, or the
+        current snapshot."""
+        rows = self.snapshots(stage)
+        if snapshot_fp is not None:
+            rows = [r for r in rows if r["fp"] == snapshot_fp]
+        elif ts is not None:
+            rows = [r for r in rows if r["ts"] <= ts]
+        if not rows:
+            raise LookupError(f"no snapshot of stage {stage!r} matches")
+        row = rows[-1]
+        if not os.path.exists(row["path"]):
+            raise LookupError(f"snapshot {row['fp']} expired (files removed)")
+        return spark.read.parquet(row["path"])
+
     @staticmethod
     def _scan_parts(path: str) -> list[dict]:
         import pyarrow.parquet as pq
