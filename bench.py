@@ -145,6 +145,7 @@ HEADLINE = [
     "q146_training_pipeline",
     "q147_mdarray",
     "q148_pq_ann_search",
+    "q149_overlay_exact_noded",
 ]
 
 

@@ -250,27 +250,15 @@ def is_degenerate_pair(P: np.ndarray, Q: np.ndarray) -> bool:
 def clip_area_robust(P: np.ndarray, Q: np.ndarray, op: str) -> float:
     """`clip_area` with the reference's effective robustness contract
     (GEOS noding handles degenerate contact; OGRGeometry overlay never
-    rejects shared edges): degenerate pairs are resolved by a
-    DETERMINISTIC micro-perturbation of Q — translate by
-    k·2⁻³⁴·extent along a fixed irrational-slope direction until the
-    pair is in general position (k = 1..8; slope 1/φ makes re-collision
-    with integer-derived fixtures effectively impossible).  The area
-    error is bounded by |δ|·perimeter(Q) ≈ 1e-9 at unit scale — below
-    any 1e-6 rounding the oracles use.  Pure snap-rounding (GEOS's
-    noder) remains the exact-alternative; this is the documented
-    'symbolic jitter' of the module contract."""
+    rejects shared edges): general-position pairs take the fast GH
+    float path; degenerate pairs route to the EXACT rational
+    arrangement noder (kernels/arrangement.py — the full-noder upgrade
+    of the earlier micro-perturbation, tolerance 0 on shared edges,
+    vertex contact, collinear overlap, identical rings)."""
     Pa = np.asarray(P, dtype=np.float64)
     Qa = np.asarray(Q, dtype=np.float64)
     if not is_degenerate_pair(Pa, Qa):
         return clip_area(Pa, Qa, op)
-    ext = max(
-        float(np.ptp(Pa[:, 0])), float(np.ptp(Pa[:, 1])),
-        float(np.ptp(Qa[:, 0])), float(np.ptp(Qa[:, 1])), 1.0,
-    )
-    d0 = ext * 2.0 ** -34
-    direction = np.array([1.0, 0.6180339887498949])  # 1/φ slope
-    for k in range(1, 9):
-        Qp = Qa + d0 * k * direction
-        if not is_degenerate_pair(Pa, Qp):
-            return clip_area(Pa, Qp, op)
-    raise ValueError("clip_area_robust: could not escape degeneracy")
+    from gdal_spark.kernels.arrangement import overlay_area_exact
+
+    return overlay_area_exact(Pa, Qa, op)

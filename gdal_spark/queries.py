@@ -5517,3 +5517,74 @@ def q148(spark, sf_dir):
         .filter(F.col("rnk") <= 5)
         .select("qid", "vec_id", "rnk", F.col("adc").cast("long").alias("adc_d2"))
     )
+
+
+@query(
+    "q149_overlay_exact_noded",
+    """SELECT n_nationkey AS fid,
+              CAST((4 + n_nationkey % 9) * (3 + n_nationkey % 7)
+                   + (2 + n_nationkey % 5) * (3 + n_nationkey % 7) AS DOUBLE)
+                  AS shared_union,
+              CAST((4 + n_nationkey % 9) * (3 + n_nationkey % 7) - 1 AS DOUBLE)
+                  AS island_diff,
+              CAST((4 + n_nationkey % 9) * (3 + n_nationkey % 7) AS DOUBLE)
+                  AS ident_inter,
+              CAST(0.0 AS DOUBLE) AS wound2_valid
+       FROM nation""",
+)
+def q149(spark, sf_dir):
+    """EXACT arrangement noding (upgrades the GH perturbation path to
+    the reference's GEOS-noder semantics, kernels/arrangement.py):
+    per feature, a shared-edge union, a contained-island difference,
+    an identical-rings intersection — every one an EXACT integer with
+    tolerance 0, no micro-perturbation residue — plus the even-odd
+    area of a doubly-wound ring (exactly 0, a case perturbation
+    cannot express at all)."""
+    import pandas as pd
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        w, h = float(4 + k % 9), float(3 + k % 7)
+        w2 = float(2 + k % 5)
+        A = np.array([[0, 0], [w, 0], [w, h], [0, h], [0, 0]])
+        B = np.array([[w, 0], [w + w2, 0], [w + w2, h], [w, h], [w, 0]])
+        isl = np.array([[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=np.float64)
+        dw = np.array([[0, 0], [w, 0], [w, h], [0, h],
+                       [0, 0], [w, 0], [w, h], [0, h], [0, 0]])
+        rows.append((k, A.tobytes(), B.tobytes(), isl.tobytes(), dw.tobytes()))
+    layer = local_df(
+        spark, rows, "fid long, a binary, b binary, isl binary, dw binary"
+    )
+
+    @F.pandas_udf(
+        "shared_union double, island_diff double, ident_inter double, wound2_valid double"
+    )
+    def ex(a: pd.Series, b: pd.Series, isl: pd.Series, dw: pd.Series) -> pd.DataFrame:
+        from gdal_spark.kernels.arrangement import (
+            overlay_area_exact,
+            valid_area_exact,
+        )
+
+        out = []
+        for ab, bb, ib, db in zip(a, b, isl, dw):
+            A = np.frombuffer(ab, dtype=np.float64).reshape(-1, 2)
+            B = np.frombuffer(bb, dtype=np.float64).reshape(-1, 2)
+            I = np.frombuffer(ib, dtype=np.float64).reshape(-1, 2)
+            D = np.frombuffer(db, dtype=np.float64).reshape(-1, 2)
+            out.append((
+                overlay_area_exact(A, B, "union"),
+                overlay_area_exact(A, I, "difference"),
+                overlay_area_exact(A, A.copy(), "intersection"),
+                valid_area_exact(D),
+            ))
+        return pd.DataFrame(
+            out,
+            columns=["shared_union", "island_diff", "ident_inter", "wound2_valid"],
+        )
+
+    res = layer.withColumn("_e", ex(F.col("a"), F.col("b"), F.col("isl"), F.col("dw")))
+    return res.select(
+        "fid", "_e.shared_union", "_e.island_diff", "_e.ident_inter",
+        "_e.wound2_valid",
+    )
