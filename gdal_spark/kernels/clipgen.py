@@ -17,10 +17,11 @@ of arbitrary polygons") directly:
      switching rings at each intersection — flag inversion selects the
      boolean op (intersection / union / difference).
 
-GENERAL-POSITION CONTRACT: inputs must have no vertex-on-edge contacts
-and no collinear overlapping edges (the classic GH degeneracy).  The
-engine's oracle fixtures guarantee it structurally (integer vs
-half-odd coordinates); real pipelines get it from a symbolic jitter.
+GENERAL-POSITION CONTRACT: this fast float path requires no
+vertex-on-edge contacts and no collinear overlapping edges (the
+classic GH degeneracy).  `clip_area_robust` detects violations and
+routes them to the EXACT rational arrangement noder
+(kernels/arrangement.py) — tolerance-0 on every degeneracy class.
 
 Results are lists of rings; traversal orientation makes signed
 (shoelace) areas sum to the true region area, including holes (e.g.
