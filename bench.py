@@ -146,6 +146,7 @@ HEADLINE = [
     "q147_mdarray",
     "q148_pq_ann_search",
     "q149_overlay_exact_noded",
+    "q150_viewshed_wang",
 ]
 
 

@@ -202,3 +202,55 @@ def viewshed_tiles(
 
     # groupBy is the single wedge exchange (sector-keyed shuffle)
     return wedges.groupBy("sector").applyInPandas(sweep, OUT_SCHEMA)
+
+
+def viewshed_wang_features(
+    dems: DataFrame,
+    ox: int,
+    oy: int,
+    width: int,
+    height: int,
+    obs_z: float = 0.0,
+    target_h: float = 0.0,
+    id_col: str = "fid",
+    dem_col: str = "dem",
+) -> DataFrame:
+    """Wang-EXACT viewshed (the reference's default algorithm,
+    alg/viewshed/viewshed_executor.cpp — see kernels/viewshed_wang.py
+    for the pinned recurrence) over a table of per-feature DEM blobs:
+    one observer per row, the realistic fleet shape (a deployment
+    computes viewsheds for MANY observers; each DEM's two scan
+    directions and left/right sweeps are the reference's own maximum
+    intra-raster parallelism, so ACROSS-observer parallelism is where
+    a cluster wins).  For one huge raster, `viewshed_tiles` (pinned
+    LOS, wedge-sharded) remains the scale path.
+
+    Output: one row per pixel (fid, gx, gy, vis) with vis 255/0."""
+    out_schema = "fid long, gx int, gy int, vis double"
+
+    def run(it):
+        from gdal_spark.kernels.viewshed_wang import viewshed_wang
+
+        for pdf in it:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                dem = np.frombuffer(
+                    getattr(r, dem_col), dtype=np.float64
+                ).reshape(height, width)
+                v = viewshed_wang(dem, ox, oy, obs_z=obs_z, target_h=target_h)
+                ys, xs = np.indices((height, width))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "fid": int(getattr(r, id_col)),
+                            "gx": xs.ravel().astype(np.int32),
+                            "gy": ys.ravel().astype(np.int32),
+                            "vis": v.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"fid": [], "gx": [], "gy": [], "vis": []}
+            )
+
+    return dems.select(id_col, dem_col).mapInPandas(run, out_schema)

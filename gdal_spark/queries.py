@@ -5588,3 +5588,165 @@ def q149(spark, sf_dir):
         "fid", "_e.shared_union", "_e.island_diff", "_e.ident_inter",
         "_e.wound2_valid",
     )
+
+
+# --- Wang-exact viewshed oracle (generated unrolled replay) ---------
+
+
+_WNX = _WNY = 9
+_WOX = _WOY = 4
+_WOBSZ = 2
+
+
+def _wang_H(x, y):
+    # adjusted height as a SQL double expression, exact integers
+    return (
+        f"CAST((fid*7 + {x}*3 + {y}*5) % 13 - {_WOBSZ} "
+        f"- ((fid*7 + {_WOX}*3 + {_WOY}*5) % 13) AS DOUBLE)"
+    )
+
+
+def _wang_oracle_sql() -> str:
+    ctes = []
+    stage = 0
+
+    def emit(name, cols, src):
+        ctes.append(f"{name} AS (SELECT {', '.join(cols)} FROM {src})")
+
+    def base_cols(prev_from, y):
+        # start a line: p{x} = previous line's final c{x}; c{x} = raw H
+        cols = ["fid"]
+        for x in range(_WNX):
+            cols.append(f"c{x} AS p{x}" if prev_from else f"{_wang_H(x, y)} AS p{x}")
+        for x in range(_WNX):
+            cols.append(f"{_wang_H(x, y)} AS c{x}")
+        return cols
+
+    def pixel_step(src, x, dfz, carry_rs):
+        # one update: r{x} from the incoming state, c{x} = max(c, dfz)
+        cols = ["fid"] + [f"p{i}" for i in range(_WNX)]
+        for i in range(_WNX):
+            if i == x:
+                cols.append(
+                    f"CASE WHEN ({dfz}) > c{x} THEN ({dfz}) ELSE c{x} END AS c{x}"
+                )
+            else:
+                cols.append(f"c{i}")
+        cols += [f"r{i}" for i in carry_rs]
+        cols.append(
+            f"CASE WHEN c{x} + 0.0 < ({dfz}) THEN 0.0 ELSE 255.0 END AS r{x}"
+        )
+        return cols
+
+    def free_step(src, x, carry_rs):
+        cols = (["fid"] + [f"p{i}" for i in range(_WNX)]
+                + [f"c{i}" for i in range(_WNX)]
+                + [f"r{i}" for i in carry_rs] + [f"255.0 AS r{x}"])
+        return cols
+
+    line_last = {}  # y -> (cte name after line completes)
+
+    def do_line(y, prev_cte, first):
+        nonlocal stage
+        name = f"s{stage}"; stage += 1
+        emit(name, base_cols(prev_cte is not None, y),
+             prev_cte if prev_cte else "base")
+        src = name
+        carry = []
+        nYo = abs(y - _WOY)
+
+        def step(x, dfz_expr=None):
+            nonlocal src, stage
+            nm = f"s{stage}"; stage += 1
+            if dfz_expr is None:
+                emit(nm, free_step(src, x, carry), src)
+            else:
+                emit(nm, pixel_step(src, x, dfz_expr, carry), src)
+            carry.append(x)
+            src = nm
+
+        if first:
+            step(_WOX)          # observer: visible, free
+            if _WOX - 1 >= 0:
+                step(_WOX - 1)  # adjacent: visible, NO update
+            for px in range(_WOX - 2, -1, -1):
+                n = _WOX - px
+                step(px, f"c{px + 1} * {n} / {n - 1}")
+            if _WOX + 1 < _WNX:
+                step(_WOX + 1)
+            for px in range(_WOX + 2, _WNX):
+                n = px - _WOX
+                step(px, f"c{px - 1} * {n} / {n - 1}")
+        else:
+            # center pixel
+            dfz = f"c{_WOX}" if nYo == 1 else f"p{_WOX} * {nYo} / {nYo - 1}"
+            step(_WOX, dfz)
+            for px in range(_WOX - 1, -1, -1):
+                nX = _WOX - px
+                if nX == nYo:
+                    dfz = f"c{px}" if nYo == 1 else f"p{px + 1} * {nYo} / {nYo - 1}"
+                elif nX > nYo:
+                    dfz = (f"(p{px + 1} * {nYo} + c{px + 1} * {nX - nYo})"
+                           f" / {nX - 1}")
+                else:
+                    dfz = (f"(p{px + 1} * {nX} + p{px} * {nYo - nX})"
+                           f" / {nYo - 1}")
+                step(px, dfz)
+            for px in range(_WOX + 1, _WNX):
+                nX = px - _WOX
+                if nX == nYo:
+                    dfz = f"c{px}" if nYo == 1 else f"p{px - 1} * {nYo} / {nYo - 1}"
+                elif nX > nYo:
+                    dfz = (f"(p{px - 1} * {nYo} + c{px - 1} * {nX - nYo})"
+                           f" / {nX - 1}")
+                else:
+                    dfz = (f"(p{px - 1} * {nX} + p{px} * {nYo - nX})"
+                           f" / {nYo - 1}")
+                step(px, dfz)
+        line_last[y] = src
+        return src
+
+    first_last = do_line(_WOY, None, True)
+    prev = first_last
+    for y in range(_WOY - 1, -1, -1):
+        prev = do_line(y, prev, False)
+    prev = first_last
+    for y in range(_WOY + 1, _WNY):
+        prev = do_line(y, prev, False)
+
+    unions = []
+    for y in range(_WNY):
+        src = line_last[y]
+        for x in range(_WNX):
+            unions.append(
+                f"SELECT fid, {x} AS gx, {y} AS gy, r{x} AS vis FROM {src}"
+            )
+    sql = ("WITH base AS (SELECT n_nationkey AS fid FROM nation),\n  "
+           + ",\n  ".join(ctes)
+           + "\n" + " UNION ALL ".join(unions))
+    return sql
+
+
+
+
+@query("q150_viewshed_wang", _wang_oracle_sql())
+def q150(spark, sf_dir):
+    """Wang-EXACT viewshed parity (closes the last NOTES gap): the
+    reference's default algorithm (ViewshedExecutor Edge mode,
+    alg/viewshed/viewshed_executor.cpp) re-pinned line for line in
+    kernels/viewshed_wang.py and run distributed across one DEM per
+    feature (the many-observers fleet shape); the oracle is the FULL
+    unrolled replay of the recurrence — 81 chained CTE stages of
+    sequential surface max-updates — generated mechanically and
+    value-identical at every pixel."""
+    from gdal_spark.operators.viewshed import viewshed_wang_features
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        dem = np.fromfunction(
+            lambda y, x: (k * 7 + x * 3 + y * 5) % 13, (9, 9)
+        ).astype(np.float64)
+        rows.append((k, dem.tobytes()))
+    dems = local_df(spark, rows, "fid long, dem binary")
+    return viewshed_wang_features(dems, ox=4, oy=4, width=9, height=9, obs_z=2.0)
