@@ -340,11 +340,11 @@ def st_clip_area(a_wkb: pd.Series, b_wkb: pd.Series, op: pd.Series) -> pd.Series
         pa = W.polygon_rings(bytes(ga))[0][0]
         pb = W.polygon_rings(bytes(gb))[0][0]
         if o == "symdiff":
-            out[i] = C.clip_area(pa, pb, "difference") + C.clip_area(
+            out[i] = C.clip_area_robust(pa, pb, "difference") + C.clip_area_robust(
                 pb, pa, "difference"
             )
         else:
-            out[i] = C.clip_area(pa, pb, str(o))
+            out[i] = C.clip_area_robust(pa, pb, str(o))
     return pd.Series(out)
 
 
@@ -415,7 +415,7 @@ def st_relation_general(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
         pb = W.polygon_rings(bytes(gb))[0][0]
         area_a = abs(C._ring_signed_area(C._close(pa)))
         area_b = abs(C._ring_signed_area(C._close(pb)))
-        inter = C.clip_area(pa, pb, "intersection")
+        inter = C.clip_area_robust(pa, pb, "intersection")
         if inter == 0.0:
             out.append("disjoint")
         elif inter == area_a and inter == area_b:

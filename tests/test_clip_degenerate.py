@@ -52,3 +52,23 @@ def test_general_position_untouched():
     # exact — no perturbation on clean inputs
     assert clip_area_robust(A, B, "intersection") == 4.0
     assert clip_area_robust(A, B, "union") == 28.0
+
+
+def test_sql_surface_handles_degenerate(spark):
+    """ST_ClipArea / ST_RelationGeneral route degenerate pairs through
+    the exact noder — shared-edge WKB inputs through the SQL surface."""
+    import pyspark.sql.functions as F
+
+    from gdal_spark.functions.st import register_st_functions, st_clip_area
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.session import local_df
+
+    register_st_functions(spark)
+    A = W.polygon_wkb([_rect(0, 0, 4, 3)])
+    B = W.polygon_wkb([_rect(4, 0, 2, 3)])
+    df = local_df(spark, [(A, B)], "a binary, b binary")
+    row = df.select(
+        st_clip_area(F.col("a"), F.col("b"), F.lit("union")).alias("u"),
+        st_clip_area(F.col("a"), F.col("b"), F.lit("intersection")).alias("i"),
+    ).collect()[0]
+    assert row["u"] == 18.0 and row["i"] == 0.0
