@@ -416,13 +416,20 @@ def st_relation_general(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
         area_a = abs(C._ring_signed_area(C._close(pa)))
         area_b = abs(C._ring_signed_area(C._close(pb)))
         inter = C.clip_area_robust(pa, pb, "intersection")
+        # the overlay area and the operand shoelace areas come from
+        # different float paths (GH traversal / exact-Fraction sum vs a
+        # direct shoelace), so a true containment can differ by ulps for
+        # non-integer coordinates — compare with a relative epsilon
+        # (exact on integer-derived fixtures, where all paths agree
+        # bitwise, so oracle classifications are unchanged)
+        eps = 1e-12 * max(area_a, area_b, 1.0)
         if inter == 0.0:
             out.append("disjoint")
-        elif inter == area_a and inter == area_b:
+        elif abs(inter - area_a) <= eps and abs(inter - area_b) <= eps:
             out.append("equals")
-        elif inter == area_b:
+        elif abs(inter - area_b) <= eps:
             out.append("contains")
-        elif inter == area_a:
+        elif abs(inter - area_a) <= eps:
             out.append("within")
         else:
             out.append("overlaps")

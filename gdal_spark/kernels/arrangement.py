@@ -45,7 +45,13 @@ __all__ = ["overlay_area_exact", "valid_area_exact"]
 
 
 def _fr(x) -> Fraction:
-    return Fraction(x).limit_denominator(1 << 53) if isinstance(x, float) else Fraction(x)
+    """Exact rational image of the input.  ``Fraction(float)`` is already
+    EXACT for every finite double (binary expansion, denominator a power
+    of two) — no snapping: a collinear double triple stays collinear in
+    rational space, which the tolerance-0 contract depends on.
+    Denominators can grow large through chained intersections; that is a
+    speed cost only, never a correctness one (per-feature kernel scope)."""
+    return Fraction(x)
 
 
 def _ring_segments(ring: np.ndarray, owner: int):

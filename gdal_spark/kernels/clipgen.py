@@ -243,7 +243,21 @@ def is_degenerate_pair(P: np.ndarray, Q: np.ndarray) -> bool:
         cross = w[..., 0] * e[None, :, 1] - w[..., 1] * e[None, :, 0]
         dot = w[..., 0] * e[None, :, 0] + w[..., 1] * e[None, :, 1]
         ll = (e * e).sum(axis=1)[None, :]
-        return bool(np.any((cross == 0.0) & (dot >= 0.0) & (dot <= ll)))
+        # relative tolerance, not exact float zero: a vertex lying
+        # geometrically on an edge whose contact point is not double-
+        # representable has a tiny nonzero cross product; routing such
+        # near-degenerate pairs to the exact noder is always SAFE (it
+        # only costs speed), whereas leaving them on the GH float path
+        # can break entry/exit parity marking.  The reference tolerates
+        # this class via GEOS snap-rounding.  Scale = |w|·|e| (the
+        # cross-product magnitude bound).
+        scale = np.hypot(w[..., 0], w[..., 1]) * np.hypot(
+            e[None, :, 0], e[None, :, 1]
+        )
+        near = (np.abs(cross) <= 1e-12 * scale) & (dot >= -1e-12 * ll) & (
+            dot <= ll * (1.0 + 1e-12)
+        )
+        return bool(np.any(near))
 
     return vertex_on_edge(Q, P) or vertex_on_edge(P, Q)
 

@@ -77,10 +77,13 @@ def local_df(spark, rows, schema):
     rows = list(rows)
     if not rows:
         return spark.createDataFrame([], schema)
-    names = (
-        [f.strip().split()[0] for f in schema.split(",")]
-        if isinstance(schema, str)
-        else schema.names
-    )
+    if isinstance(schema, str):
+        # proper DDL parse — naive ','-splitting misparses types that
+        # contain commas (decimal(10,2), map<...>, struct<...>)
+        from pyspark.sql import types as T
+
+        names = T._parse_datatype_string(schema).names
+    else:
+        names = schema.names
     pdf = pd.DataFrame(rows, columns=names)
     return spark.createDataFrame(pdf, schema=schema)
