@@ -22,9 +22,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 HEADLINE = [
     "q01_filter_project",
     "q02_summary_agg",
+    "q03_distinct",
+    "q04_orderby_limit",
     "q05_groupby_agg",
     "q06_left_join",
+    "q07_union_all",
+    "q08_expressions",
     "q09_events_hourly",
+    "q10_sessionize",
     "q11_spatial_pip_join",
     "q12_zonal_stats",
     "q13_knn",
@@ -33,8 +38,10 @@ HEADLINE = [
     "q16_cell_index",
     "q17_dedup_exact",
     "q18_minhash_lsh",
+    "q19_ngram_jaccard",
     "q20_simhash",
     "q21_text_quality",
+    "q22_lang_id",
     "q23_cosine_topk",
     "q24_grid_idw",
     "q25_rasterize_burn",
@@ -50,10 +57,15 @@ HEADLINE = [
     "q35_multimodal_meta",
     "q37_checksum",
     "q38_band_stats",
+    "q39_ogrsql_veneer",
+    "q40_json_props",
+    "q41_sieve_filter",
     "q42_contour_cells",
+    "q43_erase_area",
     "q44_zonal_raster",
     "q45_proximity",
     "q46_knn_cell_rings",
+    "q47_shortest_paths",
     "q48_bpe_tokens",
     "q49_embed_neardup",
     "q51_polygonize_geometry",
@@ -64,6 +76,8 @@ HEADLINE = [
     "q56_pyramid_mode",
     "q57_band_histogram",
     "q58_line_burn",
+    "q59_knn_radius",
+    "q60_simhash_pairs",
     "q62_polygonize_8conn",
     "q63_contour_linestrings",
     "q64_k_shortest",
@@ -79,6 +93,10 @@ HEADLINE = [
     "q74_dem_aspect_octant",
     "q75_color_relief",
     "q76_overlay_union",
+    "q77_overlay_symdiff",
+    "q78_overlay_identity",
+    "q79_overlay_update",
+    "q80_overlay_clip",
     "q81_mosaic_last",
     "q82_translate",
     "q83_segmentize",
@@ -147,6 +165,12 @@ HEADLINE = [
     "q148_pq_ann_search",
     "q149_overlay_exact_noded",
     "q150_viewshed_wang",
+    "q151_overlay_geom_intersection",
+    "q152_overlay_geom_union",
+    "q153_overlay_geom_difference",
+    "q154_overlay_geom_symdiff",
+    "q155_makevalid_star",
+    "q156_buffer_concave",
 ]
 
 

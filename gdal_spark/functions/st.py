@@ -105,7 +105,20 @@ def st_point(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 @F.pandas_udf(T.StringType())
 def st_astext(wkb: pd.Series) -> pd.Series:
-    return pd.Series([None if b is None else W.wkb_to_wkt(bytes(b)) for b in wkb])
+    """WKT text, batch-vectorized: single-ring polygon groups parse in
+    one reshape+view (batch_single_ring_groups) and only FORMAT
+    per-row; irregular rows take the generic parser."""
+    blobs = [None if b is None else bytes(b) for b in wkb]
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                if blobs[i] is not None:
+                    out[i] = W.wkb_to_wkt(blobs[i])
+            continue
+        for g, i in enumerate(idx):
+            out[i] = "POLYGON ((" + W._fmt_coords(coords[g]) + "))"
+    return pd.Series(out)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -140,6 +153,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_NPoints", st_npoints)
     spark.udf.register("ST_RectRelation", st_rect_relation)
     spark.udf.register("ST_ClipArea", st_clip_area)
+    spark.udf.register("ST_ClipGeom", st_clip_geom)
     spark.udf.register("ST_RelationGeneral", st_relation_general)
     spark.udf.register("ST_Distance", st_distance)
     spark.udf.register("ST_Centroid", st_centroid)
@@ -159,26 +173,38 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
     geometry (and so length/area) is unchanged.  Vectorized per ring."""
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob, ml in zip(wkb, max_len):
-        gtype, parts = W.parse_wkb(bytes(blob))
-        ml = float(ml)
+    def densify(coords: np.ndarray, ml: float) -> np.ndarray:
+        """Vectorized: one repeat/cumsum pass builds every inserted
+        vertex — a + (b−a)·(i/n) per segment, the identical expression
+        tree as the former per-segment loop (bitwise)."""
+        a, b = coords[:-1], coords[1:]
+        seg = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+        n = np.maximum(np.ceil(seg / ml).astype(np.int64), 1)
+        reps = np.repeat(np.arange(len(a)), n)
+        cum = np.cumsum(n)
+        pos = np.arange(int(cum[-1])) - (cum - n)[reps] + 1
+        frac = pos / n[reps]
+        pts = a[reps] + (b[reps] - a[reps]) * frac[:, None]
+        return np.vstack([coords[:1], pts])
 
-        def densify(coords: np.ndarray) -> np.ndarray:
-            pts = [coords[0]]
-            for a, b in zip(coords[:-1], coords[1:]):
-                seg = float(np.hypot(b[0] - a[0], b[1] - a[1]))
-                n = max(int(np.ceil(seg / ml)), 1)
-                for i in range(1, n + 1):
-                    pts.append(a + (b - a) * (i / n))
-            return np.asarray(pts)
-
-        if gtype == W.LINESTRING:
-            out.append(W.linestring_wkb(densify(parts)))
-        elif gtype == W.POLYGON:
-            out.append(W.polygon_wkb([densify(r) for r in parts]))
-        else:
-            out.append(bytes(blob))
+    blobs = [bytes(b) for b in wkb]
+    mls = max_len.to_numpy(dtype=np.float64)
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                gtype, parts = W.parse_wkb(blobs[i])
+                if gtype == W.LINESTRING:
+                    out[i] = W.linestring_wkb(densify(parts, float(mls[i])))
+                elif gtype == W.POLYGON:
+                    out[i] = W.polygon_wkb(
+                        [densify(r, float(mls[i])) for r in parts]
+                    )
+                else:
+                    out[i] = blobs[i]
+            continue
+        for g, i in enumerate(idx):
+            out[i] = W.polygon_wkb([densify(coords[g], float(mls[i]))])
     return pd.Series(out)
 
 
@@ -214,12 +240,41 @@ def st_distance(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels import wkb as W
 
+    def grouped(series):
+        """(gid, pos, group coord arrays, per-row fallback coords)."""
+        blobs = [bytes(b) for b in series]
+        gid = np.full(len(blobs), -1, dtype=np.int64)
+        pos = np.zeros(len(blobs), dtype=np.int64)
+        groups: list = []
+        fallback: dict = {}
+        for idx, coords in W.batch_single_ring_groups(blobs):
+            if coords is None:
+                for i in idx:
+                    t, p = W.parse_wkb(blobs[i])
+                    fallback[i] = np.vstack(W._collect_coords(t, p))
+            else:
+                gid[idx] = len(groups)
+                pos[idx] = np.arange(len(idx))
+                groups.append(coords)
+        return gid, pos, groups, fallback
+
+    ga_id, ga_pos, ga_groups, ga_fb = grouped(a_wkb)
+    gb_id, gb_pos, gb_groups, gb_fb = grouped(b_wkb)
     out = np.zeros(len(a_wkb))
-    for i, (ga, gb) in enumerate(zip(a_wkb, b_wkb)):
-        ta, pa = W.parse_wkb(bytes(ga))
-        tb, pb = W.parse_wkb(bytes(gb))
-        ca = np.vstack(W._collect_coords(ta, pa))
-        cb = np.vstack(W._collect_coords(tb, pb))
+    # rows whose BOTH sides fast-parsed: bucket by (a-group, b-group)
+    # and evaluate each bucket in ONE broadcast kernel call — fancy
+    # indexing into the group arrays, no per-row Python at all
+    # (min_distance_batch is bitwise = min_distance)
+    fast = (ga_id >= 0) & (gb_id >= 0)
+    keys = ga_id * (len(gb_groups) + 1) + gb_id
+    for key in np.unique(keys[fast]):
+        rows = np.nonzero(fast & (keys == key))[0]
+        A = ga_groups[int(ga_id[rows[0]])][ga_pos[rows]]
+        B = gb_groups[int(gb_id[rows[0]])][gb_pos[rows]]
+        out[rows] = G.min_distance_batch(A, B)
+    for i in np.nonzero(~fast)[0]:
+        ca = ga_fb[i] if ga_id[i] < 0 else ga_groups[int(ga_id[i])][ga_pos[i]]
+        cb = gb_fb[i] if gb_id[i] < 0 else gb_groups[int(gb_id[i])][gb_pos[i]]
         out[i] = G.min_distance(ca, cb)
     return pd.Series(out)
 
@@ -231,17 +286,33 @@ def st_centroid(wkb: pd.Series) -> pd.Series:
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob in wkb:
-        gtype, parts = W.parse_wkb(bytes(blob))
-        if gtype == W.POINT:
-            out.append([float(parts[0, 0]), float(parts[0, 1])])
-        elif gtype == W.POLYGON:
-            cx, cy = G.polygon_centroid(parts[0])
-            out.append([cx, cy])
-        else:
-            coords = np.vstack(W._collect_coords(gtype, parts))
-            out.append([float(coords[:, 0].mean()), float(coords[:, 1].mean())])
+    blobs = [bytes(b) for b in wkb]
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                gtype, parts = W.parse_wkb(blobs[i])
+                if gtype == W.POINT:
+                    out[i] = [float(parts[0, 0]), float(parts[0, 1])]
+                elif gtype == W.POLYGON:
+                    cx, cy = G.polygon_centroid(parts[0])
+                    out[i] = [cx, cy]
+                else:
+                    c = np.vstack(W._collect_coords(gtype, parts))
+                    out[i] = [float(c[:, 0].mean()), float(c[:, 1].mean())]
+            continue
+        # whole-group shoelace centroid, same expression tree as
+        # polygon_centroid term for term (bitwise parity tested)
+        x0, y0 = coords[:, :-1, 0], coords[:, :-1, 1]
+        x1, y1 = coords[:, 1:, 0], coords[:, 1:, 1]
+        cross = x0 * y1 - x1 * y0
+        s = np.sum(cross, axis=1)
+        sx = np.sum((x0 + x1) * cross, axis=1)
+        sy = np.sum((y0 + y1) * cross, axis=1)
+        cx = sx / (3.0 * s)
+        cy = sy / (3.0 * s)
+        for g, i in enumerate(idx):
+            out[i] = [float(cx[g]), float(cy[g])]
     return pd.Series(out)
 
 
@@ -253,11 +324,17 @@ def st_convexhull(wkb: pd.Series) -> pd.Series:
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob in wkb:
-        gtype, parts = W.parse_wkb(bytes(blob))
-        coords = np.vstack(W._collect_coords(gtype, parts))
-        out.append(W.polygon_wkb([G.convex_hull(coords)]))
+    blobs = [bytes(b) for b in wkb]
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                gtype, parts = W.parse_wkb(blobs[i])
+                c = np.vstack(W._collect_coords(gtype, parts))
+                out[i] = W.polygon_wkb([G.convex_hull(c)])
+            continue
+        for g, i in enumerate(idx):
+            out[i] = W.polygon_wkb([G.convex_hull(coords[g])])
     return pd.Series(out)
 
 
@@ -268,61 +345,143 @@ def st_simplify(wkb: pd.Series, tol: pd.Series) -> pd.Series:
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob, t in zip(wkb, tol):
-        gtype, parts = W.parse_wkb(bytes(blob))
-        if gtype == W.LINESTRING:
-            out.append(W.linestring_wkb(G.simplify_dp(parts, float(t))))
-        elif gtype == W.POLYGON:
-            out.append(
-                W.polygon_wkb([G.simplify_dp(r, float(t)) for r in parts])
-            )
-        else:
-            out.append(bytes(blob))
+    blobs = [bytes(b) for b in wkb]
+    tols = tol.to_numpy(dtype=np.float64)
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                gtype, parts = W.parse_wkb(blobs[i])
+                if gtype == W.LINESTRING:
+                    out[i] = W.linestring_wkb(G.simplify_dp(parts, float(tols[i])))
+                elif gtype == W.POLYGON:
+                    out[i] = W.polygon_wkb(
+                        [G.simplify_dp(r, float(tols[i])) for r in parts]
+                    )
+                else:
+                    out[i] = blobs[i]
+            continue
+        for g, i in enumerate(idx):
+            out[i] = W.polygon_wkb([G.simplify_dp(coords[g], float(tols[i]))])
     return pd.Series(out)
+
+
+def _buffer_concave_rings(ring: np.ndarray, struct: np.ndarray) -> list:
+    """True CONCAVE buffer (positive distance) GEOS-free: the buffered
+    region is the input ∪ (segment ⊕ structuring element) per edge —
+    each per-edge piece is the convex hull of the structuring element
+    placed at both endpoints (vertex discs are subsumed) — unioned
+    iteratively through the exact arrangement noder.  Returns polygons
+    in the noder's canonical form."""
+    from gdal_spark.kernels import geomops as G
+    from gdal_spark.kernels.arrangement import overlay_geoms_exact
+
+    pts = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+    region = [np.vstack([pts, pts[:1]])]
+    polys = [region]
+    for i in range(len(pts)):
+        a, b = pts[i], pts[(i + 1) % len(pts)]
+        piece_pts = np.vstack([struct + a, struct + b])
+        piece = G.convex_hull(piece_pts)
+        polys = overlay_geoms_exact(region, np.vstack([piece, piece[:1]]), "union")
+        region = [r for rings in polys for r in rings]
+    return polys
 
 
 @F.pandas_udf(T.BinaryType())
 def st_buffer(wkb: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
-    """GEOS-free Buffer for CONVEX geometry (OGRGeometry::Buffer,
-    ogr/ogrgeometry.cpp:4949): Minkowski sum of the input's convex
-    hull with a disc approximant — ``square`` (Chebyshev, exact),
-    ``diamond`` (Manhattan, exact), ``round`` (quadsegs=8 regular
-    32-gon, the reference's quadrant-segment approximation).  Concave
-    inputs buffer their hull (documented contract; true concave
-    offsetting needs GEOS noding — see NOTES.md)."""
+    """GEOS-free Buffer (OGRGeometry::Buffer, ogr/ogrgeometry.cpp:4949):
+    Minkowski sum with a disc approximant — ``square`` (Chebyshev,
+    exact), ``diamond`` (Manhattan, exact), ``round`` (quadsegs=8
+    regular 32-gon, the reference's quadrant-segment approximation).
+    Convex inputs take the exact convex Minkowski fast path; CONCAVE
+    polygons take the exact noder union of per-edge swept hulls
+    (kernels/arrangement.py) — true concave offsetting, MultiPolygon
+    out."""
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels import wkb as W
 
-    out = []
-    for blob, d, s in zip(wkb, dist, style):
-        gtype, parts = W.parse_wkb(bytes(blob))
-        coords = np.vstack(W._collect_coords(gtype, parts))
-        struct = G.buffer_structuring(float(d), str(s))
+    def one(coords: np.ndarray, ring, d: float, s: str) -> bytes:
+        struct = G.buffer_structuring(d, s)
         if coords.shape[0] == 1:
-            ring = struct + coords[0]
-        else:
-            hull = G.convex_hull(coords)
-            ring = G.minkowski_sum_convex(hull, struct)
-        out.append(W.polygon_wkb([ring]))
+            return W.polygon_wkb([struct + coords[0]])
+        hull = G.convex_hull(coords)
+        hull_area = abs(0.5 * float(np.sum(
+            hull[:, 0] * np.roll(hull[:, 1], -1)
+            - np.roll(hull[:, 0], -1) * hull[:, 1]
+        )))
+        ring_area = None
+        if ring is not None:
+            rc = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
+            ring_area = abs(0.5 * float(np.sum(
+                rc[:, 0] * np.roll(rc[:, 1], -1)
+                - np.roll(rc[:, 0], -1) * rc[:, 1]
+            )))
+        if ring is None or ring_area == hull_area:
+            return W.polygon_wkb([G.minkowski_sum_convex(hull, struct)])
+        return W.multipolygon_wkb(_buffer_concave_rings(ring, struct))
+
+    blobs = [bytes(b) for b in wkb]
+    ds = dist.to_numpy(dtype=np.float64)
+    ss = list(style)
+    out: list = [None] * len(blobs)
+    for idx, coords in W.batch_single_ring_groups(blobs):
+        if coords is None:
+            for i in idx:
+                gtype, parts = W.parse_wkb(blobs[i])
+                c = np.vstack(W._collect_coords(gtype, parts))
+                ring = parts[0] if gtype == W.POLYGON else None
+                out[i] = one(c, ring, float(ds[i]), str(ss[i]))
+            continue
+        for g, i in enumerate(idx):
+            out[i] = one(coords[g], coords[g], float(ds[i]), str(ss[i]))
     return pd.Series(out)
 
 
 @F.pandas_udf(T.BinaryType())
 def st_makevalid(wkb: pd.Series) -> pd.Series:
-    """MakeValid for self-crossing polygon rings
-    (OGRGeometry::MakeValid, ogr/ogrgeometry.cpp:4183): node at proper
-    self-crossings, pinch into simple lobes, return a MultiPolygon of
-    the lobes (kernels/geomops.py::make_valid_ring; q141)."""
+    """MakeValid for ARBITRARILY self-intersecting polygon rings
+    (OGRGeometry::MakeValid, ogr/ogrgeometry.cpp:4183): the exact
+    arrangement noder (kernels/arrangement.py::valid_geoms_exact)
+    emits the even-odd lobes as a MultiPolygon — simple bowties,
+    star-interleaved rings, doubly-wound rings (empty result) and
+    collinear-degenerate crossings all in contract, tolerance 0."""
     from gdal_spark.kernels import wkb as W2
-    from gdal_spark.kernels.geomops import make_valid_ring
+    from gdal_spark.kernels.arrangement import valid_geoms_exact
 
     out = []
     for blob in wkb:
         gtype, parts = W2.parse_wkb(bytes(blob))
         ring = parts[0] if isinstance(parts, list) else parts
-        lobes = make_valid_ring(ring)
-        out.append(W2.multipolygon_wkb([[r] for r in lobes]))
+        polys = valid_geoms_exact(ring)
+        out.append(W2.multipolygon_wkb(polys))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_clip_geom(a_wkb: pd.Series, b_wkb: pd.Series, op: pd.Series) -> pd.Series:
+    """Boolean-overlay GEOMETRY for general polygon pairs — the
+    feature-emitting layer-algebra surface of
+    ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7846 (the reference
+    returns GEOS overlay geometries; here the exact arrangement noder
+    traces the result rings, tolerance 0 on every degeneracy class).
+    op ∈ intersection | union | difference | symdifference.  Output:
+    MultiPolygon WKB (PROMOTE_TO_MULTI), exteriors CCW / holes CW,
+    minimal vertices, rings starting at their lexicographic-min
+    vertex, polygons sorted — a deterministic, oracle-checkable
+    canonical form."""
+    from gdal_spark.kernels import wkb as W2
+    from gdal_spark.kernels.arrangement import overlay_geoms_exact
+
+    out = []
+    for ga, gb, o in zip(a_wkb, b_wkb, op):
+        ra = [r for rings in W2.polygon_rings(bytes(ga)) for r in rings]
+        rb = [r for rings in W2.polygon_rings(bytes(gb)) for r in rings]
+        o = str(o)
+        if o == "symdiff":
+            o = "symdifference"
+        polys = overlay_geoms_exact(ra, rb, o)
+        out.append(W2.multipolygon_wkb(polys))
     return pd.Series(out)
 
 

@@ -41,7 +41,12 @@ from fractions import Fraction
 
 import numpy as np
 
-__all__ = ["overlay_area_exact", "valid_area_exact"]
+__all__ = [
+    "overlay_area_exact",
+    "valid_area_exact",
+    "overlay_geoms_exact",
+    "valid_geoms_exact",
+]
 
 
 def _fr(x) -> Fraction:
@@ -170,11 +175,13 @@ def _sort_around(vecs):
     return out
 
 
-def _build_faces(edges):
+def _build_faces(edges, return_rot: bool = False):
     """Half-edge face tracing.  Returns (faces, edge_faces) where
     faces = list of (signed_area_fraction, boundary half-edges) and
     edge_faces maps each undirected edge to the (up to 2) face ids
-    flanking it."""
+    flanking it.  With ``return_rot``, also returns the per-vertex
+    rotation map {vertex: {neighbor: CCW-predecessor neighbor}} used
+    for region-boundary tracing."""
     # outgoing half-edges per vertex, rotationally sorted
     out_edges: dict[tuple, list] = {}
     for (u, v) in edges:
@@ -216,6 +223,8 @@ def _build_faces(edges):
                 e = (a, b) if a <= b else (b, a)
                 edge_faces.setdefault(e, []).append(face_id)
             faces.append((area2 / 2, boundary))
+    if return_rot:
+        return faces, edge_faces, rot
     return faces, edge_faces
 
 
@@ -309,3 +318,202 @@ def valid_area_exact(ring: np.ndarray) -> float:
     regions (even-odd ⇒ excluded) and all."""
     sums = _areas_by_parity([ring], [])
     return float(sums[(1, 0)] + sums[(1, 1)])
+
+
+# --- geometry (WKB-ring) emission -------------------------------------------
+# The reference's OGRLayer::Intersection/Union/... emit the clipped
+# GEOMETRIES (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7846, via the
+# GEOS overlay); this reconstructs the result rings from the same
+# exact arrangement the area path classifies.
+
+_PICK = {
+    "intersection": ((1, 1),),
+    "union": ((1, 0), (0, 1), (1, 1)),
+    "difference": ((1, 0),),
+    "symdifference": ((1, 0), (0, 1)),
+}
+
+
+def _arrangement(P_rings, Q_rings):
+    segs = []
+    for r in P_rings:
+        segs.extend(_ring_segments(np.asarray(r, dtype=np.float64), 1))
+    for r in Q_rings:
+        segs.extend(_ring_segments(np.asarray(r, dtype=np.float64), 2))
+    edges = _node(segs)
+    faces, edge_faces, rot = _build_faces(edges, return_rot=True)
+    parity = _face_parities(faces, edge_faces, edges)
+    return edges, faces, edge_faces, rot, parity
+
+
+def _drop_collinear(cyc):
+    """Remove exactly-collinear interior vertices (rational cross == 0)
+    from a cyclic vertex list — the emitted-ring contract is MINIMAL
+    rings: noding points introduced by the arrangement that lie on a
+    straight chain of the result boundary do not survive to the
+    output."""
+    out = list(cyc)
+    changed = True
+    while changed and len(out) > 2:
+        changed = False
+        for i in range(len(out)):
+            p = out[i - 1]
+            v = out[i]
+            n = out[(i + 1) % len(out)]
+            cross = (v[0] - p[0]) * (n[1] - p[1]) - (v[1] - p[1]) * (n[0] - p[0])
+            if cross == 0:
+                out.pop(i)
+                changed = True
+                break
+    return out
+
+
+def _ring_parity_point(p, ring_pts) -> bool:
+    """Exact even-odd containment of point p in the closed cycle
+    ring_pts (list of Fraction pairs), downward-ray half-open rule."""
+    px, py = p
+    inside = False
+    n = len(ring_pts)
+    for i in range(n):
+        a = ring_pts[i]
+        b = ring_pts[(i + 1) % n]
+        ax, ay = a
+        bx, by = b
+        if ax == bx:
+            continue
+        lo, hi = (ax, bx) if ax < bx else (bx, ax)
+        if not (lo <= px < hi):
+            continue
+        y = ay + (px - ax) * (by - ay) / (bx - ax)
+        if y < py:
+            inside = not inside
+    return inside
+
+
+def _region_polygons(edges, faces, edge_faces, rot, parity, pick):
+    """Trace the merged boundary of the union of all faces whose parity
+    is in ``pick`` and assemble polygons.
+
+    Directed boundary half-edges keep the region on the LEFT; interior
+    edges (both flanking faces selected) and bridges drop.  Tracing
+    restricted to boundary edges uses the same rotational-predecessor
+    rule as face tracing (= face tracing on the reduced graph), so
+    checkerboard pinch vertices (symdifference at a proper boundary
+    crossing, star-lobe contact) come out as SEPARATE rings touching at
+    the vertex — the (A−B) ⊎ (B−A) decomposition.
+
+    Returns [ (exterior, [holes...]) ] with vertices as Fraction pairs,
+    exteriors CCW, holes CW, collinear noding vertices removed, each
+    ring rotated to start at its lexicographic-min vertex, polygons
+    sorted by that start vertex."""
+    pickset = set(pick)
+    sel = [parity[f] in pickset for f in range(len(faces))]
+    boundary = set()
+    for f in range(len(faces)):
+        if not sel[f]:
+            continue
+        for (a, b) in faces[f][1]:
+            e = (a, b) if a <= b else (b, a)
+            flank = edge_faces[e]
+            other = flank[0] if flank[1] == f else flank[1]
+            if not sel[other]:
+                boundary.add((a, b))
+
+    visited = set()
+    cycles = []
+    for start in sorted(boundary):
+        if start in visited:
+            continue
+        cyc = []
+        he = start
+        while he not in visited:
+            visited.add(he)
+            cyc.append(he[0])
+            a, b = he
+            c = rot[b][a]
+            guard = len(rot[b]) + 1
+            while (b, c) not in boundary:
+                c = rot[b][c]
+                guard -= 1
+                if guard < 0:
+                    raise RuntimeError("boundary trace: no outgoing edge")
+            he = (b, c)
+        cyc = _drop_collinear(cyc)
+        if len(cyc) < 3:
+            continue
+        a2 = Fraction(0)
+        n = len(cyc)
+        for i in range(n):
+            a = cyc[i]
+            b = cyc[(i + 1) % n]
+            a2 += a[0] * b[1] - b[0] * a[1]
+        # rotate to lexicographic-min start (deterministic output)
+        k = min(range(n), key=lambda i: cyc[i])
+        cyc = cyc[k:] + cyc[:k]
+        cycles.append((a2 / 2, cyc))
+
+    exteriors = [(a, c) for a, c in cycles if a > 0]
+    holes = [(a, c) for a, c in cycles if a < 0]
+    exteriors.sort(key=lambda t: t[1][0])
+    polys = [(c, []) for _a, c in exteriors]
+    for ha, hc in holes:
+        # representative: exact midpoint of the hole's first edge —
+        # strictly interior to the parent exterior (coincident edges
+        # merged away in the arrangement, so a hole edge never lies on
+        # an exterior edge); parent = SMALLEST containing exterior
+        rep = (
+            (hc[0][0] + hc[1][0]) / 2,
+            (hc[0][1] + hc[1][1]) / 2,
+        )
+        best = None
+        for idx, (ea, ec) in enumerate(exteriors):
+            if _ring_parity_point(rep, ec):
+                if best is None or ea < exteriors[best][0]:
+                    best = idx
+        if best is None:
+            raise RuntimeError("orphan hole in region tracing")
+        polys[best][1].append(hc)
+    for _ext, hs in polys:
+        hs.sort(key=lambda c: c[0])
+    return polys
+
+
+def _to_float_ring(cyc) -> np.ndarray:
+    arr = np.array(
+        [[float(x), float(y)] for x, y in cyc] + [[float(cyc[0][0]), float(cyc[0][1])]],
+        dtype=np.float64,
+    )
+    return arr
+
+
+def _as_ring_list(x):
+    if isinstance(x, np.ndarray):
+        return [x]
+    return list(x)
+
+
+def overlay_geoms_exact(P, Q, op: str):
+    """Exact boolean-overlay GEOMETRY for two even-odd regions (single
+    ring or list of rings — holes and disjoint pieces both work as
+    parity) with any degeneracy: list of polygons, each
+    [exterior, holes...] as closed float64 rings (exterior CCW, holes
+    CW, minimal vertices, pinned start vertex + ordering — see
+    _region_polygons)."""
+    edges, faces, edge_faces, rot, parity = _arrangement(
+        _as_ring_list(P), _as_ring_list(Q)
+    )
+    polys = _region_polygons(edges, faces, edge_faces, rot, parity, _PICK[op])
+    return [[_to_float_ring(ext)] + [_to_float_ring(h) for h in hs]
+            for ext, hs in polys]
+
+
+def valid_geoms_exact(ring: np.ndarray):
+    """Exact even-odd MakeValid GEOMETRY of an arbitrarily
+    self-intersecting (incl. star-interleaved / doubly-wound) ring:
+    the odd-parity lobes as polygons (same output contract as
+    overlay_geoms_exact).  Reference: OGRGeometry::MakeValid
+    (ogr/ogrgeometry.cpp:4183)."""
+    edges, faces, edge_faces, rot, parity = _arrangement([ring], [])
+    polys = _region_polygons(edges, faces, edge_faces, rot, parity, ((1, 0),))
+    return [[_to_float_ring(ext)] + [_to_float_ring(h) for h in hs]
+            for ext, hs in polys]

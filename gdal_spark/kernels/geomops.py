@@ -312,3 +312,50 @@ def make_valid_ring(ring: np.ndarray) -> list[np.ndarray]:
         pts = np.array([(px, py) for _, _, px, py in stack])
         rings.append(np.vstack([pts, pts[:1]]))
     return rings
+
+
+def min_distance_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Whole-group min_distance: A (g, na, 2) vertex chains vs
+    B (g, nb, 2), one broadcast evaluation for the entire group —
+    no per-row Python.  Identical elementwise expression tree as
+    min_distance (bitwise parity tested); rows with a proper segment
+    crossing return 0."""
+    A = np.asarray(A, dtype=np.float64)
+    B = np.asarray(B, dtype=np.float64)
+    g = A.shape[0]
+    a0, a1 = A[:, :-1, :], A[:, 1:, :]
+    b0, b1 = B[:, :-1, :], B[:, 1:, :]
+
+    # vertex → opposite-chain-segment distances, both directions
+    def pts_to_segs(P, s0, s1):
+        # P (g, np, 2), s0/s1 (g, ns, 2) → (g, np, ns)
+        px = P[:, :, None, 0]
+        py = P[:, :, None, 1]
+        ax = s0[:, None, :, 0]
+        ay = s0[:, None, :, 1]
+        bx = s1[:, None, :, 0]
+        by = s1[:, None, :, 1]
+        return point_segment_dist(px, py, ax, ay, bx, by)
+
+    best = np.full(g, np.inf)
+    if B.shape[1] > 1:
+        best = np.minimum(best, pts_to_segs(A, b0, b1).min(axis=(1, 2)))
+    if A.shape[1] > 1:
+        best = np.minimum(best, pts_to_segs(B, a0, a1).min(axis=(1, 2)))
+    if A.shape[1] == 1 and B.shape[1] == 1:
+        d = A[:, 0, :] - B[:, 0, :]
+        best = np.sqrt(d[:, 0] * d[:, 0] + d[:, 1] * d[:, 1])
+
+    if A.shape[1] > 1 and B.shape[1] > 1:
+        # proper-crossing rows → 0 (same _orient strict test)
+        ax, ay = a0[:, :, None, 0], a0[:, :, None, 1]
+        bx, by = a1[:, :, None, 0], a1[:, :, None, 1]
+        cx, cy = b0[:, None, :, 0], b0[:, None, :, 1]
+        dx, dy = b1[:, None, :, 0], b1[:, None, :, 1]
+        d1 = _orient(ax, ay, bx, by, cx, cy)
+        d2 = _orient(ax, ay, bx, by, dx, dy)
+        d3 = _orient(cx, cy, dx, dy, ax, ay)
+        d4 = _orient(cx, cy, dx, dy, bx, by)
+        crossing = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
+        best = np.where(crossing, 0.0, best)
+    return best

@@ -5502,14 +5502,27 @@ def q148(spark, sf_dir):
         spark, [(q, i) for i, q in enumerate(qids)], "qid long, qidx int"
     )
     pairs = codes.crossJoin(F.broadcast(qdf)).filter(F.col("vec_id") != F.col("qid"))
+    # the per-(query, subspace, code) ADC lookup tables as BROADCAST-
+    # JOINED DataFrames, not plan literals: plan size is CONSTANT in
+    # the query-batch size (a literal 2-D array grows O(n_queries·m·k)
+    # and would blow the plan for a real serving batch); one broadcast
+    # hash join per subspace, the big side still scans codes only
     adc = F.lit(0).cast("long")
     for j in range(2):
-        t2d = F.array(*[
-            F.array(*[F.lit(d) for d in per_q]) for per_q in tables[j]
-        ])
-        adc = adc + F.element_at(
-            F.element_at(t2d, F.col("qidx") + 1), F.col(f"code{j}").cast("int") + 1
+        lut_rows = [
+            (qi, ci, int(d))
+            for qi, per_code in enumerate(tables[j])
+            for ci, d in enumerate(per_code)
+        ]
+        lut = local_df(
+            spark, lut_rows, f"qidx int, _c{j} int, _d{j} long"
         )
+        pairs = pairs.join(
+            F.broadcast(lut),
+            (pairs["qidx"] == lut["qidx"])
+            & (F.col(f"code{j}").cast("int") == F.col(f"_c{j}")),
+        ).drop(lut["qidx"]).drop(f"_c{j}")
+        adc = adc + F.col(f"_d{j}")
     w = Window.partitionBy("qid").orderBy(F.col("adc").asc(), F.col("vec_id").asc())
     return (
         pairs.withColumn("adc", adc)
@@ -5750,3 +5763,355 @@ def q150(spark, sf_dir):
         rows.append((k, dem.tobytes()))
     dems = local_df(spark, rows, "fid long, dem binary")
     return viewshed_wang_features(dems, ox=4, oy=4, width=9, height=9, obs_z=2.0)
+
+
+# --- overlay GEOMETRY emission (q151-q156) ----------------------------------
+# The reference's layer algebra emits clipped GEOMETRIES
+# (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5385-7846) and
+# OGRGeometry::MakeValid/Buffer emit repaired/offset WKB
+# (ogr/ogrgeometry.cpp:4183, :4949).  These queries check the exact
+# arrangement noder's ring output (kernels/arrangement.py::
+# overlay_geoms_exact / valid_geoms_exact) with ORDER-SENSITIVE vertex
+# checksums Σ(i+1)·2·coord per ring (the q63 pattern) — a wrong vertex
+# order, orientation, start vertex, ring count or hole assignment all
+# fail even with the right areas.  Fixtures put every degeneracy class
+# on the table: collinear edge overlap (q151), shared edge (q152),
+# island hole (q153), checkerboard pinch (q154), interleaved
+# self-crossings (q155), concave offsetting (q156).
+
+
+def _vsum2(exprs: list[str]) -> str:
+    """Order-sensitive checksum Σ(i+1)·e_i over SQL expressions of
+    DOUBLED coordinates (doubling keeps half-integer fixtures exact
+    integers on both engines)."""
+    return "(" + " + ".join(f"{i + 1}*({e})" for i, e in enumerate(exprs)) + ")"
+
+
+_LSF = """f AS (SELECT n_nationkey AS fid,
+         4 + n_nationkey%9 AS w, 3 + n_nationkey%7 AS h,
+         2 + n_nationkey%3 AS h2, 1 + n_nationkey%4 AS w3,
+         2 + n_nationkey%3 AS w4,
+         1 + n_nationkey%3 AS aa, 1 + n_nationkey%2 AS bb,
+         (n_nationkey%5)*40 AS tx, (n_nationkey//5)*40 AS ty
+       FROM nation)"""
+
+
+def _lshape_params(spark, sf_dir):
+    out = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        out.append(
+            dict(
+                fid=k,
+                w=4 + k % 9, h=3 + k % 7, h2=2 + k % 3, w3=1 + k % 4,
+                w4=2 + k % 3, aa=1 + k % 3, bb=1 + k % 2,
+                tx=(k % 5) * 40, ty=(k // 5) * 40,
+            )
+        )
+    return out
+
+
+def _lshape_ring(p) -> np.ndarray:
+    w, h, h2, w3 = p["w"], p["h"], p["h2"], p["w3"]
+    tx, ty = p["tx"], p["ty"]
+    ring = np.array(
+        [[0, 0], [w + w3, 0], [w + w3, h], [w, h], [w, h + h2], [0, h + h2],
+         [0, 0]],
+        dtype=np.float64,
+    )
+    return ring + np.array([tx, ty], dtype=np.float64)
+
+
+from pyspark.sql import types as _T
+
+_CS_TYPE = _T.ArrayType(
+    _T.StructType(
+        [
+            _T.StructField("pi", _T.IntegerType()),
+            _T.StructField("ri", _T.IntegerType()),
+            _T.StructField("n_pts", _T.IntegerType()),
+            _T.StructField("vsum_x", _T.LongType()),
+            _T.StructField("vsum_y", _T.LongType()),
+            _T.StructField("r_area", _T.DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_CS_TYPE)
+def _mp_ring_checksums(geom: pd.Series) -> pd.Series:
+    """Per ring of a (Multi)Polygon WKB: vertex count (open ring),
+    order-sensitive Σ(i+1)·2·coord checksums, signed area (exterior
+    CCW +, hole CW −) rounded 6."""
+    from gdal_spark.kernels import wkb as WW
+
+    out = []
+    for blob in geom:
+        rows = []
+        for pi, rings in enumerate(WW.polygon_rings(bytes(blob))):
+            for ri, r in enumerate(rings):
+                o = r[:-1]
+                n = o.shape[0]
+                wts = np.arange(1, n + 1, dtype=np.float64)
+                vsx = int(round(float(np.sum(wts * 2.0 * o[:, 0]))))
+                vsy = int(round(float(np.sum(wts * 2.0 * o[:, 1]))))
+                sa = 0.5 * float(
+                    np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])
+                )
+                rows.append((pi, ri, n, vsx, vsy, round(sa, 6)))
+        out.append(rows)
+    return pd.Series(out)
+
+
+def _checksum_rows(df, geom_col="geom", keep=("fid",)):
+    cs = df.withColumn("_cs", _mp_ring_checksums(F.col(geom_col)))
+    ex = cs.withColumn("r", F.explode("_cs"))
+    return ex.select(
+        *keep, "r.pi", "r.ri", "r.n_pts", "r.vsum_x", "r.vsum_y", "r.r_area"
+    )
+
+
+@query(
+    "q151_overlay_geom_intersection",
+    f"""WITH {_LSF}
+       SELECT fid, fid AS b_id, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(4 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx", "2*(tx+w)", "2*(tx+w)", "2*tx"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty", "2*ty", "2*(ty+h+h2)", "2*(ty+h+h2)"])} AS BIGINT) AS vsum_y,
+              round(CAST(w*(h+h2) AS DOUBLE), 6) AS r_area
+       FROM f""",
+)
+def q151(spark, sf_dir):
+    """Layer-algebra Intersection emitting FEATURES (ogrlayer.cpp:5385)
+    through the broadcast-prefilter operator: L-shape ∩ covering rect
+    with COLLINEAR EDGE OVERLAP contact (the A arm's edge lies on B's
+    edge) — exact noder route; result is a clean rectangle whose
+    noding vertices were collinear-eliminated.  Order-sensitive vertex
+    checksums per ring."""
+    from gdal_spark.operators.overlay import overlay_features
+
+    arows, bpolys = [], []
+    for p in _lshape_params(spark, sf_dir):
+        t = np.array([p["tx"], p["ty"]], dtype=np.float64)
+        arows.append((p["fid"], W.polygon_wkb([_lshape_ring(p)])))
+        H = p["h"] + p["h2"]
+        b = np.array(
+            [[-1, -1], [p["w"], -1], [p["w"], H + 1], [-1, H + 1], [-1, -1]],
+            dtype=np.float64,
+        ) + t
+        bpolys.append((p["fid"], W.polygon_wkb([b])))
+    layer = local_df(spark, arows, "a_id long, geom binary").coalesce(1)
+    res = overlay_features(layer, bpolys, "intersection")
+    return _checksum_rows(
+        res.withColumnRenamed("a_id", "fid"), keep=("fid", "b_id")
+    )
+
+
+@query(
+    "q152_overlay_geom_union",
+    f"""WITH {_LSF}
+       SELECT fid, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(6 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx", "2*(tx+w+w3+w4)", "2*(tx+w+w3+w4)",
+                            "2*(tx+w)", "2*(tx+w)", "2*tx"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty", "2*ty", "2*(ty+h)", "2*(ty+h)",
+                            "2*(ty+h+h2)", "2*(ty+h+h2)"])} AS BIGINT) AS vsum_y,
+              round(CAST((w+w3+w4)*h + w*h2 AS DOUBLE), 6) AS r_area
+       FROM f""",
+)
+def q152(spark, sf_dir):
+    """Geometry Union across a SHARED EDGE (ogrlayer.cpp:6188 →
+    ogrgeometry Union): L ∪ edge-adjacent rect merges into one ring,
+    the shared edge cancels by XOR parity and its endpoints
+    collinear-eliminate — exactly the case the float GH path cannot
+    node."""
+    from gdal_spark.functions.st import st_clip_geom
+
+    rows = []
+    for p in _lshape_params(spark, sf_dir):
+        t = np.array([p["tx"], p["ty"]], dtype=np.float64)
+        Wx = p["w"] + p["w3"]
+        b = np.array(
+            [[Wx, 0], [Wx + p["w4"], 0], [Wx + p["w4"], p["h"]], [Wx, p["h"]],
+             [Wx, 0]],
+            dtype=np.float64,
+        ) + t
+        rows.append(
+            (p["fid"], W.polygon_wkb([_lshape_ring(p)]), W.polygon_wkb([b]))
+        )
+    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").coalesce(1)
+    res = pairs.select(
+        "fid", st_clip_geom(F.col("ga"), F.col("gb"), F.lit("union")).alias("geom")
+    )
+    return _checksum_rows(res)
+
+
+@query(
+    "q153_overlay_geom_difference",
+    f"""WITH {_LSF}
+       SELECT fid, CAST(NULL AS BIGINT) AS b_id, CAST(0 AS INT) AS pi,
+              CAST(0 AS INT) AS ri, CAST(6 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx", "2*(tx+w+w3)", "2*(tx+w+w3)",
+                            "2*(tx+w)", "2*(tx+w)", "2*tx"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty", "2*ty", "2*(ty+h)", "2*(ty+h)",
+                            "2*(ty+h+h2)", "2*(ty+h+h2)"])} AS BIGINT) AS vsum_y,
+              round(CAST((w+w3)*h + w*h2 AS DOUBLE), 6) AS r_area
+       FROM f
+       UNION ALL
+       SELECT fid, CAST(NULL AS BIGINT) AS b_id, CAST(0 AS INT) AS pi,
+              CAST(1 AS INT) AS ri, CAST(4 AS INT) AS n_pts,
+              CAST({_vsum2(["2*(tx+1)", "2*(tx+1)", "2*(tx+2)", "2*(tx+2)"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*(ty+1)", "2*(ty+2)", "2*(ty+2)", "2*(ty+1)"])} AS BIGINT) AS vsum_y,
+              CAST(-1.0 AS DOUBLE) AS r_area
+       FROM f""",
+)
+def q153(spark, sf_dir):
+    """Layer-algebra Difference emitting a polygon WITH A HOLE
+    (ogrlayer.cpp:5803 Erase): island method feature strictly inside
+    the L-shape — the result carries the island as a CW interior ring,
+    hole-parented by exact ray-cast containment."""
+    from gdal_spark.operators.overlay import overlay_features
+
+    arows, bpolys = [], []
+    for p in _lshape_params(spark, sf_dir):
+        t = np.array([p["tx"], p["ty"]], dtype=np.float64)
+        arows.append((p["fid"], W.polygon_wkb([_lshape_ring(p)])))
+        b = np.array(
+            [[1, 1], [2, 1], [2, 2], [1, 2], [1, 1]], dtype=np.float64
+        ) + t
+        bpolys.append((p["fid"], W.polygon_wkb([b])))
+    layer = local_df(spark, arows, "a_id long, geom binary").coalesce(1)
+    res = overlay_features(layer, bpolys, "difference")
+    return _checksum_rows(
+        res.withColumnRenamed("a_id", "fid"), keep=("fid", "b_id")
+    )
+
+
+@query(
+    "q154_overlay_geom_symdiff",
+    f"""WITH {_LSF}
+       SELECT fid, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(10 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx", "2*(tx+w+w3)", "2*(tx+w+w3)", "2*(tx+w)",
+                            "2*(tx+w)", "2*(tx+w+w3)", "2*(tx+w+w3)",
+                            "2*(tx+w)", "2*(tx+w)", "2*tx"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty", "2*ty", "2*ty+1", "2*ty+1",
+                            "2*(ty+h)-1", "2*(ty+h)-1", "2*(ty+h)",
+                            "2*(ty+h)", "2*(ty+h+h2)", "2*(ty+h+h2)"])} AS BIGINT) AS vsum_y,
+              round(CAST((w+w3)*h + w*h2 - w3*(h-1) AS DOUBLE), 6) AS r_area
+       FROM f
+       UNION ALL
+       SELECT fid, CAST(1 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(4 AS INT) AS n_pts,
+              CAST({_vsum2(["2*(tx+w+w3)", "2*(tx+w+w3)+2", "2*(tx+w+w3)+2",
+                            "2*(tx+w+w3)"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty+1", "2*ty+1", "2*(ty+h)-1",
+                            "2*(ty+h)-1"])} AS BIGINT) AS vsum_y,
+              round(CAST(h-1 AS DOUBLE), 6) AS r_area
+       FROM f""",
+)
+def q154(spark, sf_dir):
+    """Geometry SymDifference with CHECKERBOARD PINCHES
+    (ogrlayer.cpp:6456): the method rect crosses the L's right edge,
+    so A⊕B pinches at the two boundary crossings — the trace emits the
+    (A−B) and (B−A) pieces as SEPARATE polygons touching at the pinch
+    vertices (the reference's GEOS output decomposes identically)."""
+    from gdal_spark.functions.st import st_clip_geom
+
+    rows = []
+    for p in _lshape_params(spark, sf_dir):
+        t = np.array([p["tx"], p["ty"]], dtype=np.float64)
+        Wx = p["w"] + p["w3"]
+        b = np.array(
+            [[p["w"], 0.5], [Wx + 1, 0.5], [Wx + 1, p["h"] - 0.5],
+             [p["w"], p["h"] - 0.5], [p["w"], 0.5]],
+            dtype=np.float64,
+        ) + t
+        rows.append(
+            (p["fid"], W.polygon_wkb([_lshape_ring(p)]), W.polygon_wkb([b]))
+        )
+    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").coalesce(1)
+    res = pairs.select(
+        "fid",
+        st_clip_geom(F.col("ga"), F.col("gb"), F.lit("symdifference")).alias("geom"),
+    )
+    return _checksum_rows(res)
+
+
+@query(
+    "q155_makevalid_star",
+    f"""WITH {_LSF}
+       SELECT fid, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(3 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx", "2*(tx+bb)", "2*tx"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty", "2*(ty+bb)", "2*(ty+bb)"])} AS BIGINT) AS vsum_y,
+              round(CAST(bb*bb AS DOUBLE)/2, 6) AS r_area
+       FROM f
+       UNION ALL
+       SELECT fid, CAST(1 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(3 AS INT) AS n_pts,
+              CAST({_vsum2(["2*(tx+bb)", "2*(tx+6*aa-bb)", "2*(tx+3*aa)"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*(ty+bb)", "2*(ty+bb)", "2*(ty+3*aa)"])} AS BIGINT) AS vsum_y,
+              round(CAST((6*aa-2*bb)*(3*aa-bb) AS DOUBLE)/2, 6) AS r_area
+       FROM f
+       UNION ALL
+       SELECT fid, CAST(2 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(3 AS INT) AS n_pts,
+              CAST({_vsum2(["2*(tx+6*aa-bb)", "2*(tx+6*aa)", "2*(tx+6*aa)"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*(ty+bb)", "2*ty", "2*(ty+bb)"])} AS BIGINT) AS vsum_y,
+              round(CAST(bb*bb AS DOUBLE)/2, 6) AS r_area
+       FROM f""",
+)
+def q155(spark, sf_dir):
+    """ST_MakeValid on INTERLEAVED self-crossings (ogrgeometry.cpp:
+    4183) — a zigzag ring whose bottom edge is crossed TWICE (the case
+    the pinch-lobe kernel was out of contract for): the exact noder
+    emits the three even-odd lobes as separate polygons with pinned
+    order.  Closes the round-2 geometry-methods contract note."""
+    from gdal_spark.functions.st import st_makevalid
+
+    rows = []
+    for p in _lshape_params(spark, sf_dir):
+        t = np.array([p["tx"], p["ty"]], dtype=np.float64)
+        a, b = p["aa"], p["bb"]
+        ring = np.array(
+            [[0, 0], [3 * a, 3 * a], [6 * a, 0], [6 * a, b], [0, b], [0, 0]],
+            dtype=np.float64,
+        ) + t
+        rows.append((p["fid"], W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    res = layer.select("fid", st_makevalid(F.col("geom")).alias("geom"))
+    return _checksum_rows(res)
+
+
+@query(
+    "q156_buffer_concave",
+    f"""WITH {_LSF}
+       SELECT fid, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(6 AS INT) AS n_pts,
+              CAST({_vsum2(["2*tx-1", "2*(tx+w+w3)+1", "2*(tx+w+w3)+1",
+                            "2*(tx+w)+1", "2*(tx+w)+1", "2*tx-1"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*ty-1", "2*ty-1", "2*(ty+h)+1", "2*(ty+h)+1",
+                            "2*(ty+h+h2)+1", "2*(ty+h+h2)+1"])} AS BIGINT) AS vsum_y,
+              round(CAST((w+w3+1)*(h+1) + (w+1)*(h2+1) - (w+1) AS DOUBLE), 6)
+                  AS r_area
+       FROM f""",
+)
+def q156(spark, sf_dir):
+    """TRUE CONCAVE ST_Buffer (ogrgeometry.cpp:4949), GEOS-free: the
+    L-shape buffered square-style d=0.5 via the exact-noder union of
+    per-edge swept hulls — the Minkowski sum of the CONCAVE input, not
+    its hull (the round-2 contract limitation).  Oracle: the L is two
+    rectangles, Minkowski distributes over union, so the expected ring
+    and area follow from interval arithmetic."""
+    from gdal_spark.functions.st import st_buffer
+
+    rows = []
+    for p in _lshape_params(spark, sf_dir):
+        rows.append((p["fid"], W.polygon_wkb([_lshape_ring(p)])))
+    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    res = layer.select(
+        "fid",
+        st_buffer(F.col("geom"), F.lit(0.5), F.lit("square")).alias("geom"),
+    )
+    return _checksum_rows(res)

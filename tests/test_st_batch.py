@@ -1,0 +1,75 @@
+"""Bitwise parity of the round-3 batch-vectorized ST_* paths vs the
+per-row kernels they replaced (functions/st.py, kernels/geomops.py::
+min_distance_batch).  The batch path must be a pure speedup — any
+reordering of the float expression tree would break the atol=0 oracle
+contract."""
+
+import numpy as np
+import pandas as pd
+
+from gdal_spark.functions import st
+from gdal_spark.kernels import geomops as G
+from gdal_spark.kernels import wkb as W
+
+
+def _col(n=500):
+    blobs = []
+    for i in range(n):
+        w, h = 3 + i % 7, 2 + i % 5
+        t = np.array([(i % 20) * 25, (i // 20) * 25], dtype=np.float64)
+        ring = np.array(
+            [[0, 0], [w, 0], [w + 1, h / 2], [w, h], [0, h], [-1, h / 2],
+             [0, 0]],
+            dtype=np.float64,
+        ) + t
+        blobs.append(W.polygon_wkb([ring]))
+    return pd.Series(blobs)
+
+
+def test_min_distance_batch_bitwise():
+    rng = np.random.default_rng(3)
+    A = rng.integers(0, 20, (300, 6, 2)).astype(float)
+    B = rng.integers(0, 20, (300, 5, 2)).astype(float)
+    batch = G.min_distance_batch(A, B)
+    ref = np.array([G.min_distance(A[i], B[i]) for i in range(300)])
+    assert (batch == ref).all()
+
+
+def test_st_centroid_batch_bitwise():
+    col = _col()
+    new = st.st_centroid.func(col)
+    ref = []
+    for blob in col:
+        _t, parts = W.parse_wkb(bytes(blob))
+        cx, cy = G.polygon_centroid(parts[0])
+        ref.append([cx, cy])
+    assert list(new) == ref
+
+
+def test_st_astext_matches_generic():
+    col = _col()
+    new = st.st_astext.func(col)
+    ref = [W.wkb_to_wkt(bytes(b)) for b in col]
+    assert list(new) == ref
+
+
+def test_st_distance_mixed_fallback():
+    # mix fast-layout rows with a LINESTRING (generic-parser) row —
+    # the bucketing must route each correctly
+    col_a = list(_col(50))
+    col_b = list(_col(50))[::-1]
+    ls = W.linestring_wkb(np.array([[0.0, 0.0], [5.0, 5.0]]))
+    col_a[7] = ls
+    a, b = pd.Series(col_a), pd.Series(col_b)
+    new = st.st_distance.func(a, b)
+    ref = []
+    for ga, gb in zip(a, b):
+        ta, pa = W.parse_wkb(bytes(ga))
+        tb, pb = W.parse_wkb(bytes(gb))
+        ref.append(
+            G.min_distance(
+                np.vstack(W._collect_coords(ta, pa)),
+                np.vstack(W._collect_coords(tb, pb)),
+            )
+        )
+    assert list(new) == ref
