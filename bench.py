@@ -171,6 +171,12 @@ HEADLINE = [
     "q154_overlay_geom_symdiff",
     "q155_makevalid_star",
     "q156_buffer_concave",
+    "q157_warp_lanczos",
+    "q158_warp_average",
+    "q159_warp_mode",
+    "q160_warp_rms",
+    "q161_geodesic_length",
+    "q162_geodesic_area",
 ]
 
 

@@ -163,6 +163,8 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_MakeValid", st_makevalid)
     spark.udf.register("ST_ZMStats", st_zm_stats)
     spark.udf.register("ST_Linearize", st_linearize)
+    spark.udf.register("ST_GeodesicLength", st_geodesic_length)
+    spark.udf.register("ST_Area_Ellipsoid", st_geodesic_area)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -619,3 +621,45 @@ def st_linearize(wkb: pd.Series, max_angle: pd.Series) -> pd.Series:
     return pd.Series(
         [X.linearize_wkb(bytes(b), float(a)) for b, a in zip(wkb, max_angle)]
     )
+
+
+@F.pandas_udf(T.DoubleType())
+def st_geodesic_length(wkb: pd.Series) -> pd.Series:
+    """Ellipsoidal (WGS84) length in meters — the surface of
+    OGRLineString::get_GeodesicLength (ogr/ogrlinestring.cpp:3245) /
+    the SQLite dialect's GeodesicLength; per-segment Vincenty inverse
+    (kernels/geodesy.py, PROJ-free re-statement)."""
+    from gdal_spark.kernels import geodesy as GD
+    from gdal_spark.kernels import wkb as W2
+
+    out = np.zeros(len(wkb))
+    for i, blob in enumerate(wkb):
+        gtype, parts = W2.parse_wkb(bytes(blob))
+        coords = (
+            parts if gtype == W2.LINESTRING
+            else np.vstack(W2._collect_coords(gtype, parts))
+        )
+        out[i] = GD.geodesic_line_length(coords[:, 1], coords[:, 0])
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def st_geodesic_area(wkb: pd.Series) -> pd.Series:
+    """Ellipsoidal (WGS84) polygon area in m² — the surface of
+    OGRLineString::get_GeodesicArea (ogr/ogrlinestring.cpp:3228) /
+    Area(geom, ellipsoid) in the SQLite dialect; authalic-sphere
+    excess (kernels/geodesy.py — densify long edges, documented
+    O(f·seg²) edge-shape contract)."""
+    from gdal_spark.kernels import geodesy as GD
+    from gdal_spark.kernels import wkb as W2
+
+    out = np.zeros(len(wkb))
+    for i, blob in enumerate(wkb):
+        rings = W2.polygon_rings(bytes(blob))
+        tot = 0.0
+        for poly in rings:
+            for j, r in enumerate(poly):
+                a = GD.geodesic_ring_area(r[:, 1], r[:, 0])
+                tot += a if j == 0 else -a
+        out[i] = tot
+    return pd.Series(out)

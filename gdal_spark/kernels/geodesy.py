@@ -133,3 +133,169 @@ def hilbert_d2xy(order: int, d: np.ndarray):
         t //= np.uint64(4)
         s <<= one
     return x.astype(np.int64), y.astype(np.int64)
+
+
+# --- geodesic (ellipsoid) length and area ----------------------------------
+# Reference surface: OGRLineString::get_GeodesicLength / get_GeodesicArea
+# (ogr/ogrlinestring.cpp:3224-3260) and the SQLite dialect's
+# Area(geom, ellipsoid) / GeodesicLength
+# (ogr/ogrsf_frmts/sqlite/ogrsqlitesqlfunctions.cpp), which delegate to
+# PROJ's GeographicLib port (geod_inverse / geod_polygonarea).  PROJ is
+# not in this container; these are re-statements of the published
+# algorithms:
+#   length — Vincenty's inverse formula (Vincenty 1975, "Direct and
+#   inverse solutions of geodesics on the ellipsoid"), agreement with
+#   geod_inverse ≤ 0.5 mm for non-near-antipodal pairs;
+#   area — spherical excess on the AUTHALIC sphere (Snyder 1987 eq.
+#   3-11/3-12 authalic latitude; L'Huilier excess), exact for the
+#   region measure, with an O(f·seg²) edge-shape deviation from the
+#   geodesic-edge result — densify long edges (documented contract;
+#   tests anchor against closed-form lat-lon band areas).
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+
+
+def vincenty_inverse(lat1, lon1, lat2, lon2, a=WGS84_A, f=WGS84_F):
+    """Vectorized Vincenty inverse geodesic distance (meters) between
+    degree coordinates; all inputs broadcastable arrays."""
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    dlon = np.radians(
+        np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64)
+    )
+    b = a * (1.0 - f)
+    U1 = np.arctan((1.0 - f) * np.tan(lat1))
+    U2 = np.arctan((1.0 - f) * np.tan(lat2))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2, cosU2 = np.sin(U2), np.cos(U2)
+    lam = dlon.copy()
+    for _ in range(64):
+        sinl, cosl = np.sin(lam), np.cos(lam)
+        sin_sigma = np.sqrt(
+            (cosU2 * sinl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosl) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+        sigma = np.arctan2(sin_sigma, cos_sigma)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sin_alpha = np.where(
+                sin_sigma == 0.0, 0.0, cosU1 * cosU2 * sinl / np.where(
+                    sin_sigma == 0.0, 1.0, sin_sigma
+                )
+            )
+        cos2_alpha = 1.0 - sin_alpha * sin_alpha
+        cos2sm = np.where(
+            cos2_alpha == 0.0,
+            0.0,
+            cos_sigma - 2.0 * sinU1 * sinU2 / np.where(
+                cos2_alpha == 0.0, 1.0, cos2_alpha
+            ),
+        )
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        lam_new = dlon + (1.0 - C) * f * sin_alpha * (
+            sigma
+            + C * sin_sigma * (
+                cos2sm + C * cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)
+            )
+        )
+        if np.all(np.abs(lam_new - lam) < 1e-14):
+            lam = lam_new
+            break
+        lam = lam_new
+    sinl, cosl = np.sin(lam), np.cos(lam)
+    sin_sigma = np.sqrt(
+        (cosU2 * sinl) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cosl) ** 2
+    )
+    cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cosl
+    sigma = np.arctan2(sin_sigma, cos_sigma)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sin_alpha = np.where(
+            sin_sigma == 0.0, 0.0, cosU1 * cosU2 * sinl / np.where(
+                sin_sigma == 0.0, 1.0, sin_sigma
+            )
+        )
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    cos2sm = np.where(
+        cos2_alpha == 0.0,
+        0.0,
+        cos_sigma - 2.0 * sinU1 * sinU2 / np.where(
+            cos2_alpha == 0.0, 1.0, cos2_alpha
+        ),
+    )
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    dsig = B * sin_sigma * (
+        cos2sm
+        + B / 4.0 * (
+            cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_sigma * sin_sigma)
+            * (-3.0 + 4.0 * cos2sm * cos2sm)
+        )
+    )
+    return b * A * (sigma - dsig)
+
+
+def geodesic_line_length(lats, lons, a=WGS84_A, f=WGS84_F) -> float:
+    """Σ per-segment Vincenty distances — the get_GeodesicLength loop
+    (ogrlinestring.cpp:3245)."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    if lats.shape[0] < 2:
+        return 0.0
+    return float(
+        np.sum(vincenty_inverse(lats[:-1], lons[:-1], lats[1:], lons[1:], a, f))
+    )
+
+
+def _authalic_sin(lat_rad, e):
+    """sin of the authalic latitude: q(φ)/q(90°) (Snyder 1987 eq. 3-12)."""
+    s = np.sin(lat_rad)
+    q = (1.0 - e * e) * (
+        s / (1.0 - e * e * s * s) + np.arctanh(e * s) / e
+    )
+    qp = (1.0 - e * e) * (1.0 / (1.0 - e * e) + np.arctanh(e) / e)
+    return np.clip(q / qp, -1.0, 1.0)
+
+
+def authalic_radius(a=WGS84_A, f=WGS84_F) -> float:
+    e2 = f * (2.0 - f)
+    e = np.sqrt(e2)
+    qp = (1.0 - e2) * (1.0 / (1.0 - e2) + np.arctanh(e) / e)
+    return float(a * np.sqrt(qp / 2.0))
+
+
+def geodesic_ring_area(lats, lons, a=WGS84_A, f=WGS84_F) -> float:
+    """|area| (m²) of a ring by spherical excess on the authalic
+    sphere: vertices map to authalic latitudes (area-preserving), the
+    excess uses the standard transverse-Mercator-free formula
+    Σ (λ₂−λ₁)·(2 + sinξ₁ + sinξ₂)-style girard accumulation via the
+    l'Huilier-safe atan2 form.  Edge shape deviates from the geodesic
+    edge by O(f·seg²) — densify long edges."""
+    lats = np.asarray(lats, dtype=np.float64)
+    lons = np.asarray(lons, dtype=np.float64)
+    if lats.shape[0] > 1 and lats[0] == lats[-1] and lons[0] == lons[-1]:
+        lats, lons = lats[:-1], lons[:-1]
+    e = np.sqrt(WGS84_F * (2.0 - WGS84_F)) if (a, f) == (WGS84_A, WGS84_F) else np.sqrt(f * (2.0 - f))
+    R = authalic_radius(a, f)
+    xi = np.arcsin(_authalic_sin(np.radians(lats), e))
+    lam = np.radians(lons)
+    # spherical polygon area via the girard/shoelace-on-sphere sum:
+    # Σ (λ_{i+1} − λ_i) · (sin ξ_{i+1} + sin ξ_i) / 2 · R² is the
+    # cylindrical-projection shoelace — exact for great-circle-free
+    # measure on the authalic sphere with straight-in-(λ, sinξ) edges;
+    # use the standard excess formula instead (great-circle edges):
+    xi1 = np.roll(xi, -1)
+    lam1 = np.roll(lam, -1)
+    dl = lam1 - lam
+    # wrap to (−π, π]
+    dl = np.where(dl > np.pi, dl - 2 * np.pi, dl)
+    dl = np.where(dl <= -np.pi, dl + 2 * np.pi, dl)
+    # per-edge excess (Eriksson / standard): E = 2·atan2(
+    #   tan(dl/2)·(tan(ξ/2)+tan(ξ'/2)), 1 + tan(ξ/2)·tan(ξ'/2))
+    t0 = np.tan(xi / 2.0)
+    t1 = np.tan(xi1 / 2.0)
+    E = 2.0 * np.arctan2(
+        np.tan(dl / 2.0) * (t0 + t1), 1.0 + t0 * t1
+    )
+    return float(abs(np.sum(E)) * R * R)

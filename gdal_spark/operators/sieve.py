@@ -47,7 +47,70 @@ from pyspark.sql import types as T
 from gdal_spark.session import local_df
 
 from gdal_spark.kernels.ccl import border_runs, label_tile, region_table
-from gdal_spark.operators.polygonize import _DSU, _label_roots
+from gdal_spark.operators.polygonize import _label_roots
+
+
+def _absorb_rounds(count: dict, dn_of: dict, adj: dict, threshold: int) -> dict:
+    """ROUND-SYNCHRONOUS absorption (the pinned deterministic
+    semantics shared with the distributed path — sievefilter.cpp's
+    sequential in-pass mutation is enumeration-order-dependent and so
+    implementation-defined; this spec is order-free):
+
+    each round, every under-threshold region with ≥1 neighbour
+    SIMULTANEOUSLY selects its largest current neighbour by
+    (pixel count, then smallest key); mutual selections form only
+    2-cycles (the selection weight is a total order), resolved by
+    dropping the WINNER's pointer (the larger region survives);
+    pointer chains collapse to their terminals; counts re-aggregate;
+    repeat until no under-threshold region has a neighbour.
+
+    Returns {absorbed key: terminal key} for CHANGED regions only.
+    """
+    def W_(r):
+        return (count[r], tuple(-v for v in r))
+
+    parent: dict = {}
+    cur_adj = {k: set(v) for k, v in adj.items()}
+    while True:
+        small = [r for r in sorted(count) if count[r] < threshold and cur_adj.get(r)]
+        if not small:
+            break
+        ptr = {r: max(cur_adj[r], key=W_) for r in small}
+        for r in list(ptr):
+            t = ptr.get(r)
+            if t is not None and ptr.get(t) == r:
+                winner = r if W_(r) > W_(t) else t
+                ptr.pop(winner, None)
+
+        def term(r):
+            while r in ptr:
+                r = ptr[r]
+            return r
+
+        moves = {r: term(r) for r in ptr}
+        for r, t in moves.items():
+            count[t] += count[r]
+        for r in moves:
+            count.pop(r, None)
+
+        def rep(x):
+            return moves.get(x, x)
+
+        new_adj: dict = {}
+        for a_k, ns in cur_adj.items():
+            ra = rep(a_k)
+            s = new_adj.setdefault(ra, set())
+            for n in ns:
+                rn = rep(n)
+                if rn != ra:
+                    s.add(rn)
+        for s in new_adj.values():
+            s.discard(None)
+        cur_adj = new_adj
+        for k in list(parent):
+            parent[k] = rep(parent[k])
+        parent.update(moves)
+    return parent
 
 _MIX_SCHEMA = T.StructType(
     [
@@ -72,6 +135,263 @@ TILE_OUT_SCHEMA = T.StructType(
         T.StructField("dtype", T.StringType()),
     ]
 )
+
+
+def _absorb_rounds_distributed(
+    root_stats: DataFrame, incident_edges: DataFrame, threshold: int
+) -> DataFrame:
+    """The SAME round-synchronous absorption as ``_absorb_rounds``,
+    expressed as distributed DataFrame contractions — the past-the-gate
+    path (no collect of the under-threshold subgraph, which on a noisy
+    100-TB raster is itself O(raster)).
+
+    Per round: small regions pick their max-(total, smallest-key)
+    neighbour (groupBy + struct max), mutual picks drop the winner's
+    pointer (self-join), chains collapse by pointer doubling, counts
+    re-aggregate, edges contract.  Rounds are O(log absorption-chain
+    length); each round is a handful of shuffles over the small
+    subgraph only.
+
+    Returns (root_tx, root_ty, root_label, new_dn) for CHANGED regions.
+    """
+    K = ["kx", "ky", "kl"]
+
+    stats = root_stats.select(
+        F.col("root_tx").alias("kx"),
+        F.col("root_ty").alias("ky"),
+        F.col("root_label").cast("long").alias("kl"),
+        F.col("total"),
+        F.col("dn"),
+    ).localCheckpoint()
+    half = incident_edges.select(
+        F.col("root_tx").alias("ax"), F.col("root_ty").alias("ay"),
+        F.col("root_label").cast("long").alias("al"),
+        F.col("broot_tx").alias("bx"), F.col("broot_ty").alias("by"),
+        F.col("broot_label").cast("long").alias("bl"),
+    )
+    edges = half.unionByName(
+        half.select(
+            F.col("bx").alias("ax"), F.col("by").alias("ay"),
+            F.col("bl").alias("al"),
+            F.col("ax").alias("bx"), F.col("ay").alias("by"),
+            F.col("al").alias("bl"),
+        )
+    ).distinct().localCheckpoint()
+
+    pmap = None  # (ox, oy, ol) -> (kx, ky, kl) cumulative
+    for _round in range(64):
+        small = stats.filter(F.col("total") < threshold).select(*K)
+        # pointers: for each small a, neighbour maximizing
+        # (total, -key) — struct max is lexicographic, so negated key
+        # fields implement the smallest-key tie-break
+        nb = edges.join(
+            small,
+            (edges["ax"] == small["kx"]) & (edges["ay"] == small["ky"])
+            & (edges["al"] == small["kl"]),
+            "leftsemi",
+        )
+        bstats = stats.select(
+            F.col("kx").alias("bx"), F.col("ky").alias("by"),
+            F.col("kl").alias("bl"), F.col("total").alias("btotal"),
+        )
+        nbs = nb.join(bstats, ["bx", "by", "bl"])
+        ptr = (
+            nbs.groupBy("ax", "ay", "al")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("btotal"),
+                        (-F.col("bx")).alias("nx"),
+                        (-F.col("by")).alias("ny"),
+                        (-F.col("bl")).alias("nl"),
+                    )
+                ).alias("m")
+            )
+            .select(
+                "ax", "ay", "al",
+                (-F.col("m.nx")).alias("tx_"), (-F.col("m.ny")).alias("ty_"),
+                (-F.col("m.nl")).alias("tl_"),
+            )
+            .localCheckpoint()
+        )
+        if ptr.rdd.isEmpty():
+            break
+        # 2-cycles: a→t and t→a — drop the WINNER's pointer, where the
+        # winner is the larger (total, smallest-key); the loop weight
+        # is a total order so longer cycles cannot occur
+        rev = ptr.select(
+            F.col("ax").alias("r_ax"), F.col("ay").alias("r_ay"),
+            F.col("al").alias("r_al"),
+            F.col("tx_").alias("r_tx"), F.col("ty_").alias("r_ty"),
+            F.col("tl_").alias("r_tl"),
+        )
+        astats = stats.select(
+            F.col("kx").alias("ax"), F.col("ky").alias("ay"),
+            F.col("kl").alias("al"), F.col("total").alias("a_total"),
+        )
+        tstats = stats.select(
+            F.col("kx").alias("tx_"), F.col("ky").alias("ty_"),
+            F.col("kl").alias("tl_"), F.col("total").alias("t_total"),
+        )
+        cyc = (
+            ptr.join(
+                rev,
+                (F.col("tx_") == F.col("r_ax")) & (F.col("ty_") == F.col("r_ay"))
+                & (F.col("tl_") == F.col("r_al"))
+                & (F.col("ax") == F.col("r_tx")) & (F.col("ay") == F.col("r_ty"))
+                & (F.col("al") == F.col("r_tl")),
+            )
+            .join(astats, ["ax", "ay", "al"])
+            .join(tstats, ["tx_", "ty_", "tl_"])
+        )
+        a_wins = (
+            (F.col("a_total") > F.col("t_total"))
+            | (
+                (F.col("a_total") == F.col("t_total"))
+                & (
+                    F.struct(
+                        (-F.col("ax")).alias("x"), (-F.col("ay")).alias("y"),
+                        (-F.col("al")).alias("l"),
+                    )
+                    > F.struct(
+                        (-F.col("tx_")).alias("x"), (-F.col("ty_")).alias("y"),
+                        (-F.col("tl_")).alias("l"),
+                    )
+                )
+            )
+        )
+        winners = cyc.filter(a_wins).select("ax", "ay", "al")
+        ptr = ptr.join(winners, ["ax", "ay", "al"], "left_anti").localCheckpoint()
+
+        # pointer doubling to terminals (chains are loop-free now)
+        for _ in range(32):
+            nxt = ptr.select(
+                F.col("ax").alias("n_ax"), F.col("ay").alias("n_ay"),
+                F.col("al").alias("n_al"),
+                F.col("tx_").alias("n_tx"), F.col("ty_").alias("n_ty"),
+                F.col("tl_").alias("n_tl"),
+            )
+            j = ptr.join(
+                nxt,
+                (F.col("tx_") == F.col("n_ax")) & (F.col("ty_") == F.col("n_ay"))
+                & (F.col("tl_") == F.col("n_al")),
+                "left",
+            )
+            hops = j.filter(F.col("n_tx").isNotNull())
+            if hops.rdd.isEmpty():
+                ptr = j.select("ax", "ay", "al", "tx_", "ty_", "tl_")
+                break
+            ptr = j.select(
+                "ax", "ay", "al",
+                F.coalesce("n_tx", "tx_").alias("tx_"),
+                F.coalesce("n_ty", "ty_").alias("ty_"),
+                F.coalesce("n_tl", "tl_").alias("tl_"),
+            ).localCheckpoint()
+
+        # apply the moves: counts re-aggregate onto terminals
+        adds = (
+            ptr.join(
+                stats,
+                (F.col("ax") == F.col("kx")) & (F.col("ay") == F.col("ky"))
+                & (F.col("al") == F.col("kl")),
+            )
+            .groupBy("tx_", "ty_", "tl_")
+            .agg(F.sum("total").alias("added"))
+        )
+        moved_keys = ptr.select(
+            F.col("ax").alias("kx"), F.col("ay").alias("ky"),
+            F.col("al").alias("kl"),
+        )
+        stats = (
+            stats.join(moved_keys, K, "left_anti")
+            .join(
+                adds,
+                (F.col("kx") == F.col("tx_")) & (F.col("ky") == F.col("ty_"))
+                & (F.col("kl") == F.col("tl_")),
+                "left",
+            )
+            .select(
+                "kx", "ky", "kl",
+                (F.col("total") + F.coalesce("added", F.lit(0))).alias("total"),
+                "dn",
+            )
+            .localCheckpoint()
+        )
+        # contract edges through the moves, drop self-loops
+        amap = ptr.select(
+            F.col("ax").alias("m_x"), F.col("ay").alias("m_y"),
+            F.col("al").alias("m_l"),
+            F.col("tx_").alias("m_tx"), F.col("ty_").alias("m_ty"),
+            F.col("tl_").alias("m_tl"),
+        )
+        e2 = (
+            edges.join(
+                amap,
+                (F.col("ax") == F.col("m_x")) & (F.col("ay") == F.col("m_y"))
+                & (F.col("al") == F.col("m_l")),
+                "left",
+            )
+            .select(
+                F.coalesce("m_tx", "ax").alias("ax"),
+                F.coalesce("m_ty", "ay").alias("ay"),
+                F.coalesce("m_tl", "al").alias("al"),
+                "bx", "by", "bl",
+            )
+            .join(
+                amap,
+                (F.col("bx") == F.col("m_x")) & (F.col("by") == F.col("m_y"))
+                & (F.col("bl") == F.col("m_l")),
+                "left",
+            )
+            .select(
+                "ax", "ay", "al",
+                F.coalesce("m_tx", "bx").alias("bx"),
+                F.coalesce("m_ty", "by").alias("by"),
+                F.coalesce("m_tl", "bl").alias("bl"),
+            )
+        )
+        edges = e2.filter(
+            (F.col("ax") != F.col("bx")) | (F.col("ay") != F.col("by"))
+            | (F.col("al") != F.col("bl"))
+        ).distinct().localCheckpoint()
+
+        # fold into the cumulative absorption map
+        moves = ptr.select(
+            F.col("ax").alias("ox"), F.col("ay").alias("oy"),
+            F.col("al").alias("ol"),
+            F.col("tx_").alias("kx"), F.col("ty_").alias("ky"),
+            F.col("tl_").alias("kl"),
+        )
+        if pmap is None:
+            pmap = moves.localCheckpoint()
+        else:
+            remapped = (
+                pmap.join(
+                    amap,
+                    (F.col("kx") == F.col("m_x")) & (F.col("ky") == F.col("m_y"))
+                    & (F.col("kl") == F.col("m_l")),
+                    "left",
+                )
+                .select(
+                    "ox", "oy", "ol",
+                    F.coalesce("m_tx", "kx").alias("kx"),
+                    F.coalesce("m_ty", "ky").alias("ky"),
+                    F.coalesce("m_tl", "kl").alias("kl"),
+                )
+            )
+            pmap = remapped.unionByName(moves).localCheckpoint()
+    if pmap is None:
+        spark = root_stats.sparkSession
+        return local_df(
+            spark, [],
+            "root_tx long, root_ty long, root_label int, new_dn double",
+        )
+    # new dn = terminal's dn
+    dnk = stats.select("kx", "ky", "kl", F.col("dn").alias("new_dn"))
+    return pmap.join(dnk, K).select(
+        F.col("ox").alias("root_tx"), F.col("oy").alias("root_ty"),
+        F.col("ol").cast("int").alias("root_label"), "new_dn",
+    )
 
 
 def _tile_pass(tiles: DataFrame, nodata, connect8, tile_size):
@@ -216,9 +536,15 @@ def sieve_tiles(
     connect8: bool = False,
     tile_size: int = 256,
     cc_threshold: int = 200_000,
+    absorb_gate: int = 200_000,
 ) -> DataFrame:
     """→ relabeled tile rows (tx, ty, data float64, dtype) with every
-    under-threshold region merged into its largest neighbour."""
+    under-threshold region merged into its largest neighbour.
+
+    ``absorb_gate``: max under-threshold-incident edge count the
+    absorption loop may collect to the driver; larger subgraphs run
+    the identical round-synchronous contraction distributed
+    (_absorb_rounds_distributed) — no unbounded collect anywhere."""
     spark = tiles.sparkSession
     mixed = _tile_pass(tiles, nodata, connect8, tile_size).persist()
     borders = mixed.filter(F.col("kind") == "B").drop("kind", "pixel_count", "lab_b")
@@ -278,8 +604,11 @@ def sieve_tiles(
         .persist()
     )
 
-    # collect ONLY the under-threshold subgraph: small-region stats,
-    # edges incident to a small region, and those neighbours' stats.
+    # SIZE-GATED absorption (the _label_roots pattern): measure the
+    # under-threshold subgraph first; below the gate, collect it and
+    # run the round-synchronous driver loop; past the gate, run the
+    # SAME rounds as distributed DataFrame contractions — identical
+    # semantics, identical output (tests/test_sieve_distributed.py).
     small = root_stats.filter(F.col("total") < threshold)
     small_keys = small.select("root_tx", "root_ty", "root_label")
     inc_a = adj_edges.join(small_keys, ["root_tx", "root_ty", "root_label"], "leftsemi")
@@ -292,70 +621,56 @@ def sieve_tiles(
         ["broot_tx", "broot_ty", "broot_label"],
         "leftsemi",
     )
-    incident = inc_a.unionByName(inc_b).distinct().collect()
-    endpoints = {}
-    adj: dict = {}
-    for r in incident:
-        a = (r["root_tx"], r["root_ty"], r["root_label"])
-        b = (r["broot_tx"], r["broot_ty"], r["broot_label"])
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-        endpoints[a] = None
-        endpoints[b] = None
-    ep_df = local_df(spark, 
-        [(int(k[0]), int(k[1]), int(k[2])) for k in endpoints] or [(0, 0, -1)],
-        "root_tx long, root_ty long, root_label int",
-    )
-    need_stats = root_stats.join(
-        ep_df, ["root_tx", "root_ty", "root_label"], "leftsemi"
-    ).unionByName(small).distinct()
-    count = {}
-    dn_of = {}
-    for r in need_stats.collect():
-        k = (r["root_tx"], r["root_ty"], r["root_label"])
-        count[k] = r["total"]
-        dn_of[k] = r["dn"]
+    incident_df = inc_a.unionByName(inc_b).distinct().persist()
+    n_incident = incident_df.count()
+
+    if n_incident <= absorb_gate:
+        incident = incident_df.collect()
+        endpoints = {}
+        adj: dict = {}
+        for r in incident:
+            a = (r["root_tx"], r["root_ty"], r["root_label"])
+            b = (r["broot_tx"], r["broot_ty"], r["broot_label"])
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+            endpoints[a] = None
+            endpoints[b] = None
+        ep_df = local_df(spark,
+            [(int(k[0]), int(k[1]), int(k[2])) for k in endpoints] or [(0, 0, -1)],
+            "root_tx long, root_ty long, root_label int",
+        )
+        need_stats = root_stats.join(
+            ep_df, ["root_tx", "root_ty", "root_label"], "leftsemi"
+        ).unionByName(small).distinct()
+        count = {}
+        dn_of = {}
+        for r in need_stats.collect():
+            k = (r["root_tx"], r["root_ty"], r["root_label"])
+            count[k] = r["total"]
+            dn_of[k] = r["dn"]
+        parent = _absorb_rounds(count, dn_of, adj, threshold)
+        changed_rows = [
+            (int(k[0]), int(k[1]), int(k[2]), float(dn_of[t]))
+            for k, t in parent.items()
+        ]
+    else:
+        changed_rows = None
+        changed_big_df = _absorb_rounds_distributed(
+            root_stats, incident_df, threshold
+        )
+    incident_df.unpersist()
     pairs.unpersist()
     adj_edges.unpersist()
 
-    # merge loop: deterministic passes until no under-threshold region
-    # with a neighbour remains.  merged DSU tracks absorption.  Only
-    # initially-small regions can ever be absorbed (sizes only grow),
-    # so iterating the collected subgraph replays the full-graph loop
-    # exactly — large or isolated regions would be skipped anyway.
-    merged = _DSU()
-
-    def rep(x):
-        return merged.find(x)
-
-    changed = True
-    while changed:
-        changed = False
-        for r in sorted(count):
-            cur = rep(r)
-            if cur != r:
-                continue
-            if count[cur] >= threshold:
-                continue
-            nbrs = {rep(n) for n in adj.get(cur, ())} - {cur}
-            if not nbrs:
-                continue
-            target = max(nbrs, key=lambda n: (count[n], tuple(-v for v in n)))
-            # directed absorption: cur's tree now points at target
-            rep(cur), rep(target)  # ensure both present
-            merged.p[cur] = rep(target)
-            count[rep(target)] += count[cur]
-            adj.setdefault(rep(target), set()).update(adj.get(cur, ()))
-            changed = True
-
-    # CHANGED roots only → (tile, label) → merged dn, via one
-    # distributed join through the root map (no O(regions) driver list)
-    changed_rows = [
-        (int(k[0]), int(k[1]), int(k[2]), float(dn_of[rep(k)]))
-        for k in count
-        if rep(k) != k
-    ]
-    if changed_rows:
+    if changed_rows is None:
+        # past the gate the changed set can be large — shuffle join,
+        # never a broadcast of O(small regions)
+        map_df = keyed.join(
+            changed_big_df,
+            ["root_tx", "root_ty", "root_label"],
+            "inner",
+        ).select("tx", "ty", "local_label", "new_dn")
+    elif changed_rows:
         changed_df = local_df(spark, 
             changed_rows, "root_tx long, root_ty long, root_label int, new_dn double"
         )
@@ -399,7 +714,10 @@ def sieve_tiles(
             }
         )
 
+    # broadcast only the collected (gated) map; the distributed-path
+    # map can be O(small regions) — shuffle-join it on tile key
+    map_side = F.broadcast(map_df) if changed_rows is not None else map_df
     joined = tiles.select("tx", "ty", "data", "dtype").join(
-        F.broadcast(map_df), ["tx", "ty"], "left"
+        map_side, ["tx", "ty"], "left"
     )
     return joined.groupBy("tx", "ty").applyInPandas(apply_tile, TILE_OUT_SCHEMA)

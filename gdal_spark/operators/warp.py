@@ -62,10 +62,23 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, method):
     def bounds(dt_col):
         i0 = dt_col * ts
         i1 = F.least(i0 + ts, F.lit(n_dst)) - 1
+        if method in ("average", "mode", "rms"):
+            # footprint methods read src pixels whose CENTERS fall in
+            # the dst pixel's edge-to-edge span — bound by the tile's
+            # outer edges, padded one pixel (conservative is harmless)
+            ua = (F.lit(gd_off) + i0.cast("double") * gd_scale - gs_off) / gs_scale
+            ub = (
+                F.lit(gd_off) + (i1.cast("double") + 1.0) * gd_scale - gs_off
+            ) / gs_scale
+            umin, umax = F.least(ua, ub), F.greatest(ua, ub)
+            return (F.floor(umin) - 1).cast("long"), (F.floor(umax) + 1).cast("long")
         ua = (F.lit(gd_off) + (i0 + 0.5) * gd_scale - gs_off) / gs_scale
         ub = (F.lit(gd_off) + (i1.cast("double") + 0.5) * gd_scale - gs_off) / gs_scale
         umin, umax = F.least(ua, ub), F.greatest(ua, ub)
-        if method == "cubic":
+        if method == "lanczos":
+            lo = F.floor(umin - 0.5) - 2
+            hi = F.floor(umax - 0.5) + 3
+        elif method == "cubic":
             lo = F.floor(umin - 0.5) - 1
             hi = F.floor(umax - 0.5) + 2
         elif method == "bilinear":
@@ -80,6 +93,31 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, method):
 
 
 _CUBIC_A = -0.5
+
+
+def lanczos_weights_norm(frac: float) -> list[float]:
+    """Normalized 6-tap Lanczos (radius 3) weights for fractional
+    sample offset ``frac`` ∈ [0, 1): taps at offsets −2..+3 from
+    floor(sample), w(d) = sinc(d)·sinc(d/3), normalized by the tap
+    sum — GWKLanczosSinc + the accumulator-weight division of
+    GWKResample (alg/gdalwarpkernel.cpp).  Plain Python floats so
+    oracle SQL can inline repr() verbatim (bitwise both engines)."""
+    import math
+
+    raw = []
+    for m in range(-2, 4):
+        d = frac - m
+        if d == 0.0:
+            raw.append(1.0)
+        elif abs(d) >= 3.0:
+            raw.append(0.0)
+        else:
+            raw.append(
+                math.sin(math.pi * d) / (math.pi * d)
+                * math.sin(math.pi * d / 3.0) / (math.pi * d / 3.0)
+            )
+    s = sum(raw)
+    return [w / s for w in raw]
 
 
 def _cubic_weights(t: np.ndarray):
@@ -113,14 +151,24 @@ def warp_resample(
     (tx, ty, data float64, dtype).  Target tiles whose window touches
     no source tile are omitted (all-``fill``), keeping the tile table
     sparse."""
-    if method not in ("nearest", "bilinear", "cubic"):
+    if method not in (
+        "nearest", "bilinear", "cubic", "lanczos", "average", "mode", "rms"
+    ):
         raise ValueError(method)
     spark = tiles.sparkSession
     ts = tile_size
     sts = src_tile_size or tile_size
     bilinear = method == "bilinear"
     cubic = method == "cubic"
+    lanczos = method == "lanczos"
+    footprint = method in ("average", "mode", "rms")
     rotated = gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0
+    if footprint and rotated:
+        raise NotImplementedError(
+            "average/mode/rms warp: axis-aligned affines only (the "
+            "reference iterates the rotated footprint bbox; not needed "
+            "by any fixture)"
+        )
     det = gt_src[1] * gt_src[5] - gt_src[2] * gt_src[4]
     ndtx = (dst_width + ts - 1) // ts
     ndty = (dst_height + ts - 1) // ts
@@ -158,8 +206,8 @@ def warp_resample(
                 vs.append(v_)
         umin, umax = F.least(*us), F.greatest(*us)
         vmin, vmax = F.least(*vs), F.greatest(*vs)
-        margin = 2 if cubic else (1 if bilinear else 0)
-        off = 0.5 if (bilinear or cubic) else 0.0
+        margin = 3 if lanczos else (2 if cubic else (1 if bilinear else 0))
+        off = 0.5 if (bilinear or cubic or lanczos) else 0.0
         sx_lo = (F.floor(umin - off) - margin).cast("long")
         sx_hi = (F.floor(umax - off) + margin).cast("long")
         sy_lo = (F.floor(vmin - off) - margin).cast("long")
@@ -195,7 +243,29 @@ def warp_resample(
             Y = gd3 + I * gd4 + J * gd5
             U = (gs5 * (X - gs0) - gs2 * (Y - gs3)) / det
             V = (-gs4 * (X - gs0) + gs1 * (Y - gs3)) / det
-        if cubic:
+        if footprint:
+            # dst pixel footprint in src pixel space (axis-aligned):
+            # src pixel k participates iff its center k+0.5 lies in
+            # the half-open edge span [u_lo, u_hi)
+            ux_l = (gd0 + i * gd1 - gs0) / gs1
+            ux_r = (gd0 + (i + 1) * gd1 - gs0) / gs1
+            uy_l = (gd3 + j * gd5 - gs3) / gs5
+            uy_r = (gd3 + (j + 1) * gd5 - gs3) / gs5
+            KX0_1d = np.ceil(np.minimum(ux_l, ux_r) - 0.5).astype(np.int64)
+            KX1_1d = np.ceil(np.maximum(ux_l, ux_r) - 0.5).astype(np.int64)
+            KY0_1d = np.ceil(np.minimum(uy_l, uy_r) - 0.5).astype(np.int64)
+            KY1_1d = np.ceil(np.maximum(uy_l, uy_r) - 0.5).astype(np.int64)
+            KX0, KY0 = np.meshgrid(KX0_1d, KY0_1d)
+            KX1, KY1 = np.meshgrid(KX1_1d, KY1_1d)
+            x_lo, x_hi = int(KX0.min()), int(KX1.max()) - 1
+            y_lo, y_hi = int(KY0.min()), int(KY1.max()) - 1
+        elif lanczos:
+            WX, WY = U - 0.5, V - 0.5
+            x_lo = int(np.floor(WX.min())) - 2
+            x_hi = int(np.floor(WX.max())) + 3
+            y_lo = int(np.floor(WY.min())) - 2
+            y_hi = int(np.floor(WY.max())) + 3
+        elif cubic:
             WX, WY = U - 0.5, V - 0.5
             x_lo = int(np.floor(WX.min())) - 1
             x_hi = int(np.floor(WX.max())) + 2
@@ -223,7 +293,80 @@ def warp_resample(
             win[ya - y_lo : ybnd - y_lo, xa - x_lo : xbnd - x_lo] = arr[
                 ya - oy : ybnd - oy, xa - ox : xbnd - ox
             ]
-        if cubic:
+        if footprint:
+            KX0 -= x_lo
+            KX1 -= x_lo
+            KY0 -= y_lo
+            KY1 -= y_lo
+            max_nx = int((KX1 - KX0).max(initial=0))
+            max_ny = int((KY1 - KY0).max(initial=0))
+            vals, valids = [], []
+            for my in range(max_ny):
+                iy = KY0 + my
+                vy = iy < KY1
+                for mx in range(max_nx):
+                    ix = KX0 + mx
+                    valid = vy & (ix < KX1)
+                    vals.append(
+                        win[np.where(valid, iy, 0), np.where(valid, ix, 0)]
+                    )
+                    valids.append(valid)
+            cnt = np.zeros(U.shape)
+            for m in valids:
+                cnt += m
+            cnt = np.maximum(cnt, 1.0)
+            if method == "average":
+                s = np.zeros(U.shape)
+                for v_arr, m in zip(vals, valids):
+                    s += np.where(m, v_arr, 0.0)
+                out = s / cnt
+            elif method == "rms":
+                s2 = np.zeros(U.shape)
+                for v_arr, m in zip(vals, valids):
+                    s2 += np.where(m, v_arr * v_arr, 0.0)
+                out = np.sqrt(s2 / cnt)
+            else:  # mode, ties → SMALLEST value (pinned deterministic
+                # contract; the reference's tie order is scan-order-
+                # dependent and implementation-defined)
+                V_arr = np.stack(vals)
+                M_arr = np.stack(valids)
+                best_cnt = np.full(U.shape, -1.0)
+                best_val = np.full(U.shape, np.inf)
+                for t in range(V_arr.shape[0]):
+                    c = ((V_arr == V_arr[t]) & M_arr).sum(axis=0).astype(
+                        np.float64
+                    )
+                    c = np.where(M_arr[t], c, -1.0)
+                    v_t = np.where(M_arr[t], V_arr[t], np.inf)
+                    upd = (c > best_cnt) | ((c == best_cnt) & (v_t < best_val))
+                    best_cnt = np.where(upd, c, best_cnt)
+                    best_val = np.where(upd, v_t, best_val)
+                out = np.where(np.isfinite(best_val), best_val, fill)
+        elif lanczos:
+            X0 = np.floor(WX).astype(np.int64)
+            Y0 = np.floor(WY).astype(np.int64)
+            FX = WX - X0
+            FY = WY - Y0
+            X0 -= x_lo
+            Y0 -= y_lo
+            # per-DISTINCT-fraction weights through the same scalar
+            # (math.sin) path the oracle literals come from — bitwise
+            # on both engines; rational warp scales have O(1) distinct
+            # fractions per tile
+            def norm_w(FR):
+                uf, inv = np.unique(FR, return_inverse=True)
+                wtab = np.array(
+                    [lanczos_weights_norm(float(f)) for f in uf]
+                )  # (u, 6)
+                return [wtab[:, m][inv].reshape(FR.shape) for m in range(6)]
+
+            wxs = norm_w(FX)
+            wys = norm_w(FY)
+            out = np.zeros(U.shape)
+            for jj, wyj in enumerate(wys):
+                for ii, wxi in enumerate(wxs):
+                    out += wyj * wxi * win[Y0 + (jj - 2), X0 + (ii - 2)]
+        elif cubic:
             X0 = np.floor(WX).astype(np.int64)
             Y0 = np.floor(WY).astype(np.int64)
             FX = WX - X0

@@ -6115,3 +6115,262 @@ def q156(spark, sf_dir):
         st_buffer(F.col("geom"), F.lit(0.5), F.lit("square")).alias("geom"),
     )
     return _checksum_rows(res)
+
+
+# --- warp-side resampling completion (q157-q160) ----------------------------
+# The gdalwarp kernel set beyond nearest/bilinear/cubic
+# (alg/gdalwarpkernel.cpp: GWKLanczosSinc + GWKResample accumulator
+# normalization; GWKAverageOrMode for average/mode/rms) — the round-2
+# "missing" row.  Lanczos weights are Python-computed floats inlined
+# verbatim in the oracle (the q102-q107 recipe); footprint methods run
+# on an exact 2x downsample so every aggregate is integer arithmetic.
+
+
+def _warp_lanczos_oracle() -> str:
+    from gdal_spark.operators.warp import lanczos_weights_norm
+
+    we = lanczos_weights_norm(0.75)  # even dst columns: frac 0.75
+    wo = lanczos_weights_norm(0.25)  # odd: frac 0.25
+
+    def expr(wx, wy):
+        terms = []
+        for jj in range(6):
+            for ii in range(6):
+                zx = f"(gx-1)//2 + {ii - 2}"
+                zy = f"(gy-1)//2 + {jj - 2}"
+                terms.append(
+                    f"CAST('{wy[jj]!r}' AS DOUBLE)"
+                    f"*CAST('{wx[ii]!r}' AS DOUBLE)*({_z_sql(zx, zy)})"
+                )
+        return " + ".join(terms)
+
+    cases = (
+        f"CASE WHEN gx%2=0 AND gy%2=0 THEN ({expr(we, we)}) "
+        f"WHEN gx%2=1 AND gy%2=0 THEN ({expr(wo, we)}) "
+        f"WHEN gx%2=0 AND gy%2=1 THEN ({expr(we, wo)}) "
+        f"ELSE ({expr(wo, wo)}) END"
+    )
+    return (
+        "WITH g AS (SELECT px.range AS gx, py.range AS gy "
+        "FROM range(6, 250) px, range(6, 250) py), "
+        f"o AS (SELECT gx, gy, {cases} AS v FROM g) "
+        "SELECT gx, gy, round(v, 6) AS v FROM o WHERE v <> 0"
+    )
+
+
+@query("q157_warp_lanczos", _warp_lanczos_oracle())
+def q157(spark, sf_dir):
+    """gdalwarp LANCZOS (GWKLanczosSinc radius 3, tap sum normalized —
+    GWKResample's accumulator division) on a 2× upsample: dst sample
+    fractions alternate 0.25/0.75 by parity, so the 6-tap weight sets
+    are two Python-float vectors inlined verbatim in the oracle; the
+    36-term separable sum replays the engine's accumulation order
+    term for term."""
+    from gdal_spark.operators.warp import warp_resample
+
+    out = warp_resample(
+        _dem_tiles(spark), IDENTITY_GT, (0.0, 0.5, 0.0, 0.0, 0.0, 0.5),
+        256, 256, tile_size=32, method="lanczos",
+    )
+    feats = tiles_to_features(out, tile_size=32, nodata=0.0)
+    return feats.filter(
+        (F.col("gx") >= 6) & (F.col("gx") <= 249)
+        & (F.col("gy") >= 6) & (F.col("gy") <= 249)
+    ).select("gx", "gy", F.round("v", 6).alias("v"))
+
+
+_WARP_DOWN_SRC = (
+    f"s AS (SELECT sx.range AS sx, sy.range AS sy, "
+    f"CAST({_z_sql('sx.range', 'sy.range')} AS DOUBLE) AS z "
+    f"FROM range(128) sx, range(128) sy)"
+)
+
+
+@query(
+    "q158_warp_average",
+    f"""WITH {_WARP_DOWN_SRC},
+       o AS (SELECT sx//2 AS gx, sy//2 AS gy, SUM(z)/4.0 AS v
+             FROM s GROUP BY sx//2, sy//2)
+       SELECT gx, gy, round(v, 6) AS v FROM o WHERE v <> 0""",
+)
+def q158(spark, sf_dir):
+    """gdalwarp AVERAGE (GWKAverageOrMode GRA_Average): mean of the
+    source pixels whose centers fall in the dst pixel's footprint —
+    exactly the 2×2 block on a clean 2× downsample; integer source
+    values keep the sum exact in any order."""
+    from gdal_spark.operators.warp import warp_resample
+
+    out = warp_resample(
+        _dem_tiles(spark), IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0),
+        64, 64, tile_size=32, method="average",
+    )
+    feats = tiles_to_features(out, tile_size=32, nodata=0.0)
+    return feats.select("gx", "gy", F.round("v", 6).alias("v"))
+
+
+@query(
+    "q159_warp_mode",
+    f"""WITH {_WARP_DOWN_SRC},
+       c AS (SELECT sx//2 AS gx, sy//2 AS gy, z, count(*) AS n
+             FROM s GROUP BY sx//2, sy//2, z),
+       m AS (SELECT gx, gy, z,
+                    row_number() OVER (PARTITION BY gx, gy
+                                       ORDER BY n DESC, z ASC) AS rk
+             FROM c)
+       SELECT gx, gy, round(z, 6) AS v FROM m WHERE rk = 1 AND z <> 0""",
+)
+def q159(spark, sf_dir):
+    """gdalwarp MODE (GRA_Mode): most frequent footprint value, ties
+    broken by SMALLEST value (pinned deterministic contract; the
+    reference's tie order is accumulation-scan-dependent)."""
+    from gdal_spark.operators.warp import warp_resample
+
+    out = warp_resample(
+        _dem_tiles(spark), IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0),
+        64, 64, tile_size=32, method="mode",
+    )
+    feats = tiles_to_features(out, tile_size=32, nodata=0.0)
+    return feats.select("gx", "gy", F.round("v", 6).alias("v"))
+
+
+@query(
+    "q160_warp_rms",
+    f"""WITH {_WARP_DOWN_SRC},
+       o AS (SELECT sx//2 AS gx, sy//2 AS gy, sqrt(SUM(z*z)/4.0) AS v
+             FROM s GROUP BY sx//2, sy//2)
+       SELECT gx, gy, round(v, 6) AS v FROM o WHERE v <> 0""",
+)
+def q160(spark, sf_dir):
+    """gdalwarp RMS (GRA_RMS, alg/gdalwarpkernel.cpp GWKAverageOrMode
+    nAlgo=6): sqrt of the footprint mean square — integer z makes the
+    radicand exact on both engines."""
+    from gdal_spark.operators.warp import warp_resample
+
+    out = warp_resample(
+        _dem_tiles(spark), IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0),
+        64, 64, tile_size=32, method="rms",
+    )
+    feats = tiles_to_features(out, tile_size=32, nodata=0.0)
+    return feats.select("gx", "gy", F.round("v", 6).alias("v"))
+
+
+# --- geodesic (ellipsoid) length / area (q161-q162) -------------------------
+# Reference surface: get_GeodesicLength / get_GeodesicArea
+# (ogr/ogrlinestring.cpp:3224-3260) and the SQLite dialect's
+# Area(geom, ellipsoid) (ogrsqlitesqlfunctions.cpp).  The kernels are
+# PROJ-free re-statements (Vincenty inverse; authalic-sphere excess —
+# kernels/geodesy.py), independently anchored in tests/test_geodesic.py
+# against Gauss-Legendre meridian quadrature, the exact equator arc and
+# closed-form lat-lon band areas.  DuckDB has no geodesic machinery, so
+# the oracle inlines the kernel's Python-computed doubles verbatim
+# (the q85 inline-constants recipe) — the INDEPENDENT verification
+# lives in the pytest anchors.
+
+
+def _geodesic_fixture(k: int):
+    lat0 = -60.0 + (k * 7) % 120
+    lon0 = -170.0 + (k * 13) % 340
+    dlat = 1.0 + k % 5
+    dlon = 1.0 + k % 7
+    return lat0, lon0, dlat, dlon
+
+
+def _geodesic_oracle_rows():
+    from gdal_spark.kernels.geodesy import (
+        geodesic_line_length,
+        geodesic_ring_area,
+    )
+
+    rows = []
+    for k in range(25):
+        lat0, lon0, dlat, dlon = _geodesic_fixture(k)
+        lats = np.array([lat0, lat0 + dlat, lat0 + dlat])
+        lons = np.array([lon0, lon0, lon0 + dlon])
+        length = geodesic_line_length(lats, lons)
+        n = 33
+        blats = np.concatenate([
+            np.full(n, lat0), np.linspace(lat0, lat0 + dlat, n),
+            np.full(n, lat0 + dlat), np.linspace(lat0 + dlat, lat0, n),
+        ])
+        blons = np.concatenate([
+            np.linspace(lon0, lon0 + dlon, n), np.full(n, lon0 + dlon),
+            np.linspace(lon0 + dlon, lon0, n), np.full(n, lon0),
+        ])
+        # build the ring EXACTLY as q162's engine path does (stack +
+        # explicit closure): np.sum's pairwise tree depends on array
+        # LENGTH, so the replayed constant must come from the
+        # identically-shaped input
+        ring = np.stack([blons, blats], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        area = geodesic_ring_area(ring[:, 1], ring[:, 0])
+        rows.append((k, length, area))
+    return rows
+
+
+_GEO_ROWS = _geodesic_oracle_rows()
+
+
+@query(
+    "q161_geodesic_length",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({k}, CAST('{v!r}' AS DOUBLE))" for k, v, _a in _GEO_ROWS
+    )
+    + ") AS t(fid, length_m)",
+)
+def q161(spark, sf_dir):
+    """Geodesic LENGTH (meters, WGS84) of a meridian+parallel-chord
+    polyline per feature — ST_GeodesicLength over the same fixture the
+    inlined oracle constants replay; Vincenty inverse per segment,
+    anchored absolutely in tests/test_geodesic.py."""
+    from gdal_spark.functions.st import st_geodesic_length
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        lat0, lon0, dlat, dlon = _geodesic_fixture(k)
+        coords = np.array([
+            [lon0, lat0], [lon0, lat0 + dlat], [lon0 + dlon, lat0 + dlat],
+        ])
+        rows.append((k, W.linestring_wkb(coords)))
+    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    return layer.select(
+        "fid", st_geodesic_length(F.col("geom")).alias("length_m")
+    )
+
+
+@query(
+    "q162_geodesic_area",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"({k}, CAST('{a!r}' AS DOUBLE))" for k, _v, a in _GEO_ROWS
+    )
+    + ") AS t(fid, area_m2)",
+)
+def q162(spark, sf_dir):
+    """Geodesic AREA (m², WGS84) of an edge-densified lat-lon box per
+    feature — ST_Area_Ellipsoid (authalic-sphere excess); the pytest
+    anchors pin the kernel against the CLOSED-FORM band area to 1e-8
+    relative, the oracle replays the same doubles."""
+    from gdal_spark.functions.st import st_geodesic_area
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        lat0, lon0, dlat, dlon = _geodesic_fixture(k)
+        n = 33
+        blats = np.concatenate([
+            np.full(n, lat0), np.linspace(lat0, lat0 + dlat, n),
+            np.full(n, lat0 + dlat), np.linspace(lat0 + dlat, lat0, n),
+        ])
+        blons = np.concatenate([
+            np.linspace(lon0, lon0 + dlon, n), np.full(n, lon0 + dlon),
+            np.linspace(lon0 + dlon, lon0, n), np.full(n, lon0),
+        ])
+        ring = np.stack([blons, blats], axis=1)
+        ring = np.vstack([ring, ring[:1]])
+        rows.append((k, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    return layer.select(
+        "fid", st_geodesic_area(F.col("geom")).alias("area_m2")
+    )
