@@ -177,6 +177,8 @@ HEADLINE = [
     "q160_warp_rms",
     "q161_geodesic_length",
     "q162_geodesic_area",
+    "q163_raster_attribute_table",
+    "q164_complex_calc",
 ]
 
 

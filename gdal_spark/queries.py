@@ -6374,3 +6374,93 @@ def q162(spark, sf_dir):
     return layer.select(
         "fid", st_geodesic_area(F.col("geom")).alias("area_m2")
     )
+
+
+# --- RAT + complex pixel types (q163-q164) ----------------------------------
+
+
+@query(
+    "q163_raster_attribute_table",
+    f"""WITH s AS (SELECT gx.range AS gx, gy.range AS gy,
+                   CAST({_z_sql('gx.range', 'gy.range')} AS DOUBLE) AS z
+            FROM range(128) gx, range(128) gy),
+       c AS (SELECT z AS value, count(*) AS count FROM s WHERE z <> 0 GROUP BY z),
+       t AS (SELECT SUM(count) AS tot FROM c)
+       SELECT value, count,
+              count/tot AS pct,
+              (SUM(count) OVER (ORDER BY value))/tot AS cum_pct,
+              CAST(row_number() OVER (ORDER BY value) AS INT) AS rnk
+       FROM c, t""",
+)
+def q163(spark, sf_dir):
+    """Raster Attribute Table (gcore/gdal_rat.cpp:
+    GDALRasterAttributeTable — GFU_MinMax value + GFU_PixelCount rows,
+    plus the cumulative columns its binning consumers derive) built as
+    ONE histogram pass + a value-keyed groupBy: the RAT is literally a
+    DataFrame.  Integer counts keep every pct division bitwise on both
+    engines (no in-query rounding needed)."""
+    from gdal_spark.operators.rat import build_rat
+
+    return build_rat(_dem_tiles(spark), tile_size=DEM_TILE, nodata=0.0)
+
+
+@query(
+    "q164_complex_calc",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                  FROM range(128) gx, range(128) gy),
+       z AS (SELECT gx, gy,
+               CAST((gx*3 + gy*5)%17 AS DOUBLE) AS ra,
+               CAST((gx*7 + gy*2)%13 AS DOUBLE) AS ia,
+               CAST((gx*2 + gy*3)%11 AS DOUBLE) AS rb,
+               CAST((gx*5 + gy*7)%19 AS DOUBLE) AS ib
+             FROM g),
+       p AS (SELECT gx, gy, ra*rb - ia*ib AS re, ra*ib + ia*rb AS im FROM z)
+       SELECT gx, gy, re, im FROM p WHERE re <> 0 OR im <> 0""",
+)
+def q164(spark, sf_dir):
+    """COMPLEX pixel types (gcore/gdal.h:49-66 GDT_CFloat32) with the
+    pixel-function algebra (frmts/vrt/pixelfunctions.cpp conj/mult):
+    A · conj(conj(B)) = A·B per pixel over two complex64 bands —
+    interleaved (re, im) float32 tiles, zero-copy complex view,
+    (tx, ty) equi-join; small integer parts keep float32 exact."""
+    from gdal_spark.operators.complexcalc import (
+        complex_conj_mult,
+        complex_to_features,
+        complex_unary,
+    )
+    from gdal_spark.operators.rasterize import TILE_SCHEMA
+
+    ts, wh = 32, 128
+    ntx = wh // ts
+
+    def gen(formula):
+        def inner(pdf_iter):
+            for pdf in pdf_iter:
+                rows = []
+                for _, row in pdf.iterrows():
+                    t = int(row["id"])
+                    tx, ty = t % ntx, t // ntx
+                    gx = np.arange(ts) + tx * ts
+                    gy = np.arange(ts) + ty * ts
+                    GX, GY = np.meshgrid(gx, gy)
+                    re, im = formula(GX, GY)
+                    z = (re + 1j * im).astype(np.complex64)
+                    rows.append((0, tx, ty, 1, z.tobytes(), "complex64", 0.0))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["z", "tx", "ty", "band", "data", "dtype", "nodata"],
+                )
+
+        return inner
+
+    base = spark.range(ntx * ntx).repartition(4)
+    A = base.mapInPandas(
+        gen(lambda X, Y: ((X * 3 + Y * 5) % 17, (X * 7 + Y * 2) % 13)),
+        TILE_SCHEMA,
+    )
+    B = base.mapInPandas(
+        gen(lambda X, Y: ((X * 2 + Y * 3) % 11, (X * 5 + Y * 7) % 19)),
+        TILE_SCHEMA,
+    )
+    prod = complex_conj_mult(A, complex_unary(B, "conj", tile_size=ts), tile_size=ts)
+    return complex_to_features(prod, tile_size=ts)
