@@ -5939,7 +5939,7 @@ def q152(spark, sf_dir):
         rows.append(
             (p["fid"], W.polygon_wkb([_lshape_ring(p)]), W.polygon_wkb([b]))
         )
-    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").coalesce(1)
+    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").repartition(8)
     res = pairs.select(
         "fid", st_clip_geom(F.col("ga"), F.col("gb"), F.lit("union")).alias("geom")
     )
@@ -6030,7 +6030,7 @@ def q154(spark, sf_dir):
         rows.append(
             (p["fid"], W.polygon_wkb([_lshape_ring(p)]), W.polygon_wkb([b]))
         )
-    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").coalesce(1)
+    pairs = local_df(spark, rows, "fid long, ga binary, gb binary").repartition(8)
     res = pairs.select(
         "fid",
         st_clip_geom(F.col("ga"), F.col("gb"), F.lit("symdifference")).alias("geom"),
@@ -6079,7 +6079,7 @@ def q155(spark, sf_dir):
             dtype=np.float64,
         ) + t
         rows.append((p["fid"], W.polygon_wkb([ring])))
-    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
     res = layer.select("fid", st_makevalid(F.col("geom")).alias("geom"))
     return _checksum_rows(res)
 
@@ -6109,7 +6109,7 @@ def q156(spark, sf_dir):
     rows = []
     for p in _lshape_params(spark, sf_dir):
         rows.append((p["fid"], W.polygon_wkb([_lshape_ring(p)])))
-    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
     res = layer.select(
         "fid",
         st_buffer(F.col("geom"), F.lit(0.5), F.lit("square")).alias("geom"),
@@ -6333,7 +6333,7 @@ def q161(spark, sf_dir):
             [lon0, lat0], [lon0, lat0 + dlat], [lon0 + dlon, lat0 + dlat],
         ])
         rows.append((k, W.linestring_wkb(coords)))
-    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
     return layer.select(
         "fid", st_geodesic_length(F.col("geom")).alias("length_m")
     )
@@ -6370,7 +6370,7 @@ def q162(spark, sf_dir):
         ring = np.stack([blons, blats], axis=1)
         ring = np.vstack([ring, ring[:1]])
         rows.append((k, W.polygon_wkb([ring])))
-    layer = local_df(spark, rows, "fid long, geom binary").coalesce(1)
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
     return layer.select(
         "fid", st_geodesic_area(F.col("geom")).alias("area_m2")
     )

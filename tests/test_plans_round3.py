@@ -20,3 +20,30 @@ def test_q148_luts_are_broadcast_joined(spark):
     # plan size constant in batch size: a 10-query literal-LUT plan
     # measured ~80 entries inline; the joined plan stays well under
     assert len(plan) < 20_000
+
+
+def test_overlay_features_broadcast_prefilter(spark):
+    """overlay_features must prefilter candidates with a BROADCAST
+    bbox join (no cartesian/BNLJ of the big side) before the exact
+    clip stage."""
+    import numpy as np
+
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.operators.overlay import overlay_features
+    from gdal_spark.session import local_df
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+        return W.polygon_wkb([ring])
+
+    rows = [(i, rect(i * 20, 0, i * 20 + 5, 5)) for i in range(6)]
+    layer = local_df(spark, rows, "a_id long, geom binary")
+    bpolys = [(i, rect(i * 20 + 2, 2, i * 20 + 7, 7)) for i in range(6)]
+    res = overlay_features(layer, bpolys, "intersection")
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    out = {r["a_id"]: r["piece_area"] for r in res.collect()}
+    assert out == {i: 9.0 for i in range(6)}
