@@ -179,6 +179,9 @@ HEADLINE = [
     "q162_geodesic_area",
     "q163_raster_attribute_table",
     "q164_complex_calc",
+    "q165_url_canonical_dedup",
+    "q166_contamination_ngram",
+    "q167_repetition_stats",
 ]
 
 

@@ -169,3 +169,37 @@ def winnow_fingerprints_df(docs, id_col: str = "doc_id", text_col: str = "text",
         F.count("*").over(cnt).alias("_n"),
     ).filter(F.col("pos") <= F.col("_n") - w)  # full windows only
     return mins.select(id_col, "fp").distinct()
+
+
+def canonical_url(col) -> Column:
+    """URL canonicalization for dedup keys — the normalization ladder a
+    Common-Crawl-style pipeline applies before exact URL dedup
+    (scheme+host lowercased, leading ``www.`` and default ``:80``
+    dropped, ``utm_*`` tracking params stripped, fragment stripped,
+    trailing slash and dangling ``?``/``&`` removed).  Pure JVM Column
+    chain — regexp_replace/regexp_extract only, no UDF."""
+    url = F.col(col) if isinstance(col, str) else col
+    # fragment off first
+    u = F.regexp_replace(url, "#.*$", "")
+    # tracking params (with a following '&' or not)
+    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&", "")
+    u = F.regexp_replace(u, "[?&]utm_[a-z]+=[^&]*$", "")
+    u = F.regexp_replace(u, "\\?utm_[a-z]+=[^&]*&", "?")
+    host = F.lower(F.regexp_extract(u, "^https?://([^/?#]+)", 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, ":80$", "")
+    rest = F.regexp_replace(u, "^https?://[^/?#]*", "")
+    rest = F.regexp_replace(rest, "/+$", "")
+    rest = F.regexp_replace(rest, "/\\?", "?")
+    return F.concat(F.lit("https://"), host, rest)
+
+
+def word_ngrams(col_name: str, n: int) -> Column:
+    """All space-delimited word n-grams of a text column (BY NAME) as
+    an array of joined strings — JVM-side (transform + slice +
+    array_join), empty array when the text has fewer than n words."""
+    return F.expr(
+        f"CASE WHEN size(split({col_name}, ' ')) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size(split({col_name}, ' ')) - {n}), "
+        f"i -> array_join(slice(split({col_name}, ' '), i + 1, {n}), ' ')) END"
+    )

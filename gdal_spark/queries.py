@@ -6464,3 +6464,168 @@ def q164(spark, sf_dir):
     )
     prod = complex_conj_mult(A, complex_unary(B, "conj", tile_size=ts), tile_size=ts)
     return complex_to_features(prod, tile_size=ts)
+
+
+# --- web-pipeline depth: URL dedup, contamination, repetition (q165-q167) ---
+# CCNet/Dolma-class operators over the documents table — the
+# Common-Crawl-side of the graft: URL canonicalization before exact
+# dedup, benchmark n-gram contamination screening, intra-document
+# repetition measurement.  All three are PURE JVM Column plans (split/
+# transform/slice/regexp — zero Python in the hot path).
+
+_URL_RAW_SQL = """
+    'http://' ||
+    CASE WHEN doc_id%3 = 0 THEN 'WWW.' ELSE '' END ||
+    'Site' || CAST(doc_id%40 AS VARCHAR) || '.example.COM' ||
+    CASE WHEN doc_id%5 = 0 THEN ':80' END_PORT ||
+    '/Articles/item' || CAST(doc_id%50 AS VARCHAR) ||
+    CASE WHEN doc_id%2 = 0 THEN '/' ELSE '' END ||
+    CASE WHEN doc_id%4 = 0 THEN '?utm_source=feed&ref=' || CAST(doc_id%7 AS VARCHAR)
+         WHEN doc_id%4 = 1 THEN '?ref=' || CAST(doc_id%7 AS VARCHAR) || '&utm_campaign=x'
+         ELSE '' END ||
+    CASE WHEN doc_id%7 = 0 THEN '#section2' ELSE '' END
+""".replace("END_PORT", "ELSE '' END")
+
+
+def _url_raw_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit("http://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), (d % 40).cast("string"), F.lit(".example.COM"),
+        F.when(d % 5 == 0, F.lit(":80")).otherwise(F.lit("")),
+        F.lit("/Articles/item"), (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0,
+               F.concat(F.lit("?utm_source=feed&ref="), (d % 7).cast("string")))
+        .when(d % 4 == 1,
+              F.concat(F.lit("?ref="), (d % 7).cast("string"),
+                       F.lit("&utm_campaign=x")))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q165_url_canonical_dedup",
+    f"""WITH d AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+       c AS (SELECT doc_id,
+               'https://' ||
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                      '^https?://([^/?#]+)', 1)),
+                 '^www\\.', ''), ':80$', '') ||
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   url, '#.*$', ''), 'utm_[a-z]+=[^&]*&', ''),
+                   '[?&]utm_[a-z]+=[^&]*$', ''), '\\?utm_[a-z]+=[^&]*&', '?'),
+                 '^https?://[^/?#]*', ''), '(/+)(\\?|$)', '\\2')
+               AS canon
+             FROM d)
+       SELECT canon AS canon_url, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_dups
+       FROM c GROUP BY canon HAVING count(*) > 1""",
+)
+def q165(spark, sf_dir):
+    """URL canonicalization + exact dedup — the normalization a
+    Common-Crawl pipeline applies before URL-level dedup (lowercased
+    scheme+host, www./default-port stripped, utm_* tracking params and
+    fragments dropped, trailing slash removed), as a pure JVM
+    regexp-Column chain (functions/text.py::canonical_url); keeper =
+    min doc_id per canonical URL, groups of size > 1 reported."""
+    from gdal_spark.functions.text import canonical_url
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_raw_col())
+    canon = docs.select("doc_id", canonical_url(F.col("url")).alias("canon_url"))
+    return (
+        canon.groupBy("canon_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+@query(
+    "q166_contamination_ngram",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       bench AS (SELECT array_to_string(words[1:8], ' ') AS gram
+                 FROM w WHERE doc_id%25 = 0 AND len(words) >= 8),
+       grams AS (SELECT w.doc_id,
+                        array_to_string(words[r.range:r.range+7], ' ') AS gram
+                 FROM w, range(1, 2000) r
+                 WHERE r.range <= len(words) - 7),
+       hits AS (SELECT DISTINCT g.doc_id, g.gram
+                FROM grams g JOIN bench b ON g.gram = b.gram)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_benchmark_hits
+       FROM hits GROUP BY doc_id""",
+)
+def q166(spark, sf_dir):
+    """Benchmark CONTAMINATION screening (the n-gram-overlap
+    decontamination step of a training pipeline): every document whose
+    text contains any 8-gram from the benchmark set (here: the first
+    8-gram of every 25th document).  Spark plan: documents →
+    transform/slice 8-gram arrays (JVM) → explode → broadcast
+    semi-ish join with the tiny benchmark table → per-doc distinct-hit
+    count.  At 100 TB the benchmark side stays broadcast-sized and the
+    doc side is one projection + explode — no shuffle of full texts."""
+    from gdal_spark.functions.text import word_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            F.expr(
+                "array_join(slice(split(text, ' '), 1, 8), ' ')"
+            ).alias("gram")
+        )
+        .filter(F.expr("size(split(text, ' ')) >= 8"))
+        .distinct()
+    )
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams("text", 8)).alias("gram")
+    )
+    hits = grams.join(F.broadcast(bench), "gram").select("doc_id", "gram").distinct()
+    return hits.groupBy("doc_id").agg(F.count("*").alias("n_benchmark_hits"))
+
+
+@query(
+    "q167_repetition_stats",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+       chunks AS (SELECT doc_id,
+                         array_to_string(words[(r.range-1)*2+1:r.range*2], ' ') AS chunk
+                  FROM w, range(1, 600) r
+                  WHERE (r.range-1)*2 + 1 <= len(words)),
+       s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+                    CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct
+             FROM chunks GROUP BY doc_id)
+       SELECT doc_id, n_chunks, n_distinct,
+              CAST(n_chunks - n_distinct AS BIGINT) AS n_repeated
+       FROM s WHERE n_chunks - n_distinct > 0""",
+)
+def q167(spark, sf_dir):
+    """Intra-document REPETITION measurement (the C4/Dolma repeated-
+    paragraph signal): texts chunk into fixed 2-word windows; repeated
+    chunks within one document are counted — the gate a quality filter
+    thresholds on.  JVM transform/slice chunking + per-doc distinct
+    aggregation; word-salad fixtures repeat chunks often enough to
+    exercise the path."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(split(text, ' '))/2.0) AS INT) - 1), "
+                "i -> array_join(slice(split(text, ' '), i*2 + 1, 2), ' '))"
+            )
+        ).alias("chunk"),
+    )
+    s = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chunk").alias("n_distinct"),
+    )
+    return s.select(
+        "doc_id", "n_chunks", "n_distinct",
+        (F.col("n_chunks") - F.col("n_distinct")).alias("n_repeated"),
+    ).filter(F.col("n_repeated") > 0)

@@ -47,3 +47,19 @@ def test_overlay_features_broadcast_prefilter(spark):
     assert "CartesianProduct" not in plan
     out = {r["a_id"]: r["piece_area"] for r in res.collect()}
     assert out == {i: 9.0 for i in range(6)}
+
+
+def test_web_pipeline_queries_are_jvm_only(spark):
+    """q165-q167 (URL dedup, contamination, repetition) must contain
+    ZERO Python nodes — the hot path is split/transform/slice/regexp
+    Columns, whole-stage-codegen territory."""
+    for name in (
+        "q165_url_canonical_dedup",
+        "q166_contamination_ngram",
+        "q167_repetition_stats",
+    ):
+        df = QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+        # (WholeStageCodegen spans only appear in the finalized AQE
+        # plan; the no-Python-node assertion is the load-bearing one)
