@@ -138,3 +138,19 @@ def test_fuzz_valid_geoms_vs_exact_area():
         polys = valid_geoms_exact(ring)
         assert abs(_mp_area(polys) - valid_area_exact(ring)) < 1e-9
         _check_invariants(polys)
+
+
+def test_multiring_hole_inputs():
+    """Even-odd multi-ring inputs (polygon with hole) work as parity:
+    Q covering the hole fills it in the union (no interior ring
+    survives), and all four op areas match inclusion-exclusion."""
+    Pext = np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], float)
+    Phole = np.array([[3, 3], [7, 3], [7, 7], [3, 7], [3, 3]], float)
+    Q = np.array([[2, 2], [8, 2], [8, 8], [2, 8], [2, 2]], float)
+    P = [Pext, Phole]
+    assert _mp_area(overlay_geoms_exact(P, Q, "intersection")) == 20.0
+    u = overlay_geoms_exact(P, Q, "union")
+    assert _mp_area(u) == 100.0
+    assert len(u) == 1 and len(u[0]) == 1  # hole filled, single ring
+    assert _mp_area(overlay_geoms_exact(P, Q, "difference")) == 64.0
+    assert _mp_area(overlay_geoms_exact(P, Q, "symdifference")) == 80.0
