@@ -182,6 +182,7 @@ HEADLINE = [
     "q165_url_canonical_dedup",
     "q166_contamination_ngram",
     "q167_repetition_stats",
+    "q168_cumulative_viewshed",
 ]
 
 

@@ -254,3 +254,60 @@ def viewshed_wang_features(
             )
 
     return dems.select(id_col, dem_col).mapInPandas(run, out_schema)
+
+
+def cumulative_viewshed_wang(
+    dems: DataFrame,
+    width: int,
+    height: int,
+    obs_z: float = 0.0,
+    id_col: str = "obs_id",
+    dem_col: str = "dem",
+    ox_col: str = "ox",
+    oy_col: str = "oy",
+) -> DataFrame:
+    """CUMULATIVE viewshed — the reference's observer-matrix mode
+    (alg/viewshed/cumulative.cpp: run the Wang executor once per
+    observer, SUM per-pixel visibility): rows carry (obs_id, dem,
+    ox, oy); each observer's viewshed runs independently (the
+    across-observer axis is the cluster parallelism, exactly the
+    reference's thread pool), then one groupBy(gx, gy) aggregates the
+    visible-observer count.
+
+    Returns (gx, gy, n_visible) with n_visible = #observers seeing the
+    pixel."""
+    out_schema = "gx int, gy int, vis double"
+
+    def run(it):
+        from gdal_spark.kernels.viewshed_wang import viewshed_wang
+
+        for pdf in it:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                dem = np.frombuffer(
+                    getattr(r, dem_col), dtype=np.float64
+                ).reshape(height, width)
+                v = viewshed_wang(
+                    dem, int(getattr(r, ox_col)), int(getattr(r, oy_col)),
+                    obs_z=obs_z,
+                )
+                ys, xs = np.indices((height, width))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "gx": xs.ravel().astype(np.int32),
+                            "gy": ys.ravel().astype(np.int32),
+                            "vis": v.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"gx": [], "gy": [], "vis": []}
+            )
+
+    per_obs = dems.select(id_col, dem_col, ox_col, oy_col).mapInPandas(
+        run, out_schema
+    )
+    return per_obs.groupBy("gx", "gy").agg(
+        (F.sum("vis") / 255.0).cast("long").alias("n_visible")
+    )

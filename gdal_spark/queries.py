@@ -6629,3 +6629,163 @@ def q167(spark, sf_dir):
         "doc_id", "n_chunks", "n_distinct",
         (F.col("n_chunks") - F.col("n_distinct")).alias("n_repeated"),
     ).filter(F.col("n_repeated") > 0)
+
+
+# --- cumulative viewshed (q168) ----------------------------------------------
+
+
+def _wang_chain_sql(ox: int, oy: int, nx: int, ny: int, obs_z: int, prefix: str):
+    """One observer's FULL unrolled Wang recurrence (the q150
+    generator parameterized by observer position over the SHARED dem
+    z(x,y) = (3x+5y) mod 13): returns (ctes, per-pixel union selects).
+    Adjusted heights fold to integer literals."""
+    def H(x, y):
+        return f"CAST({(x * 3 + y * 5) % 13 - obs_z - (ox * 3 + oy * 5) % 13} AS DOUBLE)"
+
+    ctes = []
+    stage = 0
+
+    def emit(name, cols, src):
+        ctes.append(f"{name} AS (SELECT {', '.join(cols)} FROM {src})")
+
+    def base_cols(prev_from, y):
+        cols = []
+        for x in range(nx):
+            cols.append(f"c{x} AS p{x}" if prev_from else f"{H(x, y)} AS p{x}")
+        for x in range(nx):
+            cols.append(f"{H(x, y)} AS c{x}")
+        return cols
+
+    def pixel_step(x, dfz, carry_rs):
+        cols = [f"p{i}" for i in range(nx)]
+        for i in range(nx):
+            if i == x:
+                cols.append(
+                    f"CASE WHEN ({dfz}) > c{x} THEN ({dfz}) ELSE c{x} END AS c{x}"
+                )
+            else:
+                cols.append(f"c{i}")
+        cols += [f"r{i}" for i in carry_rs]
+        cols.append(
+            f"CASE WHEN c{x} + 0.0 < ({dfz}) THEN 0.0 ELSE 255.0 END AS r{x}"
+        )
+        return cols
+
+    def free_step(x, carry_rs):
+        return ([f"p{i}" for i in range(nx)]
+                + [f"c{i}" for i in range(nx)]
+                + [f"r{i}" for i in carry_rs] + [f"255.0 AS r{x}"])
+
+    line_last = {}
+
+    def do_line(y, prev_cte, first):
+        nonlocal stage
+        name = f"{prefix}{stage}"; stage += 1
+        emit(name, base_cols(prev_cte is not None, y),
+             prev_cte if prev_cte else "base")
+        src = name
+        carry = []
+        nYo = abs(y - oy)
+
+        def step(x, dfz_expr=None):
+            nonlocal src, stage
+            nm = f"{prefix}{stage}"; stage += 1
+            if dfz_expr is None:
+                emit(nm, free_step(x, carry), src)
+            else:
+                emit(nm, pixel_step(x, dfz_expr, carry), src)
+            carry.append(x)
+            src = nm
+
+        if first:
+            step(ox)
+            if ox - 1 >= 0:
+                step(ox - 1)
+            for px in range(ox - 2, -1, -1):
+                n = ox - px
+                step(px, f"c{px + 1} * {n} / {n - 1}")
+            if ox + 1 < nx:
+                step(ox + 1)
+            for px in range(ox + 2, nx):
+                n = px - ox
+                step(px, f"c{px - 1} * {n} / {n - 1}")
+        else:
+            dfz = f"c{ox}" if nYo == 1 else f"p{ox} * {nYo} / {nYo - 1}"
+            step(ox, dfz)
+            for px in range(ox - 1, -1, -1):
+                nX = ox - px
+                if nX == nYo:
+                    dfz = f"c{px}" if nYo == 1 else f"p{px + 1} * {nYo} / {nYo - 1}"
+                elif nX > nYo:
+                    dfz = (f"(p{px + 1} * {nYo} + c{px + 1} * {nX - nYo})"
+                           f" / {nX - 1}")
+                else:
+                    dfz = (f"(p{px + 1} * {nX} + p{px} * {nYo - nX})"
+                           f" / {nYo - 1}")
+                step(px, dfz)
+            for px in range(ox + 1, nx):
+                nX = px - ox
+                if nX == nYo:
+                    dfz = f"c{px}" if nYo == 1 else f"p{px - 1} * {nYo} / {nYo - 1}"
+                elif nX > nYo:
+                    dfz = (f"(p{px - 1} * {nYo} + c{px - 1} * {nX - nYo})"
+                           f" / {nX - 1}")
+                else:
+                    dfz = (f"(p{px - 1} * {nX} + p{px} * {nYo - nX})"
+                           f" / {nYo - 1}")
+                step(px, dfz)
+        line_last[y] = src
+        return src
+
+    first_last = do_line(oy, None, True)
+    prev = first_last
+    for y in range(oy - 1, -1, -1):
+        prev = do_line(y, prev, False)
+    prev = first_last
+    for y in range(oy + 1, ny):
+        prev = do_line(y, prev, False)
+
+    unions = []
+    for y in range(ny):
+        src = line_last[y]
+        for x in range(nx):
+            unions.append(f"SELECT {x} AS gx, {y} AS gy, r{x} AS vis FROM {src}")
+    return ctes, unions
+
+
+def _cumulative_viewshed_oracle() -> str:
+    all_ctes, all_unions = [], []
+    for k in range(9):
+        ox, oy = 2 + 2 * (k % 3), 2 + 2 * (k // 3)
+        ctes, unions = _wang_chain_sql(ox, oy, 9, 9, 2, prefix=f"o{k}_")
+        all_ctes.extend(ctes)
+        all_unions.extend(unions)
+    return (
+        "WITH base AS (SELECT 1 AS one),\n  "
+        + ",\n  ".join(all_ctes)
+        + ",\n u AS (" + " UNION ALL ".join(all_unions) + ")\n"
+        + "SELECT gx, gy, CAST(SUM(vis)/255.0 AS BIGINT) AS n_visible "
+        + "FROM u GROUP BY gx, gy"
+    )
+
+
+@query("q168_cumulative_viewshed", _cumulative_viewshed_oracle())
+def q168(spark, sf_dir):
+    """CUMULATIVE viewshed — the reference's observer-MATRIX mode
+    (alg/viewshed/cumulative.cpp: one Wang-executor run per observer,
+    per-pixel visibility SUM): a 3×3 observer matrix over one shared
+    9×9 DEM; across-observer runs are the distributed axis (the
+    reference's thread pool), one groupBy(gx, gy) aggregates the
+    count.  Oracle: NINE fully-unrolled recurrence replays (the q150
+    generator parameterized by observer position) summed in SQL."""
+    from gdal_spark.operators.viewshed import cumulative_viewshed_wang
+
+    dem = np.fromfunction(
+        lambda y, x: (x * 3 + y * 5) % 13, (9, 9)
+    ).astype(np.float64)
+    rows = [
+        (k, dem.tobytes(), 2 + 2 * (k % 3), 2 + 2 * (k // 3))
+        for k in range(9)
+    ]
+    obs = local_df(spark, rows, "obs_id long, dem binary, ox int, oy int")
+    return cumulative_viewshed_wang(obs, width=9, height=9, obs_z=2.0)
