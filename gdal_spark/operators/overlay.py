@@ -242,8 +242,13 @@ def overlay_features(
 
       intersection    (a_id, b_id, geom, piece_area)  one row/pair
       difference      (a_id, b_id=NULL, geom, piece_area)  A − ∪candidates
-      union           intersection rows + difference remainders
-      symdifference   difference remainders + per-pair B−A pieces
+      union           intersection rows + A-remainders + B-remainders
+                      (a_id=NULL), the reference's three-part Union
+      symdifference   A-remainders + B-remainders
+
+    B-remainders (B − union of its intersecting A features) come from
+    a second grouped pass keyed by b_id — the method layer is
+    dimension-sized, so that shuffle moves only candidate A geometries.
 
     ``b_polys`` pairwise disjoint (the method-layer contract shared
     with layer_algebra_area).
@@ -338,14 +343,71 @@ def overlay_features(
                     out.append(
                         (aid, None, W.multipolygon_wkb(polys), _mp_area(polys))
                     )
-        if op == "symdifference":
-            for bid, gb in cands:
-                polys = overlay_geoms_exact(_rings_of(gb), a_rings, "difference")
-                if polys:
-                    out.append(
-                        (aid, bid, W.multipolygon_wkb(polys), _mp_area(polys))
-                    )
         return pd.DataFrame(out, columns=[a_id, "b_id", "geom", "piece_area"])
 
     res = cand.groupBy(a_id).applyInPandas(per_group, out_schema)
+
+    if op in ("union", "symdifference"):
+        # B-remainders: B − union(intersecting A), grouped by b_id —
+        # the reference's method-side pass (ogrlayer.cpp Union :6188 /
+        # SymDifference :6456); inner join so only candidate A
+        # geometries shuffle to the (dimension-sized) b groups
+        bc = aa.join(F.broadcast(b_df), join_on, "inner")
+
+        def _empty():
+            return pd.DataFrame(
+                {
+                    a_id: pd.Series([], dtype="float64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    "geom": pd.Series([], dtype="object"),
+                    "piece_area": pd.Series([], dtype="float64"),
+                }
+            )
+
+        def per_b(key, pdf):
+            bid = int(key[0])
+            b_rings = _rings_of(pdf["_b_wkb"].iloc[0])
+            region = b_rings
+            for ga in pdf[geom_col]:
+                polys = overlay_geoms_exact(region, _rings_of(ga), "difference")
+                region = [r for rings in polys for r in rings]
+            if not region:
+                return _empty()
+            polys = overlay_geoms_exact(region, [], "difference")
+            if not polys:
+                return _empty()
+            return pd.DataFrame(
+                [(None, bid, W.multipolygon_wkb(polys), _mp_area(polys))],
+                columns=[a_id, "b_id", "geom", "piece_area"],
+            )
+
+        b_rem = bc.groupBy("b_id").applyInPandas(per_b, out_schema)
+        # method features with NO candidates pass through whole
+        cand_b = bc.select("b_id").distinct()
+        b_whole_rows = b_df.join(cand_b, "b_id", "left_anti").select(
+            F.lit(None).cast("long").alias(a_id),
+            "b_id",
+            F.col("_b_wkb").alias("geom"),
+        )
+
+        @F.pandas_udf(T.DoubleType())
+        def wkb_area_abs(geoms: pd.Series) -> pd.Series:
+            # orientation-agnostic: |exterior| − |holes| per polygon
+            # (fixture WKB carries no orientation contract)
+            out = []
+            for g in geoms:
+                tot = 0.0
+                for rings in W.polygon_rings(bytes(g)):
+                    for j, r in enumerate(rings):
+                        s = abs(0.5 * float(np.sum(
+                            r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]
+                        )))
+                        tot += s if j == 0 else -s
+                out.append(tot)
+            return pd.Series(out)
+
+        b_whole = b_whole_rows.withColumn(
+            "piece_area", wkb_area_abs(F.col("geom"))
+        )
+        res = res.unionByName(b_rem).unionByName(b_whole)
     return res.filter(F.col("piece_area") > 0)

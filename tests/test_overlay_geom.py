@@ -154,3 +154,43 @@ def test_multiring_hole_inputs():
     assert len(u) == 1 and len(u[0]) == 1  # hole filled, single ring
     assert _mp_area(overlay_geoms_exact(P, Q, "difference")) == 64.0
     assert _mp_area(overlay_geoms_exact(P, Q, "symdifference")) == 80.0
+
+
+def test_overlay_features_union_symdiff_b_side(spark):
+    """overlay_features union/symdifference emit the reference's
+    method-side rows too: B-remainders (B − union of intersecting A)
+    and untouched-B pass-through (ogrlayer.cpp Union :6188)."""
+    from gdal_spark.kernels import wkb as WK
+    from gdal_spark.operators.overlay import overlay_features
+    from gdal_spark.session import local_df
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=float
+        )
+        return WK.polygon_wkb([ring])
+
+    # A0 overlaps B0 (half), A1 disjoint from everything, B1 untouched
+    layer = local_df(
+        spark,
+        [(0, rect(0, 0, 4, 4)), (1, rect(100, 100, 102, 102))],
+        "a_id long, geom binary",
+    )
+    bpolys = [(0, rect(2, 0, 6, 4)), (1, rect(50, 50, 53, 53))]
+    rows = overlay_features(layer, bpolys, "union").collect()
+    got = {(r["a_id"], r["b_id"]): round(r["piece_area"], 9) for r in rows}
+    assert got == {
+        (0, 0): 8.0,       # A0 ∩ B0
+        (0, None): 8.0,    # A0 − B0
+        (1, None): 4.0,    # A1 whole (no candidates)
+        (None, 0): 8.0,    # B0 − A0
+        (None, 1): 9.0,    # B1 untouched pass-through
+    }
+    rows = overlay_features(layer, bpolys, "symdifference").collect()
+    got = {(r["a_id"], r["b_id"]): round(r["piece_area"], 9) for r in rows}
+    assert got == {
+        (0, None): 8.0,
+        (1, None): 4.0,
+        (None, 0): 8.0,
+        (None, 1): 9.0,
+    }
