@@ -142,16 +142,17 @@ def test_vincenty_bounds_and_symmetry(lat, lon, dlat, dlon):
     d12 = float(vincenty_inverse(lat, lon, lat + dlat, lon + dlon))
     d21 = float(vincenty_inverse(lat + dlat, lon + dlon, lat, lon))
     assert abs(d12 - d21) < 1e-7
-    # central angle on the sphere (loose reference)
-    p1, p2 = np.radians([lat, lat + dlat])
+    # Vincenty's own structure: s = A·b·(σ − Δσ) with σ the central
+    # angle on the AUXILIARY sphere (REDUCED latitudes) and
+    # 1 ≤ A ≤ a/b, so b·σ ≲ s ≲ a·σ are the honest loose bounds
+    f = 1 / 298.257223563
+    b = WGS84_A * (1 - f)
+    b1, b2 = np.arctan((1 - f) * np.tan(np.radians([lat, lat + dlat])))
     dl = np.radians(dlon)
-    ca = np.arccos(
+    sigma = np.arccos(
         np.clip(
-            np.sin(p1) * np.sin(p2) + np.cos(p1) * np.cos(p2) * np.cos(dl),
+            np.sin(b1) * np.sin(b2) + np.cos(b1) * np.cos(b2) * np.cos(dl),
             -1, 1,
         )
     )
-    b = WGS84_A * (1 - 1 / 298.257223563)
-    # radius-of-curvature bounds: the meridional radius dips to b²/a
-    # at the equator, the max radius is a
-    assert (b * b / WGS84_A) * ca * 0.999 <= d12 <= WGS84_A * ca * 1.001
+    assert b * sigma * 0.999 <= d12 <= WGS84_A * sigma * 1.001
