@@ -374,7 +374,12 @@ def _buffer_concave_rings(ring: np.ndarray, struct: np.ndarray) -> list:
     each per-edge piece is the convex hull of the structuring element
     placed at both endpoints (vertex discs are subsumed) — unioned
     iteratively through the exact arrangement noder.  Returns polygons
-    in the noder's canonical form."""
+    in the noder's canonical form.
+
+    Cost: O(edges) noder unions, each O(E²) rational noding — a
+    per-FEATURE kernel (tens of vertices), the same contract as
+    kernels/arrangement.py; the distributed tiling keeps features
+    small long before this matters."""
     from gdal_spark.kernels import geomops as G
     from gdal_spark.kernels.arrangement import overlay_geoms_exact
 

@@ -275,7 +275,12 @@ def cumulative_viewshed_wang(
     visible-observer count.
 
     Returns (gx, gy, n_visible) with n_visible = #observers seeing the
-    pixel."""
+    pixel.
+
+    Scale note: rows carry their own DEM blob so observers MAY scan
+    different rasters; for one shared huge DEM, ship it once (a
+    broadcast or a 1-row cross join) rather than per-row — or use the
+    wedge-sharded `viewshed_tiles` path per observer."""
     out_schema = "gx int, gy int, vis double"
 
     def run(it):
