@@ -5787,7 +5787,7 @@ def _vsum2(exprs: list[str]) -> str:
     return "(" + " + ".join(f"{i + 1}*({e})" for i, e in enumerate(exprs)) + ")"
 
 
-_LSF = """f AS (SELECT n_nationkey AS fid,
+_LSF = """f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
          4 + n_nationkey%9 AS w, 3 + n_nationkey%7 AS h,
          2 + n_nationkey%3 AS h2, 1 + n_nationkey%4 AS w3,
          2 + n_nationkey%3 AS w4,
@@ -6314,7 +6314,7 @@ _GEO_ROWS = _geodesic_oracle_rows()
     "q161_geodesic_length",
     "SELECT * FROM (VALUES "
     + ", ".join(
-        f"({k}, CAST('{v!r}' AS DOUBLE))" for k, v, _a in _GEO_ROWS
+        f"(CAST({k} AS BIGINT), CAST('{v!r}' AS DOUBLE))" for k, v, _a in _GEO_ROWS
     )
     + ") AS t(fid, length_m)",
 )
@@ -6343,7 +6343,7 @@ def q161(spark, sf_dir):
     "q162_geodesic_area",
     "SELECT * FROM (VALUES "
     + ", ".join(
-        f"({k}, CAST('{a!r}' AS DOUBLE))" for k, _v, a in _GEO_ROWS
+        f"(CAST({k} AS BIGINT), CAST('{a!r}' AS DOUBLE))" for k, _v, a in _GEO_ROWS
     )
     + ") AS t(fid, area_m2)",
 )
