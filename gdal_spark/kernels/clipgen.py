@@ -219,8 +219,32 @@ def region_area(rings: list[np.ndarray]) -> float:
 
 
 def clip_area(P: np.ndarray, Q: np.ndarray, op: str) -> float:
-    """Area of the boolean overlay of two simple rings."""
-    return region_area(general_clip(P, Q, op))
+    """Area of the boolean overlay of two simple rings.
+
+    Only INTERSECTION is measured by GH traversal; union and
+    difference derive from it through the exact measure identities
+        |P ∪ Q| = |P| + |Q| − |P ∩ Q|
+        |P − Q| = |P| − |P ∩ Q|
+    which hold for any measurable sets.  The GH difference traversal
+    (kept in `general_clip` for ring-structure tests) mis-signs rings
+    on some general-position concave pairs (hypothesis seed 4550:
+    6.119 vs true 169.084), so the AREA surface never uses it — the
+    intersection traversal, which both the float path and the exact
+    rational noder agree on, is the single source of truth.
+    Reference semantics: ogr/ogrlayer.cpp:5755 (Difference),
+    :5874 (SymDifference)."""
+    inter = region_area(general_clip(P, Q, "intersection"))
+    if op == "intersection":
+        return inter
+    area_p = abs(_ring_signed_area(_close(_open(np.asarray(P, dtype=np.float64)))))
+    if op == "difference":
+        return area_p - inter
+    area_q = abs(_ring_signed_area(_close(_open(np.asarray(Q, dtype=np.float64)))))
+    if op == "union":
+        return area_p + area_q - inter
+    if op == "symdifference":
+        return area_p + area_q - 2.0 * inter
+    raise ValueError(op)
 
 
 # --- degeneracy handling ---------------------------------------------------

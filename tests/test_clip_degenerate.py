@@ -72,3 +72,25 @@ def test_sql_surface_handles_degenerate(spark):
         st_clip_area(F.col("a"), F.col("b"), F.lit("intersection")).alias("i"),
     ).collect()[0]
     assert row["u"] == 18.0 and row["i"] == 0.0
+
+
+def test_general_position_stays_on_float_path(monkeypatch):
+    """Routing contract (round-3 verdict #6): general-position pairs must
+    take the fast GH float path — the exact rational noder is the
+    degenerate/geometry-emission route ONLY.  Monkeypatch the noder to
+    explode; clip_area_robust on a general-position concave pair must
+    never reach it."""
+    import numpy as np
+
+    import gdal_spark.kernels.arrangement as arr
+
+    def _boom(*a, **k):  # pragma: no cover - reached only on regression
+        raise AssertionError("exact noder invoked on a general-position pair")
+
+    monkeypatch.setattr(arr, "overlay_area_exact", _boom)
+    P = np.array([[0, 0], [7, 1], [9, 6], [4, 3], [1, 7], [0, 0]], dtype=np.float64)
+    Q = P[:, ::-1] * np.array([1.0, 1.0]) + np.array([0.5, 0.25])
+    Q = np.ascontiguousarray(Q)
+    assert not is_degenerate_pair(P, Q)
+    for op in ("intersection", "union", "difference"):
+        clip_area_robust(P, Q, op)  # must not raise
