@@ -155,11 +155,22 @@ def ngram_jaccard_pairs(
     text_col="text",
     threshold: float = 0.5,
     max_df: int = 1000,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Exact Jaccard over character n-gram shingles via shingle
     equi-join.  ``max_df`` drops ubiquitous shingles before the join —
     the standard df-cap that keeps the join linear-ish; it can only
-    *lose* pairs whose overlap is entirely stop-shingles."""
+    *lose* pairs whose overlap is entirely stop-shingles.
+
+    ``max_df_frac`` (when given) overrides ``max_df`` with a
+    corpus-proportional cap: grams present in more than that fraction
+    of documents are dropped.  The cap is computed LAZILY as a
+    broadcast join against a one-row count aggregate — no driver-side
+    count, so the whole plan stays a single lazy DAG.  SCALE NOTE:
+    with the cap on, the shingle self-join emits at most df² pairs per
+    surviving gram with df ≤ cap — candidate count is df-bounded
+    (linear-ish in corpus size for fixed cap fraction), never the
+    quadratic all-hot-shingle blowup."""
     grams = (
         docs.selectExpr(
             f"{id_col}",
@@ -171,9 +182,14 @@ def ngram_jaccard_pairs(
         .filter(F.length("gram") == n)
         .distinct()
     )
-    df_cap = grams.groupBy("gram").agg(F.count("*").alias("df")).filter(
-        F.col("df") <= max_df
-    )
+    gram_df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    if max_df_frac is not None:
+        ndocs = docs.select(F.countDistinct(id_col).alias("ndocs"))
+        df_cap = gram_df.join(F.broadcast(ndocs)).filter(
+            F.col("df") <= max_df_frac * F.col("ndocs")
+        )
+    else:
+        df_cap = gram_df.filter(F.col("df") <= max_df)
     grams = grams.join(df_cap.select("gram"), "gram")
     sizes = grams.groupBy(id_col).agg(F.count("*").alias("n"))
     ga = grams.withColumnRenamed(id_col, "a")
