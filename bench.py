@@ -183,6 +183,9 @@ HEADLINE = [
     "q166_contamination_ngram",
     "q167_repetition_stats",
     "q168_cumulative_viewshed",
+    "q169_warp_average_rotated",
+    "q170_warp_mode_rotated",
+    "q171_warp_rms_rotated",
 ]
 
 

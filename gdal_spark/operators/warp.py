@@ -146,11 +146,22 @@ def warp_resample(
     src_tile_size: int | None = None,
     method: str = "nearest",
     fill: float = 0.0,
+    src_width: int | None = None,
+    src_height: int | None = None,
 ) -> DataFrame:
     """Resample source tiles onto the target grid → target tile rows
     (tx, ty, data float64, dtype).  Target tiles whose window touches
     no source tile are omitted (all-``fill``), keeping the tile table
-    sparse."""
+    sparse.
+
+    ``src_width``/``src_height`` (when given) bound the VALID source
+    raster for the footprint methods: out-of-raster cells are excluded
+    from average/mode/rms contributor counts, and a dst pixel whose
+    footprint has no valid contributor emits ``fill`` — the reference's
+    GWKAverageOrMode writes nodata on an empty footprint and skips
+    out-of-bounds source pixels (alg/gdalwarpkernel.cpp).  When omitted
+    the tile table itself is taken as the universe (every window cell
+    counts, matching dense interior fixtures)."""
     if method not in (
         "nearest", "bilinear", "cubic", "lanczos", "average", "mode", "rms"
     ):
@@ -163,12 +174,6 @@ def warp_resample(
     lanczos = method == "lanczos"
     footprint = method in ("average", "mode", "rms")
     rotated = gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0
-    if footprint and rotated:
-        raise NotImplementedError(
-            "average/mode/rms warp: axis-aligned affines only (the "
-            "reference iterates the rotated footprint bbox; not needed "
-            "by any fixture)"
-        )
     det = gt_src[1] * gt_src[5] - gt_src[2] * gt_src[4]
     ndtx = (dst_width + ts - 1) // ts
     ndty = (dst_height + ts - 1) // ts
@@ -199,14 +204,22 @@ def warp_resample(
         j0 = (F.col("dty") * ts).cast("double")
         j1 = (F.least(F.col("dty") * ts + ts, F.lit(dst_height)) - 1).cast("double")
         us, vs = [], []
-        for ic in (i0, i1):
-            for jc in (j0, j1):
+        if footprint:
+            # footprint methods need the tile's EDGE extent (pixel
+            # corners, not centers): corner_uv adds the +0.5 center
+            # offset, so shifting the extreme indices by ∓0.5 lands on
+            # the outer edges i0 .. i1+1
+            ic_pair, jc_pair = (i0 - 0.5, i1 + 0.5), (j0 - 0.5, j1 + 0.5)
+        else:
+            ic_pair, jc_pair = (i0, i1), (j0, j1)
+        for ic in ic_pair:
+            for jc in jc_pair:
                 u_, v_ = corner_uv(ic, jc)
                 us.append(u_)
                 vs.append(v_)
         umin, umax = F.least(*us), F.greatest(*us)
         vmin, vmax = F.least(*vs), F.greatest(*vs)
-        margin = 3 if lanczos else (2 if cubic else (1 if bilinear else 0))
+        margin = 3 if lanczos else (2 if cubic else (1 if bilinear or footprint else 0))
         off = 0.5 if (bilinear or cubic or lanczos) else 0.0
         sx_lo = (F.floor(umin - off) - margin).cast("long")
         sx_hi = (F.floor(umax - off) + margin).cast("long")
@@ -244,21 +257,45 @@ def warp_resample(
             U = (gs5 * (X - gs0) - gs2 * (Y - gs3)) / det
             V = (-gs4 * (X - gs0) + gs1 * (Y - gs3)) / det
         if footprint:
-            # dst pixel footprint in src pixel space (axis-aligned):
-            # src pixel k participates iff its center k+0.5 lies in
-            # the half-open edge span [u_lo, u_hi)
-            ux_l = (gd0 + i * gd1 - gs0) / gs1
-            ux_r = (gd0 + (i + 1) * gd1 - gs0) / gs1
-            uy_l = (gd3 + j * gd5 - gs3) / gs5
-            uy_r = (gd3 + (j + 1) * gd5 - gs3) / gs5
-            KX0_1d = np.ceil(np.minimum(ux_l, ux_r) - 0.5).astype(np.int64)
-            KX1_1d = np.ceil(np.maximum(ux_l, ux_r) - 0.5).astype(np.int64)
-            KY0_1d = np.ceil(np.minimum(uy_l, uy_r) - 0.5).astype(np.int64)
-            KY1_1d = np.ceil(np.maximum(uy_l, uy_r) - 0.5).astype(np.int64)
-            KX0, KY0 = np.meshgrid(KX0_1d, KY0_1d)
-            KX1, KY1 = np.meshgrid(KX1_1d, KY1_1d)
+            if not rotated:
+                # dst pixel footprint in src pixel space (axis-aligned):
+                # src pixel k participates iff its center k+0.5 lies in
+                # the half-open edge span [u_lo, u_hi)
+                ux_l = (gd0 + i * gd1 - gs0) / gs1
+                ux_r = (gd0 + (i + 1) * gd1 - gs0) / gs1
+                uy_l = (gd3 + j * gd5 - gs3) / gs5
+                uy_r = (gd3 + (j + 1) * gd5 - gs3) / gs5
+                KX0_1d = np.ceil(np.minimum(ux_l, ux_r) - 0.5).astype(np.int64)
+                KX1_1d = np.ceil(np.maximum(ux_l, ux_r) - 0.5).astype(np.int64)
+                KY0_1d = np.ceil(np.minimum(uy_l, uy_r) - 0.5).astype(np.int64)
+                KY1_1d = np.ceil(np.maximum(uy_l, uy_r) - 0.5).astype(np.int64)
+                KX0, KY0 = np.meshgrid(KX0_1d, KY0_1d)
+                KX1, KY1 = np.meshgrid(KX1_1d, KY1_1d)
+            else:
+                # ROTATED affine (GWKAverageOrMode's rule): back-project
+                # the dst pixel's 4 CORNERS through the full inverse,
+                # take the src-space bbox of the resulting quad, and
+                # include every src pixel whose center falls in that
+                # half-open bbox span — reduces exactly to the edge-span
+                # rule above when rotation is zero.
+                IE, JE = np.meshgrid(i.astype(np.float64), j.astype(np.float64))
+                us_c, vs_c = [], []
+                for ci in (IE, IE + 1.0):
+                    for cj in (JE, JE + 1.0):
+                        Xc = gd0 + ci * gd1 + cj * gd2
+                        Yc = gd3 + ci * gd4 + cj * gd5
+                        us_c.append((gs5 * (Xc - gs0) - gs2 * (Yc - gs3)) / det)
+                        vs_c.append((-gs4 * (Xc - gs0) + gs1 * (Yc - gs3)) / det)
+                UMIN, UMAX = np.minimum.reduce(us_c), np.maximum.reduce(us_c)
+                VMIN, VMAX = np.minimum.reduce(vs_c), np.maximum.reduce(vs_c)
+                KX0 = np.ceil(UMIN - 0.5).astype(np.int64)
+                KX1 = np.ceil(UMAX - 0.5).astype(np.int64)
+                KY0 = np.ceil(VMIN - 0.5).astype(np.int64)
+                KY1 = np.ceil(VMAX - 0.5).astype(np.int64)
             x_lo, x_hi = int(KX0.min()), int(KX1.max()) - 1
             y_lo, y_hi = int(KY0.min()), int(KY1.max()) - 1
+            x_hi = max(x_hi, x_lo)
+            y_hi = max(y_hi, y_lo)
         elif lanczos:
             WX, WY = U - 0.5, V - 0.5
             x_lo = int(np.floor(WX.min())) - 2
@@ -304,27 +341,40 @@ def warp_resample(
             for my in range(max_ny):
                 iy = KY0 + my
                 vy = iy < KY1
+                # a contributor must lie INSIDE the source raster when
+                # its bounds are known — window cells past the edge are
+                # `fill` padding, not data (GWKAverageOrMode skips them)
+                if src_height is not None:
+                    gy_ = iy + y_lo
+                    vy = vy & (gy_ >= 0) & (gy_ < src_height)
                 for mx in range(max_nx):
                     ix = KX0 + mx
                     valid = vy & (ix < KX1)
+                    if src_width is not None:
+                        gx_ = ix + x_lo
+                        valid = valid & (gx_ >= 0) & (gx_ < src_width)
+                    iy_c = np.clip(iy, 0, win.shape[0] - 1)
+                    ix_c = np.clip(ix, 0, win.shape[1] - 1)
                     vals.append(
-                        win[np.where(valid, iy, 0), np.where(valid, ix, 0)]
+                        win[np.where(valid, iy_c, 0), np.where(valid, ix_c, 0)]
                     )
                     valids.append(valid)
-            cnt = np.zeros(U.shape)
+            cnt0 = np.zeros(U.shape)
             for m in valids:
-                cnt += m
-            cnt = np.maximum(cnt, 1.0)
+                cnt0 += m
+            cnt = np.maximum(cnt0, 1.0)
             if method == "average":
                 s = np.zeros(U.shape)
                 for v_arr, m in zip(vals, valids):
                     s += np.where(m, v_arr, 0.0)
-                out = s / cnt
+                # empty footprint → fill (reference writes nodata when
+                # the contributor count is 0, never 0.0)
+                out = np.where(cnt0 > 0, s / cnt, fill)
             elif method == "rms":
                 s2 = np.zeros(U.shape)
                 for v_arr, m in zip(vals, valids):
                     s2 += np.where(m, v_arr * v_arr, 0.0)
-                out = np.sqrt(s2 / cnt)
+                out = np.where(cnt0 > 0, np.sqrt(s2 / cnt), fill)
             else:  # mode, ties → SMALLEST value (pinned deterministic
                 # contract; the reference's tie order is scan-order-
                 # dependent and implementation-defined)

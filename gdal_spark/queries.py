@@ -6801,3 +6801,78 @@ def q168(spark, sf_dir):
     ]
     obs = local_df(spark, rows, "obs_id long, dem binary, ox int, oy int")
     return cumulative_viewshed_wang(obs, width=9, height=9, obs_z=2.0)
+
+
+# --- rotated-affine footprint warp (q169-q171) ------------------------------
+# Round-3 verdict #3: the one NotImplementedError hole in the warp
+# surface.  GWKAverageOrMode under a rotated/sheared geotransform
+# back-projects the dst pixel's 4 corners and iterates the src-space
+# bbox of the quad (alg/gdalwarpkernel.cpp GWKAverageOrMode).  Fixture:
+# integer SHEAR gt_dst=(0,2,1,0,0,2) over the identity source — dst
+# pixel (gx,gy) covers src x ∈ [2gx+gy, 2gx+gy+3) half-open bbox
+# span → centers {s,s+1,s+2}, y ∈ [2gy, 2gy+2) → {2gy, 2gy+1}:
+# 6 contributors, exact integers, minus out-of-raster cells near the
+# right edge (src bounds 128x128 passed — exercising the empty- and
+# partial-footprint validity contract: cnt==0 emits fill, never 0/1).
+
+_WARP_SHEAR_JOIN = f"""WITH {_WARP_DOWN_SRC},
+   g AS (SELECT px.range AS gx, py.range AS gy FROM range(64) px, range(64) py),
+   j AS (SELECT g.gx, g.gy, s.z FROM g JOIN s
+         ON s.sx >= 2*g.gx + g.gy AND s.sx <= 2*g.gx + g.gy + 2
+        AND s.sy >= 2*g.gy AND s.sy <= 2*g.gy + 1)"""
+
+_SHEAR_GT = (0.0, 2.0, 1.0, 0.0, 0.0, 2.0)
+
+
+def _warp_shear(spark, method):
+    from gdal_spark.operators.warp import warp_resample
+
+    out = warp_resample(
+        _dem_tiles(spark), IDENTITY_GT, _SHEAR_GT, 64, 64,
+        tile_size=32, method=method, src_width=DEM_W, src_height=DEM_H,
+    )
+    feats = tiles_to_features(out, tile_size=32, nodata=0.0)
+    return feats.select("gx", "gy", F.round("v", 6).alias("v"))
+
+
+@query(
+    "q169_warp_average_rotated",
+    f"""{_WARP_SHEAR_JOIN},
+       o AS (SELECT gx, gy, SUM(z)/count(*) AS v FROM j GROUP BY gx, gy)
+       SELECT gx, gy, round(v, 6) AS v FROM o WHERE v <> 0""",
+)
+def q169(spark, sf_dir):
+    """gdalwarp AVERAGE under a SHEARED dst geotransform: mean of the
+    (in-raster) src pixels whose centers fall in the bbox of the
+    back-projected dst pixel quad; integer z keeps the sum exact in
+    any accumulation order, so SUM/count replays the engine bitwise."""
+    return _warp_shear(spark, "average")
+
+
+@query(
+    "q170_warp_mode_rotated",
+    f"""{_WARP_SHEAR_JOIN},
+       c AS (SELECT gx, gy, z, count(*) AS n FROM j GROUP BY gx, gy, z),
+       m AS (SELECT gx, gy, z,
+                    row_number() OVER (PARTITION BY gx, gy
+                                       ORDER BY n DESC, z ASC) AS rk
+             FROM c)
+       SELECT gx, gy, round(z, 6) AS v FROM m WHERE rk = 1 AND z <> 0""",
+)
+def q170(spark, sf_dir):
+    """gdalwarp MODE under a sheared geotransform — most frequent
+    footprint value over the back-projected bbox, ties to the SMALLEST
+    value (the pinned deterministic contract from q159)."""
+    return _warp_shear(spark, "mode")
+
+
+@query(
+    "q171_warp_rms_rotated",
+    f"""{_WARP_SHEAR_JOIN},
+       o AS (SELECT gx, gy, sqrt(SUM(z*z)/count(*)) AS v FROM j GROUP BY gx, gy)
+       SELECT gx, gy, round(v, 6) AS v FROM o WHERE v <> 0""",
+)
+def q171(spark, sf_dir):
+    """gdalwarp RMS under a sheared geotransform — sqrt of the
+    footprint mean square; exact-integer radicand on both engines."""
+    return _warp_shear(spark, "rms")

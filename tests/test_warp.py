@@ -102,3 +102,42 @@ def test_rotated_bilinear_identity_values(spark):
         for (gx, gy), v in _px(tiles_to_features(src, 32, nodata=0.0)).items()
     }
     assert got == expect
+
+
+def test_average_upsample_empty_footprint_emits_fill(spark):
+    """ADVICE round-3 (medium): on a 2x UPSAMPLE each dst pixel's
+    footprint holds at most one src center and three of four hold
+    none — those must emit `fill` (dropped by nodata), never 0/1=0.0
+    or a fill-padding 'contributor'."""
+    src = _src(spark)
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 0.5, 0.0, 0.0, 0.0, 0.5), 128, 128,
+        tile_size=32, method="average", fill=-999.0,
+        src_width=64, src_height=64,
+    )
+    got = _px(tiles_to_features(out, tile_size=32, nodata=-999.0))
+    src_px = _px(tiles_to_features(src, tile_size=32, nodata=None))
+    # dst pixel (i, j) spans src x ∈ [i/2, (i+1)/2): contains the src
+    # center k+0.5 iff i == 2k+1 — only odd dst rows AND columns survive
+    expect = {
+        (2 * kx + 1, 2 * ky + 1): v
+        for (kx, ky), v in src_px.items()
+    }
+    assert got == expect
+
+
+def test_average_edge_excludes_out_of_raster(spark):
+    """ADVICE round-3 (medium): a 2x DOWNSAMPLE of a 63-wide raster —
+    the last dst column's footprint covers src x ∈ [62, 64) but only
+    x=62 is in-raster; the average must divide by the IN-RASTER count
+    (1), not by the window size (2) with fill counted."""
+    src = _src(spark)  # 64x64 tile table; declare raster as 63 wide
+    out = warp_resample(
+        src, IDENTITY_GT, (0.0, 2.0, 0.0, 0.0, 0.0, 2.0), 32, 32,
+        tile_size=32, method="average", src_width=63, src_height=64,
+    )
+    got = _px(tiles_to_features(out, tile_size=32, nodata=None))
+    src_px = _px(tiles_to_features(src, tile_size=32, nodata=None))
+    for gy in range(32):
+        vals = [src_px[(62, 2 * gy)], src_px[(62, 2 * gy + 1)]]
+        assert got[(31, gy)] == sum(vals) / 2.0  # count 2, not 4
