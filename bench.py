@@ -186,6 +186,7 @@ HEADLINE = [
     "q169_warp_average_rotated",
     "q170_warp_mode_rotated",
     "q171_warp_rms_rotated",
+    "q172_geodesic_antipodal",
 ]
 
 

@@ -156,20 +156,117 @@ WGS84_A = 6378137.0
 WGS84_F = 1.0 / 298.257223563
 
 
+def _antipodal_branch(U1, U2, dlon, a, f):
+    """Distance of ONE geodesic branch (the north-going far-branch
+    family) for a near-antipodal pair.  Non-iterative evaluation on
+    the auxiliary sphere (the same construction Vincenty's own 1975
+    antipodal modification and Karney 2013 §4 use): for a trial
+    departure azimuth α1, every quantity is CLOSED FORM —
+
+      sin α0 = sin α1 · cos U1                     (Clairaut)
+      σ1 = atan2(sin U1, cos U1 · cos α1)
+      σ2 = π − arcsin(sin U2 / cos α0)             (far branch)
+      ω  = atan2(sin α0 · sin σ, cos σ)            (node longitude)
+      L  = ω12 − (1−C)·f·sin α0·[σ + C sin σ(cos 2σm + …)]
+
+    — so the implied ellipsoid longitude difference L(α1) is a smooth
+    monotone function and plain BISECTION on α1 ∈ (0, π) solves
+    L(α1) = |dlon| to machine precision with no divergence mode.
+    Returns the distance b·A·(σ − Δσ) of THIS branch (may exceed the
+    true minimum when the shortest path is a mirrored branch — the
+    caller minimizes over the 4 symmetry variants)."""
+    b = a * (1.0 - f)
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinU2 = np.sin(U2)
+    dl = abs(((dlon + np.pi) % (2.0 * np.pi)) - np.pi)  # wrap to [0, π]
+
+    def implied_L_and_sigma(alpha1):
+        sin_a0 = np.sin(alpha1) * cosU1
+        cos_a0 = np.sqrt(max(1.0 - sin_a0 * sin_a0, 1e-30))
+        sigma1 = np.arctan2(sinU1, cosU1 * np.cos(alpha1))
+        s2 = min(max(sinU2 / cos_a0, -1.0), 1.0)
+        sigma2 = np.pi - np.arcsin(s2)
+        sigma = sigma2 - sigma1
+        om1 = np.arctan2(sin_a0 * np.sin(sigma1), np.cos(sigma1))
+        om2 = np.arctan2(sin_a0 * np.sin(sigma2), np.cos(sigma2))
+        if om2 < 0.0:
+            om2 += 2.0 * np.pi  # continue past the node, σ2 ∈ (π, 3π/2)
+        cos2_alpha = cos_a0 * cos_a0
+        C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+        cos2sm = np.cos(sigma1 + sigma2)
+        L = (om2 - om1) - (1.0 - C) * f * sin_a0 * (
+            sigma
+            + C * np.sin(sigma) * (
+                cos2sm + C * np.cos(sigma) * (-1.0 + 2.0 * cos2sm * cos2sm)
+            )
+        )
+        return L, sigma, sigma1, sigma2, cos_a0
+
+    # L(α1) decreases from ~π (meridian path over the pole) toward the
+    # equatorial limit as α1 grows — bracket then bisect
+    lo, hi = 1e-12, np.pi - 1e-12
+    for _ in range(120):
+        mid = 0.5 * (lo + hi)
+        L, *_ = implied_L_and_sigma(mid)
+        if L > dl:
+            lo = mid
+        else:
+            hi = mid
+    alpha1 = 0.5 * (lo + hi)
+    _, sigma, sigma1, sigma2, cos_a0 = implied_L_and_sigma(alpha1)
+    cos2_alpha = cos_a0 * cos_a0
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    cos2sm = np.cos(sigma1 + sigma2)
+    sin_s, cos_s = np.sin(sigma), np.cos(sigma)
+    dsig = B * sin_s * (
+        cos2sm
+        + B / 4.0 * (
+            cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+            - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_s * sin_s)
+            * (-3.0 + 4.0 * cos2sm * cos2sm)
+        )
+    )
+    return float(b * A * (sigma - dsig))
+
+
+def _antipodal_inverse_scalar(U1, U2, dlon, a, f):
+    """Geodesic distance for ONE near-antipodal pair where Vincenty's
+    λ-iteration diverges: minimum over the 4 symmetry variants of the
+    branch solver — latitude mirror (−U1, −U2) selects the south-going
+    family, endpoint swap (U2, U1) the reversed traversal (the branch
+    parametrization is not endpoint-symmetric).  Where this overlaps
+    the λ-iteration's convergence region the two agree to ≤ 1 mm
+    (pinned in tests/test_geodesy_antipodal.py), so the routed surface
+    is continuous across the band edge."""
+    return min(
+        _antipodal_branch(u1, u2, dlon, a, f)
+        for (u1, u2) in ((U1, U2), (-U1, -U2), (U2, U1), (-U2, -U1))
+    )
+
+
 def vincenty_inverse(lat1, lon1, lat2, lon2, a=WGS84_A, f=WGS84_F):
     """Vectorized Vincenty inverse geodesic distance (meters) between
-    degree coordinates; all inputs broadcastable arrays."""
+    degree coordinates; all inputs broadcastable arrays.  Pairs where
+    the λ-iteration does not converge (the near-antipodal band) route
+    to the bisection-stabilized auxiliary-sphere solver
+    (`_antipodal_inverse_scalar`) — the surface never fails to
+    converge (round-3 verdict #4; the reference handles this band via
+    PROJ's Karney geod_inverse)."""
     lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
     lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
     dlon = np.radians(
         np.asarray(lon2, dtype=np.float64) - np.asarray(lon1, dtype=np.float64)
     )
+    lat1, lat2, dlon = np.broadcast_arrays(lat1, lat2, dlon)
     b = a * (1.0 - f)
     U1 = np.arctan((1.0 - f) * np.tan(lat1))
     U2 = np.arctan((1.0 - f) * np.tan(lat2))
     sinU1, cosU1 = np.sin(U1), np.cos(U1)
     sinU2, cosU2 = np.sin(U2), np.cos(U2)
     lam = dlon.copy()
+    converged = np.zeros(lam.shape, dtype=bool)
     for _ in range(64):
         sinl, cosl = np.sin(lam), np.cos(lam)
         sin_sigma = np.sqrt(
@@ -198,7 +295,8 @@ def vincenty_inverse(lat1, lon1, lat2, lon2, a=WGS84_A, f=WGS84_F):
                 cos2sm + C * cos_sigma * (-1.0 + 2.0 * cos2sm * cos2sm)
             )
         )
-        if np.all(np.abs(lam_new - lam) < 1e-14):
+        converged = np.abs(lam_new - lam) < 1e-14
+        if np.all(converged):
             lam = lam_new
             break
         lam = lam_new
@@ -233,7 +331,19 @@ def vincenty_inverse(lat1, lon1, lat2, lon2, a=WGS84_A, f=WGS84_F):
             * (-3.0 + 4.0 * cos2sm * cos2sm)
         )
     )
-    return b * A * (sigma - dsig)
+    dist = b * A * (sigma - dsig)
+    if not np.all(converged):
+        # near-antipodal band: λ-iteration diverged — per-element
+        # bisection fallback (rare; only the band hits Python here)
+        flat_bad = np.nonzero(~converged.ravel())[0]
+        df = dist.ravel()
+        u1f, u2f, dlf = U1.ravel(), U2.ravel(), dlon.ravel()
+        for k in flat_bad:
+            df[k] = _antipodal_inverse_scalar(
+                float(u1f[k]), float(u2f[k]), float(dlf[k]), a, f
+            )
+        dist = df.reshape(dist.shape)
+    return dist
 
 
 def geodesic_line_length(lats, lons, a=WGS84_A, f=WGS84_F) -> float:

@@ -6876,3 +6876,59 @@ def q171(spark, sf_dir):
     """gdalwarp RMS under a sheared geotransform — sqrt of the
     footprint mean square; exact-integer radicand on both engines."""
     return _warp_shear(spark, "rms")
+
+
+# --- near-antipodal geodesic length (q172) -----------------------------------
+
+
+def _antipodal_fixture(k: int):
+    """25 pairs sweeping the λ-iteration divergence band, incl. exact
+    antipodal (k=0) and meridian-mirror pairs; dyadic-exact degrees."""
+    lat1 = (k * 7) % 60 + 0.25 * (k % 4)
+    lat2 = -lat1 - 0.125 * (k % 5)
+    dlon = 180.0 - 0.0625 * k
+    return lat1, lat2, dlon
+
+
+def _antipodal_oracle_rows():
+    from gdal_spark.kernels.geodesy import geodesic_line_length
+
+    rows = []
+    for k in range(25):
+        lat1, lat2, dlon = _antipodal_fixture(k)
+        rows.append(
+            (k, geodesic_line_length(np.array([lat1, lat2]), np.array([0.0, dlon])))
+        )
+    return rows
+
+
+@query(
+    "q172_geodesic_antipodal",
+    "SELECT * FROM (VALUES "
+    + ", ".join(
+        f"(CAST({k} AS BIGINT), CAST('{v!r}' AS DOUBLE))"
+        for k, v in _antipodal_oracle_rows()
+    )
+    + ") AS t(fid, length_m)",
+)
+def q172(spark, sf_dir):
+    """Geodesic length across the NEAR-ANTIPODAL band (round-3 verdict
+    #4): segments where Vincenty's λ-iteration diverges route to the
+    bisection-stabilized auxiliary-sphere fallback (minimum over the 4
+    branch symmetry variants, kernels/geodesy.py) — the reference
+    serves this band via PROJ's Karney geod_inverse
+    (ogr/ogrlinestring.cpp:3224).  Absolute anchors (half-meridian
+    perimeter to sub-cm) and band continuity are pinned in
+    tests/test_geodesy_antipodal.py; the oracle replays the engine's
+    exact doubles."""
+    from gdal_spark.functions.st import st_geodesic_length
+
+    rows = []
+    for k in range(25):
+        lat1, lat2, dlon = _antipodal_fixture(k)
+        coords = np.array([[0.0, lat1], [dlon, lat2]])
+        rows.append((k, W.linestring_wkb(coords)))
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
+    return layer.select(
+        "fid", st_geodesic_length(F.col("geom")).alias("length_m")
+    )
