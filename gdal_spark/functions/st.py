@@ -116,8 +116,9 @@ def st_astext(wkb: pd.Series) -> pd.Series:
                 if blobs[i] is not None:
                     out[i] = W.wkb_to_wkt(blobs[i])
             continue
-        for g, i in enumerate(idx):
-            out[i] = "POLYGON ((" + W._fmt_coords(coords[g]) + "))"
+        # whole group formatted in ONE C-level sprintf pass
+        for body, i in zip(W.fmt_coords_batch(coords), idx):
+            out[i] = "POLYGON ((" + body + "))"
     return pd.Series(out)
 
 
@@ -189,6 +190,29 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
         pts = a[reps] + (b[reps] - a[reps]) * frac[:, None]
         return np.vstack([coords[:1], pts])
 
+    def densify_group(coords: np.ndarray, mlg: np.ndarray):
+        """Whole-GROUP densify: every segment of every same-shape ring
+        in one flat repeat/cumsum pass — elementwise expression tree
+        identical to `densify` (hypot, ceil(seg/ml), a+(b−a)·(pos/n)),
+        so per-row outputs are BITWISE equal to the per-row path
+        (pinned in tests/test_st_batch.py)."""
+        g_, nv = coords.shape[0], coords.shape[1]
+        a = coords[:, :-1, :].reshape(-1, 2)
+        b = coords[:, 1:, :].reshape(-1, 2)
+        ml = np.repeat(mlg, nv - 1)
+        seg = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+        n = np.maximum(np.ceil(seg / ml).astype(np.int64), 1)
+        reps = np.repeat(np.arange(len(a)), n)
+        cum = np.cumsum(n)
+        pos = np.arange(int(cum[-1])) - (cum - n)[reps] + 1
+        frac = pos / n[reps]
+        pts = a[reps] + (b[reps] - a[reps]) * frac[:, None]
+        per_row = np.bincount(
+            np.repeat(np.arange(g_), nv - 1), weights=n, minlength=g_
+        ).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(per_row)])
+        return pts, offs
+
     blobs = [bytes(b) for b in wkb]
     mls = max_len.to_numpy(dtype=np.float64)
     out: list = [None] * len(blobs)
@@ -205,8 +229,10 @@ def st_segmentize(wkb: pd.Series, max_len: pd.Series) -> pd.Series:
                 else:
                     out[i] = blobs[i]
             continue
+        pts, offs = densify_group(coords, mls[idx])
         for g, i in enumerate(idx):
-            out[i] = W.polygon_wkb([densify(coords[g], float(mls[i]))])
+            ring = np.vstack([coords[g, :1], pts[offs[g] : offs[g + 1]]])
+            out[i] = W.polygon_wkb([ring])
     return pd.Series(out)
 
 

@@ -200,7 +200,21 @@ def wkt_to_wkb(wkt: str) -> bytes:
 
 
 def _fmt_coords(arr: np.ndarray) -> str:
-    return ",".join(f"{x:g} {y:g}" for x, y in arr)
+    """One C-level sprintf pass per ring: ``str.__mod__`` iterates the
+    tuple in C, so this is ~1 Python call per RING instead of 2 format
+    calls per VERTEX — byte-identical to the former per-pair
+    f"{x:g} {y:g}" (both go through PyOS_double_to_string('g', 6))."""
+    n = len(arr)
+    return (",".join(["%g %g"] * n)) % tuple(np.asarray(arr).reshape(-1).tolist())
+
+
+def fmt_coords_batch(coords: np.ndarray) -> list[str]:
+    """Format a (G, N, 2) same-shape coord batch as G WKT coord lists
+    in ONE ``%`` call (the whole batch is a single C sprintf loop)."""
+    g, n = coords.shape[0], coords.shape[1]
+    ring_fmt = ",".join(["%g %g"] * n)
+    big = ("\x00".join([ring_fmt] * g)) % tuple(coords.reshape(-1).tolist())
+    return big.split("\x00")
 
 
 def wkb_to_wkt(wkb: bytes) -> str:

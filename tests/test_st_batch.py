@@ -73,3 +73,45 @@ def test_st_distance_mixed_fallback():
             )
         )
     assert list(new) == ref
+
+
+def test_fmt_coords_byte_identical_to_fstring():
+    """round-4: the one-C-call '%g' formatter must be byte-identical to
+    the former per-pair f'{x:g} {y:g}' loop on every float shape."""
+    rng = np.random.default_rng(9)
+    cases = [
+        rng.integers(-1000, 1000, (7, 2)).astype(float),
+        rng.uniform(-1e6, 1e6, (11, 2)),
+        rng.uniform(-1e-7, 1e-7, (5, 2)),
+        np.array([[0.1, -0.25], [1e20, -1e-20], [123456.789, 3.0]]),
+    ]
+    for arr in cases:
+        old = ",".join(f"{x:g} {y:g}" for x, y in arr)
+        assert W._fmt_coords(arr) == old
+    # batch formatter agrees with per-ring on a (G, N, 2) group
+    batch = rng.uniform(-1e4, 1e4, (40, 6, 2))
+    assert W.fmt_coords_batch(batch) == [W._fmt_coords(r) for r in batch]
+
+
+def test_st_segmentize_group_bitwise():
+    """round-4: whole-group densify must be BITWISE equal to the
+    former per-row path (same expression tree, flat repeat/cumsum)."""
+    col = _col(400)
+    tol = pd.Series([1.5 + (i % 4) * 0.7 for i in range(400)])
+    new = st.st_segmentize.func(col, tol)
+
+    def densify_ref(coords, ml):
+        a, b = coords[:-1], coords[1:]
+        seg = np.hypot(b[:, 0] - a[:, 0], b[:, 1] - a[:, 1])
+        n = np.maximum(np.ceil(seg / ml).astype(np.int64), 1)
+        reps = np.repeat(np.arange(len(a)), n)
+        cum = np.cumsum(n)
+        pos = np.arange(int(cum[-1])) - (cum - n)[reps] + 1
+        frac = pos / n[reps]
+        pts = a[reps] + (b[reps] - a[reps]) * frac[:, None]
+        return np.vstack([coords[:1], pts])
+
+    for i, blob in enumerate(col):
+        _t, parts = W.parse_wkb(bytes(blob))
+        ref = W.polygon_wkb([densify_ref(parts[0], float(tol[i]))])
+        assert bytes(new[i]) == ref, i
