@@ -439,18 +439,18 @@ def st_buffer(wkb: pd.Series, dist: pd.Series, style: pd.Series) -> pd.Series:
         if coords.shape[0] == 1:
             return W.polygon_wkb([struct + coords[0]])
         hull = G.convex_hull(coords)
-        hull_area = abs(0.5 * float(np.sum(
-            hull[:, 0] * np.roll(hull[:, 1], -1)
-            - np.roll(hull[:, 0], -1) * hull[:, 1]
-        )))
-        ring_area = None
+        convex = True
         if ring is not None:
+            # COMBINATORIAL convexity (ADVICE round-3): all consecutive
+            # edge cross products share a sign (zeros = collinear,
+            # ignored) — no float-equality of two differently-ordered
+            # shoelace sums, so an ulp can't flip a convex ring onto
+            # the concave noder path and change the output WKB form
             rc = ring[:-1] if np.array_equal(ring[0], ring[-1]) else ring
-            ring_area = abs(0.5 * float(np.sum(
-                rc[:, 0] * np.roll(rc[:, 1], -1)
-                - np.roll(rc[:, 0], -1) * rc[:, 1]
-            )))
-        if ring is None or ring_area == hull_area:
+            e = np.roll(rc, -1, axis=0) - rc
+            cross = e[:, 0] * np.roll(e[:, 1], -1) - e[:, 1] * np.roll(e[:, 0], -1)
+            convex = not (bool(np.any(cross > 0)) and bool(np.any(cross < 0)))
+        if convex:
             return W.polygon_wkb([G.minkowski_sum_convex(hull, struct)])
         return W.multipolygon_wkb(_buffer_concave_rings(ring, struct))
 

@@ -181,16 +181,21 @@ def canonical_url(col) -> Column:
     url = F.col(col) if isinstance(col, str) else col
     # fragment off first
     u = F.regexp_replace(url, "#.*$", "")
-    # tracking params (with a following '&' or not)
-    u = F.regexp_replace(u, "utm_[a-z]+=[^&]*&", "")
-    u = F.regexp_replace(u, "[?&]utm_[a-z]+=[^&]*$", "")
+    # tracking params — every pattern ANCHORED to a [?&] boundary
+    # (ADVICE round-3: an unanchored 'utm_…&' strips mid-token or
+    # in-path occurrences like 'xutm_source=1&').  Order matters:
+    # '&utm' strips repeat-safely (each match owns its own '&'), then
+    # the leading '?utm' with and without following params.
+    u = F.regexp_replace(u, "&utm_[a-z]+=[^&]*", "")
     u = F.regexp_replace(u, "\\?utm_[a-z]+=[^&]*&", "?")
+    u = F.regexp_replace(u, "\\?utm_[a-z]+=[^&]*$", "")
     host = F.lower(F.regexp_extract(u, "^https?://([^/?#]+)", 1))
     host = F.regexp_replace(host, "^www\\.", "")
     host = F.regexp_replace(host, ":80$", "")
     rest = F.regexp_replace(u, "^https?://[^/?#]*", "")
-    rest = F.regexp_replace(rest, "/+$", "")
-    rest = F.regexp_replace(rest, "/\\?", "?")
+    # one collapse handles trailing slashes AND multi-slash-before-
+    # query identically to the oracle's '(/+)(\?|$)' → '\2'
+    rest = F.regexp_replace(rest, "(/+)(\\?|$)", "$2")
     return F.concat(F.lit("https://"), host, rest)
 
 

@@ -6529,8 +6529,8 @@ def _url_raw_col():
                  '^www\\.', ''), ':80$', '') ||
                regexp_replace(regexp_replace(regexp_replace(
                  regexp_replace(regexp_replace(regexp_replace(
-                   url, '#.*$', ''), 'utm_[a-z]+=[^&]*&', ''),
-                   '[?&]utm_[a-z]+=[^&]*$', ''), '\\?utm_[a-z]+=[^&]*&', '?'),
+                   url, '#.*$', ''), '&utm_[a-z]+=[^&]*', ''),
+                   '\\?utm_[a-z]+=[^&]*&', '?'), '\\?utm_[a-z]+=[^&]*$', ''),
                  '^https?://[^/?#]*', ''), '(/+)(\\?|$)', '\\2')
                AS canon
              FROM d)
@@ -6569,9 +6569,12 @@ def q165(spark, sf_dir):
                  FROM w, range(1, 2000) r
                  WHERE r.range <= len(words) - 7),
        hits AS (SELECT DISTINCT g.doc_id, g.gram
-                FROM grams g JOIN bench b ON g.gram = b.gram)
+                FROM grams g JOIN bench b ON g.gram = b.gram),
+       guard AS (SELECT CASE WHEN max(len(words)) > 1999 THEN
+                   error('q166 oracle range(1,2000) bound exceeded by fixture')
+                 ELSE 1 END AS ok FROM w)
        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_benchmark_hits
-       FROM hits GROUP BY doc_id""",
+       FROM hits, guard GROUP BY doc_id""",
 )
 def q166(spark, sf_dir):
     """Benchmark CONTAMINATION screening (the n-gram-overlap
@@ -6611,10 +6614,13 @@ def q166(spark, sf_dir):
                   WHERE (r.range-1)*2 + 1 <= len(words)),
        s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
                     CAST(count(DISTINCT chunk) AS BIGINT) AS n_distinct
-             FROM chunks GROUP BY doc_id)
+             FROM chunks GROUP BY doc_id),
+       guard AS (SELECT CASE WHEN max(len(words)) > 2*599 THEN
+                   error('q167 oracle range(1,600) bound exceeded by fixture')
+                 ELSE 1 END AS ok FROM w)
        SELECT doc_id, n_chunks, n_distinct,
               CAST(n_chunks - n_distinct AS BIGINT) AS n_repeated
-       FROM s WHERE n_chunks - n_distinct > 0""",
+       FROM s, guard WHERE n_chunks - n_distinct > 0""",
 )
 def q167(spark, sf_dir):
     """Intra-document REPETITION measurement (the C4/Dolma repeated-

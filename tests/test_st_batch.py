@@ -115,3 +115,31 @@ def test_st_segmentize_group_bitwise():
         _t, parts = W.parse_wkb(bytes(blob))
         ref = W.polygon_wkb([densify_ref(parts[0], float(tol[i]))])
         assert bytes(new[i]) == ref, i
+
+
+def test_st_buffer_convexity_is_combinatorial():
+    """ADVICE round-3: non-integer CONVEX rings must stay on the convex
+    Minkowski path (Polygon out, not MultiPolygon), even when the two
+    shoelace sums differ by an ulp."""
+    import struct as _s
+
+    # irregular convex pentagon with non-representable coordinates
+    ring = np.array(
+        [[0.1, 0.1], [4.3, 0.7], [5.9, 3.1], [2.2, 5.3], [-0.7, 2.9],
+         [0.1, 0.1]]
+    ) * (1.0 / 3.0)
+    blob = W.polygon_wkb([ring])
+    out = st.st_buffer.func(
+        pd.Series([blob]), pd.Series([0.5]), pd.Series(["square"])
+    )
+    gtype = _s.unpack_from("<I", bytes(out[0]), 1)[0]
+    assert gtype == W.POLYGON  # convex fast path, not the noder
+    # and a genuinely concave ring still routes to the noder
+    lring = np.array(
+        [[0, 0], [4, 0], [4, 1], [1, 1], [1, 3], [0, 3], [0, 0]], dtype=float
+    )
+    out2 = st.st_buffer.func(
+        pd.Series([W.polygon_wkb([lring])]), pd.Series([0.5]),
+        pd.Series(["square"]),
+    )
+    assert _s.unpack_from("<I", bytes(out2[0]), 1)[0] == W.MULTIPOLYGON
