@@ -187,6 +187,8 @@ HEADLINE = [
     "q170_warp_mode_rotated",
     "q171_warp_rms_rotated",
     "q172_geodesic_antipodal",
+    "q173_helmert_datum_roundtrip",
+    "q174_albers_roundtrip",
 ]
 
 

@@ -179,3 +179,159 @@ def lcc_to_lonlat(
             t * F.pow((1.0 - _E * F.sin(phi)) / (1.0 + _E * F.sin(phi)), _E / 2.0)
         )
     return lon, phi / _D2R
+
+
+# --- ECEF + 7-parameter Helmert datum shift ---------------------------------
+# Reference surface: OGRCoordinateTransformation datum pipelines
+# (ogr/ogrct.cpp:665 — PROJ handles Helmert via +towgs84 / EPSG 9606).
+# The position-vector 7-parameter transform is closed-form, so unlike
+# grid-shift pipelines it needs no PROJ: geodetic → ECEF → T+(1+s)RX →
+# geodetic, every step a Column expression inside codegen.
+
+
+def geodetic_to_ecef(lon: Column, lat: Column, h: Column,
+                     a: float = WGS84_A, f: float = WGS84_F):
+    """(deg, deg, m) → ECEF (X, Y, Z) on the given ellipsoid."""
+    e2 = f * (2.0 - f)
+    phi, lam = lat * _D2R, lon * _D2R
+    sphi, cphi = F.sin(phi), F.cos(phi)
+    N = a / F.sqrt(1.0 - e2 * sphi * sphi)
+    X = (N + h) * cphi * F.cos(lam)
+    Y = (N + h) * cphi * F.sin(lam)
+    Z = (N * (1.0 - e2) + h) * sphi
+    return X, Y, Z
+
+
+def ecef_to_geodetic(X: Column, Y: Column, Z: Column,
+                     a: float = WGS84_A, f: float = WGS84_F):
+    """ECEF → (lon, lat, h): Bowring's one-shot latitude (1976) plus
+    TWO fixed-point refinements.  Column trees cannot loop and naive
+    unrolling embeds the whole previous tree ~5× per step (8 steps
+    OOM'd Janino codegen) — Bowring starts ~1e-9 rad from the root, so
+    two refinements reach < 1e-12 rad / sub-μm h with a tree of only
+    ~25 Bowring-size nodes."""
+    e2 = f * (2.0 - f)
+    b = a * (1.0 - f)
+    ep2 = (a * a - b * b) / (b * b)
+    p = F.sqrt(X * X + Y * Y)
+    lam = F.atan2(Y, X)
+    theta = F.atan2(Z * a, p * b)
+    st, ct = F.sin(theta), F.cos(theta)
+    phi = F.atan2(Z + ep2 * b * st * st * st, p - e2 * a * ct * ct * ct)
+    for _ in range(2):
+        sphi = F.sin(phi)
+        N = a / F.sqrt(1.0 - e2 * sphi * sphi)
+        h = p / F.cos(phi) - N
+        phi = F.atan2(Z, p * (1.0 - e2 * N / (N + h)))
+    sphi = F.sin(phi)
+    N = a / F.sqrt(1.0 - e2 * sphi * sphi)
+    h = p / F.cos(phi) - N
+    return lam / _D2R, phi / _D2R, h
+
+
+def helmert7(X: Column, Y: Column, Z: Column, params: tuple[float, ...]):
+    """Position-vector 7-parameter Helmert (EPSG 9606):
+    X' = T + (1+s)·R·X with the small-angle rotation matrix
+    [[1, −rz, ry], [rz, 1, −rx], [−ry, rx, 1]].
+    ``params`` = (tx, ty, tz, rx, ry, rz, s) in meters / radians /
+    unitless (callers convert arc-seconds and ppm)."""
+    tx, ty, tz, rx, ry, rz, s = params
+    m = 1.0 + s
+    Xn = tx + m * (X - rz * Y + ry * Z)
+    Yn = ty + m * (rz * X + Y - rx * Z)
+    Zn = tz + m * (-ry * X + rx * Y + Z)
+    return Xn, Yn, Zn
+
+
+def helmert7_inverse(X: Column, Y: Column, Z: Column, params: tuple[float, ...]):
+    """EXACT algebraic inverse of `helmert7` (not the negated-sign
+    approximation): X = R⁻¹ (X'−T) / (1+s), with the closed-form
+    inverse of the small-angle matrix (det = 1 + rx² + ry² + rz²,
+    adjugate entries below) — the forward∘inverse round trip is
+    machine-exact, so the q173 oracle can be the input formula."""
+    tx, ty, tz, rx, ry, rz, s = params
+    m = 1.0 + s
+    dX, dY, dZ = (X - tx) / m, (Y - ty) / m, (Z - tz) / m
+    det = 1.0 + rx * rx + ry * ry + rz * rz
+    Xo = ((1.0 + rx * rx) * dX + (rz + rx * ry) * dY + (rx * rz - ry) * dZ) / det
+    Yo = ((rx * ry - rz) * dX + (1.0 + ry * ry) * dY + (rx + ry * rz) * dZ) / det
+    Zo = ((ry + rx * rz) * dX + (ry * rz - rx) * dY + (1.0 + rz * rz) * dZ) / det
+    return Xo, Yo, Zo
+
+
+# --- Albers equal-area conic (2SP) ------------------------------------------
+# Snyder 1987 (USGS PP 1395) §14, ellipsoidal form — the equal-area
+# sibling of the LCC above; the area-element Jacobian anchor lives in
+# tests/test_proj_round4.py.
+
+
+def _aea_consts(phi1_deg: float, phi2_deg: float, phi0_deg: float, lam0_deg: float):
+    def m(phi):
+        return math.cos(phi) / math.sqrt(1.0 - _E2 * math.sin(phi) ** 2)
+
+    def q(phi):
+        s = math.sin(phi)
+        return (1.0 - _E2) * (
+            s / (1.0 - _E2 * s * s)
+            - (1.0 / (2.0 * _E)) * math.log((1.0 - _E * s) / (1.0 + _E * s))
+        )
+
+    p1, p2, p0 = (math.radians(v) for v in (phi1_deg, phi2_deg, phi0_deg))
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    rho0 = WGS84_A * math.sqrt(C - n * q(p0)) / n
+    return n, C, rho0, math.radians(lam0_deg)
+
+
+def _q_col(phi: Column) -> Column:
+    s = F.sin(phi)
+    return (1.0 - _E2) * (
+        s / (1.0 - _E2 * s * s)
+        - (1.0 / (2.0 * _E)) * F.log((1.0 - _E * s) / (1.0 + _E * s))
+    )
+
+
+def lonlat_to_aea(
+    lon: Column, lat: Column,
+    phi1: float, phi2: float, phi0: float, lam0: float,
+):
+    n, C, rho0, l0 = _aea_consts(phi1, phi2, phi0, lam0)
+    qv = _q_col(lat * _D2R)
+    rho = WGS84_A * F.sqrt(C - n * qv) / n
+    theta = n * (lon * _D2R - l0)
+    return rho * F.sin(theta), rho0 - rho * F.cos(theta)
+
+
+def aea_to_lonlat(
+    x: Column, y: Column,
+    phi1: float, phi2: float, phi0: float, lam0: float,
+):
+    n, C, rho0, l0 = _aea_consts(phi1, phi2, phi0, lam0)
+    rho = F.sqrt(x * x + (rho0 - y) * (rho0 - y))
+    theta = F.atan2(x, rho0 - y)
+    qv = (C - (rho * n / WGS84_A) * (rho * n / WGS84_A)) / n
+    lon = (theta / n + l0) / _D2R
+    # inverse authalic latitude by the CLOSED Snyder 3-18 series (no
+    # unrolled iteration — tree stays linear; series truncation ~e⁸,
+    # i.e. < 1e-11 rad) from β = asin(q/qp)
+    qp = (1.0 - _E2) * (
+        1.0 / (1.0 - _E2)
+        - (1.0 / (2.0 * _E)) * math.log((1.0 - _E) / (1.0 + _E))
+    )
+    beta = F.asin(qv / qp)
+    e4, e6 = _E2 * _E2, _E2 * _E2 * _E2
+    phi = (
+        beta
+        + (_E2 / 3.0 + 31.0 * e4 / 180.0 + 517.0 * e6 / 5040.0) * F.sin(2.0 * beta)
+        + (23.0 * e4 / 360.0 + 251.0 * e6 / 3780.0) * F.sin(4.0 * beta)
+        + (761.0 * e6 / 45360.0) * F.sin(6.0 * beta)
+    )
+    # one Snyder 3-16 refinement: series truncation ~1e-8 deg → <1e-10
+    s = F.sin(phi)
+    one = 1.0 - _E2 * s * s
+    phi = phi + (one * one) / (2.0 * F.cos(phi)) * (
+        qv / (1.0 - _E2)
+        - s / one
+        + (1.0 / (2.0 * _E)) * F.log((1.0 - _E * s) / (1.0 + _E * s))
+    )
+    return lon, phi / _D2R
