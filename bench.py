@@ -189,6 +189,9 @@ HEADLINE = [
     "q172_geodesic_antipodal",
     "q173_helmert_datum_roundtrip",
     "q174_albers_roundtrip",
+    "q175_organize_polygons",
+    "q176_wrapdateline",
+    "q177_hstore_get_value",
 ]
 
 

@@ -166,6 +166,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_Linearize", st_linearize)
     spark.udf.register("ST_GeodesicLength", st_geodesic_length)
     spark.udf.register("ST_Area_Ellipsoid", st_geodesic_area)
+    spark.udf.register("ST_WrapDateLine", st_wrapdateline)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -693,4 +694,43 @@ def st_geodesic_area(wkb: pd.Series) -> pd.Series:
                 a = GD.geodesic_ring_area(r[:, 1], r[:, 0])
                 tot += a if j == 0 else -a
         out[i] = tot
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_wrapdateline(wkb: pd.Series) -> pd.Series:
+    """Antimeridian split — OGRGeometryFactory::transformWithOptions
+    WRAPDATELINE=YES (ogr/ogrgeometryfactory.cpp): a polygon whose ring
+    uses CONTINUOUS longitudes past +180 splits into the west piece
+    (clipped to lon ≤ 180) and the east piece (lon > 180, shifted by
+    −360).  Pieces come from the exact arrangement noder (vertices ON
+    the 180 meridian are the degenerate class it exists for) in its
+    canonical ring form; output is always a MultiPolygon, 1 piece when
+    nothing crosses."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.kernels.arrangement import overlay_geoms_exact
+
+    west_band = np.array(
+        [[-180.0, -90.0], [180.0, -90.0], [180.0, 90.0], [-180.0, 90.0],
+         [-180.0, -90.0]]
+    )
+    east_band = np.array(
+        [[180.0, -90.0], [540.0, -90.0], [540.0, 90.0], [180.0, 90.0],
+         [180.0, -90.0]]
+    )
+
+    out: list = [None] * len(wkb)
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        gtype, parts = W.parse_wkb(bytes(b))
+        ring = parts[0] if gtype == W.POLYGON else parts
+        polys = []
+        for piece in overlay_geoms_exact(ring, west_band, "intersection"):
+            polys.append(piece)
+        for piece in overlay_geoms_exact(ring, east_band, "intersection"):
+            polys.append([
+                np.column_stack([r[:, 0] - 360.0, r[:, 1]]) for r in piece
+            ])
+        out[i] = W.multipolygon_wkb(polys)
     return pd.Series(out)

@@ -359,3 +359,57 @@ def min_distance_batch(A: np.ndarray, B: np.ndarray) -> np.ndarray:
         crossing = ((d1 * d2 < 0) & (d3 * d4 < 0)).any(axis=(1, 2))
         best = np.where(crossing, 0.0, best)
     return best
+
+
+def organize_rings(rings: list) -> list:
+    """OGRGeometryFactory::organizePolygons METHOD=DEFAULT semantics
+    (ogr/ogrgeometryfactory.cpp:organizePolygons), pinned: a ring
+    contained in an ODD number of other rings is a HOLE; its parent is
+    the smallest-area containing ring with EVEN containment depth (a
+    shell).  Rings are assumed non-crossing (the reference's input
+    contract).  Returns [(index, parent_index_or_-1, 'shell'|'hole')]
+    in input order; containment tested by a representative vertex with
+    boundary excluded (rings sharing edges are not mutual containers).
+    """
+    from gdal_spark.kernels.pip import points_in_polygon
+
+    n = len(rings)
+    opened = []
+    areas = []
+    for r in rings:
+        rr = np.asarray(r, dtype=np.float64)
+        if rr.shape[0] > 1 and np.array_equal(rr[0], rr[-1]):
+            core = rr[:-1]
+        else:
+            core = rr
+            rr = np.vstack([rr, rr[:1]])
+        opened.append((core, rr))
+        areas.append(abs(0.5 * float(np.sum(
+            core[:, 0] * np.roll(core[:, 1], -1)
+            - np.roll(core[:, 0], -1) * core[:, 1]
+        ))))
+    contains = np.zeros((n, n), dtype=bool)  # contains[i, j]: i ⊇ j
+    for i in range(n):
+        _core_i, closed_i = opened[i]
+        for j in range(n):
+            if i == j:
+                continue
+            rep = opened[j][0][0]
+            contains[i, j] = bool(
+                points_in_polygon(
+                    np.array([rep[0]]), np.array([rep[1]]), [closed_i],
+                    include_boundary=False,
+                )[0]
+            )
+    depth = contains.sum(axis=0)
+    out = []
+    for j in range(n):
+        if depth[j] % 2 == 0:
+            out.append((j, -1, "shell"))
+            continue
+        parents = [
+            i for i in range(n) if contains[i, j] and depth[i] % 2 == 0
+        ]
+        parent = min(parents, key=lambda i: (areas[i], i))
+        out.append((j, parent, "hole"))
+    return out

@@ -7020,3 +7020,158 @@ def q174(spark, sf_dir):
     return fwd.select(
         "n", F.round(lon2, 6).alias("lon"), F.round(lat2, 6).alias("lat")
     )
+
+
+# --- geometry factory + SQL-dialect completions (q175-q177) ------------------
+
+
+@query(
+    "q175_organize_polygons",
+    """SELECT CAST(n_nationkey AS BIGINT) AS fid, r.ring_id, r.parent, r.role,
+              CAST(CASE r.ring_id
+                   WHEN 0 THEN (16 + n_nationkey%3) * 16
+                   WHEN 1 THEN 64
+                   WHEN 2 THEN 25
+                   WHEN 3 THEN (1 + n_nationkey%2)
+                   ELSE 16 END AS DOUBLE) AS r_area
+       FROM nation, (VALUES (CAST(0 AS INT), CAST(-1 AS INT), 'shell'),
+                            (CAST(1 AS INT), CAST(0 AS INT), 'hole'),
+                            (CAST(2 AS INT), CAST(-1 AS INT), 'shell'),
+                            (CAST(3 AS INT), CAST(2 AS INT), 'hole'),
+                            (CAST(4 AS INT), CAST(-1 AS INT), 'shell'))
+                 AS r(ring_id, parent, role)""",
+)
+def q175(spark, sf_dir):
+    """OGRGeometryFactory::organizePolygons METHOD=DEFAULT
+    (ogr/ogrgeometryfactory.cpp): a bag of unordered rings per feature
+    is organized into shells and holes by even-odd containment depth
+    (hole parent = smallest-area even-depth container).  Three-level
+    nesting fixture: shell ⊃ hole ⊃ island ⊃ inner-hole, plus a
+    disjoint shell; distributed per-feature via groupBy(fid)
+    applyInPandas over kernels/geomops.organize_rings."""
+    from gdal_spark.kernels.geomops import organize_rings
+
+    def rect(x0, y0, w, h):
+        return np.array(
+            [[x0, y0], [x0 + w, y0], [x0 + w, y0 + h], [x0, y0 + h], [x0, y0]],
+            dtype=np.float64,
+        )
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        rings = [
+            rect(0, 0, 16 + k % 3, 16),
+            rect(2, 2, 8, 8),
+            rect(3, 3, 5, 5),
+            rect(4, 4, 1 + k % 2, 1),
+            rect(30, 0, 4, 4),
+        ]
+        for rid, ring in enumerate(rings):
+            rows.append((k, rid, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, ring_id int, geom binary").repartition(8)
+
+    def organize(key, pdf):
+        pdf = pdf.sort_values("ring_id").reset_index(drop=True)
+        rings = []
+        areas = []
+        for b in pdf["geom"]:
+            _t2, parts = W.parse_wkb(bytes(b))
+            ring = parts[0]
+            rings.append(ring)
+            c = ring[:-1]
+            areas.append(abs(0.5 * float(np.sum(
+                c[:, 0] * np.roll(c[:, 1], -1) - np.roll(c[:, 0], -1) * c[:, 1]
+            ))))
+        res = organize_rings(rings)
+        return pd.DataFrame({
+            "fid": [int(key[0])] * len(res),
+            "ring_id": [int(pdf["ring_id"][j]) for j, _p, _r in res],
+            "parent": [int(p) for _j, p, _r in res],
+            "role": [s for _j, _p, s in res],
+            "r_area": [areas[j] for j, _p, _r in res],
+        })
+
+    return layer.groupBy("fid").applyInPandas(
+        organize,
+        "fid long, ring_id int, parent int, role string, r_area double",
+    )
+
+
+_WRAP_F = """f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         170 + n_nationkey%8 AS lon0, 6 + n_nationkey%5 AS w,
+         -20 + (n_nationkey%4)*5 AS lat0, 3 + n_nationkey%3 AS h
+    FROM nation)"""
+
+
+@query(
+    "q176_wrapdateline",
+    f"""WITH {_WRAP_F},
+       west AS (SELECT fid, CAST(0 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(4 AS INT) AS n_pts,
+              CAST({_vsum2(["2*lon0", "2*least(lon0+w, 180)",
+                            "2*least(lon0+w, 180)", "2*lon0"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*lat0", "2*lat0", "2*(lat0+h)", "2*(lat0+h)"])}
+                   AS BIGINT) AS vsum_y,
+              round(CAST((least(lon0+w, 180) - lon0) * h AS DOUBLE), 6) AS r_area
+         FROM f),
+       east AS (SELECT fid, CAST(1 AS INT) AS pi, CAST(0 AS INT) AS ri,
+              CAST(4 AS INT) AS n_pts,
+              CAST({_vsum2(["2*(-180)", "2*(lon0+w-360)",
+                            "2*(lon0+w-360)", "2*(-180)"])} AS BIGINT) AS vsum_x,
+              CAST({_vsum2(["2*lat0", "2*lat0", "2*(lat0+h)", "2*(lat0+h)"])}
+                   AS BIGINT) AS vsum_y,
+              round(CAST((lon0+w-180) * h AS DOUBLE), 6) AS r_area
+         FROM f WHERE lon0 + w > 180)
+       SELECT * FROM west UNION ALL SELECT * FROM east""",
+)
+def q176(spark, sf_dir):
+    """Antimeridian WRAPDATELINE split (transformWithOptions,
+    ogr/ogrgeometryfactory.cpp): rects straddling lon=180 (continuous
+    longitudes) split into a west piece and an east piece shifted by
+    −360 through the exact noder (vertices ON the meridian are its
+    degenerate class); canonical-ring vertex checksums, interval-
+    arithmetic oracle."""
+    from gdal_spark.functions.st import st_wrapdateline
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        lon0, w = 170 + k % 8, 6 + k % 5
+        lat0, h = -20 + (k % 4) * 5, 3 + k % 3
+        ring = np.array(
+            [[lon0, lat0], [lon0 + w, lat0], [lon0 + w, lat0 + h],
+             [lon0, lat0 + h], [lon0, lat0]],
+            dtype=np.float64,
+        )
+        rows.append((k, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
+    res = layer.select("fid", st_wrapdateline(F.col("geom")).alias("geom"))
+    return _checksum_rows(res)
+
+
+@query(
+    "q177_hstore_get_value",
+    """SELECT doc_id,
+              'c' || CAST(doc_id%5 AS VARCHAR) AS color,
+              's' || CAST(doc_id%3 AS VARCHAR) AS size
+       FROM documents WHERE doc_id%2 = 0""",
+)
+def q177(spark, sf_dir):
+    """HSTORE_GET_VALUE (OGR SQL special op, ogr/ogr_swq.h:42-81 +
+    swq_op_general.cpp) — the reference parses 'k=>v,k=>v' tag strings;
+    Spark-side this is the built-in str_to_map (JVM, no UDF).  The
+    engine PARSES the constructed tag string; the oracle replays the
+    value formulas."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    tagged = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("color=>c"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(",size=>s"), (F.col("doc_id") % 3).cast("string"),
+        ).alias("tags"),
+    )
+    m = F.expr("str_to_map(tags, ',', '=>')")
+    return tagged.select(
+        "doc_id", m.getItem("color").alias("color"), m.getItem("size").alias("size")
+    )
