@@ -192,6 +192,8 @@ HEADLINE = [
     "q175_organize_polygons",
     "q176_wrapdateline",
     "q177_hstore_get_value",
+    "q178_tfidf_top_term",
+    "q179_bm25",
 ]
 
 

@@ -7175,3 +7175,153 @@ def q177(spark, sf_dir):
     return tagged.select(
         "doc_id", m.getItem("color").alias("color"), m.getItem("size").alias("size")
     )
+
+
+# --- text retrieval scoring: TF-IDF + BM25 (q178-q179) ----------------------
+# Training-data curation needs corpus-statistics scoring (quality
+# weighting, retrieval-based filtering).  Both use the RATIONAL idf
+# variant (N/df instead of ln(N/df)) so every compared value is exact
+# integer arithmetic in doubles — the repo's no-raw-transcendentals
+# oracle invariant; the ln form differs only by a monotone transform,
+# so rankings are identical where df differs.
+
+
+@query(
+    "q178_tfidf_top_term",
+    """WITH toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents),
+       tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, tok),
+       df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks GROUP BY tok),
+       nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM toks),
+       sc AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+                     CAST(t.tf AS DOUBLE) * n / d.df AS score
+              FROM tf t JOIN df d ON t.tok = d.tok, nd),
+       rk AS (SELECT doc_id, tok, tf, df, score,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score DESC, tok ASC) AS rnk
+              FROM sc)
+       SELECT doc_id, tok AS top_term, tf, df, round(score, 6) AS score
+       FROM rk WHERE rnk = 1""",
+)
+def q178(spark, sf_dir):
+    """TF-IDF with rational idf (score = tf·N/df): per-document top
+    term, ties to the lexicographically smallest.  Plan: one tokenize
+    + two aggregations + a broadcast of the tiny (N) scalar; the df
+    table joins on token — at corpus scale both aggregations are
+    map-side-combinable and the join key (token) is the natural
+    partition; no all-pairs anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    nd = toks.select(F.countDistinct("doc_id").alias("n"))
+    sc = (
+        tf.join(df, "tok")
+        .join(F.broadcast(nd))
+        .withColumn("score", F.col("tf").cast("double") * F.col("n") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "doc_id", F.col("tok").alias("top_term"), "tf", "df",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "q179_bm25",
+    """WITH toks AS (SELECT doc_id,
+                unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+            FROM documents),
+       dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+              FROM toks GROUP BY doc_id),
+       stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       q(tok) AS (VALUES ('spark'), ('vector'), ('merge')),
+       tf AS (SELECT t.doc_id, t.tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks t JOIN q ON t.tok = q.tok GROUP BY t.doc_id, t.tok),
+       df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+              FROM toks GROUP BY tok),
+       terms AS (SELECT f.doc_id, f.tok,
+                 (CAST(s.n AS DOUBLE) / d.df)
+                 * (CAST(f.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(f.tf AS DOUBLE)
+                    + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(l.dl AS DOUBLE) / s.avgdl)))
+                 AS term_score
+                 FROM tf f JOIN df d ON f.tok = d.tok
+                 JOIN dl l ON l.doc_id = f.doc_id, stats s),
+       piv AS (SELECT doc_id,
+                 max(CASE WHEN tok = 'spark' THEN term_score END) AS s1,
+                 max(CASE WHEN tok = 'vector' THEN term_score END) AS s2,
+                 max(CASE WHEN tok = 'merge' THEN term_score END) AS s3
+               FROM terms GROUP BY doc_id)
+       SELECT doc_id,
+              round(coalesce(s1, 0.0) + coalesce(s2, 0.0) + coalesce(s3, 0.0), 6)
+                  AS bm25
+       FROM piv""",
+)
+def q179(spark, sf_dir):
+    """BM25 (k1 = 1.2, b = 0.75, rational idf N/df) of the 3-term
+    query {spark, vector, merge} against every document.  The query
+    side is a broadcast 3-row table; dl/avgdl are one aggregation;
+    per-term scores mirror the oracle's expression tree TERM FOR TERM
+    (exact-integer inputs → bitwise doubles).  The per-doc total is a
+    FIXED-ORDER pivot sum (max-per-term then s1+s2+s3 left to right) —
+    a float SUM over an unordered group would be engine-order-
+    dependent in the last ulp (round-3 invariant)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qterms = local_df(
+        docs.sparkSession, [("spark",), ("vector",), ("merge",)], "tok string"
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    terms = (
+        tf.join(df, "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            (F.col("n").cast("double") / F.col("df"))
+            * (F.col("tf").cast("double") * (1.2 + 1.0))
+            / (
+                F.col("tf").cast("double")
+                + 1.2 * (1.0 - 0.75 + 0.75 * (F.col("dl").cast("double") / F.col("avgdl")))
+            ),
+        )
+    )
+    piv = terms.groupBy("doc_id").agg(
+        F.max(F.when(F.col("tok") == "spark", F.col("term_score"))).alias("s1"),
+        F.max(F.when(F.col("tok") == "vector", F.col("term_score"))).alias("s2"),
+        F.max(F.when(F.col("tok") == "merge", F.col("term_score"))).alias("s3"),
+    )
+    return piv.select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("s1"), F.lit(0.0))
+            + F.coalesce(F.col("s2"), F.lit(0.0))
+            + F.coalesce(F.col("s3"), F.lit(0.0)),
+            6,
+        ).alias("bm25"),
+    )
