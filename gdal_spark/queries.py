@@ -7325,3 +7325,39 @@ def q179(spark, sf_dir):
             6,
         ).alias("bm25"),
     )
+
+
+# --- streaming MinHash-LSH near-dup bucketing (q180) -------------------------
+
+
+def _q180_sig_sql(j: int) -> str:
+    sh = ("list_distinct(list_filter("
+          "[substr(text, CAST(i AS INT), 3) for i in range(1, greatest(length(text) - 1, 2))],"
+          " s -> length(s) = 3))")
+    return (f"list_min(list_transform({sh}, s -> md5('{j}' || s)))")
+
+
+@query(
+    "q180_stream_minhash",
+    f"""WITH d AS (SELECT doc_id, text FROM documents
+                 UNION ALL SELECT doc_id + 100000, text FROM documents),
+       sigs AS (SELECT doc_id,
+                md5({_q180_sig_sql(0)} || {_q180_sig_sql(1)} || {_q180_sig_sql(2)} || {_q180_sig_sql(3)}) AS b0,
+                md5({_q180_sig_sql(4)} || {_q180_sig_sql(5)} || {_q180_sig_sql(6)} || {_q180_sig_sql(7)}) AS b1
+                FROM d),
+       b AS (SELECT doc_id, 0 AS band, b0 AS bucket FROM sigs
+             UNION ALL SELECT doc_id, 1 AS band, b1 AS bucket FROM sigs)
+       SELECT band, bucket, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+              CAST(count(*) AS BIGINT) AS n_docs
+       FROM b GROUP BY band, bucket""",
+)
+def q180(spark, sf_dir):
+    """STREAMING MinHash-LSH near-dup bucketing: near-dup redeliveries
+    arrive in a second micro-batch and the per-(band, bucket) state —
+    keeper = min id, n_docs — updates incrementally (ONE stateful agg;
+    signatures are stateless array ops, lexicographic min of md5 hex,
+    portable verbatim to the oracle).  The drained complete-mode table
+    equals the batch bucket table over originals ∪ redeliveries."""
+    from gdal_spark.streaming.windowed import stream_minhash_buckets
+
+    return stream_minhash_buckets(spark, f"{sf_dir}/documents.parquet")

@@ -166,3 +166,80 @@ def stream_geocode_density(
     return spark.table(name).select(
         F.col(f"cell{res}").alias("cell"), F.col("count").alias("n")
     )
+
+
+def stream_minhash_buckets(
+    spark: SparkSession,
+    documents_path: str,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup bucketing: documents arrive in
+    two micro-batches (originals, then near-dup redeliveries under
+    shifted ids), and the query maintains per-(band, bucket) state —
+    keeper = min doc id, n_docs — incrementally.
+
+    Structured Streaming allows only ONE stateful aggregation per
+    query, so the signature step is STATELESS by construction: each
+    row carries its whole text, shingles come from
+    transform(sequence)/substring array ops, and sig_j =
+    array_min(transform(shingles, s → md5(j‖s))) — the lexicographic
+    min of md5 hex strings, portable to the DuckDB oracle verbatim.
+    The single groupBy(band, bucket) agg is the stateful operator
+    (complete mode, availableNow drain)."""
+    batch_df = spark.read.parquet(documents_path)
+    name = "stream_mh_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(
+        os.path.abspath(documents_path), os.path.join(src_dir, "part-0.parquet")
+    )
+    # near-dup redelivery: the same texts return under ids +100000
+    batch_df.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "dup"))
+    import glob as _glob
+
+    dup_file = _glob.glob(os.path.join(src_dir, "dup", "part-*.parquet"))[0]
+    os.symlink(dup_file, os.path.join(src_dir, "part-1.parquet"))
+
+    schema = "doc_id long, text string"
+    shingles = (
+        f"array_distinct(filter(transform("
+        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substring(text, i, {k})), s -> length(s) = {k}))"
+    )
+
+    def sig(j: int) -> str:
+        return (
+            f"array_min(transform({shingles}, s -> md5(concat('{j}', s))))"
+        )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .selectExpr(
+            "doc_id",
+            f"md5(concat({sig(0)}, {sig(1)}, {sig(2)}, {sig(3)})) AS b0",
+            f"md5(concat({sig(4)}, {sig(5)}, {sig(6)}, {sig(7)})) AS b1",
+        )
+        .selectExpr(
+            "doc_id",
+            "explode(map(0, b0, 1, b1)) AS (band, bucket)",
+        )
+        .groupBy("band", "bucket")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
