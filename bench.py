@@ -194,6 +194,9 @@ HEADLINE = [
     "q177_hstore_get_value",
     "q178_tfidf_top_term",
     "q179_bm25",
+    "q181_point_on_surface",
+    "q182_union_cascaded",
+    "q183_force_multi",
 ]
 
 

@@ -167,6 +167,9 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_GeodesicLength", st_geodesic_length)
     spark.udf.register("ST_Area_Ellipsoid", st_geodesic_area)
     spark.udf.register("ST_WrapDateLine", st_wrapdateline)
+    spark.udf.register("ST_PointOnSurface", st_point_on_surface)
+    spark.udf.register("ST_ForceMulti", st_force_multi)
+    spark.udf.register("ST_GeometryType", st_geometry_type)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -733,4 +736,81 @@ def st_wrapdateline(wkb: pd.Series) -> pd.Series:
                 np.column_stack([r[:, 0] - 360.0, r[:, 1]]) for r in piece
             ])
         out[i] = W.multipolygon_wkb(polys)
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def st_point_on_surface(wkb: pd.Series) -> pd.Series:
+    """Interior point — the reference's PointOnSurface (GEOS
+    InteriorPointArea via OGRGeometry::PointOnSurface).  PINNED
+    contract: scan the horizontal line y* = (ymin+ymax)/2, collect the
+    ring's edge crossings (half-open vertex rule: an edge contributes
+    iff min(y0,y1) ≤ y* < max(y0,y1) — horizontal edges never do),
+    sort the crossing x's; the point is the midpoint of the WIDEST
+    (x₂ᵢ, x₂ᵢ₊₁) interior interval.  Returns [x, y*]."""
+    from gdal_spark.kernels import wkb as W
+
+    out: list = [None] * len(wkb)
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        gtype, parts = W.parse_wkb(bytes(b))
+        rings = parts if gtype == W.POLYGON else [parts]
+        allv = np.vstack([r for r in rings])
+        ystar = (float(allv[:, 1].min()) + float(allv[:, 1].max())) / 2.0
+        xs = []
+        for r in rings:
+            a = r[:-1]
+            bb = r[1:]
+            y0, y1 = a[:, 1], bb[:, 1]
+            m = (np.minimum(y0, y1) <= ystar) & (ystar < np.maximum(y0, y1))
+            t = (ystar - y0[m]) / (y1[m] - y0[m])
+            xs.append(a[m, 0] + t * (bb[m, 0] - a[m, 0]))
+        cx = np.sort(np.concatenate(xs)) if xs else np.array([])
+        best_w, best_x = -1.0, None
+        for k in range(0, len(cx) - 1, 2):
+            w = cx[k + 1] - cx[k]
+            if w > best_w:
+                best_w, best_x = w, (cx[k] + cx[k + 1]) / 2.0
+        out[i] = [float(best_x), ystar] if best_x is not None else None
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.BinaryType())
+def st_force_multi(wkb: pd.Series) -> pd.Series:
+    """OGRGeometryFactory::forceToMultiPolygon / MultiLineString /
+    MultiPoint (ogr/ogrgeometryfactory.cpp forceTo*): wrap a single
+    geometry in the 1-element multi container; already-multi inputs
+    pass through."""
+    import struct as _s
+
+    from gdal_spark.kernels import wkb as W
+
+    MULTI = {W.POINT: 4, W.LINESTRING: 5, W.POLYGON: 6}
+    out: list = [None] * len(wkb)
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        blob = bytes(b)
+        gtype = _s.unpack_from("<I", blob, 1)[0] % 1000
+        if gtype in MULTI:
+            out[i] = _s.pack("<BII", 1, MULTI[gtype], 1) + blob
+        else:
+            out[i] = blob
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_geometry_type(wkb: pd.Series) -> pd.Series:
+    """OGR_GEOMETRY pseudo-column / GeometryType(): WKB-header type
+    name, Z/M variants stripped (ogr/ogr_p.h:168)."""
+    import struct as _s
+
+    NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+             5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION"}
+    out: list = [None] * len(wkb)
+    for i, b in enumerate(wkb):
+        if b is None:
+            continue
+        out[i] = NAMES.get(_s.unpack_from("<I", bytes(b), 1)[0] % 1000, "UNKNOWN")
     return pd.Series(out)

@@ -411,3 +411,51 @@ def overlay_features(
         )
         res = res.unionByName(b_rem).unionByName(b_whole)
     return res.filter(F.col("piece_area") > 0)
+
+
+def union_cascaded(layer, id_col="gid", geom_col="geom"):
+    """OGRGeometry::UnionCascaded (ogr/ogrgeometry.cpp:5553, GEOS
+    CascadedUnion): per-group union of many polygons.  Distributed
+    shape: groupBy(gid) applyInPandas; within a group the union folds
+    left-to-right through the exact arrangement noder (correct under
+    any contact degeneracy — shared edges, overlaps).  Returns
+    (gid, n_polys, union_area).  Per-group cost is O(polys) noder
+    unions over the ACCUMULATED region — groups are feature-sized by
+    contract (the tiling keeps them small), the across-group axis is
+    the distributed one."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.kernels.arrangement import overlay_geoms_exact
+
+    def one_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col + "_seq").reset_index(drop=True)
+        region = None
+        for b in pdf[geom_col]:
+            _t, parts = W.parse_wkb(bytes(b))
+            ring = parts[0]
+            if region is None:
+                region = [[ring]]
+                continue
+            flat = [r for rings in region for r in rings]
+            region = overlay_geoms_exact(flat, ring, "union")
+        area = 0.0
+        n_polys = 0
+        for rings in region or []:
+            n_polys += 1
+            for j, r in enumerate(rings):
+                a = 0.5 * float(np.sum(
+                    r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1]
+                ))
+                area += abs(a) if j == 0 else -abs(a)
+        return pd.DataFrame(
+            {"gid": [int(key[0])], "n_polys": [n_polys],
+             "union_area": [round(area, 6)]}
+        )
+
+    seq = layer.withColumn(id_col + "_seq", F.monotonically_increasing_id())
+    return seq.groupBy(id_col).applyInPandas(
+        one_group, "gid long, n_polys int, union_area double"
+    )

@@ -7361,3 +7361,128 @@ def q180(spark, sf_dir):
     from gdal_spark.streaming.windowed import stream_minhash_buckets
 
     return stream_minhash_buckets(spark, f"{sf_dir}/documents.parquet")
+
+
+# --- PointOnSurface / UnionCascaded / forceTo* (q181-q183) -------------------
+
+_USHAPE_F = """f AS (SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         8 + n_nationkey%5 AS wv, 7 + n_nationkey%4 AS hv,
+         2 + n_nationkey%2 AS a, 3 AS b
+    FROM nation)"""
+
+
+@query(
+    "q181_point_on_surface",
+    f"""WITH {_USHAPE_F}
+       SELECT fid,
+              round(CASE WHEN a >= b THEN CAST(a AS DOUBLE)/2
+                    ELSE wv - CAST(b AS DOUBLE)/2 END, 6) AS px,
+              round(CAST(hv AS DOUBLE)/2, 6) AS py
+       FROM f""",
+)
+def q181(spark, sf_dir):
+    """ST_PointOnSurface (OGRGeometry::PointOnSurface → GEOS
+    InteriorPointArea): pinned contract — midpoint of the widest
+    interior interval on the envelope-bisector scanline, ties to the
+    LEFTMOST interval.  U-shaped fixture: the scanline crosses both
+    arms (two interior intervals, widths a and b), so the widest-
+    interval logic is genuinely exercised; oracle = the interval
+    arithmetic CASE."""
+    from gdal_spark.functions.st import st_point_on_surface
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        Wv, Hv = 8 + k % 5, 7 + k % 4
+        a, b = 2 + k % 2, 3
+        ring = np.array(
+            [[0, 0], [Wv, 0], [Wv, Hv], [Wv - b, Hv], [Wv - b, 2],
+             [a, 2], [a, Hv], [0, Hv], [0, 0]],
+            dtype=np.float64,
+        )
+        rows.append((k, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
+    pos = st_point_on_surface(F.col("geom"))
+    return layer.select(
+        "fid",
+        F.round(pos.getItem(0), 6).alias("px"),
+        F.round(pos.getItem(1), 6).alias("py"),
+    )
+
+
+_CHAIN_F = """f AS (SELECT CAST(n_nationkey AS BIGINT) AS gid, r.i,
+         5 + (n_nationkey + r.i)%3 AS h
+    FROM nation, (VALUES (0),(1),(2),(3),(4)) AS r(i))"""
+
+
+@query(
+    "q182_union_cascaded",
+    f"""WITH {_CHAIN_F},
+       pair AS (SELECT a.gid, a.i,
+                       least(a.h, b.h) AS minh
+                FROM f a JOIN f b ON a.gid = b.gid AND b.i = a.i + 1),
+       s AS (SELECT gid, SUM(6*h) AS raw FROM f GROUP BY gid),
+       o AS (SELECT gid, SUM(2*minh) AS ov FROM pair GROUP BY gid)
+       SELECT s.gid, CAST(1 AS INT) AS n_polys,
+              round(CAST(s.raw - o.ov AS DOUBLE), 6) AS union_area
+       FROM s JOIN o ON s.gid = o.gid""",
+)
+def q182(spark, sf_dir):
+    """UnionCascaded (ogrgeometry.cpp:5553): per-group union of an
+    overlapping rect CHAIN (rect i spans x ∈ [4i, 4i+6], height
+    5+(gid+i)%3 — consecutive rects overlap by 2, non-consecutive are
+    disjoint, so union area = Σ6hᵢ − Σ2·min(hᵢ,hᵢ₊₁) exactly and the
+    union is one connected polygon).  Exact-noder left fold per group,
+    groups distributed."""
+    from gdal_spark.operators.overlay import union_cascaded
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        for i in range(5):
+            h = 5 + (k + i) % 3
+            ring = np.array(
+                [[4 * i, 0], [4 * i + 6, 0], [4 * i + 6, h], [4 * i, h],
+                 [4 * i, 0]],
+                dtype=np.float64,
+            )
+            rows.append((k, W.polygon_wkb([ring])))
+    layer = local_df(spark, rows, "gid long, geom binary").repartition(8)
+    return union_cascaded(layer)
+
+
+@query(
+    "q183_force_multi",
+    """SELECT CAST(n_nationkey AS BIGINT) AS fid,
+              CASE n_nationkey%3 WHEN 0 THEN 'POINT'
+                   WHEN 1 THEN 'LINESTRING' ELSE 'POLYGON' END AS type_before,
+              CASE n_nationkey%3 WHEN 0 THEN 'MULTIPOINT'
+                   WHEN 1 THEN 'MULTILINESTRING' ELSE 'MULTIPOLYGON' END AS type_after
+       FROM nation""",
+)
+def q183(spark, sf_dir):
+    """forceToMulti* coercion ladder (OGRGeometryFactory forceTo*,
+    ogr/ogrgeometryfactory.cpp): single geometries wrap into their
+    1-element multi containers; header-level type names via
+    ST_GeometryType (OGR_GEOMETRY pseudo-column semantics)."""
+    from gdal_spark.functions.st import st_force_multi, st_geometry_type
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        if k % 3 == 0:
+            g = W.point_wkb(float(k), float(k + 1)) if hasattr(W, "point_wkb") \
+                else bytes(W.points_wkb(np.array([float(k)]), np.array([float(k + 1)]))[0])
+        elif k % 3 == 1:
+            g = W.linestring_wkb(np.array([[0.0, 0.0], [float(k + 1), 2.0]]))
+        else:
+            g = W.polygon_wkb([np.array(
+                [[0, 0], [k + 1, 0], [k + 1, 2], [0, 2], [0, 0]], dtype=np.float64
+            )])
+        rows.append((k, g))
+    layer = local_df(spark, rows, "fid long, geom binary").repartition(8)
+    return layer.select(
+        "fid",
+        st_geometry_type(F.col("geom")).alias("type_before"),
+        st_geometry_type(st_force_multi(F.col("geom"))).alias("type_after"),
+    )
