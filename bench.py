@@ -197,6 +197,7 @@ HEADLINE = [
     "q181_point_on_surface",
     "q182_union_cascaded",
     "q183_force_multi",
+    "q184_curation_pipeline_v2",
 ]
 
 

@@ -7486,3 +7486,78 @@ def q183(spark, sf_dir):
         st_geometry_type(F.col("geom")).alias("type_before"),
         st_geometry_type(st_force_multi(F.col("geom"))).alias("type_after"),
     )
+
+
+# --- round-4 curation pipeline composition (q184) ----------------------------
+
+
+@query(
+    "q184_curation_pipeline_v2",
+    f"""WITH d0 AS (SELECT doc_id, text, lang, {_URL_RAW_SQL} AS url FROM documents),
+       c AS (SELECT doc_id, text, lang,
+               'https://' ||
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(regexp_replace(url, '#.*$', ''),
+                                      '^https?://([^/?#]+)', 1)),
+                 '^www\\.', ''), ':80$', '') ||
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(regexp_replace(
+                   url, '#.*$', ''), '&utm_[a-z]+=[^&]*', ''),
+                   '\\?utm_[a-z]+=[^&]*&', '?'), '\\?utm_[a-z]+=[^&]*$', ''),
+                 '^https?://[^/?#]*', ''), '(/+)(\\?|$)', '\\2')
+               AS canon
+             FROM d0),
+       kept AS (SELECT c.* FROM c
+                JOIN (SELECT canon, min(doc_id) AS keeper FROM c GROUP BY canon) k
+                  ON c.canon = k.canon AND c.doc_id = k.keeper),
+       w AS (SELECT doc_id, lang, string_split(text, ' ') AS words FROM kept),
+       bench AS (SELECT array_to_string(words[1:8], ' ') AS gram
+                 FROM (SELECT string_split(text, ' ') AS words FROM documents
+                       WHERE doc_id%25 = 0)
+                 WHERE len(words) >= 8),
+       grams AS (SELECT w.doc_id,
+                        array_to_string(words[r.range:r.range+7], ' ') AS gram
+                 FROM w, range(1, 2000) r WHERE r.range <= len(words) - 7),
+       dirty AS (SELECT DISTINCT g.doc_id FROM grams g
+                 JOIN bench b ON g.gram = b.gram),
+       clean AS (SELECT w.doc_id, w.lang,
+                        len(list_filter(w.words, x -> x <> '')) AS n_tokens
+                 FROM w LEFT JOIN dirty ON w.doc_id = dirty.doc_id
+                 WHERE dirty.doc_id IS NULL)
+       SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       FROM clean GROUP BY lang""",
+)
+def q184(spark, sf_dir):
+    """End-to-end CURATION pipeline v2 — the round-4 web-side ops
+    composed into ONE lazy plan: canonical-URL exact dedup (min-id
+    keeper) → benchmark 8-gram contamination screen (broadcast
+    anti-join) → per-language corpus accounting.  Zero Python
+    anywhere: regexp Columns, split/transform n-grams, two
+    aggregations, one broadcast.  The composition itself is
+    oracle-checked (the q146 pattern)."""
+    from gdal_spark.functions.text import canonical_url, word_ngrams
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_raw_col())
+    canon = docs.withColumn("canon", canonical_url(F.col("url")))
+    keep = canon.groupBy("canon").agg(F.min("doc_id").alias("keeper"))
+    kept = canon.join(
+        keep, (canon["canon"] == keep["canon"]) & (canon["doc_id"] == keep["keeper"])
+    ).select("doc_id", "text", "lang")
+    bench = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 25 == 0)
+        .filter(F.expr("size(split(text, ' ')) >= 8"))
+        .select(F.expr("array_join(slice(split(text, ' '), 1, 8), ' ')").alias("gram"))
+        .distinct()
+    )
+    grams = kept.select("doc_id", F.explode(word_ngrams("text", 8)).alias("gram"))
+    dirty = grams.join(F.broadcast(bench), "gram").select("doc_id").distinct()
+    clean = kept.join(dirty, "doc_id", "left_anti").select(
+        "doc_id", "lang",
+        F.size(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("n_tokens"),
+    )
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
