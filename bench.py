@@ -198,6 +198,8 @@ HEADLINE = [
     "q182_union_cascaded",
     "q183_force_multi",
     "q184_curation_pipeline_v2",
+    "q185_touches_general",
+    "q186_line_crosses",
 ]
 
 

@@ -170,6 +170,7 @@ def register_st_functions(spark) -> None:
     spark.udf.register("ST_PointOnSurface", st_point_on_surface)
     spark.udf.register("ST_ForceMulti", st_force_multi)
     spark.udf.register("ST_GeometryType", st_geometry_type)
+    spark.udf.register("ST_LineRelation", st_line_relation)
 
 
 @F.pandas_udf(T.BinaryType())
@@ -620,7 +621,13 @@ def st_relation_general(a_wkb: pd.Series, b_wkb: pd.Series) -> pd.Series:
         # bitwise, so oracle classifications are unchanged)
         eps = 1e-12 * max(area_a, area_b, 1.0)
         if inter == 0.0:
-            out.append("disjoint")
+            # zero-area contact: boundary touch iff any vertex of one
+            # ring lies on an edge of the other (the degeneracy
+            # detector IS the boundary-contact test) — completes the
+            # reference predicate family (ogrgeometry.cpp Touches)
+            out.append(
+                "touches" if C.is_degenerate_pair(pa, pb) else "disjoint"
+            )
         elif abs(inter - area_a) <= eps and abs(inter - area_b) <= eps:
             out.append("equals")
         elif abs(inter - area_b) <= eps:
@@ -813,4 +820,70 @@ def st_geometry_type(wkb: pd.Series) -> pd.Series:
         if b is None:
             continue
         out[i] = NAMES.get(_s.unpack_from("<I", bytes(b), 1)[0] % 1000, "UNKNOWN")
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def st_line_relation(line_wkb: pd.Series, poly_wkb: pd.Series) -> pd.Series:
+    """LINESTRING vs POLYGON predicate — crosses / within / touches /
+    disjoint (OGRGeometry::Crosses, ogr/ogrgeometry.cpp predicate
+    family; GEOS-backed in the reference).  Pinned decision: subdivide
+    every line segment at its proper intersections with polygon edges,
+    classify each sub-interval by a strict-interior PIP of its
+    midpoint; crosses = interior parts on BOTH sides, within = all
+    interior and no boundary contact beyond endpoints, touches =
+    boundary contact with no interior part, else disjoint."""
+    from gdal_spark.kernels import wkb as W
+    from gdal_spark.kernels.pip import points_in_polygon
+
+    out: list = [None] * len(line_wkb)
+    for i, (lb, pb) in enumerate(zip(line_wkb, poly_wkb)):
+        if lb is None or pb is None:
+            continue
+        _t1, line = W.parse_wkb(bytes(lb))
+        rings = W.polygon_rings(bytes(pb))[0]
+        ring = rings[0]
+        e0 = ring[:-1]
+        e1 = ring[1:]
+        any_inside = any_outside = boundary_contact = False
+        for s in range(line.shape[0] - 1):
+            a, b = line[s], line[s + 1]
+            r = b - a
+            ts = [0.0, 1.0]
+            for k in range(e0.shape[0]):
+                c, d = e0[k], e1[k]
+                sdir = d - c
+                den = r[0] * sdir[1] - r[1] * sdir[0]
+                if den == 0:
+                    continue
+                t = ((c[0] - a[0]) * sdir[1] - (c[1] - a[1]) * sdir[0]) / den
+                u = ((c[0] - a[0]) * r[1] - (c[1] - a[1]) * r[0]) / den
+                if 0 <= t <= 1 and 0 <= u <= 1:
+                    ts.append(float(t))
+                    boundary_contact = True
+            ts = sorted(set(ts))
+            mids_x = np.array([
+                a[0] + (t0 + t1) / 2.0 * r[0] for t0, t1 in zip(ts, ts[1:])
+            ])
+            mids_y = np.array([
+                a[1] + (t0 + t1) / 2.0 * r[1] for t0, t1 in zip(ts, ts[1:])
+            ])
+            if len(mids_x):
+                ins = points_in_polygon(
+                    mids_x, mids_y, rings, include_boundary=False
+                )
+                onb = points_in_polygon(
+                    mids_x, mids_y, rings, include_boundary=True
+                ) & ~ins
+                any_inside |= bool(ins.any())
+                any_outside |= bool((~ins & ~onb).any())
+                boundary_contact |= bool(onb.any())
+        if any_inside and any_outside:
+            out[i] = "crosses"
+        elif any_inside:
+            out[i] = "within"
+        elif boundary_contact:
+            out[i] = "touches"
+        else:
+            out[i] = "disjoint"
     return pd.Series(out)

@@ -7561,3 +7561,76 @@ def q184(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# --- predicate family completion: touches / crosses (q185-q186) --------------
+
+
+@query(
+    "q185_touches_general",
+    """SELECT CAST(n_nationkey AS BIGINT) AS fid,
+              CASE n_nationkey%4 WHEN 0 THEN 'touches'
+                   WHEN 1 THEN 'touches'
+                   WHEN 2 THEN 'overlaps' ELSE 'disjoint' END AS rel
+       FROM nation""",
+)
+def q185(spark, sf_dir):
+    """General-polygon TOUCHES (zero-area boundary contact —
+    ogrgeometry.cpp Touches, completing the q123 predicate family):
+    shared full edge, shared single corner, proper overlap, and
+    disjoint variants; contact detection = the degeneracy detector,
+    area = the robust clip path."""
+    from gdal_spark.functions.st import st_relation_general
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        A = np.array([[0, 0], [10, 0], [10, 8], [0, 8], [0, 0]], dtype=np.float64)
+        if k % 4 == 0:      # shared full edge
+            B = np.array([[10, 0], [14, 0], [14, 8], [10, 8], [10, 0]], dtype=np.float64)
+        elif k % 4 == 1:    # shared single corner
+            B = np.array([[10, 8], [13, 8], [13, 11], [10, 11], [10, 8]], dtype=np.float64)
+        elif k % 4 == 2:    # proper overlap
+            B = np.array([[5, 3], [15, 3], [15, 12], [5, 12], [5, 3]], dtype=np.float64)
+        else:               # disjoint
+            B = np.array([[12, 0], [15, 0], [15, 4], [12, 4], [12, 0]], dtype=np.float64)
+        rows.append((k, W.polygon_wkb([A]), W.polygon_wkb([B])))
+    layer = local_df(spark, rows, "fid long, ga binary, gb binary").repartition(8)
+    return layer.select(
+        "fid", st_relation_general(F.col("ga"), F.col("gb")).alias("rel")
+    )
+
+
+@query(
+    "q186_line_crosses",
+    """SELECT CAST(n_nationkey AS BIGINT) AS fid,
+              CASE n_nationkey%4 WHEN 0 THEN 'crosses'
+                   WHEN 1 THEN 'within'
+                   WHEN 2 THEN 'touches' ELSE 'disjoint' END AS rel
+       FROM nation""",
+)
+def q186(spark, sf_dir):
+    """LINESTRING vs POLYGON predicates (OGRGeometry::Crosses et al):
+    a transect through the interior (crosses), a strictly interior
+    chord (within), a segment lying ON the boundary (touches), and a
+    disjoint segment — classified by midpoint-PIP over the
+    boundary-subdivided line (functions/st.py::st_line_relation)."""
+    from gdal_spark.functions.st import st_line_relation
+
+    rows = []
+    for r in _t(spark, sf_dir, "nation").select("n_nationkey").collect():
+        k = int(r[0])
+        poly = np.array([[0, 0], [10, 0], [10, 8], [0, 8], [0, 0]], dtype=np.float64)
+        if k % 4 == 0:
+            line = np.array([[-2, 4], [12, 4]], dtype=np.float64)
+        elif k % 4 == 1:
+            line = np.array([[1, 1], [9, 7]], dtype=np.float64)
+        elif k % 4 == 2:
+            line = np.array([[10, 1], [10, 5]], dtype=np.float64)
+        else:
+            line = np.array([[12, 1], [15, 5]], dtype=np.float64)
+        rows.append((k, W.linestring_wkb(line), W.polygon_wkb([poly])))
+    layer = local_df(spark, rows, "fid long, gl binary, gp binary").repartition(8)
+    return layer.select(
+        "fid", st_line_relation(F.col("gl"), F.col("gp")).alias("rel")
+    )
