@@ -200,6 +200,8 @@ HEADLINE = [
     "q184_curation_pipeline_v2",
     "q185_touches_general",
     "q186_line_crosses",
+    "q187_rare_ngram_ratio",
+    "q188_host_stats",
 ]
 
 

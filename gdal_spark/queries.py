@@ -7634,3 +7634,83 @@ def q186(spark, sf_dir):
     return layer.select(
         "fid", st_line_relation(F.col("gl"), F.col("gp")).alias("rel")
     )
+
+
+# --- corpus-statistics quality + host-level accounting (q187-q188) -----------
+
+
+@query(
+    "q187_rare_ngram_ratio",
+    """WITH idx AS (SELECT doc_id, text,
+                      unnest(range(1, greatest(length(text) - 1, 2))) AS i
+                 FROM documents),
+       occ AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram FROM idx
+               WHERE length(substr(text, CAST(i AS INT), 3)) = 3),
+       cf AS (SELECT gram, CAST(count(*) AS BIGINT) AS corpus_n
+              FROM occ GROUP BY gram),
+       j AS (SELECT o.doc_id,
+                    CASE WHEN cf.corpus_n < 100 THEN 1 ELSE 0 END AS rare
+             FROM occ o JOIN cf ON o.gram = cf.gram)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_grams,
+              CAST(sum(rare) AS BIGINT) AS n_rare,
+              round(CAST(sum(rare) AS DOUBLE) / count(*), 6) AS rare_ratio
+       FROM j GROUP BY doc_id""",
+)
+def q187(spark, sf_dir):
+    """Rare-n-gram quality ratio (the KenLM-perplexity stand-in a
+    CCNet-style filter thresholds, made exact-rational: fraction of a
+    document's char-3-gram OCCURRENCES whose corpus frequency is
+    below 100).  Two map-side-combinable aggregations + one equi-join
+    on gram — the corpus-frequency table is the only shuffled side,
+    bounded by the gram vocabulary, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(sequence(1, greatest(length(text) - 2, 1)), "
+            "i -> substring(text, i, 3)), s -> length(s) = 3)"
+        )).alias("gram"),
+    )
+    cf = occ.groupBy("gram").agg(F.count("*").alias("corpus_n"))
+    j = occ.join(cf, "gram").withColumn(
+        "rare", F.when(F.col("corpus_n") < 100, 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum("rare").alias("n_rare"),
+        F.round(F.sum("rare").cast("double") / F.count("*"), 6).alias("rare_ratio"),
+    )
+
+
+@query(
+    "q188_host_stats",
+    f"""WITH d AS (SELECT doc_id, n_chars, {_URL_RAW_SQL} AS url FROM documents),
+       h AS (SELECT doc_id, n_chars,
+                    regexp_replace(lower(regexp_extract(url,
+                        '^https?://([^/?#]+)', 1)), '^www\\.', '') AS host
+             FROM d)
+       SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(min(doc_id) AS BIGINT) AS first_doc
+       FROM h GROUP BY host""",
+)
+def q188(spark, sf_dir):
+    """Host-level corpus accounting (the CCNet/Dolma per-domain filter
+    input): host extracted from the URL (lowercased, www-stripped),
+    per-host doc count / char mass / first id.  One regexp projection
+    + one aggregation — the natural partition key for per-domain
+    policies at crawl scale."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_raw_col())
+    h = docs.select(
+        "doc_id", "n_chars",
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("url"), "^https?://([^/?#]+)", 1)),
+            "^www\\.", "",
+        ).alias("host"),
+    )
+    return h.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
