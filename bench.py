@@ -202,6 +202,7 @@ HEADLINE = [
     "q186_line_crosses",
     "q187_rare_ngram_ratio",
     "q188_host_stats",
+    "q189_repeated_spans",
 ]
 
 

@@ -7714,3 +7714,63 @@ def q188(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --- exact-substring cross-doc dedup signal (q189) ---------------------------
+
+
+@query(
+    "q189_repeated_spans",
+    """WITH idx AS (SELECT doc_id, text,
+                      unnest(range(1, greatest(length(text) - 18, 2))) AS i
+                 FROM documents),
+       g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+                    substr(text, CAST(i AS INT), 20) AS gram FROM idx
+             WHERE length(substr(text, CAST(i AS INT), 20)) = 20),
+       shared AS (SELECT gram FROM g GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+       hits AS (SELECT doc_id, pos FROM g JOIN shared USING (gram)),
+       runs AS (SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                      ORDER BY pos) = 1
+                            THEN 0 ELSE 1 END AS is_start
+                FROM hits)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_positions,
+              CAST(sum(is_start) AS BIGINT) AS n_spans
+       FROM runs GROUP BY doc_id""",
+)
+def q189(spark, sf_dir):
+    """EXACT-SUBSTRING cross-document duplication signal (the
+    suffix-array dedup of Lee et al. 2022, re-expressed bucketed: a
+    position is 'repeated' iff its 20-char gram occurs in ≥ 2 distinct
+    documents; adjacent repeated positions merge into maximal SPANS
+    via a lag window).  Shuffle shape: one groupBy(gram) bounded by
+    the gram vocabulary + one per-doc window — never doc×doc; at
+    10^12 docs the gram table shards by hash exactly like the
+    fingerprint dedup."""
+    docs = _t(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(sequence(1, greatest(length(text) - 19, 1)), "
+            "i -> struct(i AS pos, substring(text, i, 20) AS gram)), "
+            "s -> length(s.gram) = 20)"
+        )).alias("pg"),
+    ).select("doc_id", F.col("pg.pos").cast("int").alias("pos"), F.col("pg.gram").alias("gram"))
+    shared = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = g.join(shared, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "is_start",
+        F.when(F.col("pos") - F.lag("pos").over(w) == 1, 0).otherwise(1),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count("*").alias("n_positions"),
+        F.sum("is_start").alias("n_spans"),
+    )
