@@ -7214,10 +7214,12 @@ def q178(spark, sf_dir):
     map-side-combinable and the join key (token) is the natural
     partition; no all-pairs anywhere."""
     docs = _t(spark, sf_dir, "documents")
+    # the token table feeds THREE aggregations (tf, df, N) — persist it
+    # once (at 10^12 docs this is one tokenize pass instead of three)
     toks = docs.select(
         "doc_id",
         F.explode(F.expr("filter(split(text, ' '), x -> x <> '')")).alias("tok"),
-    )
+    ).persist()
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     nd = toks.select(F.countDistinct("doc_id").alias("n"))
@@ -7671,7 +7673,7 @@ def q187(spark, sf_dir):
             "filter(transform(sequence(1, greatest(length(text) - 2, 1)), "
             "i -> substring(text, i, 3)), s -> length(s) = 3)"
         )).alias("gram"),
-    )
+    ).persist()  # feeds the corpus-frequency agg AND the join side
     cf = occ.groupBy("gram").agg(F.count("*").alias("corpus_n"))
     j = occ.join(cf, "gram").withColumn(
         "rare", F.when(F.col("corpus_n") < 100, 1).otherwise(0)
@@ -7757,7 +7759,10 @@ def q189(spark, sf_dir):
             "i -> struct(i AS pos, substring(text, i, 20) AS gram)), "
             "s -> length(s.gram) = 20)"
         )).alias("pg"),
-    ).select("doc_id", F.col("pg.pos").cast("int").alias("pos"), F.col("pg.gram").alias("gram"))
+    ).select(
+        "doc_id", F.col("pg.pos").cast("int").alias("pos"),
+        F.col("pg.gram").alias("gram"),
+    ).persist()  # feeds the shared-gram agg AND the hit join
     shared = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
