@@ -203,6 +203,8 @@ HEADLINE = [
     "q187_rare_ngram_ratio",
     "q188_host_stats",
     "q189_repeated_spans",
+    "q190_host_pagerank",
+    "q191_pii_redaction",
 ]
 
 

@@ -7779,3 +7779,152 @@ def q189(spark, sf_dir):
         F.count("*").alias("n_positions"),
         F.sum("is_start").alias("n_spans"),
     )
+
+# --- host link-graph PageRank, exact integer arithmetic (q190) ----------------
+
+_PR_ITERS = 4  # R_4; growth bound T_4 ≈ 5.2e8 per graph — far inside BIGINT
+
+
+@query(
+    "q190_host_pagerank",
+    """WITH hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+       edges AS (SELECT host AS src, (host + 1) % 40 AS dst FROM hosts
+                 UNION ALL SELECT host, (host * 2 + 7) % 40 FROM hosts
+                 UNION ALL SELECT host, (host * 3 + 11) % 40 FROM hosts),
+       r0 AS (SELECT host, CAST(1 AS BIGINT) AS r FROM hosts),
+       r1 AS (SELECT h.host,
+                     CAST(9 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r0 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r2 AS (SELECT h.host,
+                     CAST(9 * 60 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r1 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r3 AS (SELECT h.host,
+                     CAST(9 * 3600 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r2 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r4 AS (SELECT h.host,
+                     CAST(9 * 216000 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r3 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       n AS (SELECT count(*) AS n FROM hosts)
+       SELECT r4.host AS host, r4.r AS rank_scaled,
+              CAST(r4.r AS DOUBLE) / CAST(n.n * 12960000 AS DOUBLE) AS pr
+       FROM r4, n""",
+)
+def q190(spark, sf_dir):
+    """PageRank over the per-host link graph (damping 0.85, 4
+    iterations) in EXACT INTEGER arithmetic, so the result is
+    order-free across engines.  With uniform out-degree 3 the scaled
+    recurrence is  R_{t+1}(v) = 9*60^t + 17 * sum_{u->v} R_t(u)
+    (scale N*60^t: teleport 0.15/N -> 9*60^t, damped transfer
+    0.85*r/3 -> 17*R/60; N cancels).  Each iteration is one equi-join
+    on src + one map-side-combinable BIGINT sum grouped by dst — the
+    standard crawl-graph centrality shape (reference analogue: GNM
+    connectivity trees, gnm/gnmgraph.cpp; the web-curation use is
+    per-domain authority weighting).  At 10^12 pages the host graph
+    is ~10^8 rows: every stage shuffles on host, nothing is
+    per-document after the initial distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 40).alias("host")).distinct()
+    edges = hosts.select(
+        F.col("host").alias("src"),
+        F.explode(F.array(
+            (F.col("host") + 1) % 40,
+            (F.col("host") * 2 + 7) % 40,
+            (F.col("host") * 3 + 11) % 40,
+        )).alias("dst"),
+    )
+    ranks = hosts.withColumn("r", F.lit(1).cast("long"))
+    for t in range(_PR_ITERS):
+        tele = 9 * (60 ** t)
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * 17).alias("s"))
+        )
+        ranks = (
+            hosts.join(contrib, hosts.host == contrib.dst, "left")
+            .select(
+                hosts.host,
+                (F.lit(tele) + F.coalesce(F.col("s"), F.lit(0))).cast("long").alias("r"),
+            )
+        )
+    n = hosts.agg(F.count("*").alias("n"))
+    return ranks.crossJoin(F.broadcast(n)).select(
+        "host",
+        F.col("r").alias("rank_scaled"),
+        (F.col("r").cast("double") / (F.col("n") * 12960000).cast("double")).alias("pr"),
+    )
+
+
+# --- PII detection + redaction accounting (q191) ------------------------------
+
+_PII_EMAIL = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,4}"
+_PII_PHONE = "\\+1-555-[0-9]{4}"
+_PII_IP = "10\\.[0-9]{1,3}\\.0\\.1"
+
+
+@query(
+    "q191_pii_redaction",
+    """WITH d AS (SELECT doc_id,
+                    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                    '@mail' || CAST(doc_id % 9 AS VARCHAR) ||
+                    '.example.org call +1-555-' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                    ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                    AS body FROM documents)
+       SELECT doc_id,
+              CAST(len(regexp_extract_all(body, '[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,4}')) AS BIGINT) AS n_emails,
+              CAST(len(regexp_extract_all(body, '\\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+              CAST(len(regexp_extract_all(body, '10\\.[0-9]{1,3}\\.0\\.1')) AS BIGINT) AS n_ips,
+              CAST(length(body) AS BIGINT) AS raw_len,
+              CAST(length(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(body,
+                      '[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,4}', '[EMAIL]', 'g'),
+                    '\\+1-555-[0-9]{4}', '[PHONE]', 'g'),
+                  '10\\.[0-9]{1,3}\\.0\\.1', '[IP]', 'g')) AS BIGINT) AS redacted_len
+       FROM d""",
+)
+def q191(spark, sf_dir):
+    """PII detection + redaction accounting (the pre-training scrub
+    pass every web corpus runs: emails / phone numbers / bare IPs
+    found, replaced with typed placeholder tokens, and the char-mass
+    delta recorded).  The PII-bearing body is synthesized
+    deterministically from doc_id so both engines scan identical
+    bytes; detection and redaction are single-pass JVM regexps — no
+    Python in the plan, embarrassingly parallel at crawl scale."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    body = F.concat(
+        F.col("text"), F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 9).cast("string"),
+        F.lit(".example.org call +1-555-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (d % 256).cast("string"), F.lit(".0.1"),
+    )
+    b = F.col("body")
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(b, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE, "[PHONE]"),
+        _PII_IP, "[IP]")
+    return docs.select("doc_id", body.alias("body")).select(
+        "doc_id",
+        F.size(F.regexp_extract_all(b, F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(b, F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(b, F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+        F.length(b).cast("long").alias("raw_len"),
+        F.length(red).cast("long").alias("redacted_len"),
+    )
