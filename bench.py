@@ -205,6 +205,7 @@ HEADLINE = [
     "q189_repeated_spans",
     "q190_host_pagerank",
     "q191_pii_redaction",
+    "q192_median_cut_rgb2pct",
 ]
 
 

@@ -7928,3 +7928,98 @@ def q191(spark, sf_dir):
         F.length(b).cast("long").alias("raw_len"),
         F.length(red).cast("long").alias("redacted_len"),
     )
+
+
+# --- median-cut color quantization, rgb2pct (q192) ----------------------------
+
+
+def _median_cut_oracle_sql(rounds: int = 3, n: int = 4096) -> str:
+    """Mechanically unrolled replay of the round-synchronous median cut
+    (the _wang_oracle_sql pattern): one stats/axis/median/split CTE block
+    per round, then floor-mean palette + nearest-assignment counts.  All
+    integer arithmetic — bitwise across engines by construction."""
+    parts = [
+        f"px0 AS (SELECT CAST(i AS BIGINT) AS pid,"
+        f" CAST((i%5)*47 + (i*7)%19 AS BIGINT) AS r,"
+        f" CAST((i%5)*41 + (i*13)%17 AS BIGINT) AS g,"
+        f" CAST((i%5)*37 + (i*29)%23 AS BIGINT) AS b,"
+        f" CAST(0 AS BIGINT) AS box FROM range(0, {n}) t(i))"
+    ]
+    for k in range(rounds):
+        parts.append(
+            f"st{k} AS (SELECT box, min(r) AS minr, max(r) AS maxr,"
+            f" min(g) AS ming, max(g) AS maxg, min(b) AS minb, max(b) AS maxb,"
+            f" count(*) AS n FROM px{k} GROUP BY box)"
+        )
+        parts.append(
+            f"ax{k} AS (SELECT box, n, CASE"
+            f" WHEN (maxr-minr) >= (maxg-ming) AND (maxr-minr) >= (maxb-minb) THEN 0"
+            f" WHEN (maxg-ming) >= (maxb-minb) THEN 1 ELSE 2 END AS axis FROM st{k})"
+        )
+        parts.append(
+            f"pv{k} AS (SELECT p.pid, p.r, p.g, p.b, p.box, a.n, CASE"
+            f" WHEN a.axis = 0 THEN p.r WHEN a.axis = 1 THEN p.g ELSE p.b END AS v"
+            f" FROM px{k} p JOIN ax{k} a USING (box))"
+        )
+        parts.append(
+            f"cum{k} AS (SELECT box, v, n, sum(c) OVER"
+            f" (PARTITION BY box ORDER BY v) AS cum FROM"
+            f" (SELECT box, v, n, count(*) AS c FROM pv{k} GROUP BY box, v, n) h{k})"
+        )
+        parts.append(
+            f"med{k} AS (SELECT box, min(v) AS m FROM cum{k}"
+            f" WHERE 2*cum >= n GROUP BY box)"
+        )
+        parts.append(
+            f"px{k + 1} AS (SELECT p.pid, p.r, p.g, p.b,"
+            f" CAST(p.box*2 + CASE WHEN p.v > m.m THEN 1 ELSE 0 END AS BIGINT) AS box"
+            f" FROM pv{k} p JOIN med{k} m USING (box))"
+        )
+    last = f"px{rounds}"
+    parts.append(
+        f"pal AS (SELECT box,"
+        f" CAST((sum(r) - sum(r)%count(*))/count(*) AS BIGINT) AS pal_r,"
+        f" CAST((sum(g) - sum(g)%count(*))/count(*) AS BIGINT) AS pal_g,"
+        f" CAST((sum(b) - sum(b)%count(*))/count(*) AS BIGINT) AS pal_b,"
+        f" CAST(count(*) AS BIGINT) AS n_box FROM {last} GROUP BY box)"
+    )
+    parts.append(
+        f"sc AS (SELECT p.pid, q.box AS pbox,"
+        f" (p.r-q.pal_r)*(p.r-q.pal_r) + (p.g-q.pal_g)*(p.g-q.pal_g)"
+        f" + (p.b-q.pal_b)*(p.b-q.pal_b) AS dist FROM {last} p, pal q)"
+    )
+    parts.append(
+        "best AS (SELECT pid, pbox FROM (SELECT pid, pbox, row_number() OVER"
+        " (PARTITION BY pid ORDER BY dist, pbox) AS rn FROM sc) u WHERE rn = 1)"
+    )
+    parts.append(
+        "nasg AS (SELECT pbox AS box, CAST(count(*) AS BIGINT) AS n_assigned"
+        " FROM best GROUP BY pbox)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT pal.box AS box, pal_r, pal_g, pal_b, n_box,"
+        " coalesce(n_assigned, CAST(0 AS BIGINT)) AS n_assigned"
+        " FROM pal LEFT JOIN nasg USING (box)"
+    )
+
+
+@query("q192_median_cut_rgb2pct", _median_cut_oracle_sql())
+def q192(spark, sf_dir):
+    """rgb2pct: median-cut palette (alg/gdalmediancut.cpp re-pinned
+    round-synchronous — split EVERY box at the lower median of its
+    longest axis, 3 rounds -> 8 colors) + nearest-color assignment
+    (alg/gdaldither.cpp without diffusion).  Shuffle keys are the box
+    id (≤8 rows broadcast back) and the palette cross-join is a
+    broadcast — nothing pixel×pixel at any scale.  Fixture: 4096
+    pixels in 5 integer color clusters derived from the pixel id."""
+    from gdal_spark.operators.mediancut import median_cut_quantize
+
+    i = F.col("id")
+    px = spark.range(4096).select(
+        i.cast("long").alias("pid"),
+        ((i % 5) * 47 + (i * 7) % 19).cast("long").alias("r"),
+        ((i % 5) * 41 + (i * 13) % 17).cast("long").alias("g"),
+        ((i % 5) * 37 + (i * 29) % 23).cast("long").alias("b"),
+    )
+    return median_cut_quantize(px, rounds=3)
