@@ -206,6 +206,7 @@ HEADLINE = [
     "q190_host_pagerank",
     "q191_pii_redaction",
     "q192_median_cut_rgb2pct",
+    "q193_pixel_functions",
 ]
 
 

@@ -8023,3 +8023,78 @@ def q192(spark, sf_dir):
         ((i % 5) * 37 + (i * 29) % 23).cast("long").alias("b"),
     )
     return median_cut_quantize(px, rounds=3)
+
+
+# --- VRT pixel-function family completion (q193) ------------------------------
+
+
+def _dem2_tiles(spark):
+    """Second synthetic band (integer formula ⇒ exact doubles), aligned
+    with _dem_tiles' tile grid."""
+    from gdal_spark.operators.rasterize import TILE_SCHEMA
+
+    ntx, nty = DEM_W // DEM_TILE, DEM_H // DEM_TILE
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                t = int(row["id"])
+                tx, ty = t % ntx, t // ntx
+                gx = np.arange(DEM_TILE) + tx * DEM_TILE
+                gy = np.arange(DEM_TILE) + ty * DEM_TILE
+                GX, GY = np.meshgrid(gx, gy)
+                z = ((GX * 13 + GY * 7) % 89 + (GY * GY) % 19).astype(np.float64)
+                rows.append((0, tx, ty, 1, z.tobytes(), "float64", 0.0))
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "band", "data", "dtype", "nodata"]
+            )
+
+    return spark.range(ntx * nty).repartition(4).mapInPandas(gen, TILE_SCHEMA)
+
+
+@query(
+    "q193_pixel_functions",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       z AS (SELECT gx, gy,
+                    CAST({_z_sql('gx', 'gy')} AS DOUBLE) AS a,
+                    CAST((gx*13 + gy*7)%89 + (gy*gy)%19 AS DOUBLE) AS b FROM g)
+       SELECT gx, gy,
+              CASE WHEN a + b = 0 THEN 0.0 ELSE (a - b)/(a + b) END
+              + sqrt(a)
+              + (a + 0.25*(b - a))
+              + least(a, b)
+              + greatest(a, b)
+              + (a + b)/2.0 AS v
+       FROM z""",
+)
+def q193(spark, sf_dir):
+    """VRT pixel-function family completion (frmts/vrt/
+    pixelfunctions.cpp): norm_diff ((a-b)/(a+b) with the reference's
+    zero-denominator nodata rule), interpolate_linear (t=0.25), sqrt
+    (correctly-rounded IEEE — exact across engines), min / max / mean,
+    combined in ONE fixed left-to-right sum so float addition order is
+    engine-identical.  Two aligned synthetic bands, one tile-stack
+    join, NumPy elementwise evaluation mirroring the SQL expression
+    tree term-for-term."""
+    from gdal_spark.operators.calc import raster_calc
+    from gdal_spark.operators.rasterize import tiles_to_features
+
+    def fn(a, b):
+        d = a + b
+        nd = np.where(d == 0, 0.0, (a - b) / np.where(d == 0, 1.0, d))
+        return (
+            nd
+            + np.sqrt(a)
+            + (a + 0.25 * (b - a))
+            + np.minimum(a, b)
+            + np.maximum(a, b)
+            + (a + b) / 2.0
+        )
+
+    out = raster_calc(
+        {"a": _dem_tiles(spark), "b": _dem2_tiles(spark)},
+        fn, tile_size=DEM_TILE,
+    )
+    return tiles_to_features(out, tile_size=DEM_TILE, nodata=None)
