@@ -207,6 +207,8 @@ HEADLINE = [
     "q191_pii_redaction",
     "q192_median_cut_rgb2pct",
     "q193_pixel_functions",
+    "q194_quality_classifier",
+    "q195_paragraph_dedup",
 ]
 
 

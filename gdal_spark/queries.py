@@ -8098,3 +8098,106 @@ def q193(spark, sf_dir):
         fn, tile_size=DEM_TILE,
     )
     return tiles_to_features(out, tile_size=DEM_TILE, nodata=None)
+
+
+# --- model-based quality filter + paragraph dedup (q194-q195) -----------------
+
+
+@query(
+    "q194_quality_classifier",
+    """WITH f AS (SELECT doc_id, source, length(text) AS n_char,
+                    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                         AS DOUBLE) AS n,
+                    CAST(len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the','and','of','a'))) AS DOUBLE) AS s,
+                    CAST(length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE) AS c,
+                    CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE) AS p
+              FROM documents WHERE length(text) > 0),
+       sc AS (SELECT doc_id, source, n_char,
+                     0.5*(s/n) + 0.125*(c/n) - 0.25*(p/n) AS score FROM f)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN score > 0.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN score > 0.45 THEN n_char ELSE 0 END) AS BIGINT)
+                AS kept_chars
+       FROM sc GROUP BY source""",
+)
+def q194(spark, sf_dir):
+    """Model-based quality filter (the CCNet/fastText-style linear
+    scorer a web pipeline thresholds before training): score =
+    0.5*stopword_ratio + 0.125*mean_token_len - 0.25*punct_ratio.
+    DYADIC weights make each term an exact power-of-two scaling of an
+    IEEE-exact ratio, and the fixed left-to-right sum keeps the float
+    tree engine-identical, so the keep/drop decision is bitwise
+    reproducible.  Per-source keep-mass accounting is one
+    map-side-combinable aggregation."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast("double")
+    s = F.size(
+        F.filter(F.split(F.col("text"), " "),
+                 lambda x: x.isin("the", "and", "of", "a"))
+    ).cast("double")
+    c = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+    p = F.size(F.regexp_extract_all(F.col("text"), F.lit("[^a-z0-9 ]"), F.lit(0))).cast("double")
+    sc = d.select(
+        "source", F.length("text").alias("n_char"),
+        (F.lit(0.5) * (s / n) + F.lit(0.125) * (c / n) - F.lit(0.25) * (p / n)).alias("score"),
+    )
+    return sc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0.45, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("score") > 0.45, F.col("n_char")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+@query(
+    "q195_paragraph_dedup",
+    """WITH w AS (SELECT doc_id,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+              FROM documents),
+       ch AS (SELECT doc_id, i AS chunk_idx,
+                     array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+              FROM w, unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) t(i)),
+       rk AS (SELECT doc_id, chunk_idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, chunk_idx) AS rk
+              FROM ch)
+       SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_chunks,
+              CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+              round(CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                    / count(*), 6) AS dup_ratio
+       FROM rk GROUP BY doc_id""",
+)
+def q195(spark, sf_dir):
+    """Paragraph-level cross-document dedup accounting (the
+    Dolma/RefinedWeb unit between whole-doc md5 q17 and char-gram
+    spans q189): documents chunk into 10-word paragraphs; a chunk is
+    a DUPLICATE iff an identical chunk string exists at a smaller
+    (doc_id, chunk_idx).  One groupBy(chunk) window — the shuffle is
+    bounded by the chunk vocabulary, never doc×doc; per-doc dup mass
+    comes back from a second bounded aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("ws"),
+    )
+    ch = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS BIGINT) - 1), "
+                "i -> struct(i AS chunk_idx, "
+                "array_join(slice(ws, CAST(i*10+1 AS INT), 10), ' ') AS chunk))"
+            )
+        ).alias("c"),
+    ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    wnd = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    rk = ch.withColumn("rk", F.row_number().over(wnd))
+    return rk.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).alias("n_dups"),
+        F.round(
+            F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("dup_ratio"),
+    )
