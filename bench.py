@@ -209,6 +209,7 @@ HEADLINE = [
     "q193_pixel_functions",
     "q194_quality_classifier",
     "q195_paragraph_dedup",
+    "q196_fs_dither",
 ]
 
 

@@ -8201,3 +8201,127 @@ def q195(spark, sf_dir):
             F.sum(F.when(F.col("rk") > 1, 1).otherwise(0)).cast("double") / F.count("*"), 6
         ).alias("dup_ratio"),
     )
+
+
+# --- Floyd-Steinberg dither, exact integer spec (q196) ------------------------
+
+
+def _fs_dither_oracle_sql(w: int = 16, h: int = 16, n_img: int = 4) -> str:
+    """Recursive-CTE replay of the exact integer Floyd-Steinberg spec
+    (kernels/dither.py): one recursion step per pixel in raster order,
+    state = current/next error rows (sixteenths, 3 channels) + palette
+    counts.  Floor division toward -inf is spelled as
+    (e - ((e%16+16)%16))/16 so both engines agree on negative errors."""
+    from gdal_spark.kernels.dither import PALETTE
+
+    pal16 = (PALETTE * 16).tolist()
+    r16 = [p[0] for p in pal16]
+    g16 = [p[1] for p in pal16]
+    b16 = [p[2] for p in pal16]
+    npal = len(pal16)
+
+    def fd(e: str) -> str:  # floor((e)/16) toward -inf, integer
+        return f"CAST((({e}) - ((({e}) % 16 + 16) % 16)) / 16 AS BIGINT)"
+
+    dists = ", ".join(
+        f"(c16_r - {r16[i]})*(c16_r - {r16[i]})"
+        f" + (c16_g - {g16[i]})*(c16_g - {g16[i]})"
+        f" + (c16_b - {b16[i]})*(c16_b - {b16[i]})"
+        for i in range(npal)
+    )
+    zero_row = f"[CAST(0 AS BIGINT) FOR q IN range({w})]"
+    upd, nu, cu = {}, {}, {}
+    for ch in "rgb":
+        nu[ch] = (
+            f"[nxt_{ch}[q] + CASE WHEN q = x THEN c3_{ch} ELSE 0 END"
+            f" + CASE WHEN q = x+1 THEN c5_{ch} ELSE 0 END"
+            f" + CASE WHEN q = x+2 THEN c1_{ch} ELSE 0 END"
+            f" FOR q IN range(1, {w + 1})]"
+        )
+        cu[ch] = (
+            f"[CASE WHEN q = x+2 THEN cur_{ch}[q] + c7_{ch}"
+            f" ELSE cur_{ch}[q] END FOR q IN range(1, {w + 1})]"
+        )
+    # column order MUST match the base case (cur_r, cur_g, cur_b, nxt_r,
+    # nxt_g, nxt_b) — UNION ALL aligns recursive-term columns by POSITION
+    chan_sel = [
+        f"CASE WHEN x = {w - 1} THEN {nu[ch]} ELSE {cu[ch]} END AS cur_{ch}"
+        for ch in "rgb"
+    ] + [
+        f"CASE WHEN x = {w - 1} THEN {zero_row} ELSE {nu[ch]} END AS nxt_{ch}"
+        for ch in "rgb"
+    ]
+    return f"""WITH RECURSIVE st AS (
+  SELECT CAST(i AS BIGINT) AS img, CAST(0 AS BIGINT) AS s,
+         {zero_row} AS cur_r, {zero_row} AS cur_g, {zero_row} AS cur_b,
+         {zero_row} AS nxt_r, {zero_row} AS nxt_g, {zero_row} AS nxt_b,
+         [CAST(0 AS BIGINT) FOR q IN range({npal})] AS cnts
+  FROM range(0, {n_img}) t(i)
+  UNION ALL
+  SELECT img, s + 1,
+         {", ".join(chan_sel)},
+         [cnts[q] + CASE WHEN q = best THEN 1 ELSE 0 END
+          FOR q IN range(1, {npal + 1})] AS cnts
+  FROM (
+    SELECT *, err_r - c7_r - c3_r - c5_r AS c1_r,
+              err_g - c7_g - c3_g - c5_g AS c1_g,
+              err_b - c7_b - c3_b - c5_b AS c1_b
+    FROM (
+      SELECT *, {fd("err_r*7")} AS c7_r, {fd("err_r*3")} AS c3_r, {fd("err_r*5")} AS c5_r,
+                {fd("err_g*7")} AS c7_g, {fd("err_g*3")} AS c3_g, {fd("err_g*5")} AS c5_g,
+                {fd("err_b*7")} AS c7_b, {fd("err_b*3")} AS c3_b, {fd("err_b*5")} AS c5_b
+      FROM (
+        SELECT *, c16_r - list_extract({r16}, best) AS err_r,
+                  c16_g - list_extract({g16}, best) AS err_g,
+                  c16_b - list_extract({b16}, best) AS err_b
+        FROM (
+          SELECT *, list_position(dists, list_min(dists)) AS best
+          FROM (
+            SELECT *, [{dists}] AS dists
+            FROM (
+              SELECT *, px_r*16 + cur_r[x+1] AS c16_r,
+                        px_g*16 + cur_g[x+1] AS c16_g,
+                        px_b*16 + cur_b[x+1] AS c16_b
+              FROM (
+                SELECT *, (img*31 + x*7 + y*13) % 256 AS px_r,
+                          (img*17 + x*11 + y*3) % 256 AS px_g,
+                          (img*23 + x*5 + y*19) % 256 AS px_b
+                FROM (
+                  SELECT *, s % {w} AS x, CAST((s - s % {w}) / {w} AS BIGINT) AS y
+                  FROM st WHERE s < {w * h}
+                ) l1
+              ) l2
+            ) l3
+          ) l4
+        ) l5
+      ) l6
+    ) l7
+  ) fin
+)
+SELECT img, CAST(u.q AS BIGINT) AS pal_idx, cnts[u.q + 1] AS n
+FROM (SELECT img, cnts FROM st WHERE s = {w * h}) z, range(0, {npal}) u(q)"""
+
+
+@query("q196_fs_dither", _fs_dither_oracle_sql())
+def q196(spark, sf_dir):
+    """Floyd-Steinberg dithering (alg/gdaldither.cpp) under the exact
+    integer spec of kernels/dither.py: per-image sequential error
+    diffusion (the reference is sequential too), distributed ACROSS
+    images — one task per image via mapInPandas; a web-scale corpus
+    dithers millions of images in parallel.  Oracle: the identical
+    recurrence replayed as a 256-step recursive CTE (the Wang-viewshed
+    pattern for sequential 2-D recurrences)."""
+    from gdal_spark.kernels.dither import PALETTE, floyd_steinberg_counts
+
+    schema = "img long, pal_idx long, n long"
+
+    def per_img(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = int(row["id"])
+                counts = floyd_steinberg_counts(img, 16, 16)
+                rows.extend((img, i, int(c)) for i, c in enumerate(counts))
+            yield pd.DataFrame(rows, columns=["img", "pal_idx", "n"])
+
+    return spark.range(4).repartition(4).mapInPandas(per_img, schema)
