@@ -210,6 +210,10 @@ HEADLINE = [
     "q194_quality_classifier",
     "q195_paragraph_dedup",
     "q196_fs_dither",
+    "q197_gcp_affine_fit",
+    "q198_rpc_transform",
+    "q199_geoloc_inverse",
+    "q200_homography",
 ]
 
 

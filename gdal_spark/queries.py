@@ -8325,3 +8325,340 @@ def q196(spark, sf_dir):
             yield pd.DataFrame(rows, columns=["img", "pal_idx", "n"])
 
     return spark.range(4).repartition(4).mapInPandas(per_img, schema)
+
+
+# --- GCP polynomial transformer, order 1 (q197) -------------------------------
+
+def _crs_det3(a, b, c, d, e, f, g, h, i):
+    """det [[a,b,c],[d,e,f],[g,h,i]] with the fixed expansion
+    a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g), as SQL text."""
+    return f"{a}*({e}*{i} - {f}*{h}) - {b}*({d}*{i} - {f}*{g}) + {c}*({d}*{h} - {e}*{g})"
+
+
+@query(
+    "q197_gcp_affine_fit",
+    f"""WITH gcp AS (SELECT CAST((i*17)%97 AS BIGINT) AS px, CAST((i*29)%89 AS BIGINT) AS py,
+                     CAST(3*((i*17)%97) - 2*((i*29)%89) + 40 + (i%3 - 1) AS BIGINT) AS gx,
+                     CAST(1*((i*17)%97) + 4*((i*29)%89) - 25 + (i%5 - 2) AS BIGINT) AS gy
+              FROM range(0, 12) t(i)),
+       s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(px) AS BIGINT) AS sx, CAST(sum(py) AS BIGINT) AS sy,
+                    CAST(sum(px*px) AS BIGINT) AS sxx, CAST(sum(px*py) AS BIGINT) AS sxy,
+                    CAST(sum(py*py) AS BIGINT) AS syy,
+                    CAST(sum(gx) AS BIGINT) AS tx0, CAST(sum(px*gx) AS BIGINT) AS tx1,
+                    CAST(sum(py*gx) AS BIGINT) AS tx2,
+                    CAST(sum(gy) AS BIGINT) AS ty0, CAST(sum(px*gy) AS BIGINT) AS ty1,
+                    CAST(sum(py*gy) AS BIGINT) AS ty2
+             FROM gcp),
+       c AS (SELECT
+            CAST({_crs_det3('n','sx','sy','sx','sxx','sxy','sy','sxy','syy')} AS DOUBLE) AS dd,
+            CAST({_crs_det3('tx0','sx','sy','tx1','sxx','sxy','tx2','sxy','syy')} AS DOUBLE) AS na0,
+            CAST({_crs_det3('n','tx0','sy','sx','tx1','sxy','sy','tx2','syy')} AS DOUBLE) AS na1,
+            CAST({_crs_det3('n','sx','tx0','sx','sxx','tx1','sy','sxy','tx2')} AS DOUBLE) AS na2,
+            CAST({_crs_det3('ty0','sx','sy','ty1','sxx','sxy','ty2','sxy','syy')} AS DOUBLE) AS nb0,
+            CAST({_crs_det3('n','ty0','sy','sx','ty1','sxy','sy','ty2','syy')} AS DOUBLE) AS nb1,
+            CAST({_crs_det3('n','sx','ty0','sx','sxx','ty1','sy','sxy','ty2')} AS DOUBLE) AS nb2
+            FROM s)
+       SELECT doc_id,
+              (na0/dd) + (na1/dd)*CAST(doc_id%23 AS DOUBLE)
+                       + (na2/dd)*CAST((doc_id*7)%19 AS DOUBLE) AS tx,
+              (nb0/dd) + (nb1/dd)*CAST(doc_id%23 AS DOUBLE)
+                       + (nb2/dd)*CAST((doc_id*7)%19 AS DOUBLE) AS ty
+       FROM documents, c""",
+)
+def q197(spark, sf_dir):
+    """GCP polynomial transformer, order 1 (alg/gdal_crs.cpp
+    CRS_georef): least-squares affine fit from 12 integer ground
+    control points solved EXACTLY by 3x3 Cramer determinants over the
+    integer normal-equation sums (every determinant < 2^53 ⇒ the
+    doubles are exact and the fit is bitwise reproducible), then the
+    fitted transform applied to per-document query coordinates.  One
+    bounded aggregation + one broadcast of the 1-row coefficient
+    table — the apply side is embarrassingly parallel."""
+    i = F.col("id")
+    gcp = spark.range(12).select(
+        ((i * 17) % 97).cast("long").alias("px"),
+        ((i * 29) % 89).cast("long").alias("py"),
+        (3 * ((i * 17) % 97) - 2 * ((i * 29) % 89) + 40 + (i % 3 - 1))
+        .cast("long").alias("gx"),
+        (1 * ((i * 17) % 97) + 4 * ((i * 29) % 89) - 25 + (i % 5 - 2))
+        .cast("long").alias("gy"),
+    )
+    s = gcp.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("px").alias("sx"), F.sum("py").alias("sy"),
+        F.sum(F.col("px") * F.col("px")).alias("sxx"),
+        F.sum(F.col("px") * F.col("py")).alias("sxy"),
+        F.sum(F.col("py") * F.col("py")).alias("syy"),
+        F.sum("gx").alias("tx0"),
+        F.sum(F.col("px") * F.col("gx")).alias("tx1"),
+        F.sum(F.col("py") * F.col("gx")).alias("tx2"),
+        F.sum("gy").alias("ty0"),
+        F.sum(F.col("px") * F.col("gy")).alias("ty1"),
+        F.sum(F.col("py") * F.col("gy")).alias("ty2"),
+    )
+
+    def det3(a, b, c, d, e, f, g, h, i_):
+        C = F.col
+        return (
+            C(a) * (C(e) * C(i_) - C(f) * C(h))
+            - C(b) * (C(d) * C(i_) - C(f) * C(g))
+            + C(c) * (C(d) * C(h) - C(e) * C(g))
+        )
+
+    coef = s.select(
+        det3("n", "sx", "sy", "sx", "sxx", "sxy", "sy", "sxy", "syy").cast("double").alias("dd"),
+        det3("tx0", "sx", "sy", "tx1", "sxx", "sxy", "tx2", "sxy", "syy").cast("double").alias("na0"),
+        det3("n", "tx0", "sy", "sx", "tx1", "sxy", "sy", "tx2", "syy").cast("double").alias("na1"),
+        det3("n", "sx", "tx0", "sx", "sxx", "tx1", "sy", "sxy", "tx2").cast("double").alias("na2"),
+        det3("ty0", "sx", "sy", "ty1", "sxx", "sxy", "ty2", "sxy", "syy").cast("double").alias("nb0"),
+        det3("n", "ty0", "sy", "sx", "ty1", "sxy", "sy", "ty2", "syy").cast("double").alias("nb1"),
+        det3("n", "sx", "ty0", "sx", "sxx", "ty1", "sy", "sxy", "ty2").cast("double").alias("nb2"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    qx = (d % 23).cast("double")
+    qy = ((d * 7) % 19).cast("double")
+    C = F.col
+    return docs.crossJoin(F.broadcast(coef)).select(
+        "doc_id",
+        ((C("na0") / C("dd")) + (C("na1") / C("dd")) * qx
+         + (C("na2") / C("dd")) * qy).alias("tx"),
+        ((C("nb0") / C("dd")) + (C("nb1") / C("dd")) * qx
+         + (C("nb2") / C("dd")) * qy).alias("ty"),
+    )
+
+
+# --- RPC transform (q198) and geolocation-array inverse (q199) ----------------
+
+# RPC00B monomial order (alg/gdal_rpc.cpp RPCEvaluate): 1 L P H LP LH PH
+# L2 P2 H2 PLH L3 LP2 LH2 L2P P3 PH2 L2H P2H H3  (L=ln, P=pn, H=hn)
+_RPC_MONOS = [
+    "1", "ln", "pn", "hn", "ln*pn", "ln*hn", "pn*hn", "ln*ln", "pn*pn",
+    "hn*hn", "pn*ln*hn", "ln*ln*ln", "ln*pn*pn", "ln*hn*hn", "ln*ln*pn",
+    "pn*pn*pn", "pn*hn*hn", "ln*ln*hn", "pn*pn*hn", "hn*hn*hn",
+]
+# dyadic coefficients (sixteenths) — exact power-of-two scalings
+_RPC_LINE_NUM = [16, 4, -8, 2, 1, -1, 2, 1, -2, 1, 1, 0, 1, 0, -1, 1, 0, 1, 0, -1]
+_RPC_LINE_DEN = [16, 1, 1, 0, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_RPC_SAMP_NUM = [16, -6, 5, -2, 2, 1, -1, 2, 1, -1, 0, 1, 0, 1, 1, 0, -1, 0, 1, 0]
+_RPC_SAMP_DEN = [16, 0, 1, 1, 1, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _rpc_poly_sql(coeffs):
+    terms = [
+        f"({c}/16.0)*{m}" if m != "1" else f"({c}/16.0)"
+        for c, m in zip(coeffs, _RPC_MONOS) if c != 0
+    ]
+    return " + ".join(terms)
+
+
+def _rpc_poly_col(coeffs, ln, pn, hn):
+    monos = {
+        "1": F.lit(1.0), "ln": ln, "pn": pn, "hn": hn,
+        "ln*pn": ln * pn, "ln*hn": ln * hn, "pn*hn": pn * hn,
+        "ln*ln": ln * ln, "pn*pn": pn * pn, "hn*hn": hn * hn,
+        "pn*ln*hn": pn * ln * hn, "ln*ln*ln": ln * ln * ln,
+        "ln*pn*pn": ln * pn * pn, "ln*hn*hn": ln * hn * hn,
+        "ln*ln*pn": ln * ln * pn, "pn*pn*pn": pn * pn * pn,
+        "pn*hn*hn": pn * hn * hn, "ln*ln*hn": ln * ln * hn,
+        "pn*pn*hn": pn * pn * hn, "hn*hn*hn": hn * hn * hn,
+    }
+    acc = None
+    for c, m in zip(coeffs, _RPC_MONOS):
+        if c == 0:
+            continue
+        term = F.lit(c / 16.0) if m == "1" else F.lit(c / 16.0) * monos[m]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+@query(
+    "q198_rpc_transform",
+    f"""WITH q AS (SELECT doc_id,
+                    CAST(doc_id%21 - 10 AS DOUBLE)/10.0 AS ln,
+                    CAST((doc_id*3)%19 - 9 AS DOUBLE)/9.0 AS pn,
+                    CAST(doc_id%7 - 3 AS DOUBLE)/3.0 AS hn
+              FROM documents)
+       SELECT doc_id,
+              (({_rpc_poly_sql(_RPC_LINE_NUM)}) / ({_rpc_poly_sql(_RPC_LINE_DEN)}))
+                * 512.0 + 1024.0 AS rpc_line,
+              (({_rpc_poly_sql(_RPC_SAMP_NUM)}) / ({_rpc_poly_sql(_RPC_SAMP_DEN)}))
+                * 768.0 + 1536.0 AS rpc_samp
+       FROM q""",
+)
+def q198(spark, sf_dir):
+    """RPC (rational polynomial coefficients) forward transform
+    (alg/gdal_rpc.cpp RPCEvaluate / RPCTransformPoint): line/sample =
+    cubic-ratio of the 20-monomial RPC00B basis in normalized
+    lon/lat/height, then de-normalized by scale+offset.  Dyadic
+    coefficients (sixteenths) and a fixed left-to-right term order
+    keep the float tree engine-identical term-for-term.  Pure Column
+    arithmetic — zero Python per row; the inverse (iterative in the
+    reference, gdalgenericinverse.cpp) follows the unrolled-refinement
+    pattern of functions/proj.py."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ln = (d % 21 - 10).cast("double") / 10.0
+    pn = ((d * 3) % 19 - 9).cast("double") / 9.0
+    hn = (d % 7 - 3).cast("double") / 3.0
+    line = (
+        _rpc_poly_col(_RPC_LINE_NUM, ln, pn, hn)
+        / _rpc_poly_col(_RPC_LINE_DEN, ln, pn, hn)
+    ) * 512.0 + 1024.0
+    samp = (
+        _rpc_poly_col(_RPC_SAMP_NUM, ln, pn, hn)
+        / _rpc_poly_col(_RPC_SAMP_DEN, ln, pn, hn)
+    ) * 768.0 + 1536.0
+    return docs.select("doc_id", line.alias("rpc_line"), samp.alias("rpc_samp"))
+
+
+@query(
+    "q199_geoloc_inverse",
+    """WITH geo AS (SELECT CAST(px.range AS BIGINT) AS px, CAST(py.range AS BIGINT) AS py,
+                     CAST(2*px.range + py.range%3 AS BIGINT) AS glon,
+                     CAST(3*py.range + px.range%2 AS BIGINT) AS glat
+              FROM range(64) px, range(64) py),
+       gb AS (SELECT *, CAST((glon - ((glon%8+8)%8))/8 AS BIGINT) AS bx,
+                        CAST((glat - ((glat%8+8)%8))/8 AS BIGINT) AS by FROM geo),
+       q AS (SELECT doc_id, CAST(doc_id%128 AS BIGINT) AS qlon,
+                    CAST((doc_id*3)%190 AS BIGINT) AS qlat FROM documents),
+       qb AS (SELECT *, CAST((qlon - ((qlon%8+8)%8))/8 AS BIGINT) AS bx,
+                        CAST((qlat - ((qlat%8+8)%8))/8 AS BIGINT) AS by FROM q),
+       cand AS (SELECT q.doc_id, q.qlon, q.qlat, g.px, g.py,
+                       (q.qlon-g.glon)*(q.qlon-g.glon)
+                       + (q.qlat-g.glat)*(q.qlat-g.glat) AS d2
+                FROM qb q, unnest([-1,0,1]) dx(dx), unnest([-1,0,1]) dy(dy)
+                JOIN gb g ON g.bx = q.bx + dx AND g.by = q.by + dy),
+       rk AS (SELECT doc_id, px, py, d2,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY d2, px, py) AS rn FROM cand)
+       SELECT doc_id, px, py, d2 FROM rk WHERE rn = 1""",
+)
+def q199(spark, sf_dir):
+    """Geolocation-array INVERSE transform (alg/gdalgeoloc.cpp +
+    gdalgeolocquadtree.cpp): given query lon/lat, find the geolocation
+    grid cell whose (lon,lat) value is nearest (squared distance, ties
+    to smallest pixel).  The reference walks a quadtree; the
+    distributed re-expression buckets the geoloc array by quantized
+    value and each query joins its 3x3 bucket neighborhood — candidate
+    count is bounded by bucket occupancy, never query x grid.  At a
+    10^8-cell geoloc array the bucket table shards by hash like any
+    equi-join."""
+    px = spark.range(64).select(F.col("id").alias("px"))
+    py = spark.range(64).select(F.col("id").alias("py"))
+    geo = px.crossJoin(py).select(
+        "px", "py",
+        (2 * F.col("px") + F.col("py") % 3).alias("glon"),
+        (3 * F.col("py") + F.col("px") % 2).alias("glat"),
+    )
+
+    def bucket(c):
+        return ((c - ((c % 8 + 8) % 8)) / 8).cast("long")
+
+    gb = geo.withColumn("bx", bucket(F.col("glon"))).withColumn(
+        "by", bucket(F.col("glat")))
+    d = F.col("doc_id")
+    q = _t(spark, sf_dir, "documents").select(
+        "doc_id", (d % 128).alias("qlon"), ((d * 3) % 190).alias("qlat"))
+    qb = (
+        q.withColumn("bx0", bucket(F.col("qlon")))
+        .withColumn("by0", bucket(F.col("qlat")))
+        .withColumn("dx", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .withColumn("dy", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))))
+        .select("doc_id", "qlon", "qlat",
+                (F.col("bx0") + F.col("dx")).alias("bx"),
+                (F.col("by0") + F.col("dy")).alias("by"))
+    )
+    dlon = F.col("qlon") - F.col("glon")
+    dlat = F.col("qlat") - F.col("glat")
+    cand = qb.join(F.broadcast(gb), ["bx", "by"]).withColumn(
+        "d2", dlon * dlon + dlat * dlat)
+    w = Window.partitionBy("doc_id").orderBy("d2", "px", "py")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "px", "py", "d2")
+    )
+
+
+# --- 4-point homography, exact integer adjugate construction (q200) -----------
+
+# literal GCP quads (general position, small coords keep every integer
+# product < 2^53 so the doubles are exact end-to-end)
+_HOM_SRC = [(0, 0), (13, 1), (2, 12), (11, 10)]
+_HOM_DST = [(1, 2), (14, 0), (0, 13), (12, 14)]
+
+
+def _hom_det3(m):
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
+def _hom_basis_matrix(quad):
+    """Integer matrix mapping the projective basis quad to `quad`
+    (scale-invariant: the common Cramer denominator is dropped)."""
+    (x1, y1), (x2, y2), (x3, y3), (x4, y4) = quad
+    a0 = [[x1, x2, x3], [y1, y2, y3], [1, 1, 1]]
+    nl = _hom_det3([[x4, x2, x3], [y4, y2, y3], [1, 1, 1]])
+    nm = _hom_det3([[x1, x4, x3], [y1, y4, y3], [1, 1, 1]])
+    nt = _hom_det3([[x1, x2, x4], [y1, y2, y4], [1, 1, 1]])
+    return [
+        [a0[r][0] * nl, a0[r][1] * nm, a0[r][2] * nt] for r in range(3)
+    ]
+
+
+def _hom_matrix():
+    """H ∝ B · adj(A): exact integers, no division anywhere in the solve."""
+    A = _hom_basis_matrix(_HOM_SRC)
+    B = _hom_basis_matrix(_HOM_DST)
+    # adjugate (cofactor transpose) of A
+    def cof(i, j):
+        m = [[A[r][c] for c in range(3) if c != j] for r in range(3) if r != i]
+        s = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        return s if (i + j) % 2 == 0 else -s
+
+    adjA = [[cof(j, i) for j in range(3)] for i in range(3)]
+    return [
+        [sum(B[r][k] * adjA[k][c] for k in range(3)) for c in range(3)]
+        for r in range(3)
+    ]
+
+
+@query(
+    "q200_homography",
+    f"""WITH h AS (SELECT {", ".join(
+        f"CAST({v} AS BIGINT) AS h{r}{c}"
+        for r, row in enumerate(_hom_matrix()) for c, v in enumerate(row)
+    )})
+       SELECT doc_id,
+              CAST(h00*(doc_id%13) + h01*((doc_id*5)%11) + h02 AS DOUBLE)
+              / CAST(h20*(doc_id%13) + h21*((doc_id*5)%11) + h22 AS DOUBLE) AS hx,
+              CAST(h10*(doc_id%13) + h11*((doc_id*5)%11) + h12 AS DOUBLE)
+              / CAST(h20*(doc_id%13) + h21*((doc_id*5)%11) + h22 AS DOUBLE) AS hy
+       FROM documents, h""",
+)
+def q200(spark, sf_dir):
+    """4-point homography (alg/gdal_homography.cpp): H built EXACTLY in
+    integers via the projective-basis construction — Cramer numerators
+    for each quad (the common denominator drops by scale invariance),
+    then H ∝ B·adj(A); no division until the final perspective divide,
+    so the fit is bitwise reproducible.  Applied per-document as pure
+    Column arithmetic (the 9 integer entries are plan literals — the
+    solve is a bounded 3x3 problem, like the reference's)."""
+    H = _hom_matrix()
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    x = d % 13
+    y = (d * 5) % 11
+    u = F.lit(H[0][0]) * x + F.lit(H[0][1]) * y + F.lit(H[0][2])
+    v = F.lit(H[1][0]) * x + F.lit(H[1][1]) * y + F.lit(H[1][2])
+    w = F.lit(H[2][0]) * x + F.lit(H[2][1]) * y + F.lit(H[2][2])
+    return docs.select(
+        "doc_id",
+        (u.cast("double") / w.cast("double")).alias("hx"),
+        (v.cast("double") / w.cast("double")).alias("hy"),
+    )
