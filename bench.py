@@ -214,6 +214,9 @@ HEADLINE = [
     "q198_rpc_transform",
     "q199_geoloc_inverse",
     "q200_homography",
+    "q201_surf_keypoints",
+    "q202_feature_matching",
+    "q203_polyharmonic_gcp",
 ]
 
 

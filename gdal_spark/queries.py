@@ -8662,3 +8662,258 @@ def q200(spark, sf_dir):
         (u.cast("double") / w.cast("double")).alias("hx"),
         (v.cast("double") / w.cast("double")).alias("hy"),
     )
+
+
+# --- SURF keypoints + feature matching (q201-q202) ----------------------------
+
+
+def _surf_img_sql(a: str, b: str, bx1=10, by1=12, bx2=22, by2=20) -> str:
+    """Synthetic blob image I(a,b) as SQL text (integers → exact)."""
+    return (
+        f"(CASE WHEN (({a})-{bx1})*(({a})-{bx1}) + (({b})-{by1})*(({b})-{by1}) <= 9"
+        f" THEN 180 ELSE 0 END"
+        f" + CASE WHEN (({a})-{bx2})*(({a})-{bx2}) + (({b})-{by2})*(({b})-{by2}) <= 16"
+        f" THEN 140 ELSE 0 END"
+        f" + (({a})*3 + ({b})*5) % 7)"
+    )
+
+
+def _surf_tiles(spark, bx1=10, by1=12, bx2=22, by2=20):
+    """32x32 blob image as 16px tiles (mirrors _surf_img_sql)."""
+    from gdal_spark.operators.rasterize import TILE_SCHEMA
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for _, row in pdf.iterrows():
+                t = int(row["id"])
+                tx, ty = t % 2, t // 2
+                gx = np.arange(16) + tx * 16
+                gy = np.arange(16) + ty * 16
+                GX, GY = np.meshgrid(gx, gy)
+                img = (
+                    ((GX - bx1) ** 2 + (GY - by1) ** 2 <= 9).astype(np.int64) * 180
+                    + ((GX - bx2) ** 2 + (GY - by2) ** 2 <= 16).astype(np.int64) * 140
+                    + (GX * 3 + GY * 5) % 7
+                ).astype(np.float64)
+                rows.append((0, tx, ty, 1, img.tobytes(), "float64", 0.0))
+            yield pd.DataFrame(
+                rows, columns=["z", "tx", "ty", "band", "data", "dtype", "nodata"]
+            )
+
+    return spark.range(4).repartition(4).mapInPandas(gen, TILE_SCHEMA)
+
+
+def _surf_resp_sql(img_of, cen="cen") -> str:
+    """Response CTE body: Dxx/Dyy/Dxy/doh per center pixel.  img_of is a
+    callable (a, b) -> SQL text for the image value at (a, b)."""
+    return f"""
+    dxx AS (SELECT c.x, c.y,
+              CAST(sum((CASE WHEN dx.range <= -2 OR dx.range >= 2 THEN 1 ELSE -2 END)
+                   * {img_of('c.x + dx.range', 'c.y + dy.range')}) AS BIGINT) AS v
+            FROM {cen} c, range(-4, 5) dx, range(-2, 3) dy GROUP BY c.x, c.y),
+    dyy AS (SELECT c.x, c.y,
+              CAST(sum((CASE WHEN dv.range <= -2 OR dv.range >= 2 THEN 1 ELSE -2 END)
+                   * {img_of('c.x + du.range', 'c.y + dv.range')}) AS BIGINT) AS v
+            FROM {cen} c, range(-4, 5) dv, range(-2, 3) du GROUP BY c.x, c.y),
+    dxy AS (SELECT c.x, c.y,
+              CAST(sum((CASE WHEN dx.range > 0 THEN 1 ELSE -1 END)
+                   * (CASE WHEN dy.range > 0 THEN 1 ELSE -1 END)
+                   * {img_of('c.x + dx.range', 'c.y + dy.range')}) AS BIGINT) AS v
+            FROM {cen} c, range(-3, 4) dx, range(-3, 4) dy
+            WHERE dx.range <> 0 AND dy.range <> 0 GROUP BY c.x, c.y),
+    resp AS (SELECT dxx.x, dxx.y, 100*dxx.v*dyy.v - 81*dxy.v*dxy.v AS doh
+             FROM dxx JOIN dyy ON dxx.x = dyy.x AND dxx.y = dyy.y
+                      JOIN dxy ON dxx.x = dxy.x AND dxx.y = dxy.y),
+    kp AS (SELECT r.x, r.y, r.doh FROM resp r
+           WHERE r.x BETWEEN 6 AND 25 AND r.y BETWEEN 6 AND 25
+             AND r.doh > 2000000
+             AND NOT EXISTS (SELECT 1 FROM resp n
+                             WHERE abs(n.x - r.x) <= 1 AND abs(n.y - r.y) <= 1
+                               AND (n.x <> r.x OR n.y <> r.y)
+                               AND n.doh >= r.doh))"""
+
+
+@query(
+    "q201_surf_keypoints",
+    f"""WITH cen AS (SELECT CAST(x.range AS BIGINT) AS x, CAST(y.range AS BIGINT) AS y
+                     FROM range(5, 27) x, range(5, 27) y),
+       {_surf_resp_sql(lambda a, b: _surf_img_sql(a, b))}
+       SELECT x AS gx, y AS gy, CAST(doh AS BIGINT) AS doh FROM kp""",
+)
+def q201(spark, sf_dir):
+    """SURF-style keypoint detection (alg/gdal_simplesurf.cpp): 9x9
+    first-octave determinant-of-Hessian box filters in EXACT integer
+    arithmetic (the 0.9 Dxy weight becomes 100*DxxDyy - 81*Dxy²),
+    strict 3x3 non-max suppression above threshold.  Distributed as
+    the halo-exchange focal pattern — per-tile NumPy over a radius-6
+    halo, linear in pixels at any raster size."""
+    from gdal_spark.operators.surf import doh_keypoints_tiles
+
+    kp = doh_keypoints_tiles(
+        _surf_tiles(spark), tile_size=16, width=32, height=32,
+        threshold=2_000_000,
+    )
+    return kp.select("gx", "gy", "doh")
+
+
+def _surf_desc_sql(img_of) -> str:
+    """d1..d9 select expressions: 3x3 patch sums on a 3x3 quadrant grid
+    (same enumeration as operators/surf.py: qy outer, qx inner)."""
+    cols = []
+    i = 0
+    for qy in (-3, 0, 3):
+        for qx in (-3, 0, 3):
+            i += 1
+            terms = " + ".join(
+                img_of(f"k.x + {qx + u}", f"k.y + {qy + v}")
+                for v in (-1, 0, 1) for u in (-1, 0, 1)
+            )
+            cols.append(f"CAST({terms} AS BIGINT) AS d{i}")
+    return ", ".join(cols)
+
+
+def _surf_match_oracle() -> str:
+    ia = lambda a, b: _surf_img_sql(a, b)
+    ib = lambda a, b: _surf_img_sql(a, b, bx1=12, by1=11, bx2=20, by2=22)
+    dist = " + ".join(f"(a.d{i} - b.d{i})*(a.d{i} - b.d{i})" for i in range(1, 10))
+    parts = []
+    for tag, img in (("a", ia), ("b", ib)):
+        body = _surf_resp_sql(img, cen="cen").replace(
+            "dxx", f"dxx_{tag}").replace("dyy", f"dyy_{tag}").replace(
+            "dxy", f"dxy_{tag}").replace("resp", f"resp_{tag}").replace(
+            "kp AS", f"kp_{tag} AS")
+        parts.append(body)
+        parts.append(
+            f"dsc_{tag} AS (SELECT k.x, k.y, {_surf_desc_sql(img)} FROM kp_{tag} k)"
+        )
+    return f"""WITH cen AS (SELECT CAST(x.range AS BIGINT) AS x, CAST(y.range AS BIGINT) AS y
+                    FROM range(5, 27) x, range(5, 27) y),
+    {",".join(parts)},
+    pairs AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb,
+                     CAST({dist} AS BIGINT) AS dist
+              FROM dsc_a a, dsc_b b),
+    rk AS (SELECT *,
+                  row_number() OVER (PARTITION BY xa, ya ORDER BY dist, xb, yb) AS rna,
+                  row_number() OVER (PARTITION BY xb, yb ORDER BY dist, xa, ya) AS rnb
+           FROM pairs)
+    SELECT xa, ya, xb, yb, dist FROM rk WHERE rna = 1 AND rnb = 1"""
+
+
+@query("q202_feature_matching", _surf_match_oracle())
+def q202(spark, sf_dir):
+    """Feature-point matching between two images
+    (alg/gdalmatching.cpp GDALComputeMatchingPoints): SURF keypoints +
+    9-patch integer descriptors on both images, exact squared-L2
+    mutual-nearest matching with deterministic ties.  Per-image
+    keypoint sets are bounded, so the pair join broadcasts at any
+    corpus size; detection itself is the linear halo-focal pass."""
+    from gdal_spark.operators.surf import doh_keypoints_tiles, match_keypoints
+
+    kpa = doh_keypoints_tiles(
+        _surf_tiles(spark), tile_size=16, width=32, height=32,
+        threshold=2_000_000, with_descriptor=True,
+    )
+    kpb = doh_keypoints_tiles(
+        _surf_tiles(spark, bx1=12, by1=11, bx2=20, by2=22),
+        tile_size=16, width=32, height=32,
+        threshold=2_000_000, with_descriptor=True,
+    )
+    return match_keypoints(kpa, kpb)
+
+
+# --- polyharmonic-spline GCP transformer (q203) --------------------------------
+
+_PHS_GCPS = [((i * 13) % 31, (i * 23) % 29) for i in range(8)]
+_PHS_TX = [2 * px - py + 7 + (i % 3) for i, (px, py) in enumerate(_PHS_GCPS)]
+_PHS_TY = [px + 3 * py - 11 + (i % 2) for i, (px, py) in enumerate(_PHS_GCPS)]
+
+
+def _phs_solve():
+    """Driver-side bounded solve (the GCP count is small by the nature
+    of the op — same cost contract as the RAT / noder kernels): radial
+    basis phi(r^2) = r^2 * sqrt(r^2) (polyharmonic r^3 — the
+    TPS-family basis that stays engine-exact because IEEE sqrt is
+    correctly rounded, unlike r^2*log r^2) + affine part.
+    Returns (wx, wy) lists of 11 float coefficients each."""
+    n = len(_PHS_GCPS)
+    A = np.zeros((n + 3, n + 3))
+    for i, (xi, yi) in enumerate(_PHS_GCPS):
+        for j, (xj, yj) in enumerate(_PHS_GCPS):
+            r2 = float((xi - xj) ** 2 + (yi - yj) ** 2)
+            A[i, j] = r2 * np.sqrt(r2)
+        A[i, n] = 1.0
+        A[i, n + 1] = xi
+        A[i, n + 2] = yi
+        A[n, i] = 1.0
+        A[n + 1, i] = xi
+        A[n + 2, i] = yi
+    bx = np.concatenate([np.array(_PHS_TX, dtype=np.float64), np.zeros(3)])
+    by = np.concatenate([np.array(_PHS_TY, dtype=np.float64), np.zeros(3)])
+    wx = np.linalg.solve(A, bx)
+    wy = np.linalg.solve(A, by)
+    # interpolation property: the spline passes through every GCP
+    for i, (xi, yi) in enumerate(_PHS_GCPS):
+        acc = wx[n] + wx[n + 1] * xi + wx[n + 2] * yi
+        for j, (xj, yj) in enumerate(_PHS_GCPS):
+            r2 = float((xi - xj) ** 2 + (yi - yj) ** 2)
+            acc += wx[j] * r2 * np.sqrt(r2)
+        assert abs(acc - _PHS_TX[i]) < 1e-8, (i, acc, _PHS_TX[i])
+    return wx.tolist(), wy.tolist()
+
+
+_PHS_WX, _PHS_WY = _phs_solve()
+
+
+def _phs_apply_sql(w, qx: str, qy: str) -> str:
+    """Fixed left-to-right apply tree; coefficients inlined verbatim at
+    17 significant digits (round-trips to the identical double)."""
+    n = len(_PHS_GCPS)
+    terms = []
+    for j, (xj, yj) in enumerate(_PHS_GCPS):
+        r2 = f"CAST(({qx} - {xj})*({qx} - {xj}) + ({qy} - {yj})*({qy} - {yj}) AS DOUBLE)"
+        terms.append(f"CAST('{w[j]:.17g}' AS DOUBLE) * ({r2} * sqrt({r2}))")
+    terms.append(f"CAST('{w[n]:.17g}' AS DOUBLE)")
+    terms.append(f"CAST('{w[n + 1]:.17g}' AS DOUBLE) * CAST({qx} AS DOUBLE)")
+    terms.append(f"CAST('{w[n + 2]:.17g}' AS DOUBLE) * CAST({qy} AS DOUBLE)")
+    return " + ".join(terms)
+
+
+def _phs_apply_col(w, qx, qy):
+    n = len(_PHS_GCPS)
+    acc = None
+    for j, (xj, yj) in enumerate(_PHS_GCPS):
+        r2 = ((qx - xj) * (qx - xj) + (qy - yj) * (qy - yj)).cast("double")
+        t = F.lit(float(f"{w[j]:.17g}")) * (r2 * F.sqrt(r2))
+        acc = t if acc is None else acc + t
+    acc = acc + F.lit(float(f"{w[n]:.17g}"))
+    acc = acc + F.lit(float(f"{w[n + 1]:.17g}")) * qx.cast("double")
+    acc = acc + F.lit(float(f"{w[n + 2]:.17g}")) * qy.cast("double")
+    return acc
+
+
+@query(
+    "q203_polyharmonic_gcp",
+    f"""SELECT doc_id,
+          {_phs_apply_sql(_PHS_WX, "doc_id%37", "(doc_id*11)%41")} AS tx,
+          {_phs_apply_sql(_PHS_WY, "doc_id%37", "(doc_id*11)%41")} AS ty
+       FROM documents""",
+)
+def q203(spark, sf_dir):
+    """TPS-family GCP transformer (alg/gdal_tps.cpp /
+    alg/thinplatespline.cpp): radial-basis interpolation through 8
+    control points + affine part, solved once driver-side (bounded,
+    like the reference's per-transformer solve) and applied as pure
+    Column arithmetic.  Basis phi = r^3 (= r^2*sqrt(r^2), exact across
+    engines; the reference's r^2*log r^2 differs only in the basis
+    kernel — log is not correctly-rounded portable, sqrt is).
+    Interpolation through every GCP is asserted at solve time."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    qx = d % 37
+    qy = (d * 11) % 41
+    return docs.select(
+        "doc_id",
+        _phs_apply_col(_PHS_WX, qx, qy).alias("tx"),
+        _phs_apply_col(_PHS_WY, qx, qy).alias("ty"),
+    )
