@@ -217,6 +217,7 @@ HEADLINE = [
     "q201_surf_keypoints",
     "q202_feature_matching",
     "q203_polyharmonic_gcp",
+    "q204_importance_weights",
 ]
 
 

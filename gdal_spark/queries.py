@@ -8917,3 +8917,79 @@ def q203(spark, sf_dir):
         _phs_apply_col(_PHS_WX, qx, qy).alias("tx"),
         _phs_apply_col(_PHS_WY, qx, qy).alias("ty"),
     )
+
+
+# --- DSIR-style importance weights (q204) --------------------------------------
+
+
+@query(
+    "q204_importance_weights",
+    """WITH occ AS (SELECT d.doc_id, d.lang,
+                      ascii(substr(w.w, 1, 1)) % 8 AS f
+              FROM documents d,
+                   unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) w(w)),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS s_tot,
+                      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_tot
+               FROM occ),
+       fr AS (SELECT f, CAST(count(*) AS BIGINT) AS s_f,
+                     CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_f
+              FROM occ GROUP BY f),
+       rat AS (SELECT f, CAST(t_f * t2.s_tot AS DOUBLE) / CAST(s_f * t2.t_tot AS DOUBLE) AS r
+               FROM fr, tot t2),
+       df AS (SELECT DISTINCT doc_id, f FROM occ),
+       dl AS (SELECT d.doc_id, list(r.r ORDER BY d.f) AS rs,
+                     CAST(count(*) AS BIGINT) AS n_feats
+              FROM df d JOIN rat r USING (f) GROUP BY d.doc_id)
+       SELECT doc_id, n_feats, list_reduce(rs, (a, b) -> a * b) AS iw FROM dl""",
+)
+def q204(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023: hashed-feature
+    importance resampling for domain-targeted data selection): feature
+    = first-char bucket, target = the 'en' slice, per-doc weight =
+    PRODUCT over the doc's distinct features of the target/source
+    probability ratio.  Each ratio is one exact integer-product
+    division; the product folds LEFT-TO-RIGHT over the feature-sorted
+    list on both engines (Spark F.aggregate vs DuckDB list_reduce —
+    1.0*x is an IEEE identity), so the float tree is engine-identical.
+    Shuffles: one bounded feature aggregation (8 rows, broadcast back)
+    + one per-doc distinct — never doc×doc."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", "lang",
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+        ).alias("w"),
+    ).select(
+        "doc_id", "lang",
+        (F.ascii(F.substring(F.col("w"), 1, 1)) % 8).alias("f"),
+    ).persist()  # feeds totals, per-feature counts AND the per-doc distinct
+    tot = occ.agg(
+        F.count("*").alias("s_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tot"),
+    )
+    fr = occ.groupBy("f").agg(
+        F.count("*").alias("s_f"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_f"),
+    )
+    rat = fr.crossJoin(F.broadcast(tot)).select(
+        "f",
+        (
+            (F.col("t_f") * F.col("s_tot")).cast("double")
+            / (F.col("s_f") * F.col("t_tot")).cast("double")
+        ).alias("r"),
+    )
+    df_ = occ.select("doc_id", "f").distinct()
+    dl = (
+        df_.join(F.broadcast(rat), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("f", "r"))).alias("frs"),
+            F.count("*").alias("n_feats"),
+        )
+    )
+    return dl.select(
+        "doc_id", "n_feats",
+        F.aggregate(
+            F.col("frs"), F.lit(1.0), lambda acc, s: acc * s["r"]
+        ).alias("iw"),
+    )
