@@ -218,6 +218,7 @@ HEADLINE = [
     "q202_feature_matching",
     "q203_polyharmonic_gcp",
     "q204_importance_weights",
+    "q205_vertical_shift_grid",
 ]
 
 

@@ -8993,3 +8993,77 @@ def q204(spark, sf_dir):
             F.col("frs"), F.lit(1.0), lambda acc, s: acc * s["r"]
         ).alias("iw"),
     )
+
+
+# --- vertical shift grid apply (q205) ------------------------------------------
+
+
+@query(
+    "q205_vertical_shift_grid",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(32) gx, range(32) gy),
+       dem AS (SELECT gx, gy, CAST({_z_sql('gx', 'gy')} AS DOUBLE) AS z FROM g),
+       grid AS (SELECT cx.range AS cx, cy.range AS cy,
+                       CAST((cx.range*5 + cy.range*3) % 11 - 5 AS DOUBLE) AS s
+                FROM range(9) cx, range(9) cy),
+       px AS (SELECT gx, gy, z,
+                     CAST((gx - gx%4)/4 AS BIGINT) AS cx,
+                     CAST((gy - gy%4)/4 AS BIGINT) AS cy,
+                     CAST(gx%4 AS DOUBLE)/4.0 AS fx,
+                     CAST(gy%4 AS DOUBLE)/4.0 AS fy
+              FROM dem)
+       SELECT p.gx, p.gy,
+              p.z + ((g00.s*(1.0-p.fx) + g10.s*p.fx)*(1.0-p.fy)
+                     + (g01.s*(1.0-p.fx) + g11.s*p.fx)*p.fy) AS v
+       FROM px p
+       JOIN grid g00 ON g00.cx = p.cx     AND g00.cy = p.cy
+       JOIN grid g10 ON g10.cx = p.cx + 1 AND g10.cy = p.cy
+       JOIN grid g01 ON g01.cx = p.cx     AND g01.cy = p.cy + 1
+       JOIN grid g11 ON g11.cx = p.cx + 1 AND g11.cy = p.cy + 1""",
+)
+def q205(spark, sf_dir):
+    """Vertical shift grid apply (alg/gdalapplyverticalshiftgrid.cpp):
+    DEM + bilinear sample of a coarse datum-shift grid at 4x upsampling.
+    The grid-to-pixel ratio is a power of two, so the bilinear weights
+    are DYADIC (0, .25, .5, .75) and the result is exact across
+    engines.  The shift grid is a real DataFrame joined once per
+    corner — four broadcast hash joins, the same plan at a 10^6-cell
+    grid; the DEM side stays linear."""
+    spark_range = spark.range(32)
+    g = spark_range.select(F.col("id").alias("gx")).crossJoin(
+        spark.range(32).select(F.col("id").alias("gy")))
+    dem = g.select(
+        "gx", "gy",
+        ((F.col("gx") * 7 + F.col("gy") * 13) % 97
+         + (F.col("gx") * F.col("gx")) % 23).cast("double").alias("z"),
+    )
+    grid = (
+        spark.range(9).select(F.col("id").alias("cx"))
+        .crossJoin(spark.range(9).select(F.col("id").alias("cy")))
+        .select("cx", "cy",
+                ((F.col("cx") * 5 + F.col("cy") * 3) % 11 - 5)
+                .cast("double").alias("s"))
+    )
+    px = dem.select(
+        "gx", "gy", "z",
+        ((F.col("gx") - F.col("gx") % 4) / 4).cast("long").alias("cx"),
+        ((F.col("gy") - F.col("gy") % 4) / 4).cast("long").alias("cy"),
+        ((F.col("gx") % 4).cast("double") / 4.0).alias("fx"),
+        ((F.col("gy") % 4).cast("double") / 4.0).alias("fy"),
+    )
+    def corner(alias, dx, dy):
+        return F.broadcast(grid.select(
+            (F.col("cx") - dx).alias("cx"), (F.col("cy") - dy).alias("cy"),
+            F.col("s").alias(alias)))
+    out = (
+        px.join(corner("s00", 0, 0), ["cx", "cy"])
+        .join(corner("s10", 1, 0), ["cx", "cy"])
+        .join(corner("s01", 0, 1), ["cx", "cy"])
+        .join(corner("s11", 1, 1), ["cx", "cy"])
+    )
+    fx, fy = F.col("fx"), F.col("fy")
+    bil = (
+        (F.col("s00") * (F.lit(1.0) - fx) + F.col("s10") * fx) * (F.lit(1.0) - fy)
+        + (F.col("s01") * (F.lit(1.0) - fx) + F.col("s11") * fx) * fy
+    )
+    return out.select("gx", "gy", (F.col("z") + bil).alias("v"))
