@@ -219,6 +219,9 @@ HEADLINE = [
     "q203_polyharmonic_gcp",
     "q204_importance_weights",
     "q205_vertical_shift_grid",
+    "q206_cdx_capture_dedup",
+    "q207_anchor_text",
+    "q208_waterfill_quota",
 ]
 
 

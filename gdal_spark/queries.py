@@ -9067,3 +9067,158 @@ def q205(spark, sf_dir):
         + (F.col("s01") * (F.lit(1.0) - fx) + F.col("s11") * fx) * fy
     )
     return out.select("gx", "gy", (F.col("z") + bil).alias("v"))
+
+
+# --- crawl-infrastructure ops (q206-q208) ---------------------------------------
+
+
+@query(
+    "q206_cdx_capture_dedup",
+    f"""WITH d AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+       cap AS (SELECT d.url,
+                      CAST(20260101 + (d.doc_id*7 + k.range*13) % 90 AS BIGINT) AS ts,
+                      CAST((d.doc_id*31 + k.range*k.range) % 5 AS BIGINT) AS digest
+               FROM d, range(0, 3) k),
+       rk AS (SELECT url, ts, digest,
+                     row_number() OVER (PARTITION BY url, digest ORDER BY ts) AS rn
+              FROM cap)
+       SELECT url,
+              CAST(count(*) AS BIGINT) AS n_captures,
+              CAST(count(DISTINCT digest) AS BIGINT) AS n_unique,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+              CAST(max(ts) AS BIGINT) AS last_ts
+       FROM rk GROUP BY url""",
+)
+def q206(spark, sf_dir):
+    """CDX-style capture index dedup (the Common-Crawl/Wayback revisit
+    record): per URL, captures collapse to unique content digests; a
+    capture whose digest already appeared at an earlier timestamp is a
+    REVISIT.  One window per (url, digest) + one per-url aggregation —
+    both shuffle on the url hash, the natural CDX shard key."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_raw_col())
+    cap = docs.select(
+        "url",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+        F.col("doc_id"),
+    ).select(
+        "url",
+        (20260101 + (F.col("doc_id") * 7 + F.col("k") * 13) % 90).alias("ts"),
+        ((F.col("doc_id") * 31 + F.col("k") * F.col("k")) % 5).alias("digest"),
+    )
+    w = Window.partitionBy("url", "digest").orderBy("ts")
+    rk = cap.withColumn("rn", F.row_number().over(w))
+    return rk.groupBy("url").agg(
+        F.count("*").alias("n_captures"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_revisits"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "q207_anchor_text",
+    """WITH l AS (SELECT (doc_id*3 + 1) % 40 AS tgt,
+                    list_filter(string_split(text, ' '), x -> x <> '')
+                      [CAST(doc_id%10 + 1 AS INT)] AS anchor
+              FROM documents),
+       c AS (SELECT tgt, anchor, CAST(count(*) AS BIGINT) AS n
+             FROM l WHERE anchor IS NOT NULL GROUP BY tgt, anchor),
+       rk AS (SELECT tgt, anchor, n,
+                     row_number() OVER (PARTITION BY tgt
+                                        ORDER BY n DESC, anchor) AS rn,
+                     sum(n) OVER (PARTITION BY tgt) AS total
+              FROM c)
+       SELECT tgt AS host, CAST(total AS BIGINT) AS n_links,
+              anchor AS top_anchor, n AS top_n
+       FROM rk WHERE rn = 1""",
+)
+def q207(spark, sf_dir):
+    """Anchor-text aggregation (the link-graph signal web search and
+    curation pipelines mine: what the web CALLS a page): per target
+    host, total inbound links and the most frequent anchor token
+    (ties lexicographic).  groupBy(host, anchor) then a per-host
+    window — the anchor vocabulary bounds the shuffle, and hosts are
+    the natural partition key at crawl scale."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    l = docs.select(
+        ((d * 3 + 1) % 40).alias("tgt"),
+        F.element_at(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+            (d % 10 + 1).cast("int"),
+        ).alias("anchor"),
+    ).filter(F.col("anchor").isNotNull())
+    c = l.groupBy("tgt", "anchor").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("tgt").orderBy(F.col("n").desc(), "anchor")
+    rk = c.withColumn("rn", F.row_number().over(w)).withColumn(
+        "total", F.sum("n").over(Window.partitionBy("tgt")))
+    return rk.filter(F.col("rn") == 1).select(
+        F.col("tgt").alias("host"),
+        F.col("total").alias("n_links"),
+        F.col("anchor").alias("top_anchor"),
+        F.col("n").alias("top_n"),
+    )
+
+
+@query(
+    "q208_waterfill_quota",
+    """WITH src AS (SELECT doc_id % 20 AS s, CAST(count(*) AS BIGINT) AS n
+              FROM documents GROUP BY doc_id % 20),
+       guard AS (SELECT CASE WHEN max(n) >= 2000
+                         THEN error('q208: per-source count outgrew the fixed cap range')
+                         ELSE max(n) END AS maxn FROM src),
+       caps AS (SELECT c.range AS cap,
+                       CAST(sum(least(n, c.range)) AS BIGINT) AS filled
+                FROM src, range(0, 2001) c, guard g
+                WHERE c.range <= g.maxn
+                GROUP BY c.range),
+       pick AS (SELECT CAST(max(cap) AS BIGINT) AS cap FROM caps
+                WHERE filled <= 300),
+       base AS (SELECT s, n, least(n, p.cap) AS q0, p.cap AS cap
+                FROM src, pick p),
+       rem AS (SELECT CAST(300 - sum(q0) AS BIGINT) AS r FROM base),
+       rk AS (SELECT s, n, q0, cap,
+                     row_number() OVER (ORDER BY s) AS pos
+              FROM base WHERE n > cap)
+       SELECT b.s, b.n,
+              CAST(b.q0 + CASE WHEN rk.pos IS NOT NULL AND rk.pos <= rem.r
+                               THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM base b LEFT JOIN rk ON b.s = rk.s, rem""",
+)
+def q208(spark, sf_dir):
+    """Curriculum mixing quotas by integer WATERFILL (the mixture-cap
+    allocation a training pipeline runs before sampling: every source
+    capped at a common level, remainder distributed one-by-one to the
+    lowest source ids): cap = max c with sum(min(n_s, c)) <= budget,
+    evaluated for every candidate level in one bounded cross join
+    (levels are bounded by the max per-source count; at corpus scale
+    the candidate set is the distinct count values + binary search,
+    same plan shape).  Exact integers end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.groupBy((F.col("doc_id") % 20).alias("s")).agg(
+        F.count("*").alias("n"))
+    src = src.persist()
+    maxn = src.agg(F.max("n").alias("m"))
+    caps = (
+        src.crossJoin(F.broadcast(maxn))
+        .select("s", "n", F.explode(F.sequence(F.lit(0), F.col("m"))).alias("cap"))
+        .groupBy("cap")
+        .agg(F.sum(F.least(F.col("n"), F.col("cap"))).alias("filled"))
+    )
+    pick = caps.filter(F.col("filled") <= 300).agg(F.max("cap").alias("cap"))
+    base = src.crossJoin(F.broadcast(pick)).select(
+        "s", "n", F.least(F.col("n"), F.col("cap")).alias("q0"), "cap")
+    base = base.persist()
+    rem = base.agg((F.lit(300) - F.sum("q0")).alias("r"))
+    rk = base.filter(F.col("n") > F.col("cap")).withColumn(
+        "pos", F.row_number().over(Window.orderBy("s")))
+    return (
+        base.join(rk.select("s", "pos"), "s", "left")
+        .crossJoin(F.broadcast(rem))
+        .select(
+            "s", "n",
+            (F.col("q0") + F.when(
+                F.col("pos").isNotNull() & (F.col("pos") <= F.col("r")), 1
+            ).otherwise(0)).cast("long").alias("quota"),
+        )
+    )
