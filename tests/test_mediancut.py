@@ -9,6 +9,7 @@ floor-mean palette, nearest assignment with lowest-index ties).
 """
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from gdal_spark.operators.mediancut import median_cut_quantize
@@ -65,15 +66,25 @@ def _ref_palette_and_counts(r, g, b, box):
     return pal, counts
 
 
-def test_median_cut_matches_numpy_reference(spark):
+@pytest.mark.parametrize("seed", [None, 1234])
+def test_median_cut_matches_numpy_reference(spark, seed):
     n = 4096
-    i = F.col("id")
-    px = spark.range(n).select(
-        i.cast("long").alias("pid"),
-        ((i % 5) * 47 + (i * 7) % 19).cast("long").alias("r"),
-        ((i % 5) * 41 + (i * 13) % 17).cast("long").alias("g"),
-        ((i % 5) * 37 + (i * 29) % 23).cast("long").alias("b"),
-    )
+    if seed is None:
+        i = F.col("id")
+        px = spark.range(n).select(
+            i.cast("long").alias("pid"),
+            ((i % 5) * 47 + (i * 7) % 19).cast("long").alias("r"),
+            ((i % 5) * 41 + (i * 13) % 17).cast("long").alias("g"),
+            ((i % 5) * 37 + (i * 29) % 23).cast("long").alias("b"),
+        )
+    else:
+        # pinned random-pixel case: exercises median/axis ties the
+        # clustered fixture cannot (deterministic corpus, CLAUDE.md rule)
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 256, size=(n, 3))
+        rows = [(int(k), int(vals[k, 0]), int(vals[k, 1]), int(vals[k, 2]))
+                for k in range(n)]
+        px = spark.createDataFrame(rows, "pid long, r long, g long, b long")
     got = {
         row["box"]: (row["pal_r"], row["pal_g"], row["pal_b"],
                      row["n_box"], row["n_assigned"])
@@ -81,9 +92,14 @@ def test_median_cut_matches_numpy_reference(spark):
     }
 
     ids = np.arange(n, dtype=np.int64)
-    r = (ids % 5) * 47 + (ids * 7) % 19
-    g = (ids % 5) * 41 + (ids * 13) % 17
-    b = (ids % 5) * 37 + (ids * 29) % 23
+    if seed is None:
+        r = (ids % 5) * 47 + (ids * 7) % 19
+        g = (ids % 5) * 41 + (ids * 13) % 17
+        b = (ids % 5) * 37 + (ids * 29) % 23
+    else:
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(0, 256, size=(n, 3)).astype(np.int64)
+        r, g, b = vals[:, 0], vals[:, 1], vals[:, 2]
     box = _ref_median_cut(r, g, b, rounds=3)
     pal, counts = _ref_palette_and_counts(r, g, b, box)
 
