@@ -9222,3 +9222,48 @@ def q208(spark, sf_dir):
             ).otherwise(0)).cast("long").alias("quota"),
         )
     )
+
+
+# --- streaming CDX revisit dedup (q209) ------------------------------------------
+
+
+@query(
+    "q209_stream_cdx_dedup",
+    f"""WITH d AS (SELECT doc_id, {_URL_RAW_SQL} AS url FROM documents),
+       cap AS (SELECT d.url,
+                      CAST((d.doc_id*31 + k.range*k.range) % 5 AS BIGINT) AS digest
+               FROM d, range(0, 3) k),
+       u AS (SELECT DISTINCT url, digest FROM cap)
+       SELECT url, CAST(count(*) AS BIGINT) AS n_unique,
+              CAST(sum(digest) AS BIGINT) AS digest_sum
+       FROM u GROUP BY url""",
+)
+def q209(spark, sf_dir):
+    """STREAMING CDX revisit dedup (the incremental form of q206): the
+    capture feed lands in micro-batches with the same file delivered
+    twice; a watermarked dropDuplicates on (url, digest) keeps the
+    first capture of each content version across batches — revisits
+    and redeliveries both absorb into bounded state.  The drained
+    unique-capture set aggregates to exactly the batch-distinct
+    oracle; ts is excluded from the output because WHICH duplicate row
+    survives is delivery-order-dependent (only the key set is
+    deterministic — same contract as q86)."""
+    from gdal_spark.streaming.windowed import stream_capture_dedup
+
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_raw_col())
+    d = F.col("doc_id")
+    cap = docs.select(
+        "url",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k"),
+        d.alias("doc_id"),
+    ).select(
+        "url",
+        (F.lit(1767225600) + ((F.col("doc_id") * 7 + F.col("k") * 13) % 90) * 86400)
+        .alias("ts"),
+        ((F.col("doc_id") * 31 + F.col("k") * F.col("k")) % 5).alias("digest"),
+    )
+    uniq = stream_capture_dedup(spark, cap)
+    return uniq.groupBy("url").agg(
+        F.count("*").alias("n_unique"),
+        F.sum("digest").alias("digest_sum"),
+    )

@@ -243,3 +243,50 @@ def stream_minhash_buckets(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_capture_dedup(
+    spark: SparkSession,
+    captures: DataFrame,
+    watermark: str = "2400 hours",
+) -> DataFrame:
+    """Streaming CDX revisit dedup: crawl captures arrive in
+    micro-batches (with the same file delivered twice — at-least-once
+    ingest); a watermarked ``dropDuplicates`` on (url, digest) lets the
+    FIRST capture of each content version through and absorbs every
+    revisit and redelivery into state.  The watermark bounds the
+    revisit state by event time exactly as the CDX index bounds its
+    dedup window.
+
+    ``captures`` needs columns (url, ts timestamp-castable, digest).
+    Returns the drained unique-content captures (append mode)."""
+    name = "stream_cdx_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    data_dir = os.path.join(src_dir, "data")
+    captures.write.parquet(data_dir)
+    land_dir = tempfile.mkdtemp(prefix="gdal_spark_land_")
+    for i, f in enumerate(sorted(os.listdir(data_dir))):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(data_dir, f)
+        os.symlink(src, os.path.join(land_dir, f"a{i}.parquet"))
+        os.symlink(src, os.path.join(land_dir, f"b{i}.parquet"))  # redelivery
+    stream = (
+        spark.readStream.schema(captures.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["url", "digest"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
