@@ -222,6 +222,8 @@ HEADLINE = [
     "q206_cdx_capture_dedup",
     "q207_anchor_text",
     "q208_waterfill_quota",
+    "q210_mvt_point_tiles",
+    "q211_geojson_export",
 ]
 
 

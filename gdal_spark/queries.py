@@ -9267,3 +9267,121 @@ def q209(spark, sf_dir):
         F.count("*").alias("n_unique"),
         F.sum("digest").alias("digest_sum"),
     )
+
+
+# --- MVT-style vector tile encode + GeoJSON export (q210-q211) --------------------
+
+
+@query(
+    "q210_mvt_point_tiles",
+    f"""WITH p AS ({POINTS_SQL}),
+       t AS (SELECT doc_id,
+                    CAST(floor((lon + 180.0)/360.0*256.0) AS BIGINT) AS tx,
+                    CAST(floor((90.0 - lat)/180.0*256.0) AS BIGINT) AS ty,
+                    ((lon + 180.0)/360.0*256.0) AS fx,
+                    ((90.0 - lat)/180.0*256.0) AS fy
+             FROM p),
+       q AS (SELECT doc_id, tx, ty,
+                    CAST(floor((fx - tx)*256.0) AS BIGINT) AS qx,
+                    CAST(floor((fy - ty)*256.0) AS BIGINT) AS qy
+             FROM t),
+       u AS (SELECT DISTINCT tx, ty, qx, qy FROM q)
+       SELECT u.tx, u.ty,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(qx*256 + qy) AS BIGINT) AS cell_sum,
+              CAST((SELECT count(*) FROM q WHERE q.tx = u.tx AND q.ty = u.ty)
+                   AS BIGINT) AS n_points
+       FROM u GROUP BY u.tx, u.ty""",
+)
+def q210(spark, sf_dir):
+    """MVT-style vector-tile point encode (the OGR MVT driver's write
+    path, ogr/ogrsf_frmts/mvt: assign features to z8 tiles, quantize
+    to tile-local integer extent coordinates, collapse coincident
+    quantized points).  Per-tile groupBy is the natural shard; the
+    quantized-cell distinct bounds tile payloads by the extent², not
+    the feature count — exactly why MVT scales to dense layers."""
+    p = _points(spark, sf_dir)
+    fx = (F.col("lon") + 180.0) / 360.0 * 256.0
+    fy = (90.0 - F.col("lat")) / 180.0 * 256.0
+    t = p.select(
+        "doc_id",
+        F.floor(fx).cast("long").alias("tx"),
+        F.floor(fy).cast("long").alias("ty"),
+        fx.alias("fx"), fy.alias("fy"),
+    )
+    q = t.select(
+        "doc_id", "tx", "ty",
+        F.floor((F.col("fx") - F.col("tx")) * 256.0).cast("long").alias("qx"),
+        F.floor((F.col("fy") - F.col("ty")) * 256.0).cast("long").alias("qy"),
+    ).persist()  # feeds the distinct-cell agg AND the raw point counts
+    u = q.select("tx", "ty", "qx", "qy").distinct()
+    cells = u.groupBy("tx", "ty").agg(
+        F.count("*").alias("n_cells"),
+        F.sum(F.col("qx") * 256 + F.col("qy")).alias("cell_sum"),
+    )
+    pts = q.groupBy("tx", "ty").agg(F.count("*").alias("n_points"))
+    return cells.join(pts, ["tx", "ty"])
+
+
+@query(
+    "q211_geojson_export",
+    """SELECT n_nationkey AS fid,
+              '{"type":"Feature","properties":{"fid":' || CAST(n_nationkey AS VARCHAR)
+              || '},"geometry":{"type":"Polygon","coordinates":[[['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || ']]]}}' AS feature,
+              CAST(length('{"type":"Feature","properties":{"fid":' || CAST(n_nationkey AS VARCHAR)
+              || '},"geometry":{"type":"Polygon","coordinates":[[['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
+              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || ']]]}}') AS BIGINT) AS n_bytes
+       FROM nation""",
+)
+def q211(spark, sf_dir):
+    """GeoJSON feature export (the OGR GeoJSON writer,
+    ogr/ogrsf_frmts/geojson: RFC 7946 ring orientation CCW, closed
+    rings — first vertex repeated last): the zone rectangles emitted
+    as canonical Feature strings, built entirely in JVM string
+    expressions (integer coordinates render identically across
+    engines, which is exactly why OGR's own writer pins a precision).
+    Embarrassingly parallel string construction — an export sink, not
+    a shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    x0 = ((k * 61) % 300 - 160).cast("long")
+    y0 = ((k * 83) % 140 - 75).cast("long")
+    x1 = (x0 + 10 + (k % 7) * 5).cast("long")
+    y1 = (y0 + 8 + (k % 5) * 4).cast("long")
+
+    def pt(x, y):
+        return F.concat(F.lit("["), x.cast("string"), F.lit(","),
+                        y.cast("string"), F.lit("]"))
+
+    # CCW exterior in lon/lat plane: (x0,y0) -> (x1,y0) -> (x1,y1) -> (x0,y1)
+    feature = F.concat(
+        F.lit('{"type":"Feature","properties":{"fid":'), k.cast("string"),
+        F.lit('},"geometry":{"type":"Polygon","coordinates":[['),
+        pt(x0, y0), F.lit(","), pt(x1, y0), F.lit(","), pt(x1, y1),
+        F.lit(","), pt(x0, y1), F.lit(","), pt(x0, y0),
+        F.lit("]]}}"),
+    )
+    return n.select(
+        k.alias("fid"),
+        feature.alias("feature"),
+        F.length(feature).cast("long").alias("n_bytes"),
+    )
