@@ -224,6 +224,7 @@ HEADLINE = [
     "q208_waterfill_quota",
     "q210_mvt_point_tiles",
     "q211_geojson_export",
+    "q212_curation_matrix",
 ]
 
 

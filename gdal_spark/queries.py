@@ -9385,3 +9385,75 @@ def q211(spark, sf_dir):
         feature.alias("feature"),
         F.length(feature).cast("long").alias("n_bytes"),
     )
+
+
+# --- curation decision-attribution matrix (q212) -----------------------------------
+
+
+@query(
+    "q212_curation_matrix",
+    """WITH idx AS (SELECT doc_id, text, lang,
+                      unnest(range(1, greatest(length(text) - 1, 2))) AS i
+                 FROM documents),
+       occ AS (SELECT doc_id, substr(text, CAST(i AS INT), 3) AS gram FROM idx
+               WHERE length(substr(text, CAST(i AS INT), 3)) = 3),
+       cf AS (SELECT gram, count(*) AS corpus_n FROM occ GROUP BY gram),
+       rare AS (SELECT o.doc_id,
+                       CAST(sum(CASE WHEN cf.corpus_n < 100 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_rare,
+                       CAST(count(*) AS BIGINT) AS n_grams
+                FROM occ o JOIN cf USING (gram) GROUP BY o.doc_id),
+       dup AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text),
+       lab AS (SELECT d.doc_id, d.lang, length(d.text) AS n_chars,
+                      CASE WHEN 5*r.n_rare >= r.n_grams THEN 'low'
+                           ELSE 'high' END AS quality,
+                      CASE WHEN d.doc_id = u.keeper THEN 'keep'
+                           ELSE 'dup' END AS dedup
+               FROM documents d
+               JOIN rare r USING (doc_id)
+               JOIN dup u ON d.text = u.text)
+       SELECT lang, quality, dedup,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM lab GROUP BY lang, quality, dedup""",
+)
+def q212(spark, sf_dir):
+    """Curation decision-attribution matrix (the 'what did the pipeline
+    keep and WHY' accounting a production run emits): every document
+    labeled on three independent axes — language, rare-gram quality
+    bucket (the q187 signal, thresholded at 20% with exact integer
+    cross-multiplication), exact-dup keeper status — in ONE lazy plan;
+    the output is the (lang × quality × dedup) contingency matrix with
+    document and char mass.  Shuffle shape: the gram-vocabulary
+    aggregation + one per-text dup groupBy + the final bounded matrix
+    aggregation — all crawl-shardable."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(sequence(1, greatest(length(text) - 2, 1)), "
+            "i -> substring(text, i, 3)), s -> length(s) = 3)"
+        )).alias("gram"),
+    ).persist()
+    cf = occ.groupBy("gram").agg(F.count("*").alias("corpus_n"))
+    rare = occ.join(cf, "gram").groupBy("doc_id").agg(
+        F.sum(F.when(F.col("corpus_n") < 100, 1).otherwise(0)).alias("n_rare"),
+        F.count("*").alias("n_grams"),
+    )
+    dup = docs.groupBy("text").agg(F.min("doc_id").alias("keeper"))
+    lab = (
+        docs.join(rare, "doc_id")
+        .join(dup, "text")
+        .select(
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.when(5 * F.col("n_rare") >= F.col("n_grams"), "low")
+            .otherwise("high").alias("quality"),
+            F.when(F.col("doc_id") == F.col("keeper"), "keep")
+            .otherwise("dup").alias("dedup"),
+        )
+    )
+    return lab.groupBy("lang", "quality", "dedup").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
