@@ -9164,62 +9164,92 @@ def q207(spark, sf_dir):
     "q208_waterfill_quota",
     """WITH src AS (SELECT doc_id % 20 AS s, CAST(count(*) AS BIGINT) AS n
               FROM documents GROUP BY doc_id % 20),
-       guard AS (SELECT CASE WHEN max(n) >= 2000
-                         THEN error('q208: per-source count outgrew the fixed cap range')
-                         ELSE max(n) END AS maxn FROM src),
-       caps AS (SELECT c.range AS cap,
-                       CAST(sum(least(n, c.range)) AS BIGINT) AS filled
-                FROM src, range(0, 2001) c, guard g
-                WHERE c.range <= g.maxn
-                GROUP BY c.range),
-       pick AS (SELECT CAST(max(cap) AS BIGINT) AS cap FROM caps
-                WHERE filled <= 300),
-       base AS (SELECT s, n, least(n, p.cap) AS q0, p.cap AS cap
-                FROM src, pick p),
-       rem AS (SELECT CAST(300 - sum(q0) AS BIGINT) AS r FROM base),
-       rk AS (SELECT s, n, q0, cap,
-                     row_number() OVER (ORDER BY s) AS pos
-              FROM base WHERE n > cap)
+       meta AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+                       CAST(sum(n) AS BIGINT) AS total FROM src),
+       rk AS (SELECT s, n,
+                     row_number() OVER (ORDER BY n, s) AS i,
+                     sum(n) OVER (ORDER BY n, s) AS p
+              FROM src),
+       lv AS (SELECT i, n, p, CAST(p + n*(m.nn - i) AS BIGINT) AS fill, m.nn, m.total
+              FROM rk, meta m
+              UNION ALL
+              SELECT 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                     m.nn, m.total FROM meta m),
+       pv AS (SELECT max_by(i, CASE WHEN fill <= 300 THEN i ELSE NULL END) AS pi
+              FROM lv WHERE fill <= 300),
+       cap AS (SELECT CASE WHEN m.total <= 300 THEN l.n
+                           ELSE l.n + CAST(((300 - l.fill)
+                                 - ((300 - l.fill) % greatest(m.nn - l.i, 1)))
+                                / greatest(m.nn - l.i, 1) AS BIGINT) END AS cap,
+                      CASE WHEN m.total <= 300 THEN CAST(0 AS BIGINT)
+                           ELSE CAST((300 - l.fill) % greatest(m.nn - l.i, 1) AS BIGINT)
+                      END AS r
+               FROM lv l, pv, meta m WHERE l.i = pv.pi),
+       extra AS (SELECT s, row_number() OVER (ORDER BY s) AS pos
+                 FROM src, cap c WHERE n > c.cap)
        SELECT b.s, b.n,
-              CAST(b.q0 + CASE WHEN rk.pos IS NOT NULL AND rk.pos <= rem.r
-                               THEN 1 ELSE 0 END AS BIGINT) AS quota
-       FROM base b LEFT JOIN rk ON b.s = rk.s, rem""",
+              CAST(least(b.n, c.cap)
+                   + CASE WHEN e.pos IS NOT NULL AND e.pos <= c.r
+                          THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM src b LEFT JOIN extra e ON b.s = e.s, cap c""",
 )
 def q208(spark, sf_dir):
     """Curriculum mixing quotas by integer WATERFILL (the mixture-cap
-    allocation a training pipeline runs before sampling: every source
-    capped at a common level, remainder distributed one-by-one to the
-    lowest source ids): cap = max c with sum(min(n_s, c)) <= budget,
-    evaluated for every candidate level in one bounded cross join
-    (levels are bounded by the max per-source count; at corpus scale
-    the candidate set is the distinct count values + binary search,
-    same plan shape).  Exact integers end-to-end."""
+    allocation a training pipeline runs before sampling), computed in
+    CLOSED FORM: sort sources by count, prefix-sum once — at the i-th
+    level the fill is P_i + n_i*(N-i), the pivot is the last level
+    under budget, and the cap extends arithmetically by exact floor
+    division (remainder +1 to the lowest source ids).  No candidate
+    enumeration anywhere, so the plan is one window + bounded 1-row
+    broadcasts regardless of how large per-source counts grow (the
+    earlier 0..max(n) sweep would not survive 10^12-doc sources).
+    Exact integers end-to-end; quotas sum to min(budget, total)."""
     docs = _t(spark, sf_dir, "documents")
     src = docs.groupBy((F.col("doc_id") % 20).alias("s")).agg(
-        F.count("*").alias("n"))
-    src = src.persist()
-    maxn = src.agg(F.max("n").alias("m"))
-    caps = (
-        src.crossJoin(F.broadcast(maxn))
-        .select("s", "n", F.explode(F.sequence(F.lit(0), F.col("m"))).alias("cap"))
-        .groupBy("cap")
-        .agg(F.sum(F.least(F.col("n"), F.col("cap"))).alias("filled"))
+        F.count("*").alias("n")).persist()
+    meta = src.agg(F.count("*").alias("nn"), F.sum("n").alias("total"))
+    w = Window.orderBy("n", "s")
+    rk = src.select(
+        "s", "n",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w).alias("p"),
     )
-    pick = caps.filter(F.col("filled") <= 300).agg(F.max("cap").alias("cap"))
-    base = src.crossJoin(F.broadcast(pick)).select(
-        "s", "n", F.least(F.col("n"), F.col("cap")).alias("q0"), "cap")
-    base = base.persist()
-    rem = base.agg((F.lit(300) - F.sum("q0")).alias("r"))
-    rk = base.filter(F.col("n") > F.col("cap")).withColumn(
-        "pos", F.row_number().over(Window.orderBy("s")))
+    lv = rk.crossJoin(F.broadcast(meta)).select(
+        "i", "n", "p",
+        (F.col("p") + F.col("n") * (F.col("nn") - F.col("i"))).alias("fill"),
+        "nn", "total",
+    ).unionByName(
+        meta.select(
+            F.lit(0).alias("i"), F.lit(0).cast("long").alias("n"),
+            F.lit(0).cast("long").alias("p"), F.lit(0).cast("long").alias("fill"),
+            "nn", "total",
+        )
+    )
+    pv = lv.filter(F.col("fill") <= 300).agg(F.max("i").alias("pi"))
+    picked = lv.join(F.broadcast(pv), lv.i == pv.pi)
+    rem_budget = F.lit(300) - F.col("fill")
+    # slots can be 0 only on the total<=300 branch, but ANSI mode still
+    # evaluates the other branch's modulo — clamp the divisor
+    slots = F.greatest(F.col("nn") - F.col("i"), F.lit(1))
+    cap = picked.select(
+        F.when(F.col("total") <= 300, F.col("n")).otherwise(
+            F.col("n")
+            + ((rem_budget - rem_budget % slots) / slots).cast("long")
+        ).alias("cap"),
+        F.when(F.col("total") <= 300, F.lit(0).cast("long")).otherwise(
+            (rem_budget % slots).cast("long")
+        ).alias("r"),
+    )
+    withcap = src.crossJoin(F.broadcast(cap))
+    extra = withcap.filter(F.col("n") > F.col("cap")).select(
+        "s", F.row_number().over(Window.orderBy("s")).alias("pos"))
     return (
-        base.join(rk.select("s", "pos"), "s", "left")
-        .crossJoin(F.broadcast(rem))
+        withcap.join(extra, "s", "left")
         .select(
             "s", "n",
-            (F.col("q0") + F.when(
-                F.col("pos").isNotNull() & (F.col("pos") <= F.col("r")), 1
-            ).otherwise(0)).cast("long").alias("quota"),
+            (F.least(F.col("n"), F.col("cap"))
+             + F.when(F.col("pos").isNotNull() & (F.col("pos") <= F.col("r")), 1)
+             .otherwise(0)).cast("long").alias("quota"),
         )
     )
 
