@@ -36,8 +36,9 @@ from gdal_spark.operators.focal import _assemble_padded, _emit_strips
 _R = 6
 
 
-def _doh_window(P: np.ndarray, lo: int, hi: int) -> np.ndarray:
-    """Integer DoH on the window P[lo:hi, lo:hi] (support must fit)."""
+def _doh_window_direct(P: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Integer DoH by direct shifted adds — the executable spec the
+    integral-image path is parity-tested against (tests/test_surf.py)."""
     n = hi - lo
     Dxx = np.zeros((n, n), dtype=np.int64)
     Dyy = np.zeros((n, n), dtype=np.int64)
@@ -53,6 +54,28 @@ def _doh_window(P: np.ndarray, lo: int, hi: int) -> np.ndarray:
                 continue
             s = (1 if dx > 0 else -1) * (1 if dy > 0 else -1)
             Dxy += s * P[lo + dy : hi + dy, lo + dx : hi + dx]
+    return 100 * Dxx * Dyy - 81 * Dxy * Dxy
+
+
+def _doh_window(P: np.ndarray, lo: int, hi: int) -> np.ndarray:
+    """Integer DoH on the window P[lo:hi, lo:hi] via an INTEGRAL IMAGE
+    (the reference's own structure: GDALIntegralImage in
+    alg/gdal_simplesurf.cpp) — every filter box is four lookups, exact
+    integers, bitwise-equal to the direct shifted-add spec."""
+    S = np.zeros((P.shape[0] + 1, P.shape[1] + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(P, axis=0), axis=1, out=S[1:, 1:])
+
+    def box(a, b, c, d):  # inclusive row offsets [a,b], col offsets [c,d]
+        return (
+            S[lo + b + 1 : hi + b + 1, lo + d + 1 : hi + d + 1]
+            - S[lo + a : hi + a, lo + d + 1 : hi + d + 1]
+            - S[lo + b + 1 : hi + b + 1, lo + c : hi + c]
+            + S[lo + a : hi + a, lo + c : hi + c]
+        )
+
+    Dxx = box(-2, 2, -4, -2) - 2 * box(-2, 2, -1, 1) + box(-2, 2, 2, 4)
+    Dyy = box(-4, -2, -2, 2) - 2 * box(-1, 1, -2, 2) + box(2, 4, -2, 2)
+    Dxy = box(-3, -1, -3, -1) - box(-3, -1, 1, 3) - box(1, 3, -3, -1) + box(1, 3, 1, 3)
     return 100 * Dxx * Dyy - 81 * Dxy * Dxy
 
 

@@ -34,3 +34,13 @@ def test_doh_symmetry_under_transpose():
         a = _doh_window(img, 9, 31)
         b = _doh_window(img.T.copy(), 9, 31)
         assert np.array_equal(a.T, b)
+
+
+def test_integral_image_path_matches_direct_spec():
+    from gdal_spark.operators.surf import _doh_window_direct
+
+    for seed in (2, 17, 404):
+        img = _rand_img(seed, 60)
+        assert np.array_equal(
+            _doh_window(img, 9, 51), _doh_window_direct(img, 9, 51)
+        )
