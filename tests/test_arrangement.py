@@ -130,7 +130,13 @@ def _gh_vs_exact_one_seed(seed):
 # here forever; grown each round so "green means green".  4550 is the
 # round-3 judge-confirmed GH-difference wrong-answer pair (traversal
 # returned 6.119 against a true 169.084).
-PINNED_GH_SEEDS = [4550, 0, 1, 7, 42, 123, 999, 2024, 3141, 7777, 8888, 9999]
+PINNED_GH_SEEDS = [
+    4550, 0, 1, 7, 42, 123, 999, 2024, 3141, 7777, 8888, 9999,
+    # round-4 second window: 3000-seed offline sweep ran clean
+    # (2617 exercised, 0 failures); a spread of them pins the result
+    150, 307, 512, 891, 1024, 1337, 1600, 1881, 2048, 2222,
+    2500, 2718, 2801, 2900, 2999,
+]
 
 
 def test_gh_pinned_regression_corpus():
