@@ -75,8 +75,10 @@ class Manifest:
                     return row
         return None
 
-    def record(self, res: StageResult, partitions: list[dict]) -> None:
+    def record(self, res: StageResult, partitions: list[dict],
+               mode: str = "overwrite") -> None:
         row = {
+            "mode": mode,
             "stage": res.stage,
             "fp": res.fp,
             "path": res.path,
@@ -164,7 +166,87 @@ class Manifest:
         row = rows[-1]
         if not os.path.exists(row["path"]):
             raise LookupError(f"snapshot {row['fp']} expired (files removed)")
+        if row.get("mode") == "append":
+            # append snapshots share one directory: the snapshot IS its
+            # cumulative file list (exactly Iceberg's manifest-list read)
+            files = [os.path.join(row["path"], p["file"])
+                     for p in row["partitions"]]
+            missing = [f for f in files if not os.path.exists(f)]
+            if missing:
+                raise LookupError(
+                    f"snapshot {row['fp']} expired ({len(missing)} files removed)")
+            return spark.read.parquet(*files)
         return spark.read.parquet(row["path"])
+
+    # --- append commits + incremental consumption (the other half of
+    # the Iceberg read semantics: an append snapshot adds data files,
+    # and an incremental read between two snapshots scans exactly the
+    # files the later one added) --------------------------------------
+
+    def append_stage(self, spark: SparkSession, stage: str, df) -> StageResult:
+        """Iceberg APPEND commit: the batch's data files are written to
+        a tmp dir, moved into the stage directory under a unique commit
+        prefix (rename = the atomic step, same protocol as run_stage),
+        and the new snapshot row records the CUMULATIVE file list."""
+        out_path = os.path.join(self.root, f"{stage}_append")
+        os.makedirs(out_path, exist_ok=True)
+        commit_idx = len(self.snapshots(stage))
+        t0 = time.time()
+        tmp = os.path.join(self.root, f"_tmp_append_{stage}_{commit_idx}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        staged = os.path.join(tmp, "_staged")
+        os.makedirs(staged, exist_ok=True)
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(tmp, fn),
+                          os.path.join(staged, f"c{commit_idx:04d}_{fn}"))
+        for fn in sorted(os.listdir(staged)):
+            os.rename(os.path.join(staged, fn), os.path.join(out_path, fn))
+        shutil.rmtree(tmp, ignore_errors=True)
+        parts = self._scan_parts(out_path)
+        rows = sum(p["rows"] for p in parts)
+        nbytes = sum(p["bytes"] for p in parts)
+        fp = fingerprint([stage, commit_idx, sorted(p["file"] for p in parts)])
+        res = StageResult(
+            stage, fp, out_path, rows, nbytes, len(parts),
+            time.time() - t0, False,
+        )
+        self.record(res, parts, mode="append")
+        return res
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        stage: str,
+        from_fp: str | None = None,
+        to_fp: str | None = None,
+    ) -> DataFrame:
+        """Iceberg INCREMENTAL read (`incremental-from-snapshot`): the
+        rows committed after snapshot ``from_fp`` up to ``to_fp`` (or
+        the current snapshot) — exactly the data files present in the
+        later cumulative file list and absent from the earlier one.
+        ``from_fp=None`` reads everything up to ``to_fp``."""
+        snaps = self.snapshots(stage)
+        by_fp = {r["fp"]: r for r in snaps}
+        if to_fp is None:
+            if not snaps:
+                raise LookupError(f"no snapshot of stage {stage!r}")
+            to_row = snaps[-1]
+        else:
+            to_row = by_fp[to_fp]
+        old_files: set[str] = set()
+        if from_fp is not None:
+            old_files = {p["file"] for p in by_fp[from_fp]["partitions"]}
+        new_files = [
+            os.path.join(to_row["path"], p["file"])
+            for p in to_row["partitions"]
+            if p["file"] not in old_files
+        ]
+        if not new_files:
+            first = spark.read.parquet(to_row["path"])
+            return first.limit(0)
+        return spark.read.parquet(*new_files)
 
     @staticmethod
     def _scan_parts(path: str) -> list[dict]:
