@@ -225,6 +225,7 @@ HEADLINE = [
     "q210_mvt_point_tiles",
     "q211_geojson_export",
     "q212_curation_matrix",
+    "q213_incremental_tiles",
 ]
 
 

@@ -9487,3 +9487,50 @@ def q212(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+# --- incremental tile maintenance via append snapshots (q213) ---------------------
+
+
+@query(
+    "q213_incremental_tiles",
+    f"""WITH p AS ({POINTS_SQL})
+       SELECT CAST(floor((lon + 180.0)/360.0*64.0) AS BIGINT) AS tx,
+              CAST(floor((90.0 - lat)/180.0*64.0) AS BIGINT) AS ty,
+              CAST(count(*) AS BIGINT) AS n
+       FROM p GROUP BY 1, 2""",
+)
+def q213(spark, sf_dir):
+    """INCREMENTAL tile maintenance through Iceberg-style append
+    snapshots (plans/manifest.py): the point feed lands as two append
+    commits; the density table is built from the FIRST snapshot, then
+    maintained by aggregating ONLY the files the second commit added
+    (`read_changes`) and merging — never rescanning the old data.  The
+    oracle recomputes from scratch, so MATCH proves incremental ==
+    batch, the invariant that makes snapshot-incremental pipelines
+    trustworthy at 10^12 rows (the delta scan is proportional to the
+    append, not the table)."""
+    import tempfile
+
+    from gdal_spark.plans.manifest import Manifest
+
+    p = _points(spark, sf_dir)
+    pts = p.select(
+        "doc_id",
+        F.floor((F.col("lon") + 180.0) / 360.0 * 64.0).cast("long").alias("tx"),
+        F.floor((90.0 - F.col("lat")) / 180.0 * 64.0).cast("long").alias("ty"),
+    )
+    m = Manifest(tempfile.mkdtemp(prefix="gdal_spark_inc_"))
+    r1 = m.append_stage(spark, "pts", pts.filter(F.col("doc_id") % 2 == 0))
+    r2 = m.append_stage(spark, "pts", pts.filter(F.col("doc_id") % 2 == 1))
+
+    def density(df):
+        return df.groupBy("tx", "ty").agg(F.count("*").alias("n"))
+
+    base = density(m.read_as_of(spark, "pts", snapshot_fp=r1.fp))
+    delta = density(m.read_changes(spark, "pts", from_fp=r1.fp, to_fp=r2.fp))
+    return (
+        base.unionByName(delta)
+        .groupBy("tx", "ty")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
