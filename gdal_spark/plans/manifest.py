@@ -166,9 +166,9 @@ class Manifest:
         row = rows[-1]
         if not os.path.exists(row["path"]):
             raise LookupError(f"snapshot {row['fp']} expired (files removed)")
-        if row.get("mode") == "append":
-            # append snapshots share one directory: the snapshot IS its
-            # cumulative file list (exactly Iceberg's manifest-list read)
+        if row.get("mode") in ("append", "compact"):
+            # append/compact snapshots share one directory: the snapshot
+            # IS its file list (exactly Iceberg's manifest-list read)
             files = [os.path.join(row["path"], p["file"])
                      for p in row["partitions"]]
             missing = [f for f in files if not os.path.exists(f)]
@@ -201,10 +201,24 @@ class Manifest:
             if fn.endswith(".parquet"):
                 os.rename(os.path.join(tmp, fn),
                           os.path.join(staged, f"c{commit_idx:04d}_{fn}"))
+        new_names = []
         for fn in sorted(os.listdir(staged)):
             os.rename(os.path.join(staged, fn), os.path.join(out_path, fn))
+            new_names.append(fn)
         shutil.rmtree(tmp, ignore_errors=True)
-        parts = self._scan_parts(out_path)
+        # cumulative list = previous snapshot's files + this commit's files
+        # (NOT a directory scan: replaced files from compactions stay on
+        # disk for older snapshots' time travel and must not re-enter)
+        prev = self.snapshots(stage)
+        prev_parts = prev[-1]["partitions"] if prev else []
+        import pyarrow.parquet as pq
+
+        parts = list(prev_parts)
+        for fn in new_names:
+            full = os.path.join(out_path, fn)
+            md = pq.ParquetFile(full).metadata
+            parts.append({"file": fn, "rows": md.num_rows,
+                          "bytes": os.path.getsize(full)})
         rows = sum(p["rows"] for p in parts)
         nbytes = sum(p["bytes"] for p in parts)
         fp = fingerprint([stage, commit_idx, sorted(p["file"] for p in parts)])
@@ -238,6 +252,15 @@ class Manifest:
         old_files: set[str] = set()
         if from_fp is not None:
             old_files = {p["file"] for p in by_fp[from_fp]["partitions"]}
+            # a compaction REPLACES files: rows between the snapshots can
+            # no longer be identified by file-set difference (Iceberg
+            # refuses incremental reads across overwrite snapshots too)
+            i_from = next(i for i, r in enumerate(snaps) if r["fp"] == from_fp)
+            i_to = next(i for i, r in enumerate(snaps) if r["fp"] == to_row["fp"])
+            for r in snaps[i_from + 1 : i_to + 1]:
+                if r.get("mode") == "compact":
+                    raise LookupError(
+                        "incremental read across a compaction boundary")
         new_files = [
             os.path.join(to_row["path"], p["file"])
             for p in to_row["partitions"]
@@ -247,6 +270,48 @@ class Manifest:
             first = spark.read.parquet(to_row["path"])
             return first.limit(0)
         return spark.read.parquet(*new_files)
+
+    def compact_stage(self, spark: SparkSession, stage: str,
+                      target_files: int = 1) -> StageResult:
+        """Iceberg ``rewrite_data_files``: read the current append
+        snapshot, rewrite it as ``target_files`` files under a new
+        commit prefix, and commit a snapshot whose file list REPLACES
+        the old one (mode 'compact').  The replaced files stay on disk
+        so older snapshots remain time-travel-readable until expired —
+        exactly Iceberg's snapshot-retention model."""
+        snaps = self.snapshots(stage)
+        if not snaps:
+            raise LookupError(f"no snapshot of stage {stage!r} to compact")
+        cur = snaps[-1]
+        out_path = cur["path"]
+        commit_idx = len(snaps)
+        t0 = time.time()
+        df = self.read_as_of(spark, stage, snapshot_fp=cur["fp"])
+        tmp = os.path.join(self.root, f"_tmp_compact_{stage}_{commit_idx}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+        new_files = []
+        for fn in sorted(os.listdir(tmp)):
+            if fn.endswith(".parquet"):
+                dst = f"c{commit_idx:04d}_{fn}"
+                os.rename(os.path.join(tmp, fn), os.path.join(out_path, dst))
+                new_files.append(dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        import pyarrow.parquet as pq
+
+        parts = []
+        for fn in new_files:
+            full = os.path.join(out_path, fn)
+            md = pq.ParquetFile(full).metadata
+            parts.append({"file": fn, "rows": md.num_rows,
+                          "bytes": os.path.getsize(full)})
+        rows = sum(p["rows"] for p in parts)
+        nbytes = sum(p["bytes"] for p in parts)
+        fp = fingerprint([stage, commit_idx, sorted(p["file"] for p in parts)])
+        res = StageResult(stage, fp, out_path, rows, nbytes, len(parts),
+                          time.time() - t0, False)
+        self.record(res, parts, mode="compact")
+        return res
 
     @staticmethod
     def _scan_parts(path: str) -> list[dict]:

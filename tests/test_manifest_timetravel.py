@@ -64,3 +64,28 @@ def test_append_commits_and_incremental_read(spark, tmp_path):
     assert m.read_changes(spark, "feed", to_fp=r1.fp).count() == 10
     # no-op diff is empty with the right schema
     assert m.read_changes(spark, "feed", from_fp=r3.fp, to_fp=r3.fp).count() == 0
+
+
+def test_compaction_replaces_files_and_guards_incremental(spark, tmp_path):
+    import pytest
+
+    from gdal_spark.plans.manifest import Manifest
+
+    m = Manifest(str(tmp_path / "mani2"))
+    r1 = m.append_stage(spark, "feed", spark.range(0, 10))
+    r2 = m.append_stage(spark, "feed", spark.range(10, 30))
+    rc = m.compact_stage(spark, "feed", target_files=1)
+    assert rc.n_files == 1 and rc.rows == 30
+    # compacted snapshot reads the full table from one file
+    assert m.read_as_of(spark, "feed", snapshot_fp=rc.fp).count() == 30
+    # older snapshots stay time-travel-readable (replaced files on disk)
+    assert m.read_as_of(spark, "feed", snapshot_fp=r1.fp).count() == 10
+    # appends continue on top of the compacted list without double count
+    r3 = m.append_stage(spark, "feed", spark.range(30, 35))
+    assert r3.rows == 35
+    assert m.read_as_of(spark, "feed", snapshot_fp=r3.fp).count() == 35
+    # incremental after the compaction works...
+    assert m.read_changes(spark, "feed", from_fp=rc.fp, to_fp=r3.fp).count() == 5
+    # ...but across the boundary it must refuse, not silently overcount
+    with pytest.raises(LookupError):
+        m.read_changes(spark, "feed", from_fp=r2.fp, to_fp=r3.fp)
