@@ -46,11 +46,15 @@ def median_cut_split_rounds(pixels: DataFrame, rounds: int = 3) -> DataFrame:
     with a `box` column in [0, 2^rounds).
     """
     # Each round references the current pixel table from three branches
-    # (stats, the value projection, and the split join); without a persist
-    # the lineage tree grows ~4x per round — persist makes the operator the
-    # canonical r-pass shape (one materialized pixel pass per round).
+    # (stats, the value projection, and the split join), so the LOGICAL
+    # plan is a TREE that grows ~4x per round even under persist() — at
+    # 8 rounds (256 colors) Catalyst analysis alone blew up.  persist
+    # keeps execution one columnar pass per round; a localCheckpoint
+    # every third round truncates lineage so the plan stays bounded
+    # (persist alone: exponential analysis; checkpoint alone: row-format
+    # materialization cost every round — measured 8x slower).
     px = pixels.withColumn("box", F.lit(0).cast("long")).persist()
-    for _ in range(rounds):
+    for round_idx in range(rounds):
         stats = px.groupBy("box").agg(
             F.min("r").alias("minr"), F.max("r").alias("maxr"),
             F.min("g").alias("ming"), F.max("g").alias("maxg"),
@@ -85,7 +89,9 @@ def median_cut_split_rounds(pixels: DataFrame, rounds: int = 3) -> DataFrame:
             (F.col("box") * 2 + F.when(F.col("v") > F.col("m"), 1).otherwise(0))
             .cast("long")
             .alias("box"),
-        ).persist()
+        )
+        px = (px.localCheckpoint(eager=False)
+              if round_idx % 4 == 3 else px.persist())
     return px
 
 
@@ -124,9 +130,14 @@ def nearest_palette_counts(boxed: DataFrame, palette: DataFrame) -> DataFrame:
     scored = boxed.crossJoin(F.broadcast(pal)).withColumn(
         "dist", dr * dr + dg * dg + db * db
     )
-    w = Window.partitionBy("pid").orderBy("dist", "pbox")
-    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    return best.groupBy("pbox").agg(F.count("*").alias("n_assigned"))
+    # argmin via lexicographic struct-min — (dist, pbox) ordering IS the
+    # ties-to-lowest-index rule, and the aggregation is map-side
+    # combinable (a window row_number would SORT pixels x palette rows:
+    # ~1e9 at 4M px x 256 colors)
+    best = scored.groupBy("pid").agg(
+        F.min(F.struct("dist", "pbox")).alias("m"))
+    return best.groupBy(F.col("m.pbox").alias("pbox")).agg(
+        F.count("*").alias("n_assigned"))
 
 
 def median_cut_quantize(pixels: DataFrame, rounds: int = 3) -> DataFrame:
