@@ -50,9 +50,12 @@ def median_cut_split_rounds(pixels: DataFrame, rounds: int = 3) -> DataFrame:
     # plan is a TREE that grows ~4x per round even under persist() — at
     # 8 rounds (256 colors) Catalyst analysis alone blew up.  persist
     # keeps execution one columnar pass per round; a localCheckpoint
-    # every third round truncates lineage so the plan stays bounded
+    # every FOURTH round truncates lineage so the plan stays bounded
     # (persist alone: exponential analysis; checkpoint alone: row-format
-    # materialization cost every round — measured 8x slower).
+    # materialization cost every round — measured 8x slower).  Each
+    # round materializes eagerly (count) so the superseded round's
+    # cache can be released — otherwise rounds+1 full pixel copies pin
+    # executor storage (the graph.py iterative-loop pattern).
     px = pixels.withColumn("box", F.lit(0).cast("long")).persist()
     for round_idx in range(rounds):
         stats = px.groupBy("box").agg(
@@ -84,14 +87,17 @@ def median_cut_split_rounds(pixels: DataFrame, rounds: int = 3) -> DataFrame:
             .groupBy("box")
             .agg(F.min("v").alias("m"))
         )
-        px = pv.join(F.broadcast(med), "box").select(
+        new_px = pv.join(F.broadcast(med), "box").select(
             "pid", "r", "g", "b",
             (F.col("box") * 2 + F.when(F.col("v") > F.col("m"), 1).otherwise(0))
             .cast("long")
             .alias("box"),
         )
-        px = (px.localCheckpoint(eager=False)
-              if round_idx % 4 == 3 else px.persist())
+        new_px = (new_px.localCheckpoint(eager=False)
+                  if round_idx % 4 == 3 else new_px.persist())
+        new_px.count()  # materialize this round's pass ...
+        px.unpersist()  # ... then release the superseded round's cache
+        px = new_px
     return px
 
 

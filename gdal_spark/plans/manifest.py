@@ -190,7 +190,12 @@ class Manifest:
         and the new snapshot row records the CUMULATIVE file list."""
         out_path = os.path.join(self.root, f"{stage}_append")
         os.makedirs(out_path, exist_ok=True)
-        commit_idx = len(self.snapshots(stage))
+        prev_snaps = self.snapshots(stage)
+        if prev_snaps and prev_snaps[-1].get("mode") not in ("append", "compact"):
+            raise ValueError(
+                f"stage {stage!r} has overwrite-mode snapshots; append commits "
+                "require an append-mode stage (use a distinct stage name)")
+        commit_idx = len(prev_snaps)
         t0 = time.time()
         tmp = os.path.join(self.root, f"_tmp_append_{stage}_{commit_idx}")
         shutil.rmtree(tmp, ignore_errors=True)
@@ -209,8 +214,7 @@ class Manifest:
         # cumulative list = previous snapshot's files + this commit's files
         # (NOT a directory scan: replaced files from compactions stay on
         # disk for older snapshots' time travel and must not re-enter)
-        prev = self.snapshots(stage)
-        prev_parts = prev[-1]["partitions"] if prev else []
+        prev_parts = prev_snaps[-1]["partitions"] if prev_snaps else []
         import pyarrow.parquet as pq
 
         parts = list(prev_parts)
@@ -247,8 +251,12 @@ class Manifest:
             if not snaps:
                 raise LookupError(f"no snapshot of stage {stage!r}")
             to_row = snaps[-1]
-        else:
+        elif to_fp in by_fp:
             to_row = by_fp[to_fp]
+        else:
+            raise LookupError(f"unknown snapshot {to_fp!r} of stage {stage!r}")
+        if from_fp is not None and from_fp not in by_fp:
+            raise LookupError(f"unknown snapshot {from_fp!r} of stage {stage!r}")
         old_files: set[str] = set()
         if from_fp is not None:
             old_files = {p["file"] for p in by_fp[from_fp]["partitions"]}
@@ -258,9 +266,14 @@ class Manifest:
             i_from = next(i for i, r in enumerate(snaps) if r["fp"] == from_fp)
             i_to = next(i for i, r in enumerate(snaps) if r["fp"] == to_row["fp"])
             for r in snaps[i_from + 1 : i_to + 1]:
-                if r.get("mode") == "compact":
+                # anything that REPLACES files (compaction, or an
+                # overwrite run_stage snapshot sharing the stage name)
+                # breaks the file-set-difference identity — refuse
+                # loudly instead of silently returning wrong rows
+                if r.get("mode") != "append":
                     raise LookupError(
-                        "incremental read across a compaction boundary")
+                        "incremental read across a non-append snapshot "
+                        f"(mode={r.get('mode')!r})")
         new_files = [
             os.path.join(to_row["path"], p["file"])
             for p in to_row["partitions"]

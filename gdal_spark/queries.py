@@ -8186,9 +8186,12 @@ def q195(spark, sf_dir):
         "doc_id",
         F.explode(
             F.expr(
+                # size(ws)=0 must yield NO chunks: a bare sequence(0,-1)
+                # would DESCEND to [0,-1] and emit two phantom rows
+                "CASE WHEN size(ws) = 0 THEN array() ELSE "
                 "transform(sequence(0, CAST(ceil(size(ws)/10.0) AS BIGINT) - 1), "
                 "i -> struct(i AS chunk_idx, "
-                "array_join(slice(ws, CAST(i*10+1 AS INT), 10), ' ') AS chunk))"
+                "array_join(slice(ws, CAST(i*10+1 AS INT), 10), ' ') AS chunk)) END"
             )
         ).alias("c"),
     ).select("doc_id", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
@@ -9143,10 +9146,10 @@ def q207(spark, sf_dir):
     d = F.col("doc_id")
     l = docs.select(
         ((d * 3 + 1) % 40).alias("tgt"),
-        F.element_at(
+        F.try_element_at(
             F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
             (d % 10 + 1).cast("int"),
-        ).alias("anchor"),
+        ).alias("anchor"),  # try_: OOB -> NULL (ANSI element_at would abort the job)
     ).filter(F.col("anchor").isNotNull())
     c = l.groupBy("tgt", "anchor").agg(F.count("*").alias("n"))
     w = Window.partitionBy("tgt").orderBy(F.col("n").desc(), "anchor")
@@ -9355,7 +9358,7 @@ def q210(spark, sf_dir):
 
 @query(
     "q211_geojson_export",
-    """SELECT n_nationkey AS fid,
+    """WITH f AS (SELECT n_nationkey AS fid,
               '{"type":"Feature","properties":{"fid":' || CAST(n_nationkey AS VARCHAR)
               || '},"geometry":{"type":"Polygon","coordinates":[[['
               || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
@@ -9367,20 +9370,9 @@ def q210(spark, sf_dir):
               || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
               || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
               || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || ']]]}}' AS feature,
-              CAST(length('{"type":"Feature","properties":{"fid":' || CAST(n_nationkey AS VARCHAR)
-              || '},"geometry":{"type":"Polygon","coordinates":[[['
-              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
-              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || '],['
-              || CAST((n_nationkey*61)%300 - 160 + 10 + (n_nationkey%7)*5 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
-              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 + 8 + (n_nationkey%5)*4 AS VARCHAR) || '],['
-              || CAST((n_nationkey*61)%300 - 160 AS VARCHAR) || ','
-              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || ']]]}}') AS BIGINT) AS n_bytes
-       FROM nation""",
+              || CAST((n_nationkey*83)%140 - 75 AS VARCHAR) || ']]]}}' AS feature
+       FROM nation)
+       SELECT fid, feature, CAST(length(feature) AS BIGINT) AS n_bytes FROM f""",
 )
 def q211(spark, sf_dir):
     """GeoJSON feature export (the OGR GeoJSON writer,

@@ -252,11 +252,14 @@ def stream_capture_dedup(
 ) -> DataFrame:
     """Streaming CDX revisit dedup: crawl captures arrive in
     micro-batches (with the same file delivered twice — at-least-once
-    ingest); a watermarked ``dropDuplicates`` on (url, digest) lets the
+    ingest); ``dropDuplicatesWithinWatermark`` on (url, digest) lets the
     FIRST capture of each content version through and absorbs every
-    revisit and redelivery into state.  The watermark bounds the
-    revisit state by event time exactly as the CDX index bounds its
-    dedup window.
+    revisit and redelivery into state.  The WithinWatermark form is
+    what actually lets the state store EVICT keys older than the
+    watermark (a plain dropDuplicates without the event-time column in
+    its keys would keep state forever); duplicates farther apart than
+    the watermark may re-emit — the fixture's 90-day spread sits inside
+    the 2400 h window, so the drained set equals the batch distinct.
 
     ``captures`` needs columns (url, ts timestamp-castable, digest).
     Returns the drained unique-content captures (append mode)."""
@@ -278,7 +281,7 @@ def stream_capture_dedup(
         .parquet(land_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["url", "digest"])
+        .dropDuplicatesWithinWatermark(["url", "digest"])
     )
     q = (
         stream.writeStream.outputMode("append")
