@@ -226,6 +226,9 @@ HEADLINE = [
     "q211_geojson_export",
     "q212_curation_matrix",
     "q213_incremental_tiles",
+    "q214_hist_equalize",
+    "q215_concave_hull_alpha",
+    "q216_nearblack",
 ]
 
 

@@ -9526,3 +9526,254 @@ def q213(spark, sf_dir):
         .groupBy("tx", "ty")
         .agg(F.sum("n").cast("long").alias("n"))
     )
+
+
+# --- histogram equalization, gdalenhance (q214) ------------------------------------
+
+
+@query(
+    "q214_hist_equalize",
+    f"""WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       px AS (SELECT gx, gy, CAST({_z_sql('gx', 'gy')} AS BIGINT) AS v FROM g),
+       h AS (SELECT v, count(*) AS c FROM px GROUP BY v),
+       cdf AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM h),
+       m AS (SELECT min(cum) AS cmin, CAST(128*128 AS BIGINT) AS n FROM cdf),
+       lut AS (SELECT v,
+                      CAST(((cum - m.cmin)*255
+                            - (((cum - m.cmin)*255) % (m.n - m.cmin)))
+                           / (m.n - m.cmin) AS BIGINT) AS eq
+               FROM cdf, m)
+       SELECT l.eq,
+              CAST(count(*) AS BIGINT) AS n_px,
+              CAST(min(p.v) AS BIGINT) AS v_lo,
+              CAST(max(p.v) AS BIGINT) AS v_hi
+       FROM px p JOIN lut l USING (v) GROUP BY l.eq""",
+)
+def q214(spark, sf_dir):
+    """Histogram equalization (apps/gdalenhance.cpp): per-value counts
+    → cumulative distribution → the classic integer LUT
+    eq(v) = floor((cdf(v) - cdf_min) * 255 / (N - cdf_min)).
+    All-integer floor division keeps both engines bitwise; the LUT is
+    bounded by the value range and broadcast back onto the pixel table
+    — one histogram pass + one broadcast join at any raster size.
+    Output: the equalized histogram with each bin's source value span
+    (equalization must be monotone, so spans are disjoint)."""
+    g = spark.range(128).select(F.col("id").alias("gx")).crossJoin(
+        spark.range(128).select(F.col("id").alias("gy")))
+    px = g.select(
+        "gx", "gy",
+        ((F.col("gx") * 7 + F.col("gy") * 13) % 97
+         + (F.col("gx") * F.col("gx")) % 23).cast("long").alias("v"),
+    )
+    h = px.groupBy("v").agg(F.count("*").alias("c"))
+    cdf = h.withColumn("cum", F.sum("c").over(Window.orderBy("v"))).select("v", "cum")
+    m = cdf.agg(F.min("cum").alias("cmin"), F.lit(128 * 128).cast("long").alias("n"))
+    num = (F.col("cum") - F.col("cmin")) * 255
+    den = F.col("n") - F.col("cmin")
+    lut = cdf.crossJoin(F.broadcast(m)).select(
+        "v", ((num - num % den) / den).cast("long").alias("eq"))
+    return (
+        px.join(F.broadcast(lut), "v")
+        .groupBy("eq")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.min("v").alias("v_lo"),
+            F.max("v").alias("v_hi"),
+        )
+    )
+
+
+# --- alpha-shape concave hull (q215) -------------------------------------------------
+
+_ASHAPE_PTS_SQL = """pts AS (SELECT CAST(k.range AS BIGINT) AS k,
+                      CAST((k.range*k.range*7 + 3*k.range) % 37 AS BIGINT) AS x,
+                      CAST((k.range*k.range*11 + 5*k.range) % 31 AS BIGINT) AS y
+               FROM range(0, 14) k)"""
+
+
+@query(
+    "q215_concave_hull_alpha",
+    f"""WITH {_ASHAPE_PTS_SQL},
+       tri AS (SELECT a.k AS ka, a.x AS ax, a.y AS ay,
+                      b.k AS kb, b.x AS bx, b.y AS by,
+                      c.k AS kc, c.x AS cx, c.y AS cy,
+                      (b.x-a.x)*(c.y-a.y) - (b.y-a.y)*(c.x-a.x) AS o
+               FROM pts a, pts b, pts c
+               WHERE a.k < b.k AND b.k < c.k),
+       del AS (SELECT t.* FROM tri t
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM pts d
+                 WHERE d.k NOT IN (t.ka, t.kb, t.kc)
+                   AND t.o * (
+                     (t.ax-d.x)*(((t.by-d.y)*(((t.cx-d.x)*(t.cx-d.x)+(t.cy-d.y)*(t.cy-d.y))))
+                                 - (((t.bx-d.x)*(t.bx-d.x)+(t.by-d.y)*(t.by-d.y)))*(t.cy-d.y))
+                     - (t.ay-d.y)*(((t.bx-d.x)*(((t.cx-d.x)*(t.cx-d.x)+(t.cy-d.y)*(t.cy-d.y))))
+                                 - (((t.bx-d.x)*(t.bx-d.x)+(t.by-d.y)*(t.by-d.y)))*(t.cx-d.x))
+                     + (((t.ax-d.x)*(t.ax-d.x)+(t.ay-d.y)*(t.ay-d.y)))
+                       *((t.bx-d.x)*(t.cy-d.y) - (t.by-d.y)*(t.cx-d.x))
+                   ) >= 0)),
+       kept AS (SELECT * FROM del
+                WHERE ((ax-bx)*(ax-bx)+(ay-by)*(ay-by))
+                    * ((bx-cx)*(bx-cx)+(by-cy)*(by-cy))
+                    * ((cx-ax)*(cx-ax)+(cy-ay)*(cy-ay))
+                    <= 120 * 4 * o * o),
+       edges AS (SELECT least(ka, kb) AS k1, greatest(ka, kb) AS k2 FROM kept
+                 UNION ALL SELECT least(kb, kc), greatest(kb, kc) FROM kept
+                 UNION ALL SELECT least(ka, kc), greatest(ka, kc) FROM kept),
+       bnd AS (SELECT k1, k2 FROM edges GROUP BY k1, k2 HAVING count(*) = 1)
+       SELECT p1.x AS x1, p1.y AS y1, p2.x AS x2, p2.y AS y2
+       FROM bnd JOIN pts p1 ON p1.k = bnd.k1 JOIN pts p2 ON p2.k = bnd.k2""",
+)
+def q215(spark, sf_dir):
+    """Concave hull as an ALPHA SHAPE (apps/gdalalg_vector_concave_hull
+    .cpp; GEOS concaveHull): Delaunay facets by the exact brute
+    incircle criterion (the same spec as operators/grid.py's
+    delaunay_triangles — integer determinants, general-position
+    fixture), keep triangles with circumradius² <= alpha² via the
+    cross-multiplied integer test a²b²c² <= 4*alpha²*S², and the hull
+    is the edges on exactly ONE kept triangle.  Per feature group the
+    point set is bounded (here 14 points, 364 triples), so the triple
+    join broadcasts; across a corpus, one group per task — the same
+    distribution axis as the TIN gridder."""
+    k = F.col("id")
+    pts = spark.range(14).select(
+        k.alias("k"),
+        ((k * k * 7 + 3 * k) % 37).cast("long").alias("x"),
+        ((k * k * 11 + 5 * k) % 31).cast("long").alias("y"),
+    )
+    a = pts.select(F.col("k").alias("ka"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pts.select(F.col("k").alias("kb"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    c = pts.select(F.col("k").alias("kc"), F.col("x").alias("cx"), F.col("y").alias("cy"))
+    tri = (
+        a.crossJoin(F.broadcast(b)).filter(F.col("ka") < F.col("kb"))
+        .crossJoin(F.broadcast(c)).filter(F.col("kb") < F.col("kc"))
+        .withColumn(
+            "o",
+            (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+            - (F.col("by") - F.col("ay")) * (F.col("cx") - F.col("ax")),
+        )
+    )
+    d = pts.select(F.col("k").alias("kd"), F.col("x").alias("dx"), F.col("y").alias("dy"))
+    C = F.col
+
+    def sq(u, v):
+        return u * u + v * v
+
+    r1x, r1y = C("ax") - C("dx"), C("ay") - C("dy")
+    r2x, r2y = C("bx") - C("dx"), C("by") - C("dy")
+    r3x, r3y = C("cx") - C("dx"), C("cy") - C("dy")
+    det = (
+        r1x * (r2y * sq(r3x, r3y) - sq(r2x, r2y) * r3y)
+        - r1y * (r2x * sq(r3x, r3y) - sq(r2x, r2y) * r3x)
+        + sq(r1x, r1y) * (r2x * r3y - r2y * r3x)
+    )
+    checks = (
+        tri.crossJoin(F.broadcast(d))
+        .filter((C("kd") != C("ka")) & (C("kd") != C("kb")) & (C("kd") != C("kc")))
+        .withColumn("bad", (C("o") * det >= 0).cast("int"))
+        .groupBy("ka", "kb", "kc", "ax", "ay", "bx", "by", "cx", "cy", "o")
+        .agg(F.max("bad").alias("anybad"))
+    )
+    dele = checks.filter(F.col("anybad") == 0)
+    e2 = lambda ux, uy, vx, vy: sq(C(ux) - C(vx), C(uy) - C(vy))
+    kept = dele.filter(
+        e2("ax", "ay", "bx", "by") * e2("bx", "by", "cx", "cy")
+        * e2("cx", "cy", "ax", "ay")
+        <= 120 * 4 * C("o") * C("o")
+    )
+    edges = None
+    for u, v in (("ka", "kb"), ("kb", "kc"), ("ka", "kc")):
+        part = kept.select(
+            F.least(C(u), C(v)).alias("k1"), F.greatest(C(u), C(v)).alias("k2"))
+        edges = part if edges is None else edges.unionByName(part)
+    bnd = edges.groupBy("k1", "k2").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") == 1)
+    p1 = pts.select(F.col("k").alias("k1"), F.col("x").alias("x1"), F.col("y").alias("y1"))
+    p2 = pts.select(F.col("k").alias("k2"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    return bnd.join(F.broadcast(p1), "k1").join(F.broadcast(p2), "k2").select(
+        "x1", "y1", "x2", "y2")
+
+
+# --- nearblack collar removal (q216) --------------------------------------------------
+
+# fixture: dark frame (width 2-3, value 2) + a dark INTERIOR pond (value
+# 3, not border-connected, must be KEPT) + bright interior
+_NB_V_SQL = (
+    "CASE WHEN gx < 2 OR gy < 2 OR gx >= 30 OR gy >= 30 "
+    "     THEN 2 "
+    "     WHEN gx BETWEEN 10 AND 14 AND gy BETWEEN 10 AND 13 THEN 3 "
+    "     ELSE 50 + (gx*3 + gy*5) % 20 END"
+)
+
+
+@query(
+    "q216_nearblack",
+    f"""WITH RECURSIVE g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(32) gx, range(32) gy),
+       px AS (SELECT gx, gy, CAST({_NB_V_SQL} AS BIGINT) AS v FROM g),
+       dark AS (SELECT gx, gy FROM px WHERE v < 6),
+       reach AS (
+         SELECT gx, gy FROM dark
+         WHERE gx = 0 OR gy = 0 OR gx = 31 OR gy = 31
+         UNION
+         SELECT d.gx, d.gy FROM dark d JOIN reach r
+           ON abs(d.gx - r.gx) + abs(d.gy - r.gy) = 1
+       )
+       SELECT CAST((SELECT count(*) FROM reach) AS BIGINT) AS n_collar,
+              CAST((SELECT count(*) FROM dark) AS BIGINT) AS n_dark,
+              CAST((SELECT count(*) FROM dark) -
+                   (SELECT count(*) FROM reach) AS BIGINT) AS n_kept_dark,
+              CAST((SELECT sum(gx + 32*gy) FROM reach) AS BIGINT) AS collar_sum""",
+)
+def q216(spark, sf_dir):
+    """nearblack / raster clean-collar (apps/nearblack_lib.cpp +
+    nearblack_lib_floodfill.cpp, apps/gdalalg_raster_clean_collar.cpp):
+    near-black pixels CONNECTED TO THE IMAGE BORDER become nodata; an
+    interior dark pond survives.  The reference flood-fills; the
+    distributed re-expression builds the 4-adjacency graph over dark
+    pixels plus a virtual BORDER node and runs the size-gated
+    connected-components operator (operators/graph.py) — the collar is
+    BORDER's component.  Edge count is linear in dark pixels; the CC
+    is the same pointer-jumping machinery as polygonize label merging.
+    Oracle: recursive-CTE reachability (monotone BFS)."""
+    from gdal_spark.operators.graph import connected_components_auto
+
+    g = spark.range(32).select(F.col("id").alias("gx")).crossJoin(
+        spark.range(32).select(F.col("id").alias("gy")))
+    v = (
+        F.when((F.col("gx") < 2) | (F.col("gy") < 2)
+               | (F.col("gx") >= 30) | (F.col("gy") >= 30), 2)
+        .when(F.col("gx").between(10, 14) & F.col("gy").between(10, 13), 3)
+        .otherwise(50 + (F.col("gx") * 3 + F.col("gy") * 5) % 20)
+    )
+    px = g.select("gx", "gy", v.cast("long").alias("v"))
+    dark = px.filter(F.col("v") < 6).select(
+        "gx", "gy", (F.col("gx") + 32 * F.col("gy")).alias("nid")).persist()
+    # 4-adjacency among dark pixels (right + down suffice, CC is undirected)
+    right = dark.alias("a").join(
+        dark.alias("b"),
+        (F.col("a.gx") + 1 == F.col("b.gx")) & (F.col("a.gy") == F.col("b.gy")),
+    ).select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+    down = dark.alias("a").join(
+        dark.alias("b"),
+        (F.col("a.gx") == F.col("b.gx")) & (F.col("a.gy") + 1 == F.col("b.gy")),
+    ).select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+    border = dark.filter(
+        (F.col("gx") == 0) | (F.col("gy") == 0)
+        | (F.col("gx") == 31) | (F.col("gy") == 31)
+    ).select(F.lit(-1).cast("long").alias("src"), F.col("nid").alias("dst"))
+    edges = right.unionByName(down).unionByName(border)
+    cc = connected_components_auto(edges)
+    # BORDER's component root is min id = -1 (the virtual node)
+    collar = cc.filter((F.col("component") == -1) & (F.col("node") >= 0))
+    stats = dark.agg(F.count("*").alias("n_dark"))
+    cstats = collar.agg(
+        F.count("*").alias("n_collar"),
+        F.sum("node").alias("collar_sum"),
+    )
+    return cstats.crossJoin(F.broadcast(stats)).select(
+        "n_collar", "n_dark",
+        (F.col("n_dark") - F.col("n_collar")).alias("n_kept_dark"),
+        "collar_sum",
+    )
