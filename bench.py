@@ -229,6 +229,9 @@ HEADLINE = [
     "q214_hist_equalize",
     "q215_concave_hull_alpha",
     "q216_nearblack",
+    "q217_lineref_coord",
+    "q218_pct2rgb_ramp",
+    "q219_gdalcompare",
 ]
 
 

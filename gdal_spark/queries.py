@@ -9777,3 +9777,223 @@ def q216(spark, sf_dir):
         (F.col("n_dark") - F.col("n_collar")).alias("n_kept_dark"),
         "collar_sum",
     )
+
+
+# --- linear referencing, ogrlineref (q217) ------------------------------------------
+
+
+_LINEREF_SEG_SQL = """g AS (SELECT l.range AS l, i.range AS i FROM range(4) l, range(8) i),
+       segc AS (SELECT l, i, 1 + (i + 2*l + i*l) % 3 AS c FROM g),
+       seg AS (SELECT l, i,
+                      CASE WHEN i % 2 = 0 THEN 4*c ELSE 3*c END AS dx,
+                      CASE WHEN i % 2 = 0 THEN 3*c ELSE -4*c END AS dy,
+                      5*c AS len
+               FROM segc),
+       seg2 AS (SELECT l, i, dx, dy, len,
+                       COALESCE(sum(dx) OVER (PARTITION BY l ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x1,
+                       20*l + COALESCE(sum(dy) OVER (PARTITION BY l ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS y1,
+                       COALESCE(sum(len) OVER (PARTITION BY l ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+                FROM seg)"""
+
+
+def _lineref_segments(spark):
+    """Shared fixture: 4 polylines x 8 segments with 3-4-5 integer
+    steps, so every segment length (5c) and every cumulative milepost
+    is an exact integer on both engines."""
+    g = spark.range(4).select(F.col("id").alias("l")).crossJoin(
+        spark.range(8).select(F.col("id").alias("i")))
+    c = 1 + (F.col("i") + 2 * F.col("l") + F.col("i") * F.col("l")) % 3
+    seg = g.select(
+        "l", "i",
+        F.when(F.col("i") % 2 == 0, 4 * c).otherwise(3 * c).alias("dx"),
+        F.when(F.col("i") % 2 == 0, 3 * c).otherwise(-4 * c).alias("dy"),
+        (5 * c).alias("len"),
+    )
+    w = Window.partitionBy("l").orderBy("i").rowsBetween(Window.unboundedPreceding, -1)
+    return seg.select(
+        "l", "i", "dx", "dy", "len",
+        F.coalesce(F.sum("dx").over(w), F.lit(0)).alias("x1"),
+        (20 * F.col("l") + F.coalesce(F.sum("dy").over(w), F.lit(0))).alias("y1"),
+        F.coalesce(F.sum("len").over(w), F.lit(0)).alias("cum0"),
+    )
+
+
+@query(
+    "q217_lineref_coord",
+    f"""WITH {_LINEREF_SEG_SQL},
+       dist AS (SELECT l.range AS l, 6*j.range AS d FROM range(4) l, range(30) j)
+       SELECT CAST(dist.l AS BIGINT) AS l,
+              CAST(dist.d AS BIGINT) AS d,
+              CAST(seg2.i AS BIGINT) AS seg,
+              x1 + ((dist.d - cum0) * dx) / len AS px,
+              y1 + ((dist.d - cum0) * dy) / len AS py
+       FROM dist JOIN seg2 ON dist.l = seg2.l
+        AND dist.d >= seg2.cum0 AND dist.d < seg2.cum0 + seg2.len""",
+)
+def q217(spark, sf_dir):
+    """Linear referencing, get_coord mode (apps/ogrlineref.cpp:46
+    op_get_coord via OGRLineString::Value, ogr/ogrlinestring.cpp):
+    the point at distance d along a polyline.  Polylines decompose to
+    a segment table with windowed integer cumulative mileposts
+    (3-4-5 steps keep every length exact); each requested distance is
+    an interval join cum0 <= d < cum0+len, then one exact linear
+    interpolation inside the segment.  At corpus scale the interval
+    join buckets by milepost range per line (the q30 range-join
+    pattern); mileposts are computed once per line, not per request."""
+    seg2 = _lineref_segments(spark)
+    dist = spark.range(4).select(F.col("id").alias("dl")).crossJoin(
+        spark.range(30).select((F.col("id") * 6).alias("d")))
+    j = dist.join(
+        F.broadcast(seg2),
+        (F.col("dl") == F.col("l"))
+        & (F.col("d") >= F.col("cum0"))
+        & (F.col("d") < F.col("cum0") + F.col("len")),
+    )
+    return j.select(
+        F.col("l").cast("long").alias("l"),
+        F.col("d").cast("long").alias("d"),
+        F.col("i").cast("long").alias("seg"),
+        (F.col("x1") + (F.col("d") - F.col("cum0")) * F.col("dx") / F.col("len")).alias("px"),
+        (F.col("y1") + (F.col("d") - F.col("cum0")) * F.col("dy") / F.col("len")).alias("py"),
+    )
+
+
+# --- color ramp + palette expansion, pct2rgb (q218) ---------------------------------
+
+
+@query(
+    "q218_pct2rgb_ramp",
+    """WITH idx AS (SELECT k.range AS k FROM range(16) k),
+       lut AS (SELECT k,
+                      CASE WHEN k < 7
+                           THEN floor(k * ((250 - 10) / 7.0) + 10)
+                           ELSE floor((k - 7) * ((20 - 250) / 8.0) + 250) END AS r,
+                      CASE WHEN k < 7
+                           THEN floor(k * ((40 - 200) / 7.0) + 200)
+                           ELSE floor((k - 7) * ((220 - 40) / 8.0) + 40) END AS g,
+                      CASE WHEN k < 7
+                           THEN floor(k * ((90 - 30) / 7.0) + 30)
+                           ELSE floor((k - 7) * ((180 - 90) / 8.0) + 90) END AS b
+               FROM idx),
+       px AS (SELECT gx.range AS gx, gy.range AS gy,
+                     (gx.range*gx.range*3 + gy.range*7 + gx.range*gy.range) % 16 AS k
+              FROM range(96) gx, range(96) gy)
+       SELECT CAST(px.k AS BIGINT) AS k,
+              CAST(lut.r AS BIGINT) AS r,
+              CAST(lut.g AS BIGINT) AS g,
+              CAST(lut.b AS BIGINT) AS b,
+              CAST(count(*) AS BIGINT) AS n_px,
+              CAST(sum(px.gx + 96*px.gy) AS BIGINT) AS pos_sum
+       FROM px JOIN lut ON px.k = lut.k
+       GROUP BY px.k, lut.r, lut.g, lut.b""",
+)
+def q218(spark, sf_dir):
+    """Palette-indexed raster -> RGB expansion (pct2rgb:
+    swig/python/gdal-utils/osgeo_utils/pct2rgb.py) with the color
+    table built by GDALColorTable::CreateColorRamp
+    (gcore/gdalcolortable.cpp:364-418): entry(start+i) =
+    trunc(i * ((c_end - c_start)/nColors) + c_start) per channel —
+    the exact double slope formula is replicated verbatim (floor ==
+    C short-cast for the in-gamut non-negative results).  Two chained
+    ramps (0->7, 7->15, the second overwriting index 7 as SetColorEntry
+    does) form the 16-entry LUT; expansion is one broadcast hash join
+    onto the pixel table — the palette is O(256) rows at any raster
+    size, so pct2rgb never shuffles the pixels.  pos_sum proves the
+    join touched every pixel."""
+    idx = spark.range(16).select(F.col("id").alias("k"))
+
+    def ramp(lo_i, lo_c, hi_i, hi_c):
+        n = float(hi_i - lo_i)
+        return F.floor(
+            (F.col("k") - F.lit(lo_i)) * F.lit((hi_c - lo_c) / n) + F.lit(float(lo_c))
+        )
+
+    def chan(lo1, hi1, hi2):
+        return F.when(F.col("k") < 7, ramp(0, lo1, 7, hi1)).otherwise(
+            ramp(7, hi1, 15, hi2))
+
+    lut = idx.select(
+        "k",
+        chan(10, 250, 20).alias("r"),
+        chan(200, 40, 220).alias("g"),
+        chan(30, 90, 180).alias("b"),
+    )
+    g = spark.range(96).select(F.col("id").alias("gx")).crossJoin(
+        spark.range(96).select(F.col("id").alias("gy")))
+    px = g.select(
+        "gx", "gy",
+        ((F.col("gx") * F.col("gx") * 3 + F.col("gy") * 7
+          + F.col("gx") * F.col("gy")) % 16).alias("k"),
+    )
+    return (
+        px.join(F.broadcast(lut), "k")
+        .groupBy("k", "r", "g", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_px"),
+            F.sum(F.col("gx") + 96 * F.col("gy")).cast("long").alias("pos_sum"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("r").cast("long").alias("r"),
+            F.col("g").cast("long").alias("g"),
+            F.col("b").cast("long").alias("b"),
+            "n_px", "pos_sum",
+        )
+    )
+
+
+# --- golden-image comparison, gdalcompare (q219) ------------------------------------
+
+
+@query(
+    "q219_gdalcompare",
+    """WITH g AS (SELECT b.range AS band, gx.range AS gx, gy.range AS gy
+                  FROM range(3) b, range(128) gx, range(128) gy),
+       px AS (SELECT band, gx, gy,
+                     (gx*7 + gy*11 + band*29 + (gx*gy) % 13) % 251 AS gold,
+                     (gx*7 + gy*11 + band*29 + (gx*gy) % 13) % 251
+                     + CASE WHEN (gx*31 + gy*17 + band) % 997 < 2
+                            THEN 1 + (gx + gy + band) % 5 ELSE 0 END AS test
+              FROM g)
+       SELECT CAST(band AS BIGINT) AS band,
+              CAST(sum(CASE WHEN gold <> test THEN 1 ELSE 0 END) AS BIGINT) AS n_diff,
+              CAST(max(abs(test - gold)) AS BIGINT) AS max_diff,
+              CAST(sum(abs(test - gold)) AS BIGINT) AS sum_diff,
+              CAST(CASE WHEN sum(CASE WHEN gold <> test THEN 1 ELSE 0 END) = 0
+                        THEN 1 ELSE 0 END AS BIGINT) AS identical
+       FROM px GROUP BY band""",
+)
+def q219(spark, sf_dir):
+    """Golden-image regression compare (gdalcompare:
+    swig/python/gdal-utils/osgeo_utils/gdalcompare.py compare_band —
+    per-band difference count, max abs pixel delta, and the
+    identical/not verdict the autotest suite gates releases on).
+    Both rasters derive from the same integer field; the test band
+    injects a sparse deterministic perturbation.  One partial-agg
+    scan per band pair — compare of two 100-TB images is a single
+    co-partitioned zip (same tile grid -> join on tile key, NumPy
+    diff per tile), never a collect."""
+    g = (
+        spark.range(3).select(F.col("id").alias("band"))
+        .crossJoin(spark.range(128).select(F.col("id").alias("gx")))
+        .crossJoin(spark.range(128).select(F.col("id").alias("gy")))
+    )
+    gold = (F.col("gx") * 7 + F.col("gy") * 11 + F.col("band") * 29
+            + (F.col("gx") * F.col("gy")) % 13) % 251
+    bump = F.when(
+        (F.col("gx") * 31 + F.col("gy") * 17 + F.col("band")) % 997 < 2,
+        1 + (F.col("gx") + F.col("gy") + F.col("band")) % 5,
+    ).otherwise(F.lit(0))
+    px = g.select("band", gold.alias("gold"), (gold + bump).alias("test"))
+    d = F.abs(F.col("test") - F.col("gold"))
+    ndiff = F.sum(F.when(F.col("gold") != F.col("test"), 1).otherwise(0))
+    return px.groupBy("band").agg(
+        ndiff.cast("long").alias("n_diff"),
+        F.max(d).cast("long").alias("max_diff"),
+        F.sum(d).cast("long").alias("sum_diff"),
+        F.when(ndiff == 0, 1).otherwise(0).cast("long").alias("identical"),
+    ).select(F.col("band").cast("long").alias("band"),
+             "n_diff", "max_diff", "sum_diff", "identical")
