@@ -232,6 +232,7 @@ HEADLINE = [
     "q217_lineref_coord",
     "q218_pct2rgb_ramp",
     "q219_gdalcompare",
+    "q220_blend_modes",
 ]
 
 

@@ -9997,3 +9997,88 @@ def q219(spark, sf_dir):
         F.when(ndiff == 0, 1).otherwise(0).cast("long").alias("identical"),
     ).select(F.col("band").cast("long").alias("band"),
              "n_diff", "max_diff", "sum_diff", "identical")
+
+
+# --- composition blend modes, gdal raster blend (q220) ------------------------------
+
+from gdal_spark.functions import blend as BL  # noqa: E402
+
+_BL_SIZE = 48
+_BL_OPACITY = 153
+# Band fixtures: pure integer arithmetic over (gx, gy) — identical bytes
+# in both engines.  The (gx*48+gy)%53 stripe zeroes BOTH alphas (hits the
+# finalAlpha==0 branch of DivScale255); other stripes pin 255 alphas.
+_BL_BANDS = {
+    "br": "(gx*3 + gy*5) % 256",
+    "bg": "(gx*7 + gy*11 + 37) % 256",
+    "bb": "(gx*13 + gy*2 + 101) % 256",
+    "ba": ("(CASE WHEN (gx*48 + gy) % 53 = 0 THEN 0 "
+           "WHEN (gx*gy) % 7 = 0 THEN 255 "
+           "ELSE 100 + (gx*5 + gy*3) % 156 END)"),
+    "orr": "(gx*17 + gy*23 + 5) % 256",
+    "og": "(gx*29 + gy*31 + 201) % 256",
+    "ob": "(gx*4 + gy*9 + 77) % 256",
+    "oa": ("(CASE WHEN (gx*48 + gy) % 53 = 0 THEN 0 "
+           "WHEN (gx + gy) % 11 = 0 THEN 255 "
+           "ELSE (gx*11 + gy*13) % 256 END)"),
+}
+
+
+def _blend_oracle_sql() -> str:
+    bands = ", ".join(f"{e} AS {k}" for k, e in _BL_BANDS.items())
+    parts = []
+    for mode in BL.MODES:
+        e = BL.blend_exprs(
+            "duck", mode, ("br", "bg", "bb", "ba"),
+            ("orr", "og", "ob", "oa"), _BL_OPACITY,
+        )
+        parts.append(
+            f"SELECT '{mode}' AS bmode, gx, gy, "
+            f"CAST({e['r']} AS BIGINT) AS r, "
+            f"CAST({e['g']} AS BIGINT) AS g, "
+            f"CAST({e['b']} AS BIGINT) AS b, "
+            f"CAST({e['a']} AS BIGINT) AS a FROM px"
+        )
+        del e
+    union = " UNION ALL ".join(parts)
+    return (
+        f"WITH g AS (SELECT x.range AS gx, y.range AS gy "
+        f"FROM range({_BL_SIZE}) x, range({_BL_SIZE}) y), "
+        f"px AS (SELECT gx, gy, {bands} FROM g) {union}"
+    )
+
+
+@query("q220_blend_modes", _blend_oracle_sql())
+def q220(spark, sf_dir):
+    """All 8 separable composition modes of ``gdal raster blend``
+    (apps/gdalalg_raster_blend.cpp BlendMultiply/Screen/Overlay/
+    HardLight/Darken/Lighten/ColorBurn/ColorDodge_Generic, exact
+    MulScale255/DivScale255/GByte-wrap integer semantics incl. the
+    premultiply + final unpremultiply-by-Da' steps and 60% opacity on
+    the overlay alpha) over a synthetic RGBA pair.  The Spark plan is
+    ONE whole-stage-codegen projection per mode over the co-located
+    band columns — at 100 TB this is a tile-key zip join + a pure JVM
+    map, no Python, no extra shuffle."""
+    from functools import reduce
+
+    g = (
+        spark.range(_BL_SIZE).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(_BL_SIZE).select(F.col("id").alias("gy")))
+    )
+    px = g.selectExpr(
+        "gx", "gy", *[f"{e} AS {k}" for k, e in _BL_BANDS.items()]
+    )
+    parts = []
+    for mode in BL.MODES:
+        e = BL.blend_exprs(
+            "spark", mode, ("br", "bg", "bb", "ba"),
+            ("orr", "og", "ob", "oa"), _BL_OPACITY,
+        )
+        parts.append(px.selectExpr(
+            f"'{mode}' AS bmode", "gx", "gy",
+            f"CAST({e['r']} AS BIGINT) AS r",
+            f"CAST({e['g']} AS BIGINT) AS g",
+            f"CAST({e['b']} AS BIGINT) AS b",
+            f"CAST({e['a']} AS BIGINT) AS a",
+        ))
+    return reduce(DataFrame.unionAll, parts)
