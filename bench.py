@@ -233,6 +233,10 @@ HEADLINE = [
     "q218_pct2rgb_ramp",
     "q219_gdalcompare",
     "q220_blend_modes",
+    "q221_reclassify_intervals",
+    "q222_power_scale",
+    "q223_pixel_info",
+    "q224_raster_xyz",
 ]
 
 

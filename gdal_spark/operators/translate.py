@@ -95,3 +95,28 @@ def translate_tiles(
     if scale is not None:
         out = scale_tiles(out, *scale, tile_size=tile_size, nodata=nodata)
     return out
+
+
+def power_scale_col(v, src_min: float, src_max: float, dst_min: float,
+                    dst_max: float, exponent: float, clip: bool = True):
+    """``-scale ... -exponent e`` non-linear scaling
+    (frmts/vrt/vrtsources.cpp:4042-4056 PROCESSING_FLAG_SCALING_
+    EXPONENTIAL): pv = (v - srcMin)/(srcMax - srcMin), clipped to
+    [0, 1] unless ``--no-clip`` (gdalalg_raster_scale.cpp:54), then
+    out = (dstMax - dstMin) * pv^e + dstMin.
+
+    exponent == 2 squares explicitly (pv*pv) so the expression tree is
+    transcendental-free — the oracle-checked path; other exponents go
+    through ``pow``.  Pure Column: one codegen projection per tile at
+    any scale.
+    """
+    from pyspark.sql import functions as F
+
+    if src_min == src_max:
+        pv = F.lit(0.0)
+    else:
+        pv = (v - F.lit(float(src_min))) / F.lit(float(src_max - src_min))
+    if clip:
+        pv = F.when(pv < 0.0, F.lit(0.0)).when(pv > 1.0, F.lit(1.0)).otherwise(pv)
+    powed = pv * pv if exponent == 2 else F.pow(pv, F.lit(float(exponent)))
+    return F.lit(float(dst_max - dst_min)) * powed + F.lit(float(dst_min))

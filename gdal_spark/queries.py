@@ -10082,3 +10082,181 @@ def q220(spark, sf_dir):
             f"CAST({e['a']} AS BIGINT) AS a",
         ))
     return reduce(DataFrame.unionAll, parts)
+
+
+# --- interval-spec reclassify, gdal raster reclassify (q221) ------------------------
+
+from gdal_spark.operators.reclassify import (  # noqa: E402
+    interval_case_sql,
+    parse_mapping,
+    reclassify_column,
+)
+
+_RC_NODATA = -999.0
+_RC_SPEC = ("NO_DATA=255;(-200,-100]=0;(-100,0)=1;[0,10)=2;[10,20]=3;"
+            "(20,40]=PASS_THROUGH;DEFAULT=99")
+_RC_MAPPING = parse_mapping(_RC_SPEC, nodata=_RC_NODATA)
+_RC_V = ("(CASE WHEN (gx + gy) % 17 = 0 THEN -999 "
+         "ELSE (gx*7 + gy*13) % 261 - 150 END)")
+
+
+@query(
+    "q221_reclassify_intervals",
+    f"""WITH g AS (SELECT x.range AS gx, y.range AS gy
+                   FROM range(64) x, range(64) y),
+        px AS (SELECT gx, gy, CAST({_RC_V} AS DOUBLE) AS v FROM g)
+        SELECT gx, gy, {interval_case_sql(_RC_MAPPING, 'v')} AS out
+        FROM px""",
+)
+def q221(spark, sf_dir):
+    """``gdal raster reclassify`` mapping language
+    (frmts/vrt/vrtreclassifier.cpp Interval::Parse:33 / Init:202 /
+    Reclassify:397): constant + open/closed/mixed intervals with
+    nextafter-realized open bounds, NO_DATA source constant, NO_DATA /
+    PASS_THROUGH targets, DEFAULT fallback.  The parsed non-overlapping
+    interval list becomes ONE ordered when-chain Column (the reference's
+    binary search is equivalent on non-overlapping intervals) — a pure
+    codegen projection per tile at 100 TB, no join, no Python."""
+    g = (
+        spark.range(64).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("gy")))
+    )
+    px = g.selectExpr("gx", "gy", f"CAST({_RC_V} AS DOUBLE) AS v")
+    return px.select(
+        "gx", "gy", reclassify_column(F.col("v"), _RC_MAPPING).alias("out")
+    )
+
+
+# --- exponent scale, gdal raster scale -exponent (q222) -----------------------------
+
+from gdal_spark.operators.translate import power_scale_col  # noqa: E402
+
+
+@query(
+    "q222_power_scale",
+    """WITH g AS (SELECT x.range AS gx, y.range AS gy
+                  FROM range(64) x, range(64) y),
+       px AS (SELECT gx, gy,
+                     CAST((gx*11 + gy*7) % 301 AS DOUBLE) AS v FROM g),
+       pv AS (SELECT gx, gy, v,
+                     CASE WHEN (v - 0.0) / 256.0 < 0.0 THEN 0.0
+                          WHEN (v - 0.0) / 256.0 > 1.0 THEN 1.0
+                          ELSE (v - 0.0) / 256.0 END AS p FROM px)
+       SELECT gx, gy, v, 1024.0 * (p * p) + 10.0 AS out FROM pv""",
+)
+def q222(spark, sf_dir):
+    """``gdal raster scale`` with ``-exponent 2`` (power scaling,
+    frmts/vrt/vrtsources.cpp:4042-4056): normalize to [0,1] against the
+    source range, CLIP (the default; --no-clip disables), square, map
+    onto the destination range.  srcMax=256 makes pv dyadic and the
+    whole tree float-exact on both engines.  Values above srcMax (v up
+    to 300) exercise the clip branch.  One codegen projection — the
+    linear path is q82's scale_tiles."""
+    g = (
+        spark.range(64).select(F.col("id").alias("gx"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("gy")))
+    )
+    px = g.select(
+        "gx", "gy",
+        ((F.col("gx") * 11 + F.col("gy") * 7) % 301).cast("double").alias("v"),
+    )
+    return px.select(
+        "gx", "gy", "v",
+        power_scale_col(F.col("v"), 0.0, 256.0, 10.0, 1034.0, 2).alias("out"),
+    )
+
+
+# --- point sample, gdallocationinfo / gdal raster pixel-info (q223) -----------------
+
+
+@query(
+    "q223_pixel_info",
+    """WITH pts AS (SELECT doc_id, ((doc_id*9973)%36000)/100.0 - 180.0 AS lon,
+                           ((doc_id*7919)%16000)/100.0 - 80.0 AS lat
+                    FROM documents WHERE doc_id % 7 = 0),
+       loc AS (SELECT doc_id, lon, lat,
+                      CAST(floor((lon - (-180.0)) / 0.5) AS BIGINT) AS px,
+                      CAST(floor((lat - 90.0) / (-0.5)) AS BIGINT) AS ly
+               FROM pts),
+       rast AS (SELECT x.range AS px, y.range AS ly,
+                       (x.range*31 + y.range*17) % 1000 AS val
+                FROM range(128) x, range(128) y)
+       SELECT l.doc_id, l.px, l.ly,
+              CAST(CASE WHEN r.val IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS inside,
+              r.val AS val
+       FROM loc l LEFT JOIN rast r ON l.px = r.px AND l.ly = r.ly""",
+)
+def q223(spark, sf_dir):
+    """``gdallocationinfo`` / ``gdal raster pixel-info``
+    (apps/gdallocationinfo.cpp): invert the (north-up) geotransform —
+    pixel = floor((x - x0)/dx), line = floor((y - y0)/dy) — and report
+    the band value, NULL + inside=0 for points outside the raster
+    ("located outside" in the tool's report).  Shape at 100 TB: the
+    POINT side broadcasts into an equi-join against the tiled pixel
+    table keyed by (pixel, line) — partition-prunable when the raster
+    is tile-partitioned; no Python anywhere."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    pts = d.select(
+        "doc_id",
+        (((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0).alias("lon"),
+        (((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    loc = pts.select(
+        "doc_id",
+        F.floor((F.col("lon") - (-180.0)) / 0.5).cast("long").alias("px"),
+        F.floor((F.col("lat") - 90.0) / (-0.5)).cast("long").alias("ly"),
+    )
+    rast = (
+        spark.range(128).select(F.col("id").alias("px"))
+        .crossJoin(spark.range(128).select(F.col("id").alias("ly")))
+        .select("px", "ly",
+                ((F.col("px") * 31 + F.col("ly") * 17) % 1000).alias("val"))
+    )
+    j = loc.join(F.broadcast(rast), ["px", "ly"], "left")
+    return j.select(
+        "doc_id", "px", "ly",
+        F.when(F.col("val").isNull(), 0).otherwise(1).cast("long")
+            .alias("inside"),
+        "val",
+    )
+
+
+# --- raster to xyz export, gdal2xyz (q224) ------------------------------------------
+
+
+@query(
+    "q224_raster_xyz",
+    """WITH g AS (SELECT x.range AS px, y.range AS ly
+                  FROM range(96) x, range(96) y),
+       bands AS (SELECT px, ly,
+                        (px*13 + ly*29) % 251 AS b1,
+                        (px*5 + ly*3 + 7) % 251 AS b2
+                 FROM g)
+       SELECT -180.0 + (px + 0.5) * 0.25 AS x,
+              90.0 + (ly + 0.5) * (-0.25) AS y,
+              CAST(b1 AS BIGINT) AS b1, CAST(b2 AS BIGINT) AS b2
+       FROM bands WHERE b1 <> 0""",
+)
+def q224(spark, sf_dir):
+    """``gdal2xyz`` (swig/python/gdal-utils/osgeo_utils/gdal2xyz.py):
+    every pixel becomes one (x, y, band1, band2, ...) row with CENTER
+    coordinates x0+(px+0.5)*dx, and -skipnodata drops rows whose first
+    band equals the nodata value (0 here).  Dyadic dx=0.25 keeps the
+    centers float-exact.  Pure projection + filter over the pixel
+    table — the export IS the scan, no shuffle."""
+    g = (
+        spark.range(96).select(F.col("id").alias("px"))
+        .crossJoin(spark.range(96).select(F.col("id").alias("ly")))
+    )
+    bands = g.select(
+        "px", "ly",
+        ((F.col("px") * 13 + F.col("ly") * 29) % 251).alias("b1"),
+        ((F.col("px") * 5 + F.col("ly") * 3 + 7) % 251).alias("b2"),
+    )
+    return bands.filter(F.col("b1") != 0).select(
+        (F.lit(-180.0) + (F.col("px") + 0.5) * 0.25).alias("x"),
+        (F.lit(90.0) + (F.col("ly") + 0.5) * (-0.25)).alias("y"),
+        F.col("b1").cast("long").alias("b1"),
+        F.col("b2").cast("long").alias("b2"),
+    )
