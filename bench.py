@@ -237,6 +237,8 @@ HEADLINE = [
     "q222_power_scale",
     "q223_pixel_info",
     "q224_raster_xyz",
+    "q225_coverage_check",
+    "q226_delaunay_triangles",
 ]
 
 

@@ -10260,3 +10260,168 @@ def q224(spark, sf_dir):
         F.col("b1").cast("long").alias("b1"),
         F.col("b2").cast("long").alias("b2"),
     )
+
+
+# --- polygonal coverage check, gdal vector check-coverage (q225) --------------------
+
+from gdal_spark.operators.coverage import check_coverage  # noqa: E402
+
+
+@query(
+    "q225_coverage_check",
+    """WITH r AS (SELECT k.range AS id,
+                    (k.range % 5)*4 + CASE WHEN k.range = 7 THEN 1 ELSE 0 END
+                        AS x0,
+                    (k.range // 5)*4 AS y0,
+                    (k.range % 5)*4 + CASE WHEN k.range = 7 THEN 1 ELSE 0 END
+                        + 4 AS x1,
+                    (k.range // 5)*4 + 4 AS y1
+             FROM range(25) k),
+       seg AS (
+         SELECT id, 'v' AS orient,
+                CASE WHEN s.side = 0 THEN x0 ELSE x1 END AS c,
+                y0 + u.range AS t,
+                CAST(CASE WHEN s.side = 0 THEN x0 ELSE x1 END AS DOUBLE)
+                    AS mx,
+                y0 + u.range + 0.5 AS my
+         FROM r, range(4) u, (VALUES (0), (1)) s(side)
+         UNION ALL
+         SELECT id, 'h' AS orient,
+                CASE WHEN s.side = 0 THEN y0 ELSE y1 END AS c,
+                x0 + u.range AS t,
+                x0 + u.range + 0.5 AS mx,
+                CAST(CASE WHEN s.side = 0 THEN y0 ELSE y1 END AS DOUBLE)
+                    AS my
+         FROM r, range(4) u, (VALUES (0), (1)) s(side)),
+       cnt AS (SELECT orient, c, t, count(*) AS n_owners
+               FROM seg GROUP BY orient, c, t),
+       marked AS (
+         SELECT s.id, s.orient, s.c, s.t, n.n_owners,
+                CASE WHEN (s.orient = 'v' AND s.c IN (0, 20))
+                       OR (s.orient = 'h' AND s.c IN (0, 20))
+                     THEN 1 ELSE 0 END AS on_hull,
+                CASE WHEN EXISTS (
+                       SELECT 1 FROM r o
+                       WHERE o.id <> s.id
+                         AND s.mx > o.x0 AND s.mx < o.x1
+                         AND s.my > o.y0 AND s.my < o.y1)
+                     THEN 1 ELSE 0 END AS ov
+         FROM seg s JOIN cnt n
+           ON s.orient = n.orient AND s.c = n.c AND s.t = n.t)
+       SELECT r.id,
+              CAST(COALESCE(SUM(CASE WHEN (m.n_owners = 1 AND m.on_hull = 0)
+                                       OR m.ov = 1 THEN 1 END), 0) AS BIGINT)
+                  AS invalid_len
+       FROM r LEFT JOIN marked m ON m.id = r.id
+       GROUP BY r.id""",
+)
+def q225(spark, sf_dir):
+    """``gdal vector check-coverage``
+    (apps/gdalalg_vector_check_coverage.cpp:104 → GEOS
+    CoverageIsValid): per polygon, the length of boundary that is
+    INVALID — bounding a gap (unmatched by any neighbour, off the
+    coverage hull) or crossing another polygon's interior (overlap).
+    Fixture: a 5×5 tiling of 4×4 tiles with tile 7 shifted +1 in x,
+    creating a 1-wide gap on its left and a 1-wide overlap with tile 8.
+    Unit-segment multiset groupBy (vocabulary-bounded shuffle) + a
+    broadcast midpoint-in-other-polygon join — never polygon ×
+    polygon."""
+    k = spark.range(25).select(F.col("id"))
+    rects = k.select(
+        "id",
+        ((F.col("id") % 5) * 4
+         + F.when(F.col("id") == 7, 1).otherwise(0)).alias("x0"),
+        (F.floor(F.col("id") / 5) * 4).cast("long").alias("y0"),
+        ((F.col("id") % 5) * 4
+         + F.when(F.col("id") == 7, 1).otherwise(0) + 4).alias("x1"),
+        (F.floor(F.col("id") / 5) * 4 + 4).cast("long").alias("y1"),
+    )
+    return check_coverage(rects, (0, 0, 20, 20))
+
+
+# --- Delaunay triangulation surface, ST_DelaunayTriangles (q226) --------------------
+
+
+@query(
+    "q226_delaunay_triangles",
+    """WITH p AS (SELECT k.range AS id, (k.range*37) % 97 AS x,
+                         (k.range*61) % 89 AS y
+                  FROM range(20) k)
+       SELECT a.id AS ia, b.id AS ib, c.id AS ic
+       FROM p a, p b, p c
+       WHERE a.id < b.id AND b.id < c.id
+         AND (b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x) <> 0
+         AND NOT EXISTS (
+           SELECT 1 FROM p d
+           WHERE d.id <> a.id AND d.id <> b.id AND d.id <> c.id
+             AND ((b.x - a.x)*(c.y - a.y) - (b.y - a.y)*(c.x - a.x))
+                 * ( (a.x - d.x) * ((b.y - d.y)
+                         * ((c.x - d.x)*(c.x - d.x)
+                            + (c.y - d.y)*(c.y - d.y))
+                       - (c.y - d.y)
+                         * ((b.x - d.x)*(b.x - d.x)
+                            + (b.y - d.y)*(b.y - d.y)))
+                   - (a.y - d.y) * ((b.x - d.x)
+                         * ((c.x - d.x)*(c.x - d.x)
+                            + (c.y - d.y)*(c.y - d.y))
+                       - (c.x - d.x)
+                         * ((b.x - d.x)*(b.x - d.x)
+                            + (b.y - d.y)*(b.y - d.y)))
+                   + ((a.x - d.x)*(a.x - d.x) + (a.y - d.y)*(a.y - d.y))
+                     * ((b.x - d.x)*(c.y - d.y) - (c.x - d.x)*(b.y - d.y))
+                 ) > 0)""",
+)
+def q226(spark, sf_dir):
+    """ST_DelaunayTriangles / GDALTriangulationCreateDelaunay
+    (alg/delaunay.c; ogr SQLite dialect DelaunayTriangulation): emit
+    every Delaunay facet of an integer point set by the DEFINING
+    property — (a,b,c) is a facet iff no other point lies strictly
+    inside its circumcircle — as a fully distributed plan: broadcast
+    triple enumeration filtered by an exact int64 incircle
+    determinant, candidates anti-joined against violating points.
+    The same exact predicate as operators/grid.delaunay_triangles
+    (the TIN kernel), here evaluated relationally so the facet test
+    shards over the cluster instead of one driver loop."""
+    p = spark.range(20).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 97).alias("x"),
+        ((F.col("id") * 61) % 89).alias("y"),
+    )
+    a = p.select(F.col("id").alias("ia"), F.col("x").alias("ax"),
+                 F.col("y").alias("ay"))
+    b = p.select(F.col("id").alias("ib"), F.col("x").alias("bx"),
+                 F.col("y").alias("by"))
+    c = p.select(F.col("id").alias("ic"), F.col("x").alias("cx"),
+                 F.col("y").alias("cy"))
+    tri = (
+        a.crossJoin(b).filter(F.col("ia") < F.col("ib"))
+        .crossJoin(c).filter(F.col("ib") < F.col("ic"))
+    )
+    orient = (
+        (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+        - (F.col("by") - F.col("ay")) * (F.col("cx") - F.col("ax"))
+    )
+    tri = tri.filter(orient != 0).withColumn("o", orient)
+    d = p.select(F.col("id").alias("idd"), F.col("x").alias("dx"),
+                 F.col("y").alias("dy"))
+    r1x = F.col("ax") - F.col("dx"); r1y = F.col("ay") - F.col("dy")
+    r2x = F.col("bx") - F.col("dx"); r2y = F.col("by") - F.col("dy")
+    r3x = F.col("cx") - F.col("dx"); r3y = F.col("cy") - F.col("dy")
+    c1 = r1x * r1x + r1y * r1y
+    c2 = r2x * r2x + r2y * r2y
+    c3 = r3x * r3x + r3y * r3y
+    det = (
+        r1x * (r2y * c3 - r3y * c2)
+        - r1y * (r2x * c3 - r3x * c2)
+        + c1 * (r2x * r3y - r3x * r2y)
+    )
+    viol = (
+        (F.col("idd") != F.col("ia"))
+        & (F.col("idd") != F.col("ib"))
+        & (F.col("idd") != F.col("ic"))
+        & (F.col("o") * det > 0)
+    )
+    return (
+        tri.join(F.broadcast(d), viol, "left_anti")
+        .select("ia", "ib", "ic")
+    )
