@@ -239,6 +239,7 @@ HEADLINE = [
     "q224_raster_xyz",
     "q225_coverage_check",
     "q226_delaunay_triangles",
+    "q227_raster_neighbors",
 ]
 
 

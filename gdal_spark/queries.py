@@ -10425,3 +10425,117 @@ def q226(spark, sf_dir):
         tri.join(F.broadcast(d), viol, "left_anti")
         .select("ia", "ib", "ic")
     )
+
+
+# --- focal neighborhood statistics, gdal raster neighbors (q227) --------------------
+
+
+@query(
+    "q227_raster_neighbors",
+    """WITH t AS (SELECT x.range AS tx, y.range AS ty
+                  FROM range(1, 39) x, range(1, 39) y),
+       off AS (SELECT dy.range - 1 AS dy, dx.range - 1 AS dx
+               FROM range(3) dy, range(3) dx),
+       cells AS (
+         SELECT t.tx, t.ty,
+                (o.dy + 1) * 3 + (o.dx + 1) AS scanpos,
+                CASE WHEN o.dy = 0 AND o.dx = 0 THEN 4
+                     WHEN o.dy = 0 OR o.dx = 0 THEN 2 ELSE 1 END AS coef,
+                ((t.tx + o.dx) * 7 + (t.ty + o.dy) * 13
+                 + ((t.tx + o.dx) * (t.ty + o.dy)) % 5) % 97 AS v
+         FROM t, off o),
+       ranked AS (
+         SELECT *, row_number() OVER (PARTITION BY tx, ty
+                                      ORDER BY v, scanpos) AS rnk
+         FROM cells),
+       base AS (
+         SELECT tx, ty,
+                CAST(sum(v * coef) AS BIGINT) AS wsum,
+                sum(v * coef) / 16.0 AS wmean,
+                CAST(min(v) AS BIGINT) AS mn,
+                CAST(max(v) AS BIGINT) AS mx,
+                CAST(max(CASE WHEN rnk = 5 THEN v END) AS BIGINT) AS med,
+                CAST(9 * sum(v * v) - sum(v) * sum(v) AS BIGINT) AS var_num
+         FROM ranked GROUP BY tx, ty),
+       grp AS (
+         SELECT tx, ty, v, count(*) AS cnt, max(scanpos) AS attain
+         FROM cells GROUP BY tx, ty, v),
+       g1 AS (SELECT *, max(cnt) OVER (PARTITION BY tx, ty) AS maxc
+              FROM grp),
+       g2 AS (SELECT *, min(CASE WHEN cnt = maxc THEN attain END)
+                            OVER (PARTITION BY tx, ty) AS best
+              FROM g1),
+       modes AS (
+         SELECT tx, ty,
+                CAST(max(CASE WHEN cnt = maxc AND attain = best THEN v END)
+                     AS BIGINT) AS mode_v
+         FROM g2 GROUP BY tx, ty)
+       SELECT b.tx, b.ty, b.wsum, b.wmean, b.mn, b.mx, b.med, b.var_num,
+              m.mode_v
+       FROM base b JOIN modes m ON b.tx = m.tx AND b.ty = m.ty""",
+)
+def q227(spark, sf_dir):
+    """``gdal raster neighbors`` (apps/gdalalg_raster_neighbors.cpp →
+    VRTKernelFilteredSource::FilterData, frmts/vrt/vrtfilters.cpp:
+    500-695): 3×3 neighborhood methods over interior pixels — weighted
+    sum + NORMALIZED mean with the [1,2,1;2,4,2;1,2,1] kernel (kernel
+    sum 16 ⇒ dyadic-exact mean), min/max/median (odd window ⇒ the
+    rank-5 order statistic) and mode with the reference's
+    first-to-reach-max-count-in-scan-order tie rule (a value attains
+    its final count at its LAST scan position, so the winner is the
+    max-count value with the smallest last-occurrence position — no
+    per-row state needed).  stddev is emitted as the exact integer
+    variance numerator 9·Σv² − (Σv)² (the reference's Welford
+    M2/n = var_num/81; sqrt'ing a float would be engine-ordered).
+    Relational halo: each target aggregates its 9 formula-derived
+    neighbor cells — on a tiled 100-TB raster the same plan reads each
+    tile once with a 1-pixel halo strip exchange (operators/focal
+    pattern), shuffle bounded by tile perimeter, no Python."""
+    t = (
+        spark.range(1, 39).select(F.col("id").alias("tx"))
+        .crossJoin(spark.range(1, 39).select(F.col("id").alias("ty")))
+    )
+    off = (
+        spark.range(3).select((F.col("id") - 1).alias("dy"))
+        .crossJoin(spark.range(3).select((F.col("id") - 1).alias("dx")))
+    )
+    sx = F.col("tx") + F.col("dx")
+    sy = F.col("ty") + F.col("dy")
+    cells = t.crossJoin(F.broadcast(off)).select(
+        "tx", "ty",
+        ((F.col("dy") + 1) * 3 + (F.col("dx") + 1)).alias("scanpos"),
+        F.when((F.col("dy") == 0) & (F.col("dx") == 0), 4)
+         .when((F.col("dy") == 0) | (F.col("dx") == 0), 2)
+         .otherwise(1).alias("coef"),
+        ((sx * 7 + sy * 13 + (sx * sy) % 5) % 97).alias("v"),
+    )
+    w = Window.partitionBy("tx", "ty").orderBy("v", "scanpos")
+    ranked = cells.withColumn("rnk", F.row_number().over(w))
+    base = ranked.groupBy("tx", "ty").agg(
+        F.sum(F.col("v") * F.col("coef")).cast("long").alias("wsum"),
+        (F.sum(F.col("v") * F.col("coef")) / 16.0).alias("wmean"),
+        F.min("v").cast("long").alias("mn"),
+        F.max("v").cast("long").alias("mx"),
+        F.max(F.when(F.col("rnk") == 5, F.col("v"))).cast("long")
+            .alias("med"),
+        (9 * F.sum(F.col("v") * F.col("v"))
+         - F.sum("v") * F.sum("v")).cast("long").alias("var_num"),
+    )
+    grp = cells.groupBy("tx", "ty", "v").agg(
+        F.count("*").alias("cnt"), F.max("scanpos").alias("attain")
+    )
+    wp = Window.partitionBy("tx", "ty")
+    grp = grp.withColumn("maxc", F.max("cnt").over(wp)).withColumn(
+        "best",
+        F.min(F.when(F.col("cnt") == F.col("maxc"), F.col("attain"))).over(wp),
+    )
+    modes = grp.groupBy("tx", "ty").agg(
+        F.max(
+            F.when(
+                (F.col("cnt") == F.col("maxc"))
+                & (F.col("attain") == F.col("best")),
+                F.col("v"),
+            )
+        ).cast("long").alias("mode_v")
+    )
+    return base.join(modes, ["tx", "ty"])
