@@ -240,6 +240,9 @@ HEADLINE = [
     "q225_coverage_check",
     "q226_delaunay_triangles",
     "q227_raster_neighbors",
+    "q228_robots_longest_match",
+    "q229_domain_blocklist",
+    "q230_semdedup",
 ]
 
 

@@ -5293,7 +5293,7 @@ def q144(spark, sf_dir):
 @query(
     "q145_image_ahash_dedup",
     """WITH d AS (SELECT doc_id,
-         CAST(('0x' || substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 8)) AS BIGINT) AS h8
+         CAST(('0x' || substr(md5(CAST(doc_id % 50 AS STRING)), 1, 8)) AS BIGINT) AS h8
         FROM documents),
        dims AS (SELECT doc_id, h8, 16 + h8 % 64 AS w, 16 + (h8 // 64) % 64 AS h FROM d),
        px AS (SELECT doc_id, y.range * 8 + x.range AS k,
@@ -7878,7 +7878,7 @@ _PII_IP = "10\\.[0-9]{1,3}\\.0\\.1"
     "q191_pii_redaction",
     """WITH d AS (SELECT doc_id,
                     text || ' contact user' || CAST(doc_id AS VARCHAR) ||
-                    '@mail' || CAST(doc_id % 9 AS VARCHAR) ||
+                    '@mail' || CAST(doc_id % 9 AS STRING) ||
                     '.example.org call +1-555-' ||
                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
                     ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
@@ -10539,3 +10539,229 @@ def q227(spark, sf_dir):
         ).cast("long").alias("mode_v")
     )
     return base.join(modes, ["tx", "ty"])
+
+
+# --- robots.txt longest-match policy (q228) -----------------------------------------
+
+_ROBOTS_RULES = [
+    # (ruleset, path_prefix, allow)
+    (0, "/private/", 0), (0, "/private/public-info/", 1), (0, "/tmp/", 0),
+    (0, "/articles/amp/", 0),
+    (1, "/private/", 0), (1, "/private/public-info/", 1), (1, "/tmp/", 0),
+    (1, "/articles/amp/", 1),
+    (2, "/private/", 0), (2, "/private/public-info/", 1), (2, "/tmp/", 0),
+    (2, "/articles/", 0), (2, "/articles/item1", 1),
+    (3, "/", 0), (3, "/articles/", 1),
+]
+
+_ROBOTS_PATH_SQL = """
+    CASE doc_id % 6
+      WHEN 0 THEN '/private/data' || CAST(doc_id % 9 AS STRING)
+      WHEN 1 THEN '/private/public-info/page' || CAST(doc_id % 9 AS STRING)
+      WHEN 2 THEN '/articles/item' || CAST(doc_id % 50 AS STRING)
+      WHEN 3 THEN '/tmp/cache' || CAST(doc_id % 9 AS STRING)
+      WHEN 4 THEN '/'
+      ELSE '/articles/amp/item' || CAST(doc_id % 50 AS STRING)
+    END
+"""
+
+
+def _robots_oracle_sql() -> str:
+    vals = ", ".join(f"({r}, '{p}', {a})" for r, p, a in _ROBOTS_RULES)
+    return f"""WITH d AS (SELECT doc_id, doc_id % 40 AS host_id,
+                      {_ROBOTS_PATH_SQL} AS path FROM documents),
+       rules(ruleset, prefix, allow) AS (VALUES {vals}),
+       m AS (SELECT d.doc_id, d.host_id,
+                    max(length(r.prefix) * 2 + r.allow) AS code
+             FROM d LEFT JOIN rules r
+               ON d.host_id % 4 = r.ruleset
+              AND starts_with(d.path, r.prefix)
+             GROUP BY d.doc_id, d.host_id)
+       SELECT doc_id, host_id,
+              CAST(COALESCE(code, 1) % 2 AS BIGINT) AS allowed,
+              CAST(COALESCE(code, 1) // 2 AS BIGINT) AS matched_len
+       FROM m"""
+
+
+@query("q228_robots_longest_match", _robots_oracle_sql())
+def q228(spark, sf_dir):
+    """robots.txt REP evaluation (RFC 9309 / Google robots.cc
+    semantics, the crawl-side gate every Common-Crawl-style corpus
+    applies): per (host, path), the most-specific (LONGEST) matching
+    rule decides; an allow and a disallow of equal length tie to
+    ALLOW; no match ⇒ allowed.  The (length, allow) lexicographic
+    winner is encoded as the integer ``2·len + allow`` so the argmax
+    is a plain map-side-combinable MAX — no window, no sort.  Rules
+    broadcast (a rules table is ~10^6 rows for the whole web — always
+    the small side); docs never shuffle."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "doc_id % 40 AS host_id",
+        f"{_ROBOTS_PATH_SQL} AS path",
+    )
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "ruleset INT, prefix STRING, allow INT"
+    )
+    j = d.join(
+        F.broadcast(rules),
+        (F.col("host_id") % 4 == F.col("ruleset"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    m = j.groupBy("doc_id", "host_id").agg(
+        F.max(F.length("prefix") * 2 + F.col("allow")).alias("code")
+    )
+    code = F.coalesce(F.col("code"), F.lit(1))
+    return m.select(
+        "doc_id", "host_id",
+        (code % 2).cast("long").alias("allowed"),
+        F.floor(code / 2).cast("long").alias("matched_len"),
+    )
+
+
+# --- registrable-domain blocklist filter (q229) -------------------------------------
+
+_BLOCKLIST = [
+    "site3.com", "site17.com", "site17.co.uk", "cdn.site5.com",
+    "site21.co.uk", "site38.com",
+]
+
+_BLOCK_HOST_SQL = """
+    CASE WHEN doc_id % 4 = 0 THEN 'cdn.' ELSE '' END ||
+    'site' || CAST(doc_id % 40 AS STRING) ||
+    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END
+"""
+
+
+def _blocklist_oracle_sql() -> str:
+    vals = ", ".join(f"('{e}')" for e in _BLOCKLIST)
+    return f"""WITH d AS (SELECT doc_id, {_BLOCK_HOST_SQL} AS host
+                    FROM documents),
+       s AS (SELECT doc_id, host,
+                    [array_to_string(string_split(host, '.')[i:], '.')
+                     for i in range(1, len(string_split(host, '.')) + 1)]
+                        AS sufs
+             FROM d),
+       bl(entry) AS (VALUES {vals}),
+       hit AS (SELECT s.doc_id, min(b.entry) AS matched
+               FROM s JOIN bl b ON list_contains(s.sufs, b.entry)
+               GROUP BY s.doc_id)
+       SELECT d.doc_id, d.host,
+              CAST(CASE WHEN h.matched IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS blocked,
+              h.matched
+       FROM d LEFT JOIN hit h ON d.doc_id = h.doc_id"""
+
+
+@query("q229_domain_blocklist", _blocklist_oracle_sql())
+def q229(spark, sf_dir):
+    """UT1/adult-list-style domain blocklist filtering (the CCNet /
+    RefinedWeb URL gate): a host is blocked iff the list contains the
+    host itself or ANY parent domain (label-suffix match — so
+    ``cdn.site17.co.uk`` hits ``site17.co.uk``).  The host explodes
+    into its dot-suffix chain (≤ ~6 per host, pure JVM array ops) and
+    equi-joins the broadcast blocklist — candidate volume is
+    suffix-bounded, never host × entry regex scanning.  Deterministic
+    report: the lexicographically smallest matching entry."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_BLOCK_HOST_SQL} AS host"
+    )
+    s = d.selectExpr(
+        "doc_id", "host",
+        "explode(transform(sequence(1, size(split(host, '\\\\.'))), "
+        "i -> array_join(slice(split(host, '\\\\.'), i, "
+        "size(split(host, '\\\\.')) - i + 1), '.'))) AS suf",
+    )
+    bl = spark.createDataFrame([(e,) for e in _BLOCKLIST], "entry STRING")
+    hit = (
+        s.join(F.broadcast(bl), F.col("suf") == F.col("entry"))
+        .groupBy("doc_id").agg(F.min("entry").alias("matched"))
+    )
+    return d.join(hit, "doc_id", "left").select(
+        "doc_id", "host",
+        F.when(F.col("matched").isNull(), 0).otherwise(1).cast("long")
+            .alias("blocked"),
+        "matched",
+    )
+
+
+# --- SemDeDup: cluster-then-prune semantic dedup (q230) -----------------------------
+
+
+@query(
+    "q230_semdedup",
+    "WITH " + _KMEANS_CTE + """,
+       n2 AS (SELECT vec_id, qv,
+                     CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT)
+                         AS nn
+              FROM v),
+       pr AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                     CAST(list_sum(list_transform(list_zip(va.qv, vb.qv),
+                          s -> s[1]*s[2])) AS BIGINT) AS dot,
+                     va.nn AS na, vb.nn AS nb
+              FROM a2 x JOIN a2 y
+                ON x.cell = y.cell AND x.vec_id < y.vec_id
+              JOIN n2 va ON va.vec_id = x.vec_id
+              JOIN n2 vb ON vb.vec_id = y.vec_id),
+       dropped AS (SELECT DISTINCT b FROM pr
+                   WHERE dot > 0 AND 9 * dot * dot >= na * nb)
+       SELECT a.vec_id, a.cell,
+              CAST(CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM a2 a LEFT JOIN dropped d ON a.vec_id = d.b""",
+)
+def q230(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — the
+    cluster-then-prune semantic dedup a 10^12-doc embedding corpus
+    actually runs: k-means the embeddings (the q127 trained IVF
+    quantizer, integer-exact Lloyd), then WITHIN each cluster drop
+    every vector whose cosine to a lower-id cluster-mate is ≥ 1/3.
+    The cosine test is exact integer cross-multiplication on the
+    quantized vectors (dot > 0 ∧ 9·dot² ≥ |a|²·|b|² ⟺ cos ≥ 1/3) —
+    no sqrt, no float.  Pairwise work is CLUSTER-bounded (the whole
+    point of SemDeDup): cells shard across executors and the
+    per-cell candidate set is |cell|², never n²."""
+    from gdal_spark.operators.similarity import ivf_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, _ = ivf_kmeans(emb)
+    qv = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+            "+ 0.5) AS BIGINT))"
+        ).alias("qv"),
+    ).withColumn(
+        "nn",
+        F.expr("aggregate(transform(qv, x -> x*x), CAST(0 AS BIGINT), "
+               "(acc, x) -> acc + x)"),
+    )
+    a = assigned.select(F.col("vec_id").alias("a"), F.col("cell"))
+    b = assigned.select(F.col("vec_id").alias("b"), F.col("cell"))
+    pairs = (
+        a.join(b, "cell").filter(F.col("a") < F.col("b"))
+        .join(qv.select(F.col("vec_id").alias("a"),
+                        F.col("qv").alias("qa"), F.col("nn").alias("na")),
+              "a")
+        .join(qv.select(F.col("vec_id").alias("b"),
+                        F.col("qv").alias("qb"), F.col("nn").alias("nb")),
+              "b")
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x*y), CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + x)"
+    )
+    dropped = (
+        pairs.withColumn("dot", dot)
+        .filter((F.col("dot") > 0)
+                & (9 * F.col("dot") * F.col("dot")
+                   >= F.col("na") * F.col("nb")))
+        .select("b").distinct()
+    )
+    return (
+        assigned.select("vec_id", "cell")
+        .join(dropped, assigned["vec_id"] == dropped["b"], "left")
+        .select(
+            "vec_id", "cell",
+            F.when(F.col("b").isNull(), 1).otherwise(0).cast("long")
+                .alias("keep"),
+        )
+    )
