@@ -243,6 +243,7 @@ HEADLINE = [
     "q228_robots_longest_match",
     "q229_domain_blocklist",
     "q230_semdedup",
+    "q231_bpe_train",
 ]
 
 

@@ -10765,3 +10765,66 @@ def q230(spark, sf_dir):
                 .alias("keep"),
         )
     )
+
+
+# --- BPE merge training (q231) ------------------------------------------------------
+
+from gdal_spark.operators.bpe import train_bpe_df  # noqa: E402
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    fold = (
+        "list_reduce(list_prepend(' ', string_split(trim(syms), ' ')), "
+        "(acc, x) -> CASE WHEN ends_with(acc, ' ' || lft || ' ') "
+        "AND x = rgt "
+        "THEN substr(acc, 1, length(acc) - length(lft) - 1) "
+        "|| lft || rgt || ' ' "
+        "ELSE acc || x || ' ' END)"
+    )
+    ctes = ["""w0 AS (
+      SELECT word, count(*) AS cnt,
+             ' ' || array_to_string(
+                 [substr(word, i, 1) for i in range(1, length(word)+1)],
+                 ' ') || ' ' AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY word)"""]
+    for r in range(1, k + 1):
+        ctes.append(f"""pc{r} AS (
+      SELECT string_split(pair, chr(9))[1] AS lft,
+             string_split(pair, chr(9))[2] AS rgt,
+             sum(cnt) AS pcnt
+      FROM (SELECT cnt,
+                   unnest([sl[i] || chr(9) || sl[i+1]
+                           for i in range(1, len(sl))]) AS pair
+            FROM (SELECT cnt, string_split(trim(syms), ' ') AS sl
+                  FROM w{r-1}))
+      GROUP BY 1, 2)""")
+        ctes.append(f"""b{r} AS (
+      SELECT lft, rgt, pcnt FROM pc{r}
+      ORDER BY pcnt DESC, lft, rgt LIMIT 1)""")
+        ctes.append(f"""w{r} AS (
+      SELECT word, cnt, {fold} AS syms FROM w{r-1}, b{r})""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS rnk, lft, rgt, "
+        f"CAST(pcnt AS BIGINT) AS pcnt FROM b{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + finals
+
+
+@query("q231_bpe_train", _bpe_oracle_sql(_BPE_ROUNDS))
+def q231(spark, sf_dir):
+    """REAL BPE merge training (Sennrich et al. 2016,
+    arXiv:1508.07909 — the learn-the-merges loop, complementing q48's
+    apply-known-rules tokenizer): 6 rounds of count-weighted pair
+    statistics over the word VOCABULARY (the classic trick — the
+    working set is distinct words, not the corpus), best pair = max
+    count with lexicographic ties, merge applied as a left fold that
+    reproduces leftmost-greedy non-overlapping semantics exactly
+    ([a,a,a,a,a] + (a,a) → [aa,aa,a]).  Per round: one explode +
+    one pair-vocabulary-bounded groupBy + a 1-row map-side-combinable
+    struct-argmax + one JVM fold projection; the driver holds only
+    the 6 learned merges."""
+    return train_bpe_df(_t(spark, sf_dir, "documents"), _BPE_ROUNDS)
