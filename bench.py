@@ -244,6 +244,8 @@ HEADLINE = [
     "q229_domain_blocklist",
     "q230_semdedup",
     "q231_bpe_train",
+    "q232_gopher_rules",
+    "q233_bpe_apply",
 ]
 
 

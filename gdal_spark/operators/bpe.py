@@ -49,6 +49,15 @@ def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def train_bpe(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]]:
     """Learn `n_merges` merges; returns [(rank, left, right, count)]."""
+    merges, w = train_bpe_state(vocab, n_merges)
+    w.unpersist()
+    return merges
+
+
+def train_bpe_state(vocab: DataFrame, n_merges: int):
+    """Like train_bpe but also returns the final (word, cnt, syms)
+    vocabulary DataFrame — the APPLY side of the tokenizer (still
+    persisted; caller unpersists)."""
     spark = vocab.sparkSession
     w = vocab.select("word", "cnt", "syms").persist()
     w.count()
@@ -93,8 +102,7 @@ def train_bpe(vocab: DataFrame, n_merges: int) -> list[tuple[int, str, str, int]
         nw.count()
         w.unpersist()
         w = nw
-    w.unpersist()
-    return merges
+    return merges, w
 
 
 def train_bpe_df(docs: DataFrame, n_merges: int,

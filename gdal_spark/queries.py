@@ -10774,7 +10774,7 @@ from gdal_spark.operators.bpe import train_bpe_df  # noqa: E402
 _BPE_ROUNDS = 6
 
 
-def _bpe_oracle_sql(k: int) -> str:
+def _bpe_oracle_sql(k: int, final_select: str | None = None) -> str:
     fold = (
         "list_reduce(list_prepend(' ', string_split(trim(syms), ' ')), "
         "(acc, x) -> CASE WHEN ends_with(acc, ' ' || lft || ' ') "
@@ -10806,12 +10806,13 @@ def _bpe_oracle_sql(k: int) -> str:
       ORDER BY pcnt DESC, lft, rgt LIMIT 1)""")
         ctes.append(f"""w{r} AS (
       SELECT word, cnt, {fold} AS syms FROM w{r-1}, b{r})""")
-    finals = " UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS rnk, lft, rgt, "
-        f"CAST(pcnt AS BIGINT) AS pcnt FROM b{r}"
-        for r in range(1, k + 1)
-    )
-    return "WITH " + ", ".join(ctes) + " " + finals
+    if final_select is None:
+        final_select = " UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS rnk, lft, rgt, "
+            f"CAST(pcnt AS BIGINT) AS pcnt FROM b{r}"
+            for r in range(1, k + 1)
+        )
+    return "WITH " + ", ".join(ctes) + " " + final_select
 
 
 @query("q231_bpe_train", _bpe_oracle_sql(_BPE_ROUNDS))
@@ -10828,3 +10829,131 @@ def q231(spark, sf_dir):
     struct-argmax + one JVM fold projection; the driver holds only
     the 6 learned merges."""
     return train_bpe_df(_t(spark, sf_dir, "documents"), _BPE_ROUNDS)
+
+
+# --- Gopher quality rules (q232) ----------------------------------------------------
+
+_GOPHER_BODY_SQL = """
+    CASE WHEN doc_id % 5 = 0 THEN '- ' ELSE '' END || text ||
+    CASE WHEN doc_id % 7 = 0 THEN ' ...' ELSE '' END ||
+    CASE WHEN doc_id % 11 = 0 THEN ' ####' ELSE '' END
+"""
+
+
+@query(
+    "q232_gopher_rules",
+    f"""WITH d AS (SELECT doc_id, {_GOPHER_BODY_SQL} AS body FROM documents),
+       t AS (SELECT doc_id, body,
+                    [w for w in string_split(body, ' ') if w <> ''] AS toks
+             FROM d),
+       m AS (SELECT doc_id,
+                    len(toks) AS n_words,
+                    list_sum([length(w) for w in toks]) AS n_chars,
+                    len([w for w in toks
+                         if w = '####' OR w = '...']) AS n_sym,
+                    CASE WHEN starts_with(body, '- ') THEN 1 ELSE 0 END
+                        AS bullet,
+                    CASE WHEN ends_with(body, '...') OR
+                              ends_with(body, '####') THEN 1 ELSE 0 END
+                        AS ell,
+                    len(list_distinct([w for w in toks
+                        if w IN ('the', 'a', 'of', 'and', 'to', 'in')]))
+                        AS n_stop
+             FROM t)
+       SELECT doc_id,
+              CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_words,
+              CAST(CASE WHEN 3 * n_words <= n_chars
+                         AND n_chars <= 10 * n_words
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_meanlen,
+              CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_sym,
+              CAST(1 - bullet AS BIGINT) AS ok_bullet,
+              CAST(1 - ell AS BIGINT) AS ok_ellipsis,
+              CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+                  AS ok_stop,
+              CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+                         AND 3 * n_words <= n_chars
+                         AND n_chars <= 10 * n_words
+                         AND 10 * n_sym <= n_words
+                         AND bullet = 0 AND ell = 0 AND n_stop >= 2
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM m""",
+)
+def q232(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    the rule set FineWeb/Dolma/RefinedWeb re-implement): word-count
+    window [50, 100k], mean word length in [3, 10] (exact integer
+    cross-multiplication, no division), symbol-to-word ratio ≤ 0.1,
+    bullet/ellipsis line rules, ≥ 2 distinct stopwords.  The body
+    derives from the documents table with deterministic bullet/
+    ellipsis/symbol injections so every rule fires on a known doc
+    subset.  Pure JVM Column plan, one projection — no shuffle, no
+    Python at 10^12 docs."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_GOPHER_BODY_SQL} AS body"
+    )
+    t = d.selectExpr(
+        "doc_id", "body",
+        "filter(split(body, ' '), w -> w != '') AS toks",
+    )
+    m = t.selectExpr(
+        "doc_id",
+        "size(toks) AS n_words",
+        "aggregate(transform(toks, w -> length(w)), 0, (a, x) -> a + x)"
+        " AS n_chars",
+        "size(filter(toks, w -> w = '####' OR w = '...')) AS n_sym",
+        "CASE WHEN body LIKE '- %' THEN 1 ELSE 0 END AS bullet",
+        "CASE WHEN body LIKE '%...' OR body LIKE '%####' THEN 1 ELSE 0 END"
+        " AS ell",
+        "size(array_distinct(filter(toks, w -> w IN "
+        "('the', 'a', 'of', 'and', 'to', 'in')))) AS n_stop",
+    )
+    ok_words = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    ok_meanlen = (3 * F.col("n_words") <= F.col("n_chars")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_sym") <= F.col("n_words")
+    ok_stop = F.col("n_stop") >= 2
+    keep = (
+        ok_words & ok_meanlen & ok_sym
+        & (F.col("bullet") == 0) & (F.col("ell") == 0) & ok_stop
+    )
+    asb = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return m.select(
+        "doc_id",
+        asb(ok_words).alias("ok_words"),
+        asb(ok_meanlen).alias("ok_meanlen"),
+        asb(ok_sym).alias("ok_sym"),
+        (1 - F.col("bullet")).cast("long").alias("ok_bullet"),
+        (1 - F.col("ell")).cast("long").alias("ok_ellipsis"),
+        asb(ok_stop).alias("ok_stop"),
+        asb(keep).alias("keep"),
+    )
+
+
+# --- BPE tokenizer apply (q233) -----------------------------------------------------
+
+
+@query(
+    "q233_bpe_apply",
+    _bpe_oracle_sql(
+        _BPE_ROUNDS,
+        f"SELECT word, CAST(cnt AS BIGINT) AS cnt, syms FROM w{_BPE_ROUNDS}",
+    ),
+)
+def q233(spark, sf_dir):
+    """Tokenizer APPLY for the learned BPE merges: after the q231
+    training rounds, every vocabulary word's final segmentation (the
+    space-sentineled symbol string) plus its corpus count — i.e. the
+    actual subword tokenization a trained tokenizer would emit.  The
+    apply side is the same vocabulary-bounded fold chain; re-tokenizing
+    10^12 documents is then a broadcast word→syms map join."""
+    from gdal_spark.operators.bpe import train_bpe_state, word_vocab
+
+    v = word_vocab(_t(spark, sf_dir, "documents"))
+    merges, w = train_bpe_state(v, _BPE_ROUNDS)
+    out = w.select("word", F.col("cnt").cast("long").alias("cnt"), "syms")
+    res = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return res
