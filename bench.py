@@ -246,6 +246,7 @@ HEADLINE = [
     "q231_bpe_train",
     "q232_gopher_rules",
     "q233_bpe_apply",
+    "q234_simplify_coverage",
 ]
 
 

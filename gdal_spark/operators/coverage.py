@@ -110,3 +110,58 @@ def check_coverage(
             .alias("invalid_len"),
         )
     )
+
+
+def dp_keep_exact(xs, ys, tol2: int):
+    """Douglas–Peucker keep-indices on INTEGER coordinates with exact
+    arithmetic: a segment (lo, hi) splits at the vertex maximizing the
+    squared perpendicular distance (compared as cross² vs tol²·len²,
+    no sqrt, no float), ties to the LOWEST index, split iff
+    cross² > tol²·len² strictly.  Returns the sorted kept index list.
+
+    This is the per-chain core of the coverage simplifier
+    (``gdal vector simplify-coverage`` → GEOS CoverageSimplifier):
+    each SHARED boundary chain is simplified ONCE, so the two
+    polygons on either side stay edge-matched — topology preserved by
+    construction.
+    """
+    import numpy as np
+
+    xs = np.asarray(xs, dtype=np.int64)
+    ys = np.asarray(ys, dtype=np.int64)
+    n = len(xs)
+    keep = {0, n - 1}
+    stack = [(0, n - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo < 2:
+            continue
+        ax, ay, bx, by = xs[lo], ys[lo], xs[hi], ys[hi]
+        jx = xs[lo + 1:hi]
+        jy = ys[lo + 1:hi]
+        cross = (bx - ax) * (jy - ay) - (by - ay) * (jx - ax)
+        c2 = cross * cross
+        len2 = (bx - ax) ** 2 + (by - ay) ** 2
+        jbest = int(np.argmax(c2))  # first (= lowest index) max
+        if c2[jbest] > tol2 * len2:
+            j = lo + 1 + jbest
+            keep.add(j)
+            stack.append((lo, j))
+            stack.append((j, hi))
+    return sorted(keep)
+
+
+def simplify_chains(chains: DataFrame, tol2: int) -> DataFrame:
+    """(chain_id, i, x, y) integer chain vertices → kept vertices
+    (chain_id, i, x, y), each chain simplified independently (shards
+    by chain_id — embarrassingly parallel at any scale)."""
+    import pandas as pd
+
+    def per_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("i").reset_index(drop=True)
+        kept = dp_keep_exact(pdf["x"].to_numpy(), pdf["y"].to_numpy(), tol2)
+        return pdf.iloc[kept][["chain_id", "i", "x", "y"]]
+
+    return chains.groupBy("chain_id").applyInPandas(
+        per_chain, "chain_id long, i long, x long, y long"
+    )

@@ -10957,3 +10957,91 @@ def q233(spark, sf_dir):
     res = out.localCheckpoint(eager=True)
     w.unpersist()
     return res
+
+
+# --- coverage simplification, gdal vector simplify-coverage (q234) ------------------
+
+_SCOV_X = ("(chain_id % 4) * 10 + CASE WHEN i = 0 OR i = 8 THEN 0 "
+           "ELSE ((chain_id*7 + i*3) % 5) - 2 END")
+_SCOV_Y = "(chain_id // 4) * 8 + i"
+
+
+@query(
+    "q234_simplify_coverage",
+    f"""WITH RECURSIVE
+       v AS (SELECT c.range AS chain_id, i.range AS i,
+                    {_SCOV_X.replace('chain_id', 'c.range').replace('i', 'i.range').replace('c.range % 4', 'c.range % 4')} AS x,
+                    (c.range // 4) * 8 + i.range AS y
+             FROM range(12) c, range(9) i),
+       dp(chain_id, lo, hi) AS (
+         SELECT chain_id, 0, 8 FROM (SELECT DISTINCT chain_id FROM v)
+         UNION ALL
+         SELECT d.chain_id,
+                CASE WHEN s.side = 0 THEN d.lo ELSE j.i END,
+                CASE WHEN s.side = 0 THEN j.i ELSE d.hi END
+         FROM dp d
+         JOIN v a ON a.chain_id = d.chain_id AND a.i = d.lo
+         JOIN v b ON b.chain_id = d.chain_id AND b.i = d.hi
+         JOIN v j ON j.chain_id = d.chain_id AND j.i > d.lo AND j.i < d.hi
+         CROSS JOIN (VALUES (0), (1)) s(side)
+         WHERE ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+               * ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+               > ((b.x - a.x)*(b.x - a.x) + (b.y - a.y)*(b.y - a.y))
+           AND NOT EXISTS (
+             SELECT 1 FROM v j2
+             WHERE j2.chain_id = d.chain_id AND j2.i > d.lo AND j2.i < d.hi
+               AND (((b.x - a.x)*(j2.y - a.y) - (b.y - a.y)*(j2.x - a.x))
+                    * ((b.x - a.x)*(j2.y - a.y) - (b.y - a.y)*(j2.x - a.x))
+                    > ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+                      * ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+                 OR (((b.x - a.x)*(j2.y - a.y) - (b.y - a.y)*(j2.x - a.x))
+                     * ((b.x - a.x)*(j2.y - a.y) - (b.y - a.y)*(j2.x - a.x))
+                     = ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+                       * ((b.x - a.x)*(j.y - a.y) - (b.y - a.y)*(j.x - a.x))
+                     AND j2.i < j.i)))),
+       kept AS (SELECT chain_id, i FROM
+                  (SELECT chain_id, lo AS i FROM dp
+                   UNION ALL SELECT chain_id, hi FROM dp)
+                GROUP BY chain_id, i),
+       kv AS (SELECT k.chain_id, k.i, v.x, v.y,
+                     row_number() OVER (PARTITION BY k.chain_id
+                                        ORDER BY k.i) AS rn
+              FROM kept k JOIN v ON v.chain_id = k.chain_id AND v.i = k.i)
+       SELECT chain_id,
+              CAST(count(*) AS BIGINT) AS n_kept,
+              CAST(sum(rn * x) AS BIGINT) AS cs_x,
+              CAST(sum(rn * y) AS BIGINT) AS cs_y
+       FROM kv GROUP BY chain_id""",
+)
+def q234(spark, sf_dir):
+    """``gdal vector simplify-coverage``
+    (apps/gdalalg_vector_simplify_coverage.cpp → GEOS
+    CoverageSimplifier): the polygonal coverage decomposes into shared
+    boundary CHAINS between nodes; each chain is Douglas–Peucker
+    simplified ONCE with endpoints pinned, so the two polygons on
+    either side stay edge-matched and the simplified coverage has no
+    gaps/overlaps BY CONSTRUCTION.  The DP core is exact integer
+    arithmetic (cross² > tol²·len², ties to lowest index —
+    operators/coverage.dp_keep_exact); the oracle replays it as a
+    recursive CTE whose kept set is exactly the interval endpoints the
+    recursion creates.  Chains shard by id — embarrassingly parallel;
+    at 100 TB chain extraction is the q225 edge-multiset groupBy."""
+    c = (
+        spark.range(12).select(F.col("id").alias("chain_id"))
+        .crossJoin(spark.range(9).select(F.col("id").alias("i")))
+    )
+    chains = c.selectExpr(
+        "chain_id", "i",
+        f"{_SCOV_X} AS x",
+        f"{_SCOV_Y.replace('//', 'div')} AS y",
+    )
+    from gdal_spark.operators.coverage import simplify_chains
+
+    kept = simplify_chains(chains, tol2=1)
+    w = Window.partitionBy("chain_id").orderBy("i")
+    kv = kept.withColumn("rn", F.row_number().over(w))
+    return kv.groupBy("chain_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum(F.col("rn") * F.col("x")).cast("long").alias("cs_x"),
+        F.sum(F.col("rn") * F.col("y")).cast("long").alias("cs_y"),
+    )
