@@ -11045,3 +11045,51 @@ def q234(spark, sf_dir):
         F.sum(F.col("rn") * F.col("x")).cast("long").alias("cs_x"),
         F.sum(F.col("rn") * F.col("y")).cast("long").alias("cs_y"),
     )
+
+
+# --- streaming robots gate (q235) ---------------------------------------------------
+
+
+def _robots_stream_oracle_sql() -> str:
+    vals = ", ".join(f"({r}, '{p}', {a})" for r, p, a in _ROBOTS_RULES)
+    return f"""WITH d AS (SELECT doc_id, doc_id % 40 AS host_id,
+                      {_ROBOTS_PATH_SQL} AS path,
+                      1767225600 + (doc_id % 10) * 1800 AS ts
+               FROM documents),
+       rules(ruleset, prefix, allow) AS (VALUES {vals}),
+       m AS (SELECT d.doc_id, d.host_id, d.ts,
+                    max(length(r.prefix) * 2 + r.allow) AS code
+             FROM d LEFT JOIN rules r
+               ON d.host_id % 4 = r.ruleset
+              AND starts_with(d.path, r.prefix)
+             GROUP BY d.doc_id, d.host_id, d.ts)
+       SELECT CAST((ts // 3600) * 3600 AS BIGINT) AS win_start,
+              CAST(host_id AS BIGINT) AS host_id,
+              CAST(COALESCE(code, 1) % 2 AS BIGINT) AS allowed,
+              CAST(count(*) AS BIGINT) AS n
+       FROM m GROUP BY 1, 2, 3"""
+
+
+@query("q235_stream_robots_gate", _robots_stream_oracle_sql())
+def q235(spark, sf_dir):
+    """STREAMING robots gate (the incremental form of q228): fetch
+    events land as a file stream; the RFC 9309 longest-match decision
+    runs STATELESSLY per event — the static rules side pre-aggregates
+    to one ARRAY row per ruleset, so the stream-static broadcast join
+    adds no state and the per-event argmax is a row-local array fold;
+    the query's single stateful operator is the watermarked
+    (hour, host, allowed) count.  Drained totals equal the batch
+    replay exactly."""
+    from gdal_spark.streaming.windowed import stream_robots_gate
+
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "doc_id % 40 AS host_id",
+        f"{_ROBOTS_PATH_SQL} AS path",
+        "1767225600 + (doc_id % 10) * 1800 AS ts",
+    ).select("host_id", "path", "ts")
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "ruleset INT, prefix STRING, allow INT"
+    ).groupBy("ruleset").agg(
+        F.collect_list(F.struct("prefix", "allow")).alias("rules")
+    )
+    return stream_robots_gate(spark, d, rules)

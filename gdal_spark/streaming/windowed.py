@@ -293,3 +293,73 @@ def stream_capture_dedup(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_robots_gate(
+    spark: SparkSession,
+    events: DataFrame,
+    rules_by_set: DataFrame,
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Streaming robots.txt gate: fetch events arrive as a file stream,
+    the RFC 9309 longest-match decision is computed STATELESSLY per
+    event against the broadcast pre-aggregated rules (static side =
+    one row per ruleset with its rules ARRAY — the stream-static join
+    adds no state; the per-event argmax is an array fold, not an
+    aggregation), and ONE stateful windowed aggregation counts
+    allowed/denied per (host, hour) with a watermark bounding state.
+
+    ``events``: (host_id, path, ts epoch-seconds).
+    ``rules_by_set``: (ruleset, rules array<struct<prefix,allow>>).
+    Returns drained (win_start epoch, host_id, allowed, n).
+    """
+    name = "stream_robots_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    data_dir = os.path.join(src_dir, "data")
+    events.write.parquet(data_dir)
+    land_dir = tempfile.mkdtemp(prefix="gdal_spark_land_")
+    for i, f in enumerate(sorted(os.listdir(data_dir))):
+        if f.endswith(".parquet"):
+            os.symlink(os.path.join(data_dir, f),
+                       os.path.join(land_dir, f"p{i}.parquet"))
+    decided = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_dir)
+        .join(F.broadcast(rules_by_set),
+              F.col("host_id") % 4 == F.col("ruleset"), "left")
+        .withColumn(
+            "code",
+            F.coalesce(
+                F.expr(
+                    "array_max(transform("
+                    "filter(rules, r -> startswith(path, r.prefix)), "
+                    "r -> length(r.prefix) * 2 + r.allow))"
+                ),
+                F.lit(1),
+            ),
+        )
+        .withColumn("allowed", (F.col("code") % 2).cast("long"))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "host_id", "allowed")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        decided.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.unix_timestamp(F.col("window.start")).cast("long")
+            .alias("win_start"),
+        F.col("host_id").cast("long").alias("host_id"),
+        "allowed",
+        F.col("n").cast("long").alias("n"),
+    )
+    return out.localCheckpoint(eager=True)
