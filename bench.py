@@ -247,6 +247,9 @@ HEADLINE = [
     "q232_gopher_rules",
     "q233_bpe_apply",
     "q234_simplify_coverage",
+    "q236_suffix_array",
+    "q237_lcp_array",
+    "q238_exact_substr_dedup",
 ]
 
 

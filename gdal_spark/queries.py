@@ -11093,3 +11093,167 @@ def q235(spark, sf_dir):
         F.collect_list(F.struct("prefix", "allow")).alias("rules")
     )
     return stream_robots_gate(spark, d, rules)
+
+
+# --- distributed suffix array + LCP + exact-substring dedup (q236-q238) -------------
+#
+# Lee et al. 2022 (arXiv:2107.06499) ExactSubstr over a concatenated
+# corpus.  The corpus derives from doc_id < 8 with a deterministic
+# boilerplate injection on doc_id % 3 == 0 so duplicate spans >= 25
+# chars exist at every SF (max fixture LCP ~58; CAP 96 clears it,
+# pinned by tests/test_suffix.py).
+
+_SA_BODY_SQL = (
+    "text || CASE WHEN doc_id % 3 = 0 THEN"
+    " ' the quick brown fox jumps over the lazy dog' ELSE '' END"
+)
+_SA_CAP = 96
+_SA_MINLEN = 25
+
+_SA_CORPUS_CTE = f"""d AS (SELECT doc_id, {_SA_BODY_SQL} AS body
+                FROM documents WHERE doc_id < 8),
+       c AS (SELECT string_agg(body || '|', '' ORDER BY doc_id) AS corpus,
+                    CASE WHEN length(string_agg(body || '|', ''
+                                   ORDER BY doc_id)) > 8000
+                         THEN error('q236 fixture outgrew range bound')
+                         ELSE length(string_agg(body || '|', ''
+                                     ORDER BY doc_id)) END AS n
+             FROM d),
+       p AS (SELECT i AS pos FROM range(1, 8001) t(i), c
+             WHERE i <= c.n),
+       sa AS (SELECT pos, rank() OVER
+                  (ORDER BY substr((SELECT corpus FROM c), pos)) AS rnk
+              FROM p)"""
+
+
+def _sa_fixture(spark, sf_dir):
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 8")
+        .selectExpr("doc_id", f"{_SA_BODY_SQL} AS body")
+    )
+    from gdal_spark.operators.suffix import corpus_chars
+
+    chars, offsets = corpus_chars(docs)
+    chars = chars.localCheckpoint(eager=True)
+    n = chars.count()
+    return chars, offsets, n
+
+
+@query(
+    "q236_suffix_array",
+    f"WITH {_SA_CORPUS_CTE} SELECT pos, CAST(rnk AS BIGINT) AS rnk FROM sa",
+)
+def q236(spark, sf_dir):
+    """Distributed suffix array by prefix doubling (Manber-Myers) —
+    the construction ExactSubstr dedup (Lee et al. 2022) needs over a
+    10^12-doc concatenated corpus.  Each round: shift-join the rank
+    table by the gap, dense-rank the (rank, rank+gap) key pairs via
+    range-partition + in-partition row_number + broadcast cumulative
+    partition counts (the DataFrame zipWithIndex — no single-partition
+    window anywhere), early-exit when ranks are dense.  Every round is
+    one TeraSort-shaped shuffle; rounds ~ log2(max duplicate length),
+    not log2(n).  Oracle sorts the suffixes directly."""
+    from gdal_spark.operators.suffix import suffix_array
+
+    chars, _, n = _sa_fixture(spark, sf_dir)
+    return suffix_array(chars, n).select(
+        F.col("pos").cast("long").alias("pos"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "q237_lcp_array",
+    f"""WITH {_SA_CORPUS_CTE},
+       pr AS (SELECT rnk, lag(pos) OVER (ORDER BY rnk) AS pa, pos AS pb
+              FROM sa),
+       x AS (SELECT pr.rnk, pr.pa, pr.pb,
+                    coalesce(list_min(
+                        [k for k in range(0, {_SA_CAP})
+                         if pr.pa + k > c.n OR pr.pb + k > c.n
+                            OR substr(c.corpus, CAST(pr.pa + k AS BIGINT), 1)
+                               <> substr(c.corpus, CAST(pr.pb + k AS BIGINT),
+                                         1)]), {_SA_CAP}) AS lcp
+             FROM pr, c WHERE pr.pa IS NOT NULL)
+       SELECT CAST(rnk AS BIGINT) AS rnk, CAST(pa AS BIGINT) AS pa,
+              CAST(pb AS BIGINT) AS pb, CAST(lcp AS BIGINT) AS lcp
+       FROM x""",
+)
+def q237(spark, sf_dir):
+    """LCP array between rank-adjacent suffixes, fully relational: the
+    rank-(r-1)/rank-r pair table explodes k in [0, CAP) and equi-joins
+    the (pos, ch) corpus table twice; lcp = first mismatching k (or
+    CAP saturation — CAP is pinned above the fixture max by
+    tests/test_suffix.py).  No suffix string ever materializes; work
+    is pairs x CAP rows through hash joins on position."""
+    from gdal_spark.operators.suffix import lcp_array, suffix_array
+
+    chars, _, n = _sa_fixture(spark, sf_dir)
+    sa = suffix_array(chars, n)
+    return lcp_array(sa, chars, _SA_CAP).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("pa").cast("long").alias("pa"),
+        F.col("pb").cast("long").alias("pb"),
+        F.col("lcp").cast("long").alias("lcp"),
+    )
+
+
+@query(
+    "q238_exact_substr_dedup",
+    f"""WITH {_SA_CORPUS_CTE},
+       offs AS (SELECT doc_id, length(body) AS len,
+                       coalesce(sum(length(body) + 1) OVER
+                           (ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                            PRECEDING AND 1 PRECEDING), 0) AS off
+                FROM d),
+       pr AS (SELECT rnk, lag(pos) OVER (ORDER BY rnk) AS pa, pos AS pb
+              FROM sa),
+       x AS (SELECT pr.pa, pr.pb,
+                    coalesce(list_min(
+                        [k for k in range(0, {_SA_CAP})
+                         if pr.pa + k > c.n OR pr.pb + k > c.n
+                            OR substr(c.corpus, CAST(pr.pa + k AS BIGINT), 1)
+                               <> substr(c.corpus, CAST(pr.pb + k AS BIGINT),
+                                         1)]), {_SA_CAP}) AS lcp
+             FROM pr, c WHERE pr.pa IS NOT NULL),
+       sp AS (SELECT pa AS s, pa + lcp AS e FROM x WHERE lcp >= {_SA_MINLEN}
+              UNION ALL
+              SELECT pb AS s, pb + lcp AS e FROM x WHERE lcp >= {_SA_MINLEN}),
+       cl AS (SELECT o.doc_id,
+                     greatest(s.s, o.off + 1) AS cs,
+                     least(s.e, o.off + o.len + 1) AS ce
+              FROM sp s JOIN offs o
+                ON s.s <= o.off + o.len AND s.e > o.off + 1),
+       cov AS (SELECT doc_id,
+                      greatest(0, ce - greatest(cs,
+                          coalesce(max(ce) OVER (PARTITION BY doc_id
+                              ORDER BY cs, ce ROWS BETWEEN UNBOUNDED
+                              PRECEDING AND 1 PRECEDING), 0))) AS covered
+               FROM cl),
+       agg AS (SELECT doc_id, sum(covered) AS dup_chars FROM cov
+               GROUP BY doc_id)
+       SELECT o.doc_id, CAST(coalesce(a.dup_chars, 0) AS BIGINT)
+                  AS dup_chars,
+              CAST(o.len AS BIGINT) AS total_chars
+       FROM offs o LEFT JOIN agg a ON o.doc_id = a.doc_id""",
+)
+def q238(spark, sf_dir):
+    """ExactSubstr duplicate-byte accounting (Lee et al. 2022 §4.1):
+    every rank-adjacent suffix pair with lcp >= 25 certifies both
+    spans duplicated; spans clip to document bodies (separators never
+    count) and union per doc by the sorted-interval sweep (running
+    max of prior ends — the interval-union total is tie-order
+    independent).  Emits per-doc (dup_chars, total_chars) — the exact
+    numbers the Lee et al. dedup pass would cut.  The boilerplate
+    injection on doc_id % 3 == 0 is what the accounting must find."""
+    from gdal_spark.operators.suffix import (
+        dup_span_accounting,
+        lcp_array,
+        suffix_array,
+    )
+
+    chars, offsets, n = _sa_fixture(spark, sf_dir)
+    sa = suffix_array(chars, n)
+    lcp = lcp_array(sa, chars, _SA_CAP)
+    return dup_span_accounting(lcp, offsets, _SA_MINLEN)
