@@ -250,6 +250,8 @@ HEADLINE = [
     "q236_suffix_array",
     "q237_lcp_array",
     "q238_exact_substr_dedup",
+    "q239_gopher_dup_lines",
+    "q240_gopher_ngram_rep",
 ]
 
 

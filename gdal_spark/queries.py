@@ -11257,3 +11257,358 @@ def q238(spark, sf_dir):
     sa = suffix_array(chars, n)
     lcp = lcp_array(sa, chars, _SA_CAP)
     return dup_span_accounting(lcp, offsets, _SA_MINLEN)
+
+
+# --- Gopher repetition rules: duplicate lines / paragraphs (q239) --------------------
+#
+# Rae et al. 2021 §A1.1 repetition signals (the half q232 does not
+# cover).  Spec pinned here: a line/paragraph is DUPLICATED iff its
+# exact text occurs more than once within the document; the fraction
+# counts every member of a duplicated group; char fractions weight by
+# the line/para length.  Lines are 5-word chunks of the token stream
+# (deterministic, both engines build the identical list); paragraphs
+# are consecutive line pairs.  Deterministic injections: doc_id%4==0
+# appends a copy of line 1, doc_id%6==0 appends a copy of paragraph 1.
+# Gopher thresholds: dup_line_frac<=0.30, dup_para_frac<=0.30,
+# dup_line_char_frac<=0.20, dup_para_char_frac<=0.20 — all checked by
+# integer cross-multiplication, no division anywhere.
+
+
+@query(
+    "q239_gopher_dup_lines",
+    """WITH t AS (SELECT doc_id,
+                [w for w in string_split(text, ' ') if w <> ''] AS toks
+             FROM documents),
+       b AS (SELECT doc_id,
+                CASE WHEN len(toks) > 2000
+                     THEN error('q239 fixture outgrew range bound')
+                     ELSE 1 END AS ok,
+                [array_to_string(toks[i*5+1:i*5+5], ' ')
+                 for i in range(0, 400) if i*5 < len(toks)] AS lines0
+             FROM t),
+       lp AS (SELECT doc_id,
+                 CASE WHEN doc_id % 4 = 0
+                      THEN list_append(lines0, lines0[1])
+                      ELSE lines0 END AS lines,
+                 CASE WHEN doc_id % 6 = 0
+                      THEN list_append(p0, p0[1]) ELSE p0 END AS paras
+              FROM (SELECT doc_id, lines0,
+                       [array_to_string(lines0[2*j+1:2*j+2], chr(10))
+                        for j in range(0, 200) if 2*j < len(lines0)] AS p0
+                    FROM b)),
+       le AS (SELECT doc_id, unnest(lines) AS item FROM lp),
+       lg AS (SELECT doc_id, item, count(*) AS cnt FROM le GROUP BY 1, 2),
+       lm AS (SELECT doc_id, sum(cnt) AS n_lines,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_lines,
+                     sum(cnt * length(item)) AS line_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(item)
+                         ELSE 0 END) AS dup_line_chars
+              FROM lg GROUP BY 1),
+       pe AS (SELECT doc_id, unnest(paras) AS item FROM lp),
+       pg AS (SELECT doc_id, item, count(*) AS cnt FROM pe GROUP BY 1, 2),
+       pm AS (SELECT doc_id, sum(cnt) AS n_paras,
+                     sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_paras,
+                     sum(cnt * length(item)) AS para_chars,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(item)
+                         ELSE 0 END) AS dup_para_chars
+              FROM pg GROUP BY 1)
+       SELECT l.doc_id,
+              CAST(l.n_lines AS BIGINT) AS n_lines,
+              CAST(l.dup_lines AS BIGINT) AS dup_lines,
+              CAST(l.dup_line_chars AS BIGINT) AS dup_line_chars,
+              CAST(p.n_paras AS BIGINT) AS n_paras,
+              CAST(p.dup_paras AS BIGINT) AS dup_paras,
+              CAST(p.dup_para_chars AS BIGINT) AS dup_para_chars,
+              CAST(CASE WHEN 10 * l.dup_lines <= 3 * l.n_lines
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_line,
+              CAST(CASE WHEN 5 * l.dup_line_chars <= l.line_chars
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_line_char,
+              CAST(CASE WHEN 10 * p.dup_paras <= 3 * p.n_paras
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_para,
+              CAST(CASE WHEN 5 * p.dup_para_chars <= p.para_chars
+                   THEN 1 ELSE 0 END AS BIGINT) AS ok_dup_para_char,
+              CAST(CASE WHEN 10 * l.dup_lines <= 3 * l.n_lines
+                         AND 5 * l.dup_line_chars <= l.line_chars
+                         AND 10 * p.dup_paras <= 3 * p.n_paras
+                         AND 5 * p.dup_para_chars <= p.para_chars
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM lm l JOIN pm p ON l.doc_id = p.doc_id""",
+)
+def q239(spark, sf_dir):
+    """Gopher repetition rules, line/paragraph half (Rae et al. 2021
+    arXiv:2112.11446 §A1.1): duplicate-line fraction <= 0.30,
+    duplicate-paragraph fraction <= 0.30, duplicate-line-CHAR fraction
+    <= 0.20, duplicate-paragraph-CHAR fraction <= 0.20 — every
+    threshold an exact integer cross-multiplication.  Lines are
+    deterministic 5-word chunks, paragraphs line pairs; injections on
+    doc_id%4 / doc_id%6 append an exact copy of line 1 / paragraph 1
+    so each rule fires on a known subset.  The plan is two explode +
+    groupBy passes over (doc, item) — shuffles on the line/para
+    vocabulary, never doc x doc; at 10^12 docs the group key space is
+    corpus-sized but each group is tiny (the exact shape Spark's
+    hash aggregation partial-combines)."""
+    t = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "filter(split(text, ' '), w -> w != '') AS toks"
+    )
+    b = t.selectExpr(
+        "doc_id",
+        "transform(sequence(0, int((size(toks) - 1) / 5)), "
+        "i -> array_join(slice(toks, i*5+1, 5), ' ')) AS lines0",
+    )
+    lp = b.selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 4 = 0 THEN concat(lines0, "
+        "array(element_at(lines0, 1))) ELSE lines0 END AS lines",
+        "transform(sequence(0, int((size(lines0) - 1) / 2)), "
+        "j -> array_join(slice(lines0, 2*j+1, 2), '\\n')) AS p0",
+    ).selectExpr(
+        "doc_id", "lines",
+        "CASE WHEN doc_id % 6 = 0 THEN concat(p0, "
+        "array(element_at(p0, 1))) ELSE p0 END AS paras",
+    )
+
+    def _stats(col, pfx):
+        e = lp.select("doc_id", F.explode(col).alias("item"))
+        g = e.groupBy("doc_id", "item").agg(F.count("*").alias("cnt"))
+        dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+        dupc = F.when(F.col("cnt") > 1,
+                      F.col("cnt") * F.length("item")).otherwise(0)
+        return g.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"n_{pfx}"),
+            F.sum(dup).alias(f"dup_{pfx}"),
+            F.sum(F.col("cnt") * F.length("item")).alias(f"{pfx}_chars"),
+            F.sum(dupc).alias(f"dup_{pfx}_chars"),
+        )
+
+    lm = _stats("lines", "lines")
+    pm = _stats("paras", "paras")
+    m = lm.join(pm, "doc_id")
+    ok_l = 10 * F.col("dup_lines") <= 3 * F.col("n_lines")
+    ok_lc = 5 * F.col("dup_lines_chars") <= F.col("lines_chars")
+    ok_p = 10 * F.col("dup_paras") <= 3 * F.col("n_paras")
+    ok_pc = 5 * F.col("dup_paras_chars") <= F.col("paras_chars")
+    asb = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    return m.select(
+        "doc_id",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("dup_lines").cast("long").alias("dup_lines"),
+        F.col("dup_lines_chars").cast("long").alias("dup_line_chars"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("dup_paras").cast("long").alias("dup_paras"),
+        F.col("dup_paras_chars").cast("long").alias("dup_para_chars"),
+        asb(ok_l).alias("ok_dup_line"),
+        asb(ok_lc).alias("ok_dup_line_char"),
+        asb(ok_p).alias("ok_dup_para"),
+        asb(ok_pc).alias("ok_dup_para_char"),
+        asb(ok_l & ok_lc & ok_p & ok_pc).alias("keep"),
+    )
+
+
+# --- Gopher repetition rules: top / duplicated n-gram char fractions (q240) ---------
+
+_NGRAM_BODY_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN repeat("
+    "' call now and subscribe to our newsletter today', 2) ELSE '' END"
+)
+
+
+@query(
+    "q240_gopher_ngram_rep",
+    f"""WITH d AS (SELECT doc_id, {_NGRAM_BODY_SQL} AS body FROM documents),
+       t AS (SELECT doc_id,
+                [w for w in string_split(body, ' ') if w <> ''] AS toks
+             FROM d),
+       base AS (SELECT doc_id, toks,
+                   length(array_to_string(toks, ' ')) AS den,
+                   CASE WHEN len(toks) > 128
+                        THEN error('q240 fixture outgrew range bound')
+                        ELSE 1 END AS ok
+                FROM t),
+       nn AS (SELECT unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n),
+       ps AS (SELECT doc_id, n, toks,
+                 unnest([p for p in range(1, 130)
+                         if p + n - 1 <= len(toks)]) AS p
+              FROM base, nn),
+       psg AS (SELECT doc_id, n, p,
+                  array_to_string(toks[p:p+n-1], ' ') AS gram
+               FROM ps),
+       cg AS (SELECT doc_id, n, gram, count(*) AS cnt
+              FROM psg GROUP BY 1, 2, 3),
+       mt AS (SELECT doc_id, n, max(cnt) AS mc FROM cg
+              WHERE n <= 4 GROUP BY 1, 2),
+       tg AS (SELECT c.doc_id, c.n, m.mc, max(c.gram) AS tgram
+              FROM cg c JOIN mt m
+                ON c.doc_id = m.doc_id AND c.n = m.n AND c.cnt = m.mc
+              GROUP BY 1, 2, 3),
+       tnum AS (SELECT doc_id, n, mc * length(tgram) AS num FROM tg),
+       dupg AS (SELECT doc_id, n, gram FROM cg WHERE n >= 5 AND cnt > 1),
+       covp AS (SELECT g.doc_id, g.n, g.p,
+                   unnest([kk for kk in range(0, 10) if kk < g.n]) AS k
+                FROM psg g JOIN dupg u
+                  USING (doc_id, n, gram)),
+       cov AS (SELECT DISTINCT doc_id, n, p + k AS pos FROM covp),
+       tkl AS (SELECT doc_id,
+                  unnest([q for q in range(1, 130)
+                          if q <= len(toks)]) AS pos,
+                  toks
+               FROM base),
+       tk2 AS (SELECT doc_id, pos, length(toks[pos]) AS wl FROM tkl),
+       covc AS (SELECT c.doc_id, c.n, sum(t2.wl) AS num
+                FROM cov c JOIN tk2 t2 USING (doc_id, pos)
+                GROUP BY 1, 2),
+       tp AS (SELECT doc_id,
+                 max(CASE WHEN n = 2 THEN num ELSE 0 END) AS top2_num,
+                 max(CASE WHEN n = 3 THEN num ELSE 0 END) AS top3_num,
+                 max(CASE WHEN n = 4 THEN num ELSE 0 END) AS top4_num
+              FROM tnum GROUP BY 1),
+       dp AS (SELECT doc_id,
+                 max(CASE WHEN n = 5 THEN num ELSE 0 END) AS dup5_num,
+                 max(CASE WHEN n = 6 THEN num ELSE 0 END) AS dup6_num,
+                 max(CASE WHEN n = 7 THEN num ELSE 0 END) AS dup7_num,
+                 max(CASE WHEN n = 8 THEN num ELSE 0 END) AS dup8_num,
+                 max(CASE WHEN n = 9 THEN num ELSE 0 END) AS dup9_num,
+                 max(CASE WHEN n = 10 THEN num ELSE 0 END) AS dup10_num
+              FROM covc GROUP BY 1),
+       fin AS (SELECT b.doc_id, b.den,
+                  coalesce(tp.top2_num, 0) AS top2_num,
+                  coalesce(tp.top3_num, 0) AS top3_num,
+                  coalesce(tp.top4_num, 0) AS top4_num,
+                  coalesce(dp.dup5_num, 0) AS dup5_num,
+                  coalesce(dp.dup6_num, 0) AS dup6_num,
+                  coalesce(dp.dup7_num, 0) AS dup7_num,
+                  coalesce(dp.dup8_num, 0) AS dup8_num,
+                  coalesce(dp.dup9_num, 0) AS dup9_num,
+                  coalesce(dp.dup10_num, 0) AS dup10_num
+               FROM base b
+               LEFT JOIN tp ON b.doc_id = tp.doc_id
+               LEFT JOIN dp ON b.doc_id = dp.doc_id)
+       SELECT doc_id, CAST(den AS BIGINT) AS den,
+              CAST(top2_num AS BIGINT) AS top2_num,
+              CAST(top3_num AS BIGINT) AS top3_num,
+              CAST(top4_num AS BIGINT) AS top4_num,
+              CAST(dup5_num AS BIGINT) AS dup5_num,
+              CAST(dup6_num AS BIGINT) AS dup6_num,
+              CAST(dup7_num AS BIGINT) AS dup7_num,
+              CAST(dup8_num AS BIGINT) AS dup8_num,
+              CAST(dup9_num AS BIGINT) AS dup9_num,
+              CAST(dup10_num AS BIGINT) AS dup10_num,
+              CAST(CASE WHEN top2_num * 5 <= den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_top2,
+              CAST(CASE WHEN top3_num * 50 <= 9 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_top3,
+              CAST(CASE WHEN top4_num * 25 <= 4 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_top4,
+              CAST(CASE WHEN dup5_num * 20 <= 3 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup5,
+              CAST(CASE WHEN dup6_num * 50 <= 7 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup6,
+              CAST(CASE WHEN dup7_num * 100 <= 13 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup7,
+              CAST(CASE WHEN dup8_num * 25 <= 3 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup8,
+              CAST(CASE WHEN dup9_num * 100 <= 11 * den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup9,
+              CAST(CASE WHEN dup10_num * 10 <= den THEN 1 ELSE 0 END
+                   AS BIGINT) AS ok_dup10,
+              CAST(CASE WHEN top2_num * 5 <= den
+                         AND top3_num * 50 <= 9 * den
+                         AND top4_num * 25 <= 4 * den
+                         AND dup5_num * 20 <= 3 * den
+                         AND dup6_num * 50 <= 7 * den
+                         AND dup7_num * 100 <= 13 * den
+                         AND dup8_num * 25 <= 3 * den
+                         AND dup9_num * 100 <= 11 * den
+                         AND dup10_num * 10 <= den
+                   THEN 1 ELSE 0 END AS BIGINT) AS keep
+       FROM fin""",
+)
+def q240(spark, sf_dir):
+    """Gopher repetition rules, n-gram half (Rae et al. 2021
+    arXiv:2112.11446 §A1.1): for n in {2,3,4} the fraction of chars in
+    the MOST FREQUENT n-gram (thresholds 0.20/0.18/0.16); for n in
+    {5..10} the fraction of chars covered by DUPLICATED n-grams,
+    each covered word counted once (interval union by position
+    DISTINCT; thresholds 0.15..0.10).  Spec pins: grams are
+    space-joined token windows, char masses are length(gram) for top
+    and summed token lengths for coverage, most-frequent ties break
+    to the lexicographically largest gram (struct-max — map-side
+    combinable, no window over the gram table).  All 9 thresholds are
+    exact integer cross-multiplications.  Plan: ONE position-exploded
+    gram table for all 9 n values, hash-aggregated on (doc, n, gram)
+    — shuffle on the gram vocabulary, linear in corpus size; the
+    doc_id%5 injection duplicates an 8-word sentence so n=5..8
+    coverage fires on a known subset."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", f"{_NGRAM_BODY_SQL} AS body"
+    )
+    base = d.selectExpr(
+        "doc_id", "filter(split(body, ' '), w -> w != '') AS toks"
+    ).selectExpr("doc_id", "toks", "length(array_join(toks, ' ')) AS den")
+    ps = base.select(
+        "doc_id", "toks",
+        F.explode(F.expr("sequence(2, 10)")).alias("n"),
+    ).filter(F.expr("size(toks) >= n")).selectExpr(
+        "doc_id", "toks", "n",
+        "explode(sequence(1, size(toks) - n + 1)) AS p",
+    )
+    psg = ps.selectExpr(
+        "doc_id", "n", "p", "array_join(slice(toks, p, n), ' ') AS gram"
+    )
+    cg = psg.groupBy("doc_id", "n", "gram").agg(F.count("*").alias("cnt"))
+    tops = (
+        cg.filter("n <= 4")
+        .groupBy("doc_id", "n")
+        .agg(F.max(F.struct("cnt", "gram")).alias("s"))
+        .selectExpr("doc_id", "n", "s.cnt * length(s.gram) AS num")
+    )
+    dupg = cg.filter("n >= 5 AND cnt > 1").select("doc_id", "n", "gram")
+    cov = (
+        psg.join(dupg, ["doc_id", "n", "gram"])
+        .selectExpr("doc_id", "n", "explode(sequence(p, p + n - 1)) AS pos")
+        .distinct()
+    )
+    tk = base.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "w")
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "length(w) AS wl")
+    covc = (
+        cov.join(tk, ["doc_id", "pos"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("wl").alias("num"))
+    )
+
+    def _piv(df, col_of, names):
+        aggs = [
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("num"))), F.lit(0)
+            ).cast("long").alias(f"{col_of}{n}_num")
+            for n in names
+        ]
+        return df.groupBy("doc_id").agg(*aggs)
+
+    tp = _piv(tops, "top", [2, 3, 4])
+    dp = _piv(covc, "dup", [5, 6, 7, 8, 9, 10])
+    fin = (
+        base.select("doc_id", F.col("den").cast("long").alias("den"))
+        .join(tp, "doc_id", "left")
+        .join(dp, "doc_id", "left")
+    )
+    for c in ["top2_num", "top3_num", "top4_num", "dup5_num", "dup6_num",
+              "dup7_num", "dup8_num", "dup9_num", "dup10_num"]:
+        fin = fin.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    thr = {
+        "top2": (5, 1), "top3": (50, 9), "top4": (25, 4),
+        "dup5": (20, 3), "dup6": (50, 7), "dup7": (100, 13),
+        "dup8": (25, 3), "dup9": (100, 11), "dup10": (10, 1),
+    }
+    asb = lambda c: F.when(c, 1).otherwise(0).cast("long")  # noqa: E731
+    oks = {k: F.col(f"{k}_num") * a <= b * F.col("den")
+           for k, (a, b) in thr.items()}
+    keep = None
+    for c in oks.values():
+        keep = c if keep is None else (keep & c)
+    return fin.select(
+        "doc_id", "den",
+        *[F.col(f"{k}_num") for k in thr],
+        *[asb(oks[k]).alias(f"ok_{k}") for k in thr],
+        asb(keep).alias("keep"),
+    )
