@@ -252,6 +252,10 @@ HEADLINE = [
     "q238_exact_substr_dedup",
     "q239_gopher_dup_lines",
     "q240_gopher_ngram_rep",
+    "q241_hits",
+    "q242_boilerplate_lines",
+    "q243_ccnet_lm_buckets",
+    "q244_phrase_search",
 ]
 
 

@@ -11612,3 +11612,326 @@ def q240(spark, sf_dir):
         *[asb(oks[k]).alias(f"ok_{k}") for k in thr],
         asb(keep).alias("keep"),
     )
+
+
+# --- HITS hubs/authorities over the host link graph (q241) --------------------------
+
+_HITS_ROUNDS = 4
+
+
+def _hits_oracle_sql() -> str:
+    ctes = ["""hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+       edges AS (SELECT host AS src, (host + 1) % 40 AS dst FROM hosts
+                 UNION ALL SELECT host, (host * 2 + 7) % 40 FROM hosts
+                 UNION ALL SELECT host, (host * 3 + 11) % 40 FROM hosts),
+       h0 AS (SELECT host, CAST(1 AS BIGINT) AS h FROM hosts)"""]
+    for t in range(1, _HITS_ROUNDS + 1):
+        ctes.append(f"""a{t} AS (SELECT x.host,
+                     CAST(coalesce(s.s, 0) AS BIGINT) AS a
+              FROM hosts x LEFT JOIN
+                   (SELECT e.dst AS host, sum(h.h) AS s
+                    FROM edges e JOIN h{t-1} h ON e.src = h.host
+                    GROUP BY e.dst) s USING (host))""")
+        ctes.append(f"""h{t} AS (SELECT x.host,
+                     CAST(coalesce(s.s, 0) AS BIGINT) AS h
+              FROM hosts x LEFT JOIN
+                   (SELECT e.src AS host, sum(a.a) AS s
+                    FROM edges e JOIN a{t} a ON e.dst = a.host
+                    GROUP BY e.src) s USING (host))""")
+    t = _HITS_ROUNDS
+    return ("WITH " + ",\n       ".join(ctes)
+            + f"""
+       SELECT a{t}.host AS host, a{t}.a AS auth, h{t}.h AS hub
+       FROM a{t} JOIN h{t} ON a{t}.host = h{t}.host""")
+
+
+@query("q241_hits", _hits_oracle_sql())
+def q241(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg 1999) over the q190 host
+    link graph in EXACT INTEGER arithmetic: the textbook mutual
+    recursion a_{t+1}(v) = sum_{u->v} h_t(u), h_{t+1}(u) =
+    sum_{u->v} a_{t+1}(v), run unnormalized for 4 rounds — rank
+    order equals the normalized iteration's (normalization is a
+    per-round positive scalar), and the growth bound (max in/out
+    degree 3)^(2*4) keeps every value far inside BIGINT, so both
+    engines agree bitwise with no float normalization anywhere.
+    Each half-round is one equi-join + one map-side-combinable sum —
+    the same shuffle shape as PageRank; at 10^12 pages the host
+    graph is ~10^8 rows, everything keys on host."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 40).alias("host")).distinct()
+    edges = hosts.select(
+        F.col("host").alias("src"),
+        F.explode(F.array(
+            (F.col("host") + 1) % 40,
+            (F.col("host") * 2 + 7) % 40,
+            (F.col("host") * 3 + 11) % 40,
+        )).alias("dst"),
+    ).localCheckpoint(eager=True)
+    h = hosts.withColumn("h", F.lit(1).cast("long"))
+    for _ in range(_HITS_ROUNDS):
+        a = (
+            hosts.join(
+                edges.join(h, edges.src == h.host)
+                .groupBy("dst").agg(F.sum("h").alias("s")),
+                hosts.host == F.col("dst"), "left")
+            .select(hosts.host,
+                    F.coalesce("s", F.lit(0)).cast("long").alias("a"))
+        )
+        h = (
+            hosts.join(
+                edges.join(a, edges.dst == a.host)
+                .groupBy("src").agg(F.sum("a").alias("s")),
+                hosts.host == F.col("src"), "left")
+            .select(hosts.host,
+                    F.coalesce("s", F.lit(0)).cast("long").alias("h"))
+        )
+    a = a.localCheckpoint(eager=True)
+    h = h.localCheckpoint(eager=True)
+    return a.join(h, "host").select(
+        "host", F.col("a").alias("auth"), F.col("h").alias("hub")
+    )
+
+
+# --- cross-doc boilerplate line removal (q242) ---------------------------------------
+#
+# CCNet (Wenzek et al. 2020, arXiv:1911.00359) strips every line whose
+# exact text recurs across documents (their per-shard line-hash dedup
+# — the pass that kills cookie banners / nav bars / copyright
+# footers).  Spec pinned: a line is boilerplate iff it occurs in >= 2
+# DISTINCT documents; removal drops every occurrence.  Footer
+# injections on doc_id%3 ("all rights reserved contact us") and
+# doc_id%7 ("follow us on social media today") create the cross-doc
+# mass; 5-word content lines never collide across docs in this
+# corpus.
+
+_BOILER_LINES_SQL = """
+    list_concat(
+        [array_to_string(tk[i*5+1:i*5+5], ' ')
+         for i in range(0, 400) if i*5 < len(tk)],
+        CASE WHEN doc_id % 3 = 0
+             THEN ['all rights reserved contact us'] ELSE [] END ||
+        CASE WHEN doc_id % 7 = 0
+             THEN ['follow us on social media today'] ELSE [] END)
+"""
+
+
+@query(
+    "q242_boilerplate_lines",
+    f"""WITH t AS (SELECT doc_id,
+                [w for w in string_split(text, ' ') if w <> ''] AS tk
+             FROM documents),
+       l AS (SELECT doc_id, {_BOILER_LINES_SQL} AS lines FROM t),
+       e AS (SELECT doc_id, unnest(lines) AS line FROM l),
+       v AS (SELECT line, count(DISTINCT doc_id) AS ndocs
+             FROM e GROUP BY line),
+       m AS (SELECT e.doc_id,
+                    count(*) AS n_lines,
+                    sum(CASE WHEN v.ndocs >= 2 THEN 1 ELSE 0 END)
+                        AS removed_lines,
+                    sum(CASE WHEN v.ndocs >= 2 THEN 0
+                        ELSE length(e.line) END) AS kept_chars
+             FROM e JOIN v USING (line) GROUP BY e.doc_id)
+       SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+              CAST(removed_lines AS BIGINT) AS removed_lines,
+              CAST(kept_chars AS BIGINT) AS kept_chars
+       FROM m""",
+)
+def q242(spark, sf_dir):
+    """Cross-document boilerplate line removal (CCNet, arXiv:1911.00359
+    §3.1): every line occurring in >= 2 distinct documents is dropped
+    everywhere — the pass that strips nav bars and copyright footers
+    from 10^12 crawled pages.  Plan: explode lines, groupBy LINE
+    (vocabulary-keyed shuffle with map-side combine — never doc x
+    doc), join the per-line distinct-doc count back, aggregate per
+    doc.  At corpus scale the line vocabulary is the working set,
+    exactly CCNet's sharded-hash design; here the hash is the line
+    itself so both engines agree bitwise."""
+    t = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "filter(split(text, ' '), w -> w != '') AS tk"
+    )
+    lines = t.selectExpr(
+        "doc_id",
+        "concat(transform(sequence(0, int((size(tk) - 1) / 5)), "
+        "i -> array_join(slice(tk, i*5+1, 5), ' ')), "
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN array('all rights reserved contact us') "
+        "ELSE array() END, "
+        "CASE WHEN doc_id % 7 = 0 "
+        "THEN array('follow us on social media today') "
+        "ELSE array() END) AS lines",
+    )
+    e = lines.select("doc_id", F.explode("lines").alias("line"))
+    v = e.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    return (
+        e.join(v, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+            .cast("long").alias("removed_lines"),
+            F.sum(F.when(F.col("ndocs") >= 2, 0)
+                  .otherwise(F.length("line")))
+            .cast("long").alias("kept_chars"),
+        )
+    )
+
+
+# --- CCNet LM-perplexity bucketing, integer surprisal proxy (q243) -------------------
+
+_CCNET_BODY_SQL = (
+    "text || repeat(' xq' || CAST(doc_id % 13 AS STRING), doc_id % 9)"
+)
+
+
+@query(
+    "q243_ccnet_lm_buckets",
+    f"""WITH d AS (SELECT doc_id, lang, {_CCNET_BODY_SQL} AS body
+                FROM documents),
+       t AS (SELECT doc_id, lang,
+                [w for w in string_split(body, ' ') if w <> ''] AS tk
+             FROM d),
+       e AS (SELECT doc_id, lang, unnest(tk) AS w FROM t),
+       ref AS (SELECT w, count(*) AS c FROM e WHERE lang = 'en'
+               GROUP BY w),
+       tot AS (SELECT sum(c) AS T FROM ref),
+       sc AS (SELECT e.doc_id, count(*) AS n,
+                 sum(greatest(0, (length(bin((SELECT T FROM tot))) - 1)
+                     - (length(bin(coalesce(r.c, 0) + 1)) - 1))) AS s
+              FROM e LEFT JOIN ref r ON e.w = r.w
+              GROUP BY e.doc_id)
+       SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+              CAST(s AS BIGINT) AS surprisal,
+              CASE WHEN 20 * s <= 103 * n THEN 'head'
+                   WHEN 100 * s <= 527 * n THEN 'middle'
+                   ELSE 'tail' END AS bucket
+       FROM sc""",
+)
+def q243(spark, sf_dir):
+    """CCNet LM-perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.3) with an INTEGER surprisal proxy: the
+    reference model is the unigram count table of the lang='en' slice
+    (the 'target-domain' corpus standing in for their Wikipedia LM);
+    a token's surprisal is floor(log2 T) - floor(log2 (c+1)) computed
+    as length(bin(x))-1 — pure integer bit-length, bitwise identical
+    across engines, no transcendental log anywhere.  Docs bucket
+    head/middle/tail on the per-token average via cross-multiplied
+    integer thresholds (5.15 / 5.27 bits per token).  Plan: one
+    vocabulary-keyed groupBy to train, one word-keyed join to score
+    (the LM table broadcasts at realistic vocab sizes), one per-doc
+    sum — linear end to end; rare-token injections (doc_id%9 copies
+    of a doc_id%13 token) create the spread the buckets measure."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_CCNET_BODY_SQL} AS body"
+    )
+    e = d.selectExpr(
+        "doc_id", "lang",
+        "explode(filter(split(body, ' '), w -> w != '')) AS w",
+    )
+    ref = e.filter("lang = 'en'").groupBy("w").agg(
+        F.count("*").alias("c")
+    )
+    T = ref.agg(F.sum("c").alias("T"))
+    scored = (
+        e.join(F.broadcast(ref), "w", "left")
+        .crossJoin(F.broadcast(T))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                (F.length(F.expr("bin(T)")) - 1)
+                - (F.length(F.expr("bin(coalesce(c, 0) + 1)")) - 1),
+            ).alias("bits"),
+        )
+    )
+    sc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.sum("bits").alias("s")
+    )
+    return sc.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.col("s").cast("long").alias("surprisal"),
+        F.when(20 * F.col("s") <= 103 * F.col("n"), "head")
+        .when(100 * F.col("s") <= 527 * F.col("n"), "middle")
+        .otherwise("tail").alias("bucket"),
+    )
+
+
+# --- positional inverted index: phrase retrieval (q244) ------------------------------
+
+
+@query(
+    "q244_phrase_search",
+    """WITH t AS (SELECT doc_id,
+                [w for w in string_split(text, ' ') if w <> ''] AS tk
+             FROM documents),
+       tok AS (SELECT doc_id,
+                  unnest([p for p in range(1, 130) if p <= len(tk)]) AS pos,
+                  tk
+               FROM (SELECT doc_id, tk,
+                        CASE WHEN len(tk) > 128
+                             THEN error('q244 fixture outgrew range bound')
+                             ELSE 1 END AS ok FROM t)),
+       tok2 AS (SELECT doc_id, pos, tk[pos] AS w FROM tok),
+       q AS (SELECT doc_id AS qid, tk[1] AS w1, tk[2] AS w2 FROM t
+             WHERE doc_id < 3),
+       hit AS (SELECT q.qid, a.doc_id, a.pos
+               FROM q JOIN tok2 a ON a.w = q.w1
+               JOIN tok2 b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                          AND b.w = q.w2)
+       SELECT q.qid, q.w1, q.w2,
+              CAST(count(DISTINCT h.doc_id) AS BIGINT) AS n_docs,
+              CAST(count(h.doc_id) AS BIGINT) AS n_occ,
+              CAST(min(h.doc_id) AS BIGINT) AS min_doc,
+              CAST(max(h.doc_id) AS BIGINT) AS max_doc
+       FROM q LEFT JOIN hit h ON q.qid = h.qid
+       GROUP BY q.qid, q.w1, q.w2""",
+)
+def q244(spark, sf_dir):
+    """Positional-inverted-index phrase retrieval (the search-engine
+    primitive a crawled-corpus serving stack needs): the corpus
+    explodes once into (doc, pos, word) postings; a phrase query
+    (w1, w2) matches where w1's postings join w2's at pos+1 in the
+    same doc.  Queries derive from the first two tokens of docs 0-2
+    (broadcast to every postings partition — the probe side is tiny,
+    the postings side is the 10^12-doc table sharded by word).  Emits
+    per-query doc frequency, occurrence count, and doc-id range.
+    Plan: selective word filter -> broadcast-joined probe -> one
+    (doc,pos)-keyed equi-join — never a full doc scan per query."""
+    t = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "filter(split(text, ' '), w -> w != '') AS tk"
+    )
+    tok = t.select(
+        "doc_id", F.posexplode("tk").alias("p0", "w")
+    ).selectExpr("doc_id", "p0 + 1 AS pos", "w")
+    q = t.filter("doc_id < 3").selectExpr(
+        "doc_id AS qid", "tk[0] AS w1", "tk[1] AS w2"
+    )
+    a = tok.select("doc_id", "pos", F.col("w").alias("wa"))
+    b = tok.select(
+        F.col("doc_id").alias("doc_b"),
+        (F.col("pos") - 1).alias("pos_b"),
+        F.col("w").alias("wb"),
+    )
+    hit = (
+        F.broadcast(q).join(a, F.col("wa") == F.col("w1"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("pos_b") == F.col("pos"))
+            & (F.col("wb") == F.col("w2")),
+        )
+        .select("qid", "doc_id", "pos")
+    )
+    return (
+        q.join(hit, "qid", "left")
+        .groupBy("qid", "w1", "w2")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count("doc_id").cast("long").alias("n_occ"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
