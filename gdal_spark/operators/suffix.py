@@ -14,16 +14,18 @@ textbook *distributed* suffix-array algorithm:
   component comes from a self-join shifted by the gap, missing
   (suffix shorter than the gap) sorts first as 0;
 - the dense ordinal is computed WITHOUT a single-partition window:
-  distinct keys are range-partitioned, ranked inside each range
-  partition, and offset by the broadcast cumulative partition counts
-  (the DataFrame form of ``zipWithIndex`` — every step is a
-  distributed sort/join, nothing driver-side but the P-row count
-  list);
+  distinct keys are bucketed by a DETERMINISTIC monotone function of
+  the leading (dense) key, ranked inside each bucket, and offset by
+  the broadcast cumulative bucket counts (the DataFrame form of
+  ``zipWithIndex`` — every step is a distributed sort/join, nothing
+  driver-side but the P-row count list; sampled range partitioning
+  is deliberately avoided — its per-execution sampling seed can give
+  two evaluations of one plan different boundaries);
 - rounds stop as soon as ranks are dense-distinct (``max(rank) ==
   n``) — 2^k only has to clear the maximum LCP, not n, so text with
   bounded repeats converges in ~log2(max_dup_len) rounds.
 
-At 10^12 documents every round is one range-partitioned sort plus one
+At 10^12 documents every round is one bucketed sort plus one
 equi-join on position — the same shuffle shape as a TeraSort, which
 is exactly the workload Spark's shuffle is built for.  No step holds
 the corpus on one node; the corpus itself is a (pos, ch) table
@@ -85,14 +87,21 @@ def corpus_chars(docs: DataFrame, id_col: str = "doc_id",
 
 
 def _dense_ordinals(keys: DataFrame, cols: list[str],
-                    out_col: str, parts: int) -> DataFrame:
+                    out_col: str, bucket, parts: int):
     """Assign 1..K dense ordinals to the DISTINCT rows of ``keys``
-    ordered by ``cols``, without a single-partition window: range
-    partition, rank within partition, add broadcast cumulative
-    partition counts (range partitioning guarantees inter-partition
-    order, so offsets compose globally)."""
-    k = keys.select(*cols).distinct().repartitionByRange(parts, *cols)
-    k = k.withColumn("_pid", F.spark_partition_id())
+    ordered by ``cols``, without a single-partition window: bucket by
+    a DETERMINISTIC monotone function of the leading key (``bucket``,
+    a Column in [0, parts)), rank inside each bucket, add broadcast
+    cumulative bucket counts.  Monotone value-derived buckets replace
+    ``repartitionByRange`` on purpose: range partitioning SAMPLES with
+    a per-execution seed, so two evaluations of the same plan can pick
+    different boundaries — the counts collected in one job would then
+    disagree with the partitions of the next (observed as corrupted
+    ranks).  Returns ``(ordinals, K)`` — K (the distinct-key count)
+    falls out of the same P-row collect, so callers get the
+    convergence signal for free."""
+    k = keys.select(*cols).distinct().withColumn(
+        "_pid", bucket.cast("int"))
     wk = Window.partitionBy("_pid").orderBy(*cols)
     k = k.withColumn("_rn", F.row_number().over(wk))
     cnt = {r["_pid"]: r["c"]
@@ -102,10 +111,11 @@ def _dense_ordinals(keys: DataFrame, cols: list[str],
         offs.append((pid, run))
         run += cnt[pid]
     odf = keys.sparkSession.createDataFrame(offs, "_pid INT, _off BIGINT")
-    return (
+    out = (
         k.join(F.broadcast(odf), "_pid")
         .select(*cols, (F.col("_off") + F.col("_rn")).alias(out_col))
     )
+    return out, run
 
 
 def suffix_array(chars: DataFrame, n: int, parts: int = 32,
@@ -119,19 +129,23 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
     ranks (the sieve-absorption precedent: truncation must never be
     silent).
     """
-    r = _dense_ordinals(
+    # tiny inputs are driver-latency-bound: don't fan 32 near-empty
+    # tasks per round (CLAUDE.md round-2 invariant)
+    parts = max(2, min(parts, n // 512 + 1))
+    ords, k = _dense_ordinals(
         chars.select(F.col("pos"), F.ascii("ch").alias("c0")),
-        ["c0"], "rnk", parts,
+        ["c0"], "rnk",
+        F.floor(F.col("c0") * parts / 256), parts,
     )
     r = (
         chars.select("pos", F.ascii("ch").alias("c0"))
-        .join(r, "c0")
+        .join(ords, "c0")
         .select("pos", "rnk")
         .localCheckpoint(eager=True)
     )
     gap = 1
     for _ in range(max_rounds):
-        if r.agg(F.max("rnk")).collect()[0][0] == n:
+        if k == n:
             return r
         shifted = r.select((F.col("pos") - gap).alias("pos"),
                            F.col("rnk").alias("rnk2"))
@@ -139,7 +153,13 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
             r.join(shifted, "pos", "left")
             .select("pos", "rnk", F.coalesce("rnk2", F.lit(0)).alias("rnk2"))
         )
-        ords = _dense_ordinals(j, ["rnk", "rnk2"], "newrnk", parts)
+        # ranks are dense in [1, k]: bucket deterministically on the
+        # leading key — monotone, so bucket order == key order
+        ords, k2 = _dense_ordinals(
+            j, ["rnk", "rnk2"], "newrnk",
+            F.floor((F.col("rnk") - 1) * parts / k), parts,
+        )
+        k = k2
         nxt = (
             j.join(ords, ["rnk", "rnk2"])
             .select("pos", F.col("newrnk").alias("rnk"))
@@ -148,6 +168,8 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
         r.unpersist()
         r = nxt
         gap *= 2
+    if k == n:  # converged exactly on the last allowed round
+        return r
     raise RuntimeError(
         f"suffix_array did not reach dense ranks in {max_rounds} "
         f"doubling rounds (gap={gap}) — max LCP exceeds 2^{max_rounds}?"

@@ -11135,7 +11135,9 @@ def _sa_fixture(spark, sf_dir):
     from gdal_spark.operators.suffix import corpus_chars
 
     chars, offsets = corpus_chars(docs)
-    chars = chars.localCheckpoint(eager=True)
+    # bounded fixture: 32 near-empty tasks/round is pure scheduler
+    # overhead (CLAUDE.md round-2 invariant) — coalesce first
+    chars = chars.coalesce(4).localCheckpoint(eager=True)
     n = chars.count()
     return chars, offsets, n
 
