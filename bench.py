@@ -256,6 +256,9 @@ HEADLINE = [
     "q242_boilerplate_lines",
     "q243_ccnet_lm_buckets",
     "q244_phrase_search",
+    "q245_dem_hillshade_multidirectional",
+    "q246_dem_hillshade_igor",
+    "q247_dem_hillshade_combined",
 ]
 
 

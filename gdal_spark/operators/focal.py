@@ -631,8 +631,9 @@ def hillshade_tiles(
     azimuth: float = 315.0,
     altitude: float = 45.0,
 ) -> DataFrame:
-    """gdaldem hillshade, Horn derivatives, ZEVENBERGEN off, no
-    combined/multidirectional (apps/gdaldem_lib.cpp:882-896, 1030-1036):
+    """gdaldem hillshade, Horn derivatives, ZEVENBERGEN off
+    (apps/gdaldem_lib.cpp:882-896, 1030-1036; combined/multidirectional/
+    igor live in hillshade_multidirectional_tiles + queries q245-q247):
 
         cang·254 = (254·sinα − (q·254·cosAz·cosα − p·254·sinAz·cosα))
                    / sqrt(1 + p² + q²)
@@ -686,6 +687,132 @@ def hillshade_sql_consts(azimuth: float = 315.0, altitude: float = 45.0):
     c2 = 254.0 * math.cos(math.radians(azimuth)) * math.cos(math.radians(altitude))
     c3 = 254.0 * math.sin(math.radians(azimuth)) * math.cos(math.radians(altitude))
     return repr(c1), repr(c2), repr(c3)
+
+
+def hillshade_multidirectional_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+    altitude: float = 45.0,
+) -> DataFrame:
+    """gdaldem hillshade -multidirectional (USGS OF 92-422; the
+    reference's GDALHillshadeMultiDirectionalAlg,
+    apps/gdaldem_lib.cpp:1259-1315): the weighted blend of shades from
+    azimuths 225/270/315/360 where the weights sin^2(aspect - az)
+    reduce to RATIONAL functions of the Horn gradients — so the whole
+    pixel function is +,-,*,/ and one IEEE sqrt, mirrorable bitwise.
+    Spec pinned float64 with z=1, unit resolution (yres -1), Horn:
+    x = -8p, y = -8q with p,q the repo's /8 Horn derivatives; the trig
+    constants are evaluated once and inlined verbatim in the oracle."""
+    import math
+
+    s127, c225, cz, sqz = hillshade_md_consts_values(altitude)
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c = slice(1, 1 + ts)
+        lo = slice(0, ts)
+        hi = slice(2, 2 + ts)
+        p = (
+            (z[lo, hi] + 2.0 * z[c, hi] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[c, lo] + z[hi, lo])
+        ) / 8.0
+        q = (
+            (z[hi, lo] + 2.0 * z[hi, c] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[lo, c] + z[lo, hi])
+        ) / 8.0
+        x = -8.0 * p
+        y = -8.0 * q
+        xx = x * x
+        yy = y * y
+        xxyy = xx + yy
+        v225 = s127 + (x - y) * c225
+        v225 = np.where(v225 <= 0.0, 0.0, v225)
+        v270 = s127 - x * cz
+        v270 = np.where(v270 <= 0.0, 0.0, v270)
+        v315 = s127 + (x + y) * c225
+        v315 = np.where(v315 <= 0.0, 0.0, v315)
+        v360 = s127 - y * cz
+        v360 = np.where(v360 <= 0.0, 0.0, v360)
+        w225 = 0.5 * xxyy - x * y
+        w315 = xxyy - w225
+        num = (w225 * v225 + xx * v270 + w315 * v315 + yy * v360)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cang = 1.0 + (num / xxyy) / np.sqrt(1.0 + sqz * xxyy)
+        return np.where(xxyy == 0.0, 1.0 + 2.0 * s127, cang)
+
+    out = _apply_focal(tiles, tile_size, 1, ntx, nty, kern)
+    return out.filter(
+        (F.col("gx") > 0)
+        & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0)
+        & (F.col("gy") < height - 1)
+    )
+
+
+def horn_pq_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """The exact dyadic Horn /8 derivatives as a (gx, gy, p, q)
+    DataFrame (interior pixels only) — the shared front end for the
+    transcendental hillshade variants (igor/combined), whose atan/
+    acos then run as JVM Columns so the engine and the SQL oracle
+    call the same class of libm (the NumPy vectorized routines
+    diverge from DuckDB's scalar libm ~30x more often)."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern_p(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c, lo, hi = slice(1, 1 + ts), slice(0, ts), slice(2, 2 + ts)
+        return (
+            (z[lo, hi] + 2.0 * z[c, hi] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[c, lo] + z[hi, lo])
+        ) / 8.0
+
+    def kern_q(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c, lo, hi = slice(1, 1 + ts), slice(0, ts), slice(2, 2 + ts)
+        return (
+            (z[hi, lo] + 2.0 * z[hi, c] + z[hi, hi])
+            - (z[lo, lo] + 2.0 * z[lo, c] + z[lo, hi])
+        ) / 8.0
+
+    keep_all = lambda res: np.ones_like(res, dtype=bool)  # noqa: E731
+    p = _apply_focal(tiles, tile_size, 1, ntx, nty, kern_p, keep=keep_all)
+    q = _apply_focal(tiles, tile_size, 1, ntx, nty, kern_q, keep=keep_all)
+    interior = (
+        (F.col("gx") > 0) & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < height - 1)
+    )
+    return (
+        p.filter(interior).withColumnRenamed("v", "p")
+        .join(q.filter(interior).withColumnRenamed("v", "q"), ["gx", "gy"])
+    )
+
+
+def hillshade_md_consts_values(altitude: float = 45.0):
+    """The multidirectional constants (float64): s127 = 127 sin(alt),
+    c225 = cos(225 deg) * cos(alt)/8 * 127, cz = 127 cos(alt)/8,
+    sqz = (1/8)^2."""
+    import math
+
+    z_factor = 1.0 / 8.0
+    cos_alt_mul_z = math.cos(math.radians(altitude)) * z_factor
+    s127 = 127.0 * math.sin(math.radians(altitude))
+    c225 = math.cos(math.radians(225.0)) * cos_alt_mul_z * 127.0
+    cz = 127.0 * cos_alt_mul_z
+    sqz = z_factor * z_factor
+    return s127, c225, cz, sqz
 
 
 def color_relief_tiles(

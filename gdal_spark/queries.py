@@ -11937,3 +11937,160 @@ def q244(spark, sf_dir):
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+# --- gdaldem hillshade -multidirectional (q245) --------------------------------------
+
+from gdal_spark.operators.focal import (  # noqa: E402
+    hillshade_md_consts_values as _hsmd_consts,
+)
+
+_MD_S, _MD_C225, _MD_CZ, _MD_SQZ = (repr(v) for v in _hsmd_consts())
+
+
+@query(
+    "q245_dem_hillshade_multidirectional",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g),
+       xy AS (SELECT gx, gy, -8.0 * p AS x, -8.0 * q AS y FROM pq),
+       w AS (SELECT gx, gy, x, y, x*x AS xx, y*y AS yy, x*x + y*y AS xxyy
+             FROM xy),
+       v AS (SELECT gx, gy, x, y, xx, yy, xxyy,
+                CASE WHEN {_MD_S} + (x - y) * {_MD_C225} <= 0 THEN 0.0
+                     ELSE {_MD_S} + (x - y) * {_MD_C225} END AS v225,
+                CASE WHEN {_MD_S} - x * {_MD_CZ} <= 0 THEN 0.0
+                     ELSE {_MD_S} - x * {_MD_CZ} END AS v270,
+                CASE WHEN {_MD_S} + (x + y) * {_MD_C225} <= 0 THEN 0.0
+                     ELSE {_MD_S} + (x + y) * {_MD_C225} END AS v315,
+                CASE WHEN {_MD_S} - y * {_MD_CZ} <= 0 THEN 0.0
+                     ELSE {_MD_S} - y * {_MD_CZ} END AS v360
+             FROM w),
+       h AS (SELECT gx, gy,
+                CASE WHEN xxyy = 0.0 THEN 1.0 + 2.0 * {_MD_S}
+                     ELSE 1.0 + ((((0.5 * xxyy - x * y) * v225 + xx * v270
+                          + (xxyy - (0.5 * xxyy - x * y)) * v315
+                          + yy * v360)) / xxyy)
+                          / sqrt(1.0 + {_MD_SQZ} * xxyy) END AS shade
+             FROM v)
+       SELECT gx, gy, round(shade, 6) AS shade FROM h""",
+)
+def q245(spark, sf_dir):
+    """gdaldem hillshade -multidirectional (USGS OF 92-422;
+    apps/gdaldem_lib.cpp:1259-1315 GDALHillshadeMultiDirectionalAlg):
+    the 225/270/315/360-azimuth blend whose weights
+    sin^2(aspect - az) reduce to RATIONAL functions of the Horn
+    gradients (w225 = 0.5(x^2+y^2) - xy, w270 = x^2, w315 = rest,
+    w360 = y^2) — so the whole pixel function is arithmetic plus one
+    IEEE sqrt, and with the trig constants inlined verbatim both
+    engines evaluate the identical float64 tree.  Closes the
+    round-3 'no multidirectional' hillshade gap."""
+    from gdal_spark.operators.focal import hillshade_multidirectional_tiles
+
+    out = hillshade_multidirectional_tiles(
+        _dem_tiles(spark), DEM_TILE, DEM_W, DEM_H
+    )
+    return out.select("gx", "gy", F.round(F.col("v"), 6).alias("shade"))
+
+
+# --- gdaldem hillshade -igor / -combined (q246-q247) ---------------------------------
+#
+# Both modes are atan/acos-bearing (no rational reduction exists), so
+# the transcendentals run as JVM Columns against DuckDB's libm — the
+# two agree bitwise on ~97% of arguments and differ by 1 ulp on the
+# rest; outputs round to 3 decimals IN the query on both sides and
+# tests/test_hillshade_modes.py asserts every fixture pixel's distance
+# to the nearest rounding boundary exceeds 1e-6 (>= 10^9 ulps), so a
+# last-ulp libm disagreement can never flip a rounded value.  Exact
+# dyadic Horn p/q come from the halo kernel (operators/focal.py::
+# horn_pq_tiles).
+
+import math as _math  # noqa: E402
+
+_IG_R2D = repr(180.0 / _math.pi)
+_IG_I90 = repr(1.0 / 90.0)
+_IG_IPI = repr(1.0 / _math.pi)
+_IG_PI = repr(_math.pi)
+_IG_2PI = repr(2.0 * _math.pi)
+# NormalizeAngle(1.5*pi - az, 2*pi) for az = 315 deg
+_IG_TGT = repr((1.5 * _math.pi - _math.radians(315.0)) % (2.0 * _math.pi))
+_CB_SA = repr(_math.sin(_math.radians(45.0)))
+_CB_CAZ = repr(_math.cos(_math.radians(315.0))
+               * _math.cos(_math.radians(45.0)) / 8.0)
+_CB_SAZ = repr(_math.sin(_math.radians(315.0))
+               * _math.cos(_math.radians(45.0)) / 8.0)
+_CB_IHP = repr(1.0 / ((_math.pi * _math.pi) / 4.0))
+
+
+def _igor_shade_sql(p: str, q: str) -> str:
+    """The Igor expression over exact p, q — shared verbatim by the
+    Spark Column (via expr) and the DuckDB oracle."""
+    asp = f"atan2({q}, -{p})"
+    nrm = f"(CASE WHEN {asp} < 0.0 THEN ({asp} % {_IG_2PI}) + {_IG_2PI} " \
+          f"ELSE ({asp} % {_IG_2PI}) END)"
+    dif = f"abs({nrm} - {_IG_TGT})"
+    dif2 = f"(CASE WHEN {dif} > {_IG_PI} THEN {_IG_2PI} - {dif} " \
+           f"ELSE {dif} END)"
+    slope = f"(atan(sqrt({p}*{p} + {q}*{q})) * {_IG_R2D}) * {_IG_I90}"
+    return (f"255.0 * (1.0 - ({slope}) * (1.0 - {dif2} * {_IG_IPI}))")
+
+
+def _combined_shade_sql(p: str, q: str) -> str:
+    """The combined-mode expression over exact p, q (x = -8p, y = -8q
+    per the reference's Horn sign convention, z factors folded)."""
+    x, y = f"(-8.0 * {p})", f"(-8.0 * {q})"
+    slope = f"(({x}*{x} + {y}*{y}) * 0.015625)"
+    cang = (f"acos(({_CB_SA} - ({y} * {_CB_CAZ} - {x} * {_CB_SAZ})) "
+            f"/ sqrt(1.0 + {slope}))")
+    c2 = f"(1.0 - {cang} * atan(sqrt({slope})) * {_CB_IHP})"
+    return (f"(CASE WHEN {c2} <= 0.0 THEN 1.0 "
+            f"ELSE 1.0 + 254.0 * {c2} END)")
+
+
+@query(
+    "q246_dem_hillshade_igor",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g)
+       SELECT gx, gy, round({_igor_shade_sql('p', 'q')}, 3) AS shade
+       FROM pq""",
+)
+def q246(spark, sf_dir):
+    """gdaldem hillshade -igor (Igor Evdokimov's shading;
+    apps/gdaldem_lib.cpp:947-1012 GDALHillshadeIgorAlg, Horn, az 315):
+    shadowness = slopeStrength * aspectStrength with slope via
+    atan(|grad|) and the aspect penalty via the normalized angular
+    distance to (3pi/2 - az).  Spec pinned float64 over the exact /8
+    Horn derivatives (z=1, unit res — so atan(sqrt(key)*z/8) with
+    key=64(p^2+q^2) reduces exactly to atan(sqrt(p^2+q^2)) by dyadic
+    scaling); the SAME expression string is compiled by both engines,
+    and the rounding-margin pytest makes 1-ulp libm drift harmless."""
+    from gdal_spark.operators.focal import horn_pq_tiles
+
+    pq = horn_pq_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return pq.select(
+        "gx", "gy",
+        F.round(F.expr(_igor_shade_sql("p", "q")), 3).alias("shade"),
+    )
+
+
+@query(
+    "q247_dem_hillshade_combined",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g)
+       SELECT gx, gy, round({_combined_shade_sql('p', 'q')}, 3) AS shade
+       FROM pq""",
+)
+def q247(spark, sf_dir):
+    """gdaldem hillshade -combined (apps/gdaldem_lib.cpp:1151-1186
+    GDALHillshadeCombinedAlg, Horn, az 315 / alt 45): the oblique
+    shade angle acos(cang) damped by atan(sqrt(slope)) * 4/pi^2 —
+    shade and slope multiply so flat ground stays bright regardless
+    of azimuth.  Same exact-p/q + shared-expression + rounding-margin
+    strategy as q246; constants folded with z_factor=1/8 exactly as
+    GDALCreateHillshadeData does and inlined verbatim."""
+    from gdal_spark.operators.focal import horn_pq_tiles
+
+    pq = horn_pq_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return pq.select(
+        "gx", "gy",
+        F.round(F.expr(_combined_shade_sql("p", "q")), 3).alias("shade"),
+    )
