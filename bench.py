@@ -259,6 +259,9 @@ HEADLINE = [
     "q245_dem_hillshade_multidirectional",
     "q246_dem_hillshade_igor",
     "q247_dem_hillshade_combined",
+    "q248_hist_match",
+    "q249_unigram_viterbi",
+    "q250_minhash_eval",
 ]
 
 

@@ -12094,3 +12094,309 @@ def q247(spark, sf_dir):
         "gx", "gy",
         F.round(F.expr(_combined_shade_sql("p", "q")), 3).alias("shade"),
     )
+
+
+# --- raster histogram matching / quantile mapping (q248) -----------------------------
+
+
+@query(
+    "q248_hist_match",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       src AS (SELECT gx, gy,
+                  CAST((gx*7 + gy*13) % 97 + (gx*gx) % 23 AS BIGINT) AS v
+               FROM g),
+       ref AS (SELECT gx, gy,
+                  CAST((gx*11 + gy*5) % 89 + (gy*gy) % 31 AS BIGINT) AS v
+               FROM g),
+       hs AS (SELECT v, count(*) AS c FROM src GROUP BY v),
+       cs AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hs),
+       hr AS (SELECT v, count(*) AS c FROM ref GROUP BY v),
+       cr AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM hr),
+       ns AS (SELECT CAST(128*128 AS BIGINT) AS nsrc,
+                     CAST(128*128 AS BIGINT) AS nref),
+       lut AS (SELECT cs.v, min(cr.v) AS t
+               FROM cs, cr, ns
+               WHERE cr.cum * ns.nsrc >= cs.cum * ns.nref
+               GROUP BY cs.v)
+       SELECT l.v, CAST(l.t AS BIGINT) AS t,
+              CAST(h.c AS BIGINT) AS n_px
+       FROM lut l JOIN hs h USING (v)""",
+)
+def q248(spark, sf_dir):
+    """Histogram matching (quantile mapping): remap every source pixel
+    value v to the smallest reference value t whose reference CDF
+    reaches the source CDF at v — the radiometric-normalization step
+    a mosaic pipeline runs before compositing scenes (the reference's
+    gdalenhance histogram machinery, apps/gdalenhance.cpp, generalized
+    from equalize-to-uniform to equalize-to-REFERENCE).  The CDF
+    comparison is exact integer cross-multiplication
+    (cumR(t)*Nsrc >= cumS(v)*Nref — no division, engine-identical);
+    both CDFs live on the VALUE domain (byte-bounded at any raster
+    size), so the LUT build is a ~256x256 broadcast join and the
+    apply is one broadcast LUT join per pixel, the q214/q163
+    pattern."""
+    g = spark.range(128).select(F.col("id").alias("gx")).crossJoin(
+        spark.range(128).select(F.col("id").alias("gy")))
+    src = g.select(
+        "gx", "gy",
+        ((F.col("gx") * 7 + F.col("gy") * 13) % 97
+         + (F.col("gx") * F.col("gx")) % 23).cast("long").alias("v"),
+    )
+    ref = g.select(
+        "gx", "gy",
+        ((F.col("gx") * 11 + F.col("gy") * 5) % 89
+         + (F.col("gy") * F.col("gy")) % 31).cast("long").alias("v"),
+    )
+    hs = src.groupBy("v").agg(F.count("*").alias("c"))
+    cs = hs.withColumn("cum", F.sum("c").over(Window.orderBy("v")))
+    hr = ref.groupBy("v").agg(F.count("*").alias("c"))
+    cr = hr.withColumn("cum", F.sum("c").over(Window.orderBy("v")))
+    n = F.lit(128 * 128).cast("long")
+    lut = (
+        cs.select(F.col("v"), F.col("cum").alias("cums"))
+        .crossJoin(F.broadcast(
+            cr.select(F.col("v").alias("t"), F.col("cum").alias("cumr"))))
+        .filter(F.col("cumr") * n >= F.col("cums") * n)
+        .groupBy("v")
+        .agg(F.min("t").alias("t"))
+    )
+    return (
+        lut.join(hs, "v")
+        .select("v", F.col("t").cast("long").alias("t"),
+                F.col("c").cast("long").alias("n_px"))
+    )
+
+
+# --- unigram-LM Viterbi tokenizer apply, integer costs (q249) ------------------------
+#
+# SentencePiece's unigram model (Kudo 2018, arXiv:1804.10959) segments
+# each word by minimum total piece cost.  Costs here are the q243
+# integer surprisal proxy (bitlen(T) - bitlen(c), pure bin()-length —
+# no float log), and the DP minimizes the single integer
+# dist = cost*64 + n_pieces, which encodes (total cost, piece count)
+# lexicographically exactly (n_pieces <= 8 < 64) — so the tie rule
+# "fewest pieces among minimum-cost segmentations" is one min().
+# Vocabulary: every 1-char piece plus all 2..4-char substrings with
+# corpus-weighted occurrence count >= 50.
+
+_VIT_MAXL = 8  # max corpus word length; guarded in both engines
+
+
+def _viterbi_oracle_sql() -> str:
+    ctes = ["""v AS (SELECT word, count(*) AS cnt FROM
+                 (SELECT unnest([x for x in string_split(text, ' ')
+                                 if x <> '']) AS word FROM documents)
+               GROUP BY word),
+       guard AS (SELECT CASE WHEN max(length(word)) > 8
+                      THEN error('q249 word outgrew DP depth')
+                      ELSE 1 END AS ok FROM v),
+       occ AS (SELECT word, cnt,
+                  unnest([i for i in range(1, 9)
+                          if i <= length(word)]) AS i
+               FROM v),
+       occ2 AS (SELECT word, cnt, i,
+                   unnest([l for l in range(1, 5)
+                           if i + l - 1 <= length(word)]) AS l
+                FROM occ),
+       pc AS (SELECT substr(word, i, l) AS piece, sum(cnt) AS c
+              FROM occ2 GROUP BY 1),
+       kept AS (SELECT piece, c FROM pc
+                WHERE length(piece) = 1 OR c >= 50),
+       tot AS (SELECT sum(c) AS T FROM kept),
+       edges AS (SELECT o.word, o.i - 1 AS i, o.i - 1 + o.l AS j,
+                    (length(bin((SELECT T FROM tot)))
+                     - length(bin(k.c))) * 64 + 1 AS we
+                 FROM occ2 o JOIN kept k ON substr(o.word, o.i, o.l) = k.piece),
+       b0 AS (SELECT word, CAST(0 AS BIGINT) AS dist FROM v, guard)"""]
+    for j in range(1, _VIT_MAXL + 1):
+        srcs = " UNION ALL ".join(
+            f"SELECT b.word, b.dist + e.we AS d FROM b{i} b "
+            f"JOIN edges e ON e.word = b.word AND e.i = {i} AND e.j = {j}"
+            for i in range(max(0, j - 4), j)
+        )
+        ctes.append(f"b{j} AS (SELECT word, min(d) AS dist FROM ({srcs}) "
+                    f"GROUP BY word)")
+    alls = " UNION ALL ".join(
+        f"SELECT word, {j} AS pos, dist FROM b{j}"
+        for j in range(1, _VIT_MAXL + 1)
+    )
+    ctes.append(f"fin AS ({alls})")
+    return ("WITH " + ",\n       ".join(ctes) + """
+       SELECT v.word, CAST(v.cnt AS BIGINT) AS cnt,
+              CAST(f.dist // 64 AS BIGINT) AS tok_cost,
+              CAST(f.dist % 64 AS BIGINT) AS n_pieces
+       FROM v JOIN fin f ON f.word = v.word AND f.pos = length(v.word)""")
+
+
+@query("q249_unigram_viterbi", _viterbi_oracle_sql())
+def q249(spark, sf_dir):
+    """Unigram-LM tokenizer APPLY (SentencePiece, arXiv:1804.10959):
+    Viterbi-segment every vocabulary word by minimum total piece cost
+    over the corpus-trained piece table.  Costs are the integer
+    surprisal proxy (bin()-length, q243 pattern); the DP distance
+    cost*64 + n_pieces makes 'fewest pieces among cheapest' a single
+    integer min.  Working set is the WORD VOCABULARY (the q231 BPE
+    insight — re-tokenizing 10^12 docs afterwards is a broadcast
+    word->segmentation map join); the DP itself is <=8 rounds of
+    edge-relaxation joins over (word, position) with per-round lazy
+    checkpoints bounding the Catalyst tree (each b[j] is referenced
+    by up to 4 later rounds — unbounded that is a 4^L plan tree, the
+    median-cut invariant)."""
+    from gdal_spark.operators.bpe import word_vocab
+
+    v = word_vocab(_t(spark, sf_dir, "documents")).select("word", "cnt")
+    v = v.localCheckpoint(eager=True)
+    maxl = v.agg(F.max(F.length("word"))).collect()[0][0]
+    if maxl > _VIT_MAXL:
+        raise RuntimeError(f"q249 word length {maxl} outgrew DP depth")
+    occ2 = v.selectExpr(
+        "word", "cnt",
+        "explode(sequence(1, length(word))) AS i",
+    ).selectExpr(
+        "word", "cnt", "i",
+        "explode(sequence(1, least(4, length(word) - i + 1))) AS l",
+    )
+    pc = occ2.selectExpr("substring(word, i, l) AS piece", "cnt").groupBy(
+        "piece").agg(F.sum("cnt").alias("c"))
+    kept = pc.filter("length(piece) = 1 OR c >= 50")
+    T = kept.agg(F.sum("c").alias("T"))
+    edges = (
+        occ2.selectExpr("word", "i - 1 AS i", "i - 1 + l AS j",
+                        "substring(word, i, l) AS piece")
+        .join(F.broadcast(kept), "piece")
+        .crossJoin(F.broadcast(T))
+        .selectExpr(
+            "word", "i", "j",
+            "(length(bin(T)) - length(bin(c))) * 64 + 1 AS we",
+        )
+        .localCheckpoint(eager=True)
+    )
+    b = {0: v.select("word", F.lit(0).cast("long").alias("dist"))}
+    for j in range(1, _VIT_MAXL + 1):
+        srcs = None
+        for i in range(max(0, j - 4), j):
+            e = edges.filter((F.col("i") == i) & (F.col("j") == j))
+            s = b[i].join(e, "word").select(
+                "word", (F.col("dist") + F.col("we")).alias("d"))
+            srcs = s if srcs is None else srcs.unionAll(s)
+        b[j] = (
+            srcs.groupBy("word").agg(F.min("d").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    fin = None
+    for j in range(1, _VIT_MAXL + 1):
+        s = b[j].select("word", F.lit(j).alias("pos"), "dist")
+        fin = s if fin is None else fin.unionAll(s)
+    return (
+        v.join(fin, (v.word == fin.word)
+               & (fin.pos == F.length(v.word)))
+        .select(
+            v.word.alias("word"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.floor(F.col("dist") / 64).cast("long").alias("tok_cost"),
+            (F.col("dist") % 64).cast("long").alias("n_pieces"),
+        )
+    )
+
+
+# --- MinHash LSH candidate quality: precision/recall eval (q250) ---------------------
+
+_MH_EVAL_CTE = f"""d AS (SELECT doc_id, text FROM ({DOCS_WITH_DUPS_SQL})
+                WHERE doc_id % 3 = 0),
+       tk AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM d),
+       toks AS (SELECT DISTINCT doc_id, tok FROM (
+           SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                         i -> array_to_string(list_slice(toks, i, i + 2),
+                                              ' '))) AS tok
+           FROM tk)),
+       sigs AS (SELECT doc_id,
+                min(md5(tok || 's0')) AS sig0, min(md5(tok || 's1')) AS sig1,
+                min(md5(tok || 's2')) AS sig2, min(md5(tok || 's3')) AS sig3,
+                min(md5(tok || 's4')) AS sig4, min(md5(tok || 's5')) AS sig5,
+                min(md5(tok || 's6')) AS sig6, min(md5(tok || 's7')) AS sig7
+                FROM toks GROUP BY doc_id),
+       buckets AS (
+         SELECT doc_id, 0 AS band,
+                md5(sig0 || sig1 || sig2 || sig3) AS bucket FROM sigs
+         UNION ALL
+         SELECT doc_id, 1 AS band,
+                md5(sig4 || sig5 || sig6 || sig7) AS bucket FROM sigs),
+       cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+                FROM buckets l JOIN buckets r USING (band, bucket)
+                WHERE l.doc_id < r.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+       inter AS (SELECT ta.doc_id AS a, tb.doc_id AS b, count(*) AS inter
+                 FROM toks ta JOIN toks tb
+                   ON tb.tok = ta.tok AND ta.doc_id < tb.doc_id
+                 GROUP BY 1, 2),
+       truth AS (SELECT i.a, i.b FROM inter i
+                 JOIN sizes sa ON sa.doc_id = i.a
+                 JOIN sizes sb ON sb.doc_id = i.b
+                 WHERE 2 * i.inter >= sa.n + sb.n - i.inter)"""
+
+
+@query(
+    "q250_minhash_eval",
+    f"""WITH {_MH_EVAL_CTE}
+       SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+              CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+              CAST((SELECT count(*) FROM cand c JOIN truth t
+                    ON c.a = t.a AND c.b = t.b) AS BIGINT) AS n_hit""",
+)
+def q250(spark, sf_dir):
+    """MinHash-LSH candidate QUALITY measurement (the methodology
+    query a 10^12-doc dedup rollout runs before committing to band
+    parameters, q139's recall@5 pattern applied to q18's banding):
+    ground truth = all pairs with exact word-bigram Jaccard >= 0.5
+    (via the shared-token inverted index — 2*inter >= union in exact
+    integers, no division), candidates = the raw 2-band minhash
+    bucket pairs BEFORE verification.  Emits (n_truth, n_cand,
+    n_hit): recall = hit/truth, precision = hit/cand.  Truth
+    generation shuffles on the token vocabulary, candidates on
+    bucket hashes — both linear; the doc_id%3 slice bounds the
+    fixture, not the operator."""
+    d = _docs_with_dups(spark, sf_dir).filter("doc_id % 3 = 0")
+    toks = d.selectExpr(
+        "doc_id",
+        "explode(array_distinct(transform("
+        "sequence(1, greatest(size(filter(split(text, ' '), x -> x != '')) - 2, 1)), "
+        "i -> array_join(slice(filter(split(text, ' '), x -> x != ''), i, 3), ' ')"
+        "))) AS tok",
+    ).distinct()
+    sigs = toks.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.col("tok"), F.lit(f"s{i}")))).alias(f"sig{i}")
+          for i in range(8)]
+    )
+    b0 = sigs.select(
+        "doc_id", F.lit(0).alias("band"),
+        F.md5(F.concat("sig0", "sig1", "sig2", "sig3")).alias("bucket"))
+    b1 = sigs.select(
+        "doc_id", F.lit(1).alias("band"),
+        F.md5(F.concat("sig4", "sig5", "sig6", "sig7")).alias("bucket"))
+    buckets = b0.unionAll(b1)
+    l = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
+    r = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cand = (l.join(r, ["band", "bucket"]).filter("a < b")
+            .select("a", "b").distinct())
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ta = toks.select(F.col("doc_id").alias("a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("b"), "tok")
+    inter = (ta.join(tb, "tok").filter("a < b")
+             .groupBy("a", "b").agg(F.count("*").alias("inter")))
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a")
+                   .withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b")
+              .withColumnRenamed("n", "nb"), "b")
+        .filter(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
+        .select("a", "b")
+    )
+    nt = truth.count()
+    nc = cand.count()
+    nh = cand.join(truth, ["a", "b"]).count()
+    return spark.createDataFrame(
+        [(nt, nc, nh)], "n_truth BIGINT, n_cand BIGINT, n_hit BIGINT")
