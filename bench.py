@@ -262,6 +262,9 @@ HEADLINE = [
     "q248_hist_match",
     "q249_unigram_viterbi",
     "q250_minhash_eval",
+    "q251_coverage_clean",
+    "q252_frontier_schedule",
+    "q253_recrawl_history",
 ]
 
 

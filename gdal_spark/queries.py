@@ -12400,3 +12400,280 @@ def q250(spark, sf_dir):
     nh = cand.join(truth, ["a", "b"]).count()
     return spark.createDataFrame(
         [(nt, nc, nh)], "n_truth BIGINT, n_cand BIGINT, n_hit BIGINT")
+
+
+# --- coverage clean: gap/overlap absorption (q251) -----------------------------------
+
+_COV_TILES_SQL = """SELECT k.range AS id,
+                    (k.range % 5)*4 + CASE WHEN k.range = 7 THEN 1 ELSE 0 END
+                        AS x0,
+                    (k.range // 5)*4 AS y0,
+                    (k.range % 5)*4 + CASE WHEN k.range = 7 THEN 1 ELSE 0 END
+                        + 4 AS x1,
+                    (k.range // 5)*4 + 4 AS y1
+             FROM range(25) k"""
+
+
+@query(
+    "q251_coverage_clean",
+    f"""WITH RECURSIVE r AS ({_COV_TILES_SQL}),
+       cells AS (SELECT gx.range AS cx, gy.range AS cy
+                 FROM range(20) gx, range(20) gy),
+       cov AS (SELECT c.cx, c.cy, count(t.id) AS n_owners,
+                      min(t.id) AS min_owner
+               FROM cells c LEFT JOIN r t
+                 ON c.cx >= t.x0 AND c.cx < t.x1
+                AND c.cy >= t.y0 AND c.cy < t.y1
+               GROUP BY c.cx, c.cy),
+       sp AS (SELECT cx, cy,
+                     CASE WHEN n_owners = 0 THEN 'gap'
+                          ELSE 'overlap' END AS kind
+              FROM cov WHERE n_owners <> 1),
+       adj AS (SELECT a.cx AS ax, a.cy AS ay, b.cx AS bx, b.cy AS by
+               FROM sp a JOIN sp b
+                 ON a.kind = b.kind
+                AND abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1),
+       lab AS (SELECT cx, cy, cx*32 + cy AS lbl FROM sp
+               UNION
+               SELECT a.ax, a.ay, l.lbl
+               FROM lab l JOIN adj a ON a.bx = l.cx AND a.by = l.cy),
+       lbl AS (SELECT s.cx, s.cy, s.kind, min(l.lbl) AS lbl
+               FROM sp s JOIN lab l ON l.cx = s.cx AND l.cy = s.cy
+               GROUP BY s.cx, s.cy, s.kind),
+       nb AS (SELECT l.lbl, l.kind, v.min_owner AS owner
+              FROM lbl l
+              JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+                ON TRUE
+              JOIN cov v ON v.cx = l.cx + d.dx AND v.cy = l.cy + d.dy
+              WHERE v.n_owners = 1),
+       sc AS (SELECT lbl, kind, owner, count(*) AS cnt
+              FROM nb GROUP BY lbl, kind, owner),
+       asg AS (SELECT lbl, kind, max(cnt*32 + (31 - owner)) AS code
+               FROM sc GROUP BY lbl, kind),
+       sz AS (SELECT lbl, kind, count(*) AS n_cells
+              FROM lbl GROUP BY lbl, kind)
+       SELECT s.kind, CAST(s.lbl AS BIGINT) AS region,
+              CAST(s.n_cells AS BIGINT) AS n_cells,
+              CAST(31 - (a.code % 32) AS BIGINT) AS assigned_to
+       FROM sz s JOIN asg a ON a.lbl = s.lbl AND a.kind = s.kind""",
+)
+def q251(spark, sf_dir):
+    """Coverage CLEANING (the GEOS CoverageCleaner contract behind
+    gdal vector clean-coverage; completes the q225 check / q234
+    simplify trio): every GAP face (cells no polygon covers) and
+    every OVERLAP face (cells >= 2 polygons cover) is absorbed into
+    the neighboring polygon sharing the LONGEST boundary, ties to the
+    smallest polygon id.  On the q225 integer tiling the faces are
+    unit-grid cell components: components by min-label propagation
+    over 4-adjacency (engine: pointer rounds with a loud cap; oracle:
+    a recursive CTE to fixpoint), shared-boundary length = count of
+    cell edges into unique-owner cells, and the argmax is the single
+    integer max(cnt*32 + (31 - owner)) — map-side combinable, ties
+    encoded, no window.  The shifted tile 7 creates exactly one gap
+    face and one overlap face, both 4 cells."""
+    r = spark.range(25).selectExpr(
+        "id",
+        "(id % 5)*4 + CASE WHEN id = 7 THEN 1 ELSE 0 END AS x0",
+        "CAST(id / 5 AS BIGINT)*4 AS y0",
+        "(id % 5)*4 + CASE WHEN id = 7 THEN 1 ELSE 0 END + 4 AS x1",
+        "CAST(id / 5 AS BIGINT)*4 + 4 AS y1",
+    )
+    cells = spark.range(20).selectExpr("id AS cx").crossJoin(
+        spark.range(20).selectExpr("id AS cy"))
+    cov = (
+        cells.join(
+            r,
+            (F.col("cx") >= F.col("x0")) & (F.col("cx") < F.col("x1"))
+            & (F.col("cy") >= F.col("y0")) & (F.col("cy") < F.col("y1")),
+            "left",
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count("id").alias("n_owners"), F.min("id").alias("min_owner"))
+        .localCheckpoint(eager=True)
+    )
+    sp = cov.filter("n_owners <> 1").selectExpr(
+        "cx", "cy",
+        "CASE WHEN n_owners = 0 THEN 'gap' ELSE 'overlap' END AS kind",
+    )
+    lbl = sp.withColumn("lbl", F.col("cx") * 32 + F.col("cy"))
+    lbl = lbl.localCheckpoint(eager=True)
+    for _round in range(16):
+        a = lbl.selectExpr("cx AS ax", "cy AS ay", "kind AS kinda",
+                           "lbl AS la")
+        b = lbl.selectExpr("cx AS bx", "cy AS by", "kind AS kindb",
+                           "lbl AS lb")
+        nxt = (
+            a.join(
+                b,
+                (F.col("kinda") == F.col("kindb"))
+                & ((F.abs(F.col("ax") - F.col("bx"))
+                    + F.abs(F.col("ay") - F.col("by"))) == 1),
+            )
+            .groupBy("ax", "ay", "kinda")
+            .agg(F.min("lb").alias("nmin"))
+            .localCheckpoint(eager=True)
+        )
+        merged = (
+            lbl.join(
+                nxt,
+                (F.col("cx") == F.col("ax")) & (F.col("cy") == F.col("ay"))
+                & (F.col("kind") == F.col("kinda")), "left")
+            .select(
+                "cx", "cy", "kind",
+                F.least(F.col("lbl"),
+                        F.coalesce("nmin", F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.alias("m").join(
+                lbl.alias("o"), ["cx", "cy", "kind"])
+            .filter("m.lbl <> o.lbl").count()
+        )
+        lbl.unpersist()
+        lbl = merged
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("q251 label propagation did not converge")
+    d = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx INT, dy INT")
+    nb = (
+        lbl.crossJoin(F.broadcast(d))
+        .join(
+            cov.selectExpr("cx AS nx", "cy AS ny", "n_owners", "min_owner"),
+            (F.col("nx") == F.col("cx") + F.col("dx"))
+            & (F.col("ny") == F.col("cy") + F.col("dy")),
+        )
+        .filter("n_owners = 1")
+        .select("lbl", "kind", F.col("min_owner").alias("owner"))
+    )
+    sc = nb.groupBy("lbl", "kind", "owner").agg(F.count("*").alias("cnt"))
+    asg = sc.groupBy("lbl", "kind").agg(
+        F.max(F.col("cnt") * 32 + (31 - F.col("owner"))).alias("code"))
+    sz = lbl.groupBy("lbl", "kind").agg(F.count("*").alias("n_cells"))
+    return sz.join(asg, ["lbl", "kind"]).select(
+        "kind",
+        F.col("lbl").cast("long").alias("region"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        (31 - (F.col("code") % 32)).cast("long").alias("assigned_to"),
+    )
+
+
+# --- crawl frontier politeness scheduling (q252) -------------------------------------
+
+
+@query(
+    "q252_frontier_schedule",
+    """WITH req AS (SELECT doc_id, doc_id % 40 AS host,
+                       n_chars AS priority
+                FROM documents),
+       slot AS (SELECT doc_id, host, priority,
+                   row_number() OVER (PARTITION BY host
+                       ORDER BY priority DESC, doc_id) - 1 AS host_slot
+                FROM req),
+       tmd AS (SELECT doc_id, host, host_slot,
+                  host % 8 AS thread, host_slot * 5 AS ready
+               FROM slot),
+       tick AS (SELECT doc_id, host, thread, host_slot, ready,
+                   row_number() OVER (PARTITION BY thread
+                       ORDER BY ready, host, doc_id) AS tick
+                FROM tmd)
+       SELECT doc_id, CAST(host AS BIGINT) AS host,
+              CAST(thread AS BIGINT) AS thread,
+              CAST(host_slot AS BIGINT) AS host_slot,
+              CAST(tick AS BIGINT) AS tick
+       FROM tick""",
+)
+def q252(spark, sf_dir):
+    """Crawl-frontier politeness scheduling (the Heritrix/Nutch
+    frontier contract): requests queue per HOST ordered by priority
+    (ties to lowest doc id); each host releases one fetch every 5
+    ticks (politeness delay -> ready = slot*5); hosts shard onto 8
+    fetcher threads by hash, and each thread executes its merged
+    ready-ordered queue one fetch per tick (ties host, then doc).
+    Two window passes — one partitioned by host, one by thread; both
+    keys shard across executors, nothing global.  Emits the full
+    deterministic schedule a 10^12-page recrawl would replay."""
+    req = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "doc_id % 40 AS host", "n_chars AS priority")
+    wh = Window.partitionBy("host").orderBy(
+        F.col("priority").desc(), F.col("doc_id"))
+    slot = req.withColumn("host_slot", F.row_number().over(wh) - 1)
+    tmd = slot.selectExpr(
+        "doc_id", "host", "host_slot",
+        "host % 8 AS thread", "host_slot * 5 AS ready")
+    wt = Window.partitionBy("thread").orderBy("ready", "host", "doc_id")
+    return tmd.withColumn("tick", F.row_number().over(wt)).select(
+        "doc_id",
+        F.col("host").cast("long").alias("host"),
+        F.col("thread").cast("long").alias("thread"),
+        F.col("host_slot").cast("long").alias("host_slot"),
+        F.col("tick").cast("long").alias("tick"),
+    )
+
+
+# --- SCD2 recrawl history with change suppression (q253) -----------------------------
+
+
+@query(
+    "q253_recrawl_history",
+    """WITH cap AS (SELECT doc_id,
+                       'u' || CAST(doc_id % 120 AS STRING) AS url,
+                       1767225600 + ((doc_id * 37) % 1000) * 3600 AS ts,
+                       (doc_id * doc_id) % 7 AS digest
+                FROM documents),
+       seq AS (SELECT *, lag(digest) OVER (PARTITION BY url
+                       ORDER BY ts, doc_id) AS prev
+               FROM cap),
+       chg AS (SELECT doc_id, url, ts, digest FROM seq
+               WHERE prev IS NULL OR digest <> prev),
+       scd AS (SELECT url, doc_id, ts AS valid_from, digest,
+                  row_number() OVER (PARTITION BY url
+                      ORDER BY ts, doc_id) AS version,
+                  lead(ts) OVER (PARTITION BY url
+                      ORDER BY ts, doc_id) AS valid_to
+               FROM chg)
+       SELECT url, CAST(version AS BIGINT) AS version,
+              CAST(valid_from AS BIGINT) AS valid_from,
+              CAST(coalesce(valid_to, 0) AS BIGINT) AS valid_to,
+              CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                  AS is_current,
+              CAST(digest AS BIGINT) AS digest
+       FROM scd""",
+)
+def q253(spark, sf_dir):
+    """SCD-2 recrawl history (the warehouse pattern a CDX/WARC store
+    uses to answer 'what did this url say at time T'): per-url capture
+    stream ordered by (ts, doc_id); consecutive captures with an
+    UNCHANGED digest are suppressed (no new version); surviving rows
+    become versioned validity intervals [valid_from, valid_to) with
+    the open current row flagged.  Two url-partitioned window passes
+    (lag for suppression, lead/row_number for intervals) — shuffles
+    on url only, the natural key a 10^12-capture store is already
+    bucketed by."""
+    cap = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('u', CAST(doc_id % 120 AS STRING)) AS url",
+        "1767225600 + ((doc_id * 37) % 1000) * 3600 AS ts",
+        "(doc_id * doc_id) % 7 AS digest",
+    )
+    w = Window.partitionBy("url").orderBy("ts", "doc_id")
+    chg = (
+        cap.withColumn("prev", F.lag("digest").over(w))
+        .filter("prev IS NULL OR digest <> prev")
+        .select("doc_id", "url", "ts", "digest")
+    )
+    scd = (
+        chg.withColumn("version", F.row_number().over(w))
+        .withColumn("valid_to", F.lead("ts").over(w))
+    )
+    return scd.select(
+        "url",
+        F.col("version").cast("long").alias("version"),
+        F.col("ts").cast("long").alias("valid_from"),
+        F.coalesce("valid_to", F.lit(0)).cast("long").alias("valid_to"),
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("long")
+            .alias("is_current"),
+        F.col("digest").cast("long").alias("digest"),
+    )
