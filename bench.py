@@ -265,6 +265,11 @@ HEADLINE = [
     "q251_coverage_clean",
     "q252_frontier_schedule",
     "q253_recrawl_history",
+    "q254_warc_layout",
+    "q255_point_in_time",
+    "q256_tfidf_keywords",
+    "q257_link_spam_signals",
+    "q258_fm_index_count",
 ]
 
 

@@ -12677,3 +12677,323 @@ def q253(spark, sf_dir):
             .alias("is_current"),
         F.col("digest").cast("long").alias("digest"),
     )
+
+
+# --- WARC shard layout + offset index (q254) -----------------------------------------
+
+
+@query(
+    "q254_warc_layout",
+    """WITH rec AS (SELECT doc_id, n_chars + 64 AS nbytes FROM documents),
+       cum AS (SELECT doc_id, nbytes,
+                  coalesce(sum(nbytes) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS start_byte
+               FROM rec),
+       sh AS (SELECT doc_id, nbytes, start_byte,
+                 start_byte // 16384 AS shard
+              FROM cum),
+       off AS (SELECT shard, min(start_byte) AS shard_base FROM sh
+               GROUP BY shard)
+       SELECT s.doc_id, CAST(s.shard AS BIGINT) AS shard,
+              CAST(s.start_byte - o.shard_base AS BIGINT) AS offset,
+              CAST(s.nbytes AS BIGINT) AS nbytes
+       FROM sh s JOIN off o ON s.shard = o.shard""",
+)
+def q254(spark, sf_dir):
+    """WARC-writer shard layout + CDX offset index: records (body +
+    64-byte header) concatenate in doc order; a record's shard is
+    floor(global_start / 16 KiB) (the greedy size-target cut a WARC
+    writer makes) and its CDX offset is relative to the shard's first
+    record.  One global cumulative sum (at 10^12 records: the
+    two-pass partition-count prefix sum, same pattern as
+    operators/suffix.py ordinals) + one per-shard min — this IS the
+    index CDX serves range requests from."""
+    rec = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "n_chars + 64 AS nbytes")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = rec.withColumn(
+        "start_byte", F.coalesce(F.sum("nbytes").over(w), F.lit(0)))
+    sh = cum.withColumn("shard", F.floor(F.col("start_byte") / 16384))
+    off = sh.groupBy("shard").agg(F.min("start_byte").alias("shard_base"))
+    return sh.join(off, "shard").select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        (F.col("start_byte") - F.col("shard_base")).cast("long")
+            .alias("offset"),
+        F.col("nbytes").cast("long").alias("nbytes"),
+    )
+
+
+# --- point-in-time lookup over SCD2 intervals (q255) ---------------------------------
+
+
+@query(
+    "q255_point_in_time",
+    """WITH cap AS (SELECT doc_id,
+                       'u' || CAST(doc_id % 120 AS STRING) AS url,
+                       1767225600 + ((doc_id * 37) % 1000) * 3600 AS ts,
+                       (doc_id * doc_id) % 7 AS digest
+                FROM documents),
+       seq AS (SELECT *, lag(digest) OVER (PARTITION BY url
+                       ORDER BY ts, doc_id) AS prev
+               FROM cap),
+       chg AS (SELECT doc_id, url, ts, digest FROM seq
+               WHERE prev IS NULL OR digest <> prev),
+       scd AS (SELECT url, ts AS valid_from, digest,
+                  lead(ts) OVER (PARTITION BY url
+                      ORDER BY ts, doc_id) AS valid_to
+               FROM chg),
+       q AS (SELECT k.range AS qid,
+                'u' || CAST((k.range * 7) % 120 AS STRING) AS url,
+                1767225600 + ((k.range * 131) % 1000) * 3600 AS qt
+             FROM range(50) k)
+       SELECT q.qid, q.url, CAST(q.qt AS BIGINT) AS qt,
+              CAST(s.digest AS BIGINT) AS digest,
+              CAST(s.valid_from AS BIGINT) AS valid_from
+       FROM q JOIN scd s
+         ON s.url = q.url AND s.valid_from <= q.qt
+        AND (s.valid_to IS NULL OR q.qt < s.valid_to)""",
+)
+def q255(spark, sf_dir):
+    """Point-in-time serving over the q253 SCD-2 store ('what did
+    this url say at time T'): 50 (url, T) probes interval-join the
+    versioned history — equi-join on url plus the validity-range
+    predicate, exactly the plan a time-travel lookup compiles to
+    (url equi-key carries the shuffle; the range residual filters
+    in-place, no extra pass).  Probes whose T precedes the first
+    capture drop out (inner join) — the contract a CDX replay
+    endpoint implements."""
+    cap = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('u', CAST(doc_id % 120 AS STRING)) AS url",
+        "1767225600 + ((doc_id * 37) % 1000) * 3600 AS ts",
+        "(doc_id * doc_id) % 7 AS digest",
+    )
+    w = Window.partitionBy("url").orderBy("ts", "doc_id")
+    chg = (
+        cap.withColumn("prev", F.lag("digest").over(w))
+        .filter("prev IS NULL OR digest <> prev")
+    )
+    scd = chg.select(
+        "url", F.col("ts").alias("valid_from"), "digest",
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    q = spark.range(50).selectExpr(
+        "id AS qid",
+        "concat('u', CAST((id * 7) % 120 AS STRING)) AS url",
+        "1767225600 + ((id * 131) % 1000) * 3600 AS qt",
+    )
+    return (
+        q.join(
+            scd,
+            (q.url == scd.url) & (F.col("valid_from") <= F.col("qt"))
+            & (F.col("valid_to").isNull() | (F.col("qt") < F.col("valid_to"))),
+        )
+        .select(
+            "qid", q.url.alias("url"),
+            F.col("qt").cast("long").alias("qt"),
+            F.col("digest").cast("long").alias("digest"),
+            F.col("valid_from").cast("long").alias("valid_from"),
+        )
+    )
+
+
+# --- TF-IDF keyword extraction, integer-exact ranking (q256) --------------------------
+
+
+@query(
+    "q256_tfidf_keywords",
+    """WITH t AS (SELECT doc_id,
+                [w for w in string_split(text, ' ') if w <> ''] AS toks
+             FROM documents),
+       e AS (SELECT doc_id, unnest(toks) AS w FROM t),
+       tf AS (SELECT doc_id, w, count(*) AS tf FROM e GROUP BY 1, 2),
+       df AS (SELECT w, count(DISTINCT doc_id) AS df FROM e GROUP BY w),
+       nn AS (SELECT count(DISTINCT doc_id) AS n FROM e),
+       sc AS (SELECT tf.doc_id, tf.w,
+                 tf.tf * (length(bin((SELECT n FROM nn)))
+                          - length(bin(df.df))) AS score
+              FROM tf JOIN df ON tf.w = df.w),
+       ms AS (SELECT doc_id, max(score) AS ms FROM sc GROUP BY doc_id)
+       SELECT s.doc_id, min(s.w) AS keyword,
+              CAST(max(s.score) AS BIGINT) AS score
+       FROM sc s JOIN ms m ON m.doc_id = s.doc_id AND s.score = m.ms
+       GROUP BY s.doc_id""",
+)
+def q256(spark, sf_dir):
+    """Per-document keyword extraction by integer-exact TF-IDF: score
+    = tf * (floorlog2(N) - floorlog2(df)) with the bin()-length
+    integer log (q243 pattern) — no float idf, engines agree bitwise.
+    The winner per doc is (max score, lexicographically smallest
+    word): one map-side-combinable struct aggregation in the engine,
+    no window over the term table.  TF shuffles on (doc, word), DF on
+    the word vocabulary — both linear at 10^12 docs."""
+    e = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "explode(filter(split(text, ' '), w -> w != '')) AS w")
+    tf = e.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df = e.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = e.agg(F.countDistinct("doc_id").alias("n"))
+    sc = (
+        tf.join(F.broadcast(df), "w")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "doc_id", "w",
+            "tf * (length(bin(n)) - length(bin(df))) AS score")
+    )
+    # argmax (score desc, word asc) == struct-max on (score, negated word)?
+    # strings can't negate: max(struct(score, w)) picks max word among
+    # ties — mirror the oracle instead: min word among max-score rows.
+    ms = sc.groupBy("doc_id").agg(F.max("score").alias("ms"))
+    return (
+        sc.join(ms, "doc_id")
+        .filter(F.col("score") == F.col("ms"))
+        .groupBy("doc_id")
+        .agg(F.min("w").alias("keyword"),
+             F.max("score").cast("long").alias("score"))
+    )
+
+
+# --- link-spam signals: reciprocity + degree skew (q257) -----------------------------
+
+
+@query(
+    "q257_link_spam_signals",
+    """WITH e0 AS (SELECT doc_id % 40 AS src,
+                      (doc_id * 7 + doc_id // 40) % 40 AS dst
+               FROM documents),
+       e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       outd AS (SELECT src AS host, count(*) AS out_deg FROM e GROUP BY src),
+       ind AS (SELECT dst AS host, count(*) AS in_deg FROM e GROUP BY dst),
+       rec AS (SELECT a.src AS host, count(*) AS recip
+               FROM e a JOIN e b ON a.src = b.dst AND a.dst = b.src
+               GROUP BY a.src),
+       m AS (SELECT o.host, o.out_deg,
+                    coalesce(i.in_deg, 0) AS in_deg,
+                    coalesce(r.recip, 0) AS recip
+             FROM outd o
+             LEFT JOIN ind i ON i.host = o.host
+             LEFT JOIN rec r ON r.host = o.host)
+       SELECT host, CAST(out_deg AS BIGINT) AS out_deg,
+              CAST(in_deg AS BIGINT) AS in_deg,
+              CAST(recip AS BIGINT) AS recip,
+              CAST(CASE WHEN 2 * recip >= out_deg AND out_deg >= 3
+                   THEN 1 ELSE 0 END AS BIGINT) AS spam_flag
+       FROM m""",
+)
+def q257(spark, sf_dir):
+    """Link-farm signals over the host graph (the web-spam features a
+    crawl-curation pipeline feeds its domain classifier): distinct
+    out/in degree and RECIPROCAL edge count (a->b and b->a — the
+    link-exchange fingerprint) via one reversed self-equi-join; flag
+    = reciprocity covering >= half the out-links with out-degree >=
+    3, exact integer cross-multiplication.  Edges dedup on (src,
+    dst), the reversed join keys on the same pair — everything
+    shuffles on host pairs, linear in the edge list at 10^12 pages."""
+    e = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id % 40 AS src",
+            "(doc_id * 7 + doc_id div 40) % 40 AS dst")
+        .filter("src <> dst").distinct()
+        .localCheckpoint(eager=True)
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ind = e.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    rev = e.selectExpr("dst AS src", "src AS dst")
+    rec = e.join(rev, ["src", "dst"]).groupBy("src").agg(
+        F.count("*").alias("recip"))
+    m = (
+        outd.withColumnRenamed("src", "host")
+        .join(ind.withColumnRenamed("dst", "host"), "host", "left")
+        .join(rec.withColumnRenamed("src", "host"), "host", "left")
+        .fillna(0, ["in_deg", "recip"])
+    )
+    return m.select(
+        "host",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("in_deg").cast("long").alias("in_deg"),
+        F.col("recip").cast("long").alias("recip"),
+        F.when((2 * F.col("recip") >= F.col("out_deg"))
+               & (F.col("out_deg") >= 3), 1).otherwise(0)
+        .cast("long").alias("spam_flag"),
+    )
+
+
+# --- FM-index backward-search pattern count (q258) -----------------------------------
+
+_FM_PATTERNS = ["the", "row", "zzz"]  # two corpus words + one miss
+
+
+def _fm_oracle_sql() -> str:
+    pats = ", ".join(f"('{p}')" for p in _FM_PATTERNS)
+    return f"""WITH {_SA_CORPUS_CTE},
+       pat(p) AS (VALUES {pats}),
+       hit AS (SELECT pat.p, count(*) AS n_occ,
+                      min(sa.rnk) AS lo, max(sa.rnk) AS hi
+               FROM pat JOIN sa
+                 ON substr((SELECT corpus FROM c), sa.pos,
+                           length(pat.p)) = pat.p
+               GROUP BY pat.p)
+       SELECT pat.p AS pattern,
+              CAST(coalesce(h.n_occ, 0) AS BIGINT) AS n_occ,
+              CAST(coalesce(h.lo, 0) AS BIGINT) AS lo,
+              CAST(coalesce(h.hi, -1) AS BIGINT) AS hi
+       FROM pat LEFT JOIN hit h ON h.p = pat.p"""
+
+
+@query("q258_fm_index_count", _fm_oracle_sql())
+def q258(spark, sf_dir):
+    """FM-index pattern counting by BWT backward search (Ferragina &
+    Manzini 2000) over the q236 suffix array: BWT[r] =
+    corpus[SA[r]-1] (wrap) via one position join; a pattern's match
+    set is a CONTIGUOUS suffix-rank range maintained right-to-left
+    with l' = C(c) + occ(c, l), r' = C(c) + occ(c, r) — C from the
+    corpus char histogram, occ via rank-bounded counts on the BWT
+    table.  The search state is two integers (log-depth serving over
+    the distributed index — the index BUILD is the heavy distributed
+    part); the oracle counts pattern occurrences by direct substring
+    compare and must land on the identical (count, lo, hi) rank
+    range.  Patterns: two corpus words + one guaranteed miss."""
+    from gdal_spark.operators.suffix import suffix_array
+
+    chars, _, n = _sa_fixture(spark, sf_dir)
+    sa = suffix_array(chars, n)
+    bwt = (
+        sa.join(
+            chars.selectExpr("pos AS ppos", "ch"),
+            F.col("ppos") == F.when(F.col("pos") == 1, n)
+                              .otherwise(F.col("pos") - 1),
+        )
+        .selectExpr("rnk - 1 AS r0", "ch")
+        .localCheckpoint(eager=True)
+    )
+    hist = {r["ch"]: r["c"]
+            for r in chars.groupBy("ch").agg(F.count("*").alias("c"))
+            .collect()}
+    cs = {}
+    run = 0
+    for ch in sorted(hist):
+        cs[ch] = run
+        run += hist[ch]
+    rows = []
+    for p in _FM_PATTERNS:
+        l, r = 0, n
+        for c in reversed(p):
+            if c not in cs:
+                l = r = 0
+                break
+            occ_l = bwt.filter((F.col("ch") == c)
+                               & (F.col("r0") < l)).count() if l else 0
+            occ_r = bwt.filter((F.col("ch") == c)
+                               & (F.col("r0") < r)).count() if r else 0
+            l, r = cs[c] + occ_l, cs[c] + occ_r
+            if l >= r:
+                l = r = 0
+                break
+        if r > l:
+            rows.append((p, r - l, l + 1, r))
+        else:
+            rows.append((p, 0, 0, -1))
+    return spark.createDataFrame(
+        rows, "pattern STRING, n_occ BIGINT, lo BIGINT, hi BIGINT")
