@@ -270,6 +270,11 @@ HEADLINE = [
     "q256_tfidf_keywords",
     "q257_link_spam_signals",
     "q258_fm_index_count",
+    "q259_raster_set_type",
+    "q260_raster_update",
+    "q261_nodata_to_alpha",
+    "q262_check_geometry",
+    "q263_vector_dissolve",
 ]
 
 

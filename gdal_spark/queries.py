@@ -12997,3 +12997,442 @@ def q258(spark, sf_dir):
             rows.append((p, 0, 0, -1))
     return spark.createDataFrame(
         rows, "pattern STRING, n_occ BIGINT, lo BIGINT, hi BIGINT")
+
+
+# --- raster set-type: GDALCopyWord conversion rules (q259) ---------------------------
+
+
+@query(
+    "q259_raster_set_type",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       px AS (SELECT gx, gy,
+                 CASE WHEN (gx + gy) % 61 = 0 THEN CAST('NaN' AS DOUBLE)
+                      ELSE CAST((gx*31 + gy*17) % 600 AS DOUBLE) / 7.0
+                           - 30.0 END AS v
+              FROM g),
+       conv AS (SELECT gx, gy, v,
+                 CASE WHEN isnan(v) THEN 0
+                      ELSE CAST(floor(least(greatest(v + 0.5, 0.0), 255.0))
+                           AS BIGINT) END AS b,
+                 CASE WHEN isnan(v * 1000.0) THEN 0
+                      ELSE CAST(CASE
+                        WHEN least(greatest(CASE WHEN v * 1000.0 > 0.0
+                                    THEN v * 1000.0 + 0.5
+                                    ELSE v * 1000.0 - 0.5 END,
+                                -32768.0), 32767.0) >= 0.0
+                        THEN floor(least(greatest(CASE WHEN v * 1000.0 > 0.0
+                                    THEN v * 1000.0 + 0.5
+                                    ELSE v * 1000.0 - 0.5 END,
+                                -32768.0), 32767.0))
+                        ELSE -floor(-least(greatest(CASE WHEN v * 1000.0 > 0.0
+                                    THEN v * 1000.0 + 0.5
+                                    ELSE v * 1000.0 - 0.5 END,
+                                -32768.0), 32767.0))
+                        END AS BIGINT) END AS i16
+              FROM px)
+       SELECT b, i16, CAST(count(*) AS BIGINT) AS n_px,
+              round(min(v), 6) AS v_lo, round(max(v), 6) AS v_hi
+       FROM conv GROUP BY b, i16""",
+)
+def q259(spark, sf_dir):
+    """gdal raster set-type under the reference's EXACT GDALCopyWord
+    conversion rules (gcore/gdal_priv_templates.hpp:433-710):
+    float->unsigned (Byte): NaN -> 0, else truncate(clamp(v + 0.5,
+    0, 255)) — round-half-up with saturation; float->signed (Int16):
+    NaN -> 0, else truncate(clamp(v > 0 ? v + 0.5 : v - 0.5, -32768,
+    32767)) — round half AWAY FROM ZERO (the signed rule differs
+    from the unsigned one on purpose, :640-708).  Truncation is
+    spelled floor/-floor(-x) so DuckDB's rounding CAST never enters;
+    the v*1000 channel exercises both saturation rails.  One JVM
+    projection + a histogram groupBy."""
+    g = spark.range(128).selectExpr("id AS gx").crossJoin(
+        spark.range(128).selectExpr("id AS gy"))
+    px = g.selectExpr(
+        "gx", "gy",
+        "CASE WHEN (gx + gy) % 61 = 0 THEN CAST('NaN' AS DOUBLE) "
+        "ELSE CAST((gx*31 + gy*17) % 600 AS DOUBLE) / 7.0 - 30.0 END AS v",
+    )
+    w = F.col("v") * 1000.0
+    half_away = F.when(w > 0.0, w + 0.5).otherwise(w - 0.5)
+    cl = F.least(F.greatest(half_away, F.lit(-32768.0)), F.lit(32767.0))
+    trunc = F.when(cl >= 0.0, F.floor(cl)).otherwise(-F.floor(-cl))
+    conv = px.select(
+        "v",
+        F.when(F.isnan("v"), 0).otherwise(
+            F.floor(F.least(F.greatest(F.col("v") + 0.5, F.lit(0.0)),
+                            F.lit(255.0)))
+        ).cast("long").alias("b"),
+        F.when(F.isnan(w), 0).otherwise(trunc).cast("long").alias("i16"),
+    )
+    return conv.groupBy("b", "i16").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.round(F.min("v"), 6).alias("v_lo"),
+        F.round(F.max("v"), 6).alias("v_hi"),
+    )
+
+
+# --- raster update: window overwrite with nodata transparency (q260) -----------------
+
+
+@query(
+    "q260_raster_update",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       a AS (SELECT gx, gy, (gx*7 + gy*13) % 97 AS v FROM g),
+       b AS (SELECT px.range AS bx, py.range AS by,
+                    (px.range*5 + py.range*3) % 11 AS v
+             FROM range(32) px, range(32) py),
+       upd AS (SELECT a.gx, a.gy, a.v AS old_v,
+                  CASE WHEN b.v IS NOT NULL AND b.v <> 7
+                       THEN b.v ELSE a.v END AS new_v
+               FROM a LEFT JOIN b
+                 ON b.bx = a.gx - 40 AND b.by = a.gy - 60)
+       SELECT CAST(sum(CASE WHEN new_v <> old_v THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_changed,
+              CAST(sum(new_v) AS BIGINT) AS sum_new,
+              CAST(sum(old_v) AS BIGINT) AS sum_old,
+              CAST(sum(CASE WHEN gx >= 40 AND gx < 72 AND gy >= 60
+                             AND gy < 92 AND new_v = old_v
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_transparent_or_equal
+       FROM upd""",
+)
+def q260(spark, sf_dir):
+    """gdal raster update (apps/gdalalg_raster_update.cpp): burn an
+    update raster into a base raster at a window offset, with the
+    update's nodata (7) transparent — out = patch value where the
+    patch covers and is valid, else the base.  One broadcast left
+    join on shifted coordinates (the patch side is small by
+    definition; at scale the join keys on tile ids and only
+    patch-intersecting tiles rewrite — the manifest-compaction
+    pattern).  Emits the change audit a cautious update job logs."""
+    g = spark.range(128).selectExpr("id AS gx").crossJoin(
+        spark.range(128).selectExpr("id AS gy"))
+    a = g.selectExpr("gx", "gy", "(gx*7 + gy*13) % 97 AS v")
+    b = (
+        spark.range(32).selectExpr("id AS bx").crossJoin(
+            spark.range(32).selectExpr("id AS by"))
+        .selectExpr("bx", "by", "(bx*5 + by*3) % 11 AS bv")
+    )
+    upd = a.join(
+        F.broadcast(b),
+        (F.col("bx") == F.col("gx") - 40) & (F.col("by") == F.col("gy") - 60),
+        "left",
+    ).select(
+        "gx", "gy", F.col("v").alias("old_v"),
+        F.when(F.col("bv").isNotNull() & (F.col("bv") != 7), F.col("bv"))
+        .otherwise(F.col("v")).alias("new_v"),
+    )
+    inpatch = ((F.col("gx") >= 40) & (F.col("gx") < 72)
+               & (F.col("gy") >= 60) & (F.col("gy") < 92))
+    return upd.agg(
+        F.sum(F.when(F.col("new_v") != F.col("old_v"), 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum("new_v").cast("long").alias("sum_new"),
+        F.sum("old_v").cast("long").alias("sum_old"),
+        F.sum(F.when(inpatch & (F.col("new_v") == F.col("old_v")), 1)
+              .otherwise(0)).cast("long").alias("n_transparent_or_equal"),
+    )
+
+
+# --- raster nodata-to-alpha (q261) ----------------------------------------------------
+
+
+@query(
+    "q261_nodata_to_alpha",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(128) gx, range(128) gy),
+       px AS (SELECT gx, gy, (gx*7 + gy*13) % 97 AS v FROM g),
+       al AS (SELECT gx, gy, v,
+                 CASE WHEN v = 42 THEN 0 ELSE 255 END AS alpha
+              FROM px)
+       SELECT CAST(alpha AS BIGINT) AS alpha,
+              CAST(count(*) AS BIGINT) AS n_px,
+              CAST(min(v) AS BIGINT) AS v_lo,
+              CAST(max(v) AS BIGINT) AS v_hi
+       FROM al GROUP BY alpha""",
+)
+def q261(spark, sf_dir):
+    """gdal raster nodata-to-alpha (apps/gdalalg_raster_nodata_to_
+    alpha.cpp): append an alpha band that is 0 exactly where the band
+    equals its nodata value (42) and 255 elsewhere — the conversion
+    that lets a mosaic compositor treat nodata as transparency.  One
+    JVM projection; emitted as the alpha histogram with the value
+    span per class."""
+    g = spark.range(128).selectExpr("id AS gx").crossJoin(
+        spark.range(128).selectExpr("id AS gy"))
+    px = g.selectExpr("gx", "gy", "(gx*7 + gy*13) % 97 AS v")
+    al = px.withColumn(
+        "alpha", F.when(F.col("v") == 42, 0).otherwise(255))
+    return al.groupBy("alpha").agg(
+        F.count("*").cast("long").alias("n_px"),
+        F.min("v").cast("long").alias("v_lo"),
+        F.max("v").cast("long").alias("v_hi"),
+    ).select(F.col("alpha").cast("long").alias("alpha"),
+             "n_px", "v_lo", "v_hi")
+
+
+# --- vector check-geometry: per-ring validity flags (q262) ---------------------------
+
+_CHKGEO_RING_SQL = """
+    CASE id % 5
+      WHEN 1 THEN [x0, x0+4, x0+4, x0, x0]
+      WHEN 2 THEN [x0, x0+4, x0+4, x0+4, x0, x0]
+      WHEN 3 THEN [x0, x0+4, x0+4, x0]
+      WHEN 4 THEN [x0, x0+4, x0]
+      ELSE [x0, x0+4, x0+4, x0, x0] END AS xs,
+    CASE id % 5
+      WHEN 1 THEN [y0, y0+4, y0, y0+4, y0]
+      WHEN 2 THEN [y0, y0, y0, y0+4, y0+4, y0]
+      WHEN 3 THEN [y0, y0, y0+4, y0+4]
+      WHEN 4 THEN [y0, y0, y0]
+      ELSE [y0, y0, y0+4, y0+4, y0] END AS ys
+"""
+
+
+@query(
+    "q262_check_geometry",
+    f"""WITH f AS (SELECT k.range AS id,
+                      (k.range * 13) % 50 AS x0, (k.range * 17) % 50 AS y0
+               FROM range(50) k),
+       r AS (SELECT id, {_CHKGEO_RING_SQL} FROM f),
+       m AS (SELECT id, xs, ys, len(xs) AS np FROM r),
+       ed AS (SELECT id, i,
+                 xs[i] AS ax, ys[i] AS ay, xs[i+1] AS bx, ys[i+1] AS by
+              FROM (SELECT id, xs, ys,
+                       unnest([i for i in range(1, 10)
+                               if i < len(xs)]) AS i
+                    FROM m)),
+       dup AS (SELECT id, max(CASE WHEN ax = bx AND ay = by
+                             THEN 1 ELSE 0 END) AS has_dup
+               FROM ed GROUP BY id),
+       xp AS (SELECT a.id,
+                 max(CASE WHEN
+                   ((a.bx-a.ax)*(b.ay-a.ay) - (a.by-a.ay)*(b.ax-a.ax)) *
+                   ((a.bx-a.ax)*(b.by-a.ay) - (a.by-a.ay)*(b.bx-a.ax)) < 0
+                   AND
+                   ((b.bx-b.ax)*(a.ay-b.ay) - (b.by-b.ay)*(a.ax-b.ax)) *
+                   ((b.bx-b.ax)*(a.by-b.ay) - (b.by-b.ay)*(a.bx-b.ax)) < 0
+                   THEN 1 ELSE 0 END) AS has_x
+              FROM ed a JOIN ed b
+                ON a.id = b.id AND a.i < b.i
+               AND NOT ((a.ax = b.ax AND a.ay = b.ay)
+                     OR (a.ax = b.bx AND a.ay = b.by)
+                     OR (a.bx = b.ax AND a.by = b.ay)
+                     OR (a.bx = b.bx AND a.by = b.by))
+              GROUP BY a.id),
+       fl AS (SELECT m.id,
+                 CASE WHEN m.xs[1] = m.xs[m.np] AND m.ys[1] = m.ys[m.np]
+                      THEN 1 ELSE 0 END AS closed,
+                 CASE WHEN m.np >= 5 THEN 1 ELSE 0 END AS enough_pts,
+                 1 - coalesce(d.has_dup, 0) AS no_dup,
+                 1 - coalesce(x.has_x, 0) AS no_selfx
+              FROM m
+              LEFT JOIN dup d ON d.id = m.id
+              LEFT JOIN xp x ON x.id = m.id)
+       SELECT id, CAST(closed AS BIGINT) AS closed,
+              CAST(enough_pts AS BIGINT) AS enough_pts,
+              CAST(no_dup AS BIGINT) AS no_dup,
+              CAST(no_selfx AS BIGINT) AS no_selfx,
+              CAST(closed * enough_pts * no_dup * no_selfx AS BIGINT)
+                  AS valid
+       FROM fl""",
+)
+def q262(spark, sf_dir):
+    """gdal vector check-geometry (apps/gdalalg_vector_check_geometry
+    .cpp; OGC Simple Features §6.1.11 ring rules): per-feature flags
+    for ring closure, minimum point count (>= 4 distinct + closing),
+    duplicate consecutive vertices, and PROPER self-intersection via
+    the exact integer double-orientation test (d1*d2 < 0 and
+    d3*d4 < 0 on cross products, endpoint-sharing edge pairs
+    excluded).  The fixture cycles five shapes: valid square, bowtie
+    (crossing), repeated vertex, unclosed ring, degenerate 3-point
+    ring — each flag fires on a known id class.  Edge pairs explode
+    per feature (bounded by ring vertex count); all predicates
+    integer-exact."""
+    f = spark.range(50).selectExpr(
+        "id", "(id * 13) % 50 AS x0", "(id * 17) % 50 AS y0")
+    r = f.selectExpr(
+        "id",
+        """CASE CAST(id % 5 AS INT)
+          WHEN 1 THEN array(x0, x0+4, x0+4, x0, x0)
+          WHEN 2 THEN array(x0, x0+4, x0+4, x0+4, x0, x0)
+          WHEN 3 THEN array(x0, x0+4, x0+4, x0)
+          WHEN 4 THEN array(x0, x0+4, x0)
+          ELSE array(x0, x0+4, x0+4, x0, x0) END AS xs""",
+        """CASE CAST(id % 5 AS INT)
+          WHEN 1 THEN array(y0, y0+4, y0, y0+4, y0)
+          WHEN 2 THEN array(y0, y0, y0, y0+4, y0+4, y0)
+          WHEN 3 THEN array(y0, y0, y0+4, y0+4)
+          WHEN 4 THEN array(y0, y0, y0)
+          ELSE array(y0, y0, y0+4, y0+4, y0) END AS ys""",
+    )
+    m = r.selectExpr("id", "xs", "ys", "size(xs) AS np")
+    ed = m.selectExpr(
+        "id", "explode(sequence(1, size(xs) - 1)) AS i", "xs", "ys"
+    ).selectExpr(
+        "id", "i",
+        "element_at(xs, i) AS ax", "element_at(ys, i) AS ay",
+        "element_at(xs, i + 1) AS bx", "element_at(ys, i + 1) AS by",
+    ).localCheckpoint(eager=True)
+    dup = ed.groupBy("id").agg(
+        F.max(F.when((F.col("ax") == F.col("bx"))
+                     & (F.col("ay") == F.col("by")), 1).otherwise(0))
+        .alias("has_dup"))
+    a = ed
+    b = ed.selectExpr("id", "i AS j", "ax AS cx", "ay AS cy",
+                      "bx AS dx", "by AS dy")
+    share = (
+        ((F.col("ax") == F.col("cx")) & (F.col("ay") == F.col("cy")))
+        | ((F.col("ax") == F.col("dx")) & (F.col("ay") == F.col("dy")))
+        | ((F.col("bx") == F.col("cx")) & (F.col("by") == F.col("cy")))
+        | ((F.col("bx") == F.col("dx")) & (F.col("by") == F.col("dy")))
+    )
+    d1 = ((F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+          - (F.col("by") - F.col("ay")) * (F.col("cx") - F.col("ax")))
+    d2 = ((F.col("bx") - F.col("ax")) * (F.col("dy") - F.col("ay"))
+          - (F.col("by") - F.col("ay")) * (F.col("dx") - F.col("ax")))
+    d3 = ((F.col("dx") - F.col("cx")) * (F.col("ay") - F.col("cy"))
+          - (F.col("dy") - F.col("cy")) * (F.col("ax") - F.col("cx")))
+    d4 = ((F.col("dx") - F.col("cx")) * (F.col("by") - F.col("cy"))
+          - (F.col("dy") - F.col("cy")) * (F.col("bx") - F.col("cx")))
+    xp = (
+        a.join(b, "id").filter((F.col("i") < F.col("j")) & ~share)
+        .groupBy("id")
+        .agg(F.max(F.when((d1 * d2 < 0) & (d3 * d4 < 0), 1).otherwise(0))
+             .alias("has_x"))
+    )
+    fl = (
+        m.join(dup, "id", "left").join(xp, "id", "left")
+        .selectExpr(
+            "id",
+            "CASE WHEN element_at(xs, 1) = element_at(xs, np) AND "
+            "element_at(ys, 1) = element_at(ys, np) THEN 1 ELSE 0 END"
+            " AS closed",
+            "CASE WHEN np >= 5 THEN 1 ELSE 0 END AS enough_pts",
+            "1 - coalesce(has_dup, 0) AS no_dup",
+            "1 - coalesce(has_x, 0) AS no_selfx",
+        )
+    )
+    return fl.select(
+        "id",
+        F.col("closed").cast("long").alias("closed"),
+        F.col("enough_pts").cast("long").alias("enough_pts"),
+        F.col("no_dup").cast("long").alias("no_dup"),
+        F.col("no_selfx").cast("long").alias("no_selfx"),
+        (F.col("closed") * F.col("enough_pts") * F.col("no_dup")
+         * F.col("no_selfx")).cast("long").alias("valid"),
+    )
+
+
+# --- vector dissolve by attribute (q263) ----------------------------------------------
+
+
+@query(
+    "q263_vector_dissolve",
+    """WITH RECURSIVE rct AS (SELECT k.range AS id, k.range % 5 AS grp,
+                    (k.range * 7) % 30 AS x0, (k.range * 11) % 30 AS y0,
+                    (k.range * 7) % 30 + 3 + k.range % 4 AS x1,
+                    (k.range * 11) % 30 + 3 + k.range % 3 AS y1
+             FROM range(60) k),
+       cell AS (SELECT gx.range AS cx, gy.range AS cy
+                FROM range(36) gx, range(36) gy),
+       cov AS (SELECT DISTINCT r.grp, c.cx, c.cy
+               FROM cell c JOIN rct r
+                 ON c.cx >= r.x0 AND c.cx < r.x1
+                AND c.cy >= r.y0 AND c.cy < r.y1),
+       area AS (SELECT grp, count(*) AS union_area FROM cov GROUP BY grp),
+       adj AS (SELECT a.grp, a.id AS ai, b.id AS bi
+               FROM rct a JOIN rct b
+                 ON a.grp = b.grp
+                AND a.x0 <= b.x1 AND b.x0 <= a.x1
+                AND a.y0 <= b.y1 AND b.y0 <= a.y1),
+       lab AS (SELECT grp, id AS node, id AS lbl FROM rct
+               UNION
+               SELECT a.grp, a.ai, l.lbl
+               FROM lab l JOIN adj a ON a.grp = l.grp AND a.bi = l.node),
+       comp AS (SELECT grp, node, min(lbl) AS root FROM lab
+                GROUP BY grp, node),
+       parts AS (SELECT grp, count(DISTINCT root) AS n_parts
+                 FROM comp GROUP BY grp),
+       cnt AS (SELECT grp, count(*) AS n_rects FROM rct GROUP BY grp)
+       SELECT c.grp, CAST(c.n_rects AS BIGINT) AS n_rects,
+              CAST(a.union_area AS BIGINT) AS union_area,
+              CAST(p.n_parts AS BIGINT) AS n_parts
+       FROM cnt c JOIN area a ON a.grp = c.grp
+       JOIN parts p ON p.grp = c.grp""",
+)
+def q263(spark, sf_dir):
+    """gdal vector dissolve (apps/gdalalg_vector_dissolve semantics —
+    ogr2ogr's GROUP BY + ST_Union): merge every feature sharing an
+    attribute into one multipolygon, reporting exact union AREA
+    (distinct covered unit cells — correct under arbitrary overlap)
+    and the number of connected PARTS (components of the
+    touch-or-overlap graph over rects: closed-interval bbox
+    intersection, min-label propagation — engine: capped pointer
+    rounds; oracle: recursive CTE to fixpoint, the q251 pattern).
+    Area counting shuffles on (grp, cell), component finding on the
+    per-group rect graph — the group key shards both at scale."""
+    rct = spark.range(60).selectExpr(
+        "id", "id % 5 AS grp",
+        "(id * 7) % 30 AS x0", "(id * 11) % 30 AS y0",
+        "(id * 7) % 30 + 3 + id % 4 AS x1",
+        "(id * 11) % 30 + 3 + id % 3 AS y1",
+    ).localCheckpoint(eager=True)
+    cell = spark.range(36).selectExpr("id AS cx").crossJoin(
+        spark.range(36).selectExpr("id AS cy"))
+    cov = (
+        cell.join(
+            F.broadcast(rct),
+            (F.col("cx") >= F.col("x0")) & (F.col("cx") < F.col("x1"))
+            & (F.col("cy") >= F.col("y0")) & (F.col("cy") < F.col("y1")),
+        )
+        .select("grp", "cx", "cy").distinct()
+    )
+    area = cov.groupBy("grp").agg(F.count("*").alias("union_area"))
+    a = rct.selectExpr("grp", "id AS ai", "x0", "y0", "x1", "y1")
+    b = rct.selectExpr("grp AS grpb", "id AS bi", "x0 AS bx0", "y0 AS by0",
+                       "x1 AS bx1", "y1 AS by1")
+    adj = (
+        a.join(b, (F.col("grp") == F.col("grpb"))
+               & (F.col("x0") <= F.col("bx1")) & (F.col("bx0") <= F.col("x1"))
+               & (F.col("y0") <= F.col("by1")) & (F.col("by0") <= F.col("y1")))
+        .select("grp", "ai", "bi")
+        .localCheckpoint(eager=True)
+    )
+    lbl = rct.selectExpr("grp", "id AS node", "id AS lbl")
+    lbl = lbl.localCheckpoint(eager=True)
+    for _round in range(16):
+        nxt = (
+            adj.join(lbl.selectExpr("grp AS g2", "node AS bi2", "lbl AS lb"),
+                     (F.col("grp") == F.col("g2"))
+                     & (F.col("bi") == F.col("bi2")))
+            .groupBy("grp", "ai").agg(F.min("lb").alias("nmin"))
+        )
+        merged = (
+            lbl.join(nxt, (lbl.grp == nxt.grp) & (lbl.node == nxt.ai), "left")
+            .select(lbl.grp, lbl.node,
+                    F.least(lbl.lbl, F.coalesce("nmin", lbl.lbl)).alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            merged.selectExpr("grp", "node", "lbl AS l2")
+            .join(lbl, ["grp", "node"]).filter("l2 <> lbl").count()
+        )
+        lbl.unpersist()
+        lbl = merged
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("q263 dissolve components did not converge")
+    parts = (
+        lbl.groupBy("grp").agg(F.countDistinct("lbl").alias("n_parts")))
+    cnt = rct.groupBy("grp").agg(F.count("*").alias("n_rects"))
+    return (
+        cnt.join(area, "grp").join(parts, "grp")
+        .select("grp",
+                F.col("n_rects").cast("long").alias("n_rects"),
+                F.col("union_area").cast("long").alias("union_area"),
+                F.col("n_parts").cast("long").alias("n_parts"))
+    )
