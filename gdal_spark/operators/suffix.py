@@ -143,6 +143,14 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
         .select("pos", "rnk")
         .localCheckpoint(eager=True)
     )
+    # m = exclusive upper bound of current rank values; between real
+    # (window + broadcast-offset) compressions, a doubling round can
+    # FOLD the pair into one composite integer rank*(m)+rank2 — order
+    # preserving, equal-pairs-equal — for free (one join, no window,
+    # no collect), as long as m*m stays inside BIGINT.  Compression
+    # (which also yields the dense-rank convergence signal) only runs
+    # when the next fold would overflow.
+    m = k + 1
     gap = 1
     for _ in range(max_rounds):
         if k == n:
@@ -153,22 +161,41 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
             r.join(shifted, "pos", "left")
             .select("pos", "rnk", F.coalesce("rnk2", F.lit(0)).alias("rnk2"))
         )
-        # ranks are dense in [1, k]: bucket deterministically on the
-        # leading key — monotone, so bucket order == key order
-        ords, k2 = _dense_ordinals(
-            j, ["rnk", "rnk2"], "newrnk",
-            F.floor((F.col("rnk") - 1) * parts / k), parts,
-        )
-        k = k2
-        nxt = (
-            j.join(ords, ["rnk", "rnk2"])
-            .select("pos", F.col("newrnk").alias("rnk"))
-            .localCheckpoint(eager=True)
-        )
+        if m * m < (1 << 62):
+            nxt = (
+                j.select(
+                    "pos",
+                    (F.col("rnk") * m + F.col("rnk2")).alias("rnk"))
+                .localCheckpoint(eager=True)
+            )
+            m = m * m
+            k = -1  # unknown until the next compression
+        else:
+            # composite values are in [m, m*m): bucket monotonically
+            ords, k = _dense_ordinals(
+                j, ["rnk", "rnk2"], "newrnk",
+                F.floor(F.col("rnk") * parts / m), parts,
+            )
+            nxt = (
+                j.join(ords, ["rnk", "rnk2"])
+                .select("pos", F.col("newrnk").alias("rnk"))
+                .localCheckpoint(eager=True)
+            )
+            m = k + 1
         r.unpersist()
         r = nxt
         gap *= 2
-    if k == n:  # converged exactly on the last allowed round
+    # final compression to dense 1..n ranks (also the convergence check)
+    ords, k = _dense_ordinals(
+        r.select("pos", "rnk", F.lit(0).alias("rnk2")), ["rnk", "rnk2"],
+        "newrnk", F.floor(F.col("rnk") * parts / m), parts,
+    )
+    r = (
+        r.join(ords.select("rnk", "newrnk"), "rnk")
+        .select("pos", F.col("newrnk").alias("rnk"))
+        .localCheckpoint(eager=True)
+    )
+    if k == n:
         return r
     raise RuntimeError(
         f"suffix_array did not reach dense ranks in {max_rounds} "
