@@ -152,6 +152,7 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
     # when the next fold would overflow.
     m = k + 1
     gap = 1
+    folds_since_ckpt = 0
     for _ in range(max_rounds):
         if k == n:
             return r
@@ -162,12 +163,16 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
             .select("pos", "rnk", F.coalesce("rnk2", F.lit(0)).alias("rnk2"))
         )
         if m * m < (1 << 62):
-            nxt = (
-                j.select(
-                    "pos",
-                    (F.col("rnk") * m + F.col("rnk2")).alias("rnk"))
-                .localCheckpoint(eager=True)
-            )
+            # fold rounds are pure projections over one self-join —
+            # let the plan chain and only truncate lineage every 3rd
+            # round (the tree doubles per round: 2^3 = 8x base, cheap;
+            # an eager checkpoint per round was one whole job each)
+            nxt = j.select(
+                "pos", (F.col("rnk") * m + F.col("rnk2")).alias("rnk"))
+            folds_since_ckpt += 1
+            if folds_since_ckpt >= 3:
+                nxt = nxt.localCheckpoint(eager=True)
+                folds_since_ckpt = 0
             m = m * m
             k = -1  # unknown until the next compression
         else:
@@ -182,6 +187,7 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
                 .localCheckpoint(eager=True)
             )
             m = k + 1
+            folds_since_ckpt = 0
         r.unpersist()
         r = nxt
         gap *= 2
