@@ -275,6 +275,8 @@ HEADLINE = [
     "q261_nodata_to_alpha",
     "q262_check_geometry",
     "q263_vector_dissolve",
+    "q264_dem_aspect_degrees",
+    "q265_dem_slope_percent",
 ]
 
 

@@ -13436,3 +13436,69 @@ def q263(spark, sf_dir):
                 F.col("union_area").cast("long").alias("union_area"),
                 F.col("n_parts").cast("long").alias("n_parts"))
     )
+
+
+# --- gdaldem aspect (azimuth degrees) + slope percent (q264-q265) --------------------
+
+
+def _aspect_sql(p: str, q: str) -> str:
+    """GDALAspectAlg (apps/gdaldem_lib.cpp) over exact p,q: reference
+    dx = 8p, dy = 8q; azimuth convention; flat -> -9999."""
+    a = f"(atan2(8.0 * {q}, -(8.0 * {p})) * {_IG_R2D})"
+    az = f"(CASE WHEN {a} > 90.0 THEN 450.0 - {a} ELSE 90.0 - {a} END)"
+    az0 = f"(CASE WHEN {az} = 360.0 THEN 0.0 ELSE {az} END)"
+    return (f"(CASE WHEN {p} = 0.0 AND {q} = 0.0 THEN -9999.0 "
+            f"ELSE {az0} END)")
+
+
+@query(
+    "q264_dem_aspect_degrees",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g)
+       SELECT gx, gy, round({_aspect_sql('p', 'q')}, 3) AS aspect
+       FROM pq""",
+)
+def q264(spark, sf_dir):
+    """gdaldem aspect in AZIMUTH DEGREES (GDALAspectAlg,
+    apps/gdaldem_lib.cpp — the exact-value companion to q74's
+    transcendental-free octant classification): aspect =
+    atan2(dy, -dx) * 180/pi with the azimuth flip (>90 -> 450-a else
+    90-a), 360 -> 0, flat cells -> -9999.  Same strategy as
+    q246/q247: exact dyadic Horn gradients from the halo kernel, the
+    SAME expression string compiled by both engines, round(3)
+    in-query with the rounding-margin pytest making last-ulp libm
+    drift harmless."""
+    from gdal_spark.operators.focal import horn_pq_tiles
+
+    pq = horn_pq_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return pq.select(
+        "gx", "gy",
+        F.round(F.expr(_aspect_sql("p", "q")), 3).alias("aspect"),
+    )
+
+
+@query(
+    "q265_dem_slope_percent",
+    f"""WITH g AS ({_DEM_G}),
+       pq AS (SELECT gx, gy, {_P_SQL} AS p, {_Q_SQL} AS q FROM g)
+       SELECT gx, gy,
+              round(100.0 * sqrt(64.0 * (p*p) + 64.0 * (q*q)) * 0.125, 6)
+                  AS slope_pct
+       FROM pq""",
+)
+def q265(spark, sf_dir):
+    """gdaldem slope -p (percent slope, GDALSlopeHornAlg percent
+    branch): 100 * sqrt(dx^2 + dy^2) / (8 * res) with dx = 8p,
+    dy = 8q — arithmetic plus one IEEE sqrt over exact dyadic
+    gradients, bitwise across engines with no transcendental at all
+    (the DEGREES branch needs atan and is covered by the q70 family;
+    percent completes the flag surface)."""
+    from gdal_spark.operators.focal import horn_pq_tiles
+
+    pq = horn_pq_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
+    return pq.select(
+        "gx", "gy",
+        F.round(
+            F.expr("100.0 * sqrt(64.0 * (p*p) + 64.0 * (q*q)) * 0.125"), 6
+        ).alias("slope_pct"),
+    )

@@ -20,6 +20,7 @@ from gdal_spark.queries import (
     DEM_H,
     DEM_TILE,
     DEM_W,
+    _aspect_sql,
     _combined_shade_sql,
     _dem_tiles,
     _igor_shade_sql,
@@ -31,9 +32,10 @@ def _margins(vals: np.ndarray) -> float:
     return float(np.abs(frac - 0.5).min())
 
 
-def test_igor_combined_rounding_margins(spark):
+def test_igor_combined_aspect_rounding_margins(spark):
     pq = horn_pq_tiles(_dem_tiles(spark), DEM_TILE, DEM_W, DEM_H)
-    for expr in (_igor_shade_sql("p", "q"), _combined_shade_sql("p", "q")):
+    for expr in (_igor_shade_sql("p", "q"), _combined_shade_sql("p", "q"),
+                 _aspect_sql("p", "q")):
         vals = np.array([r[0] for r in pq.select(F.expr(expr)).collect()])
         assert len(vals) == (DEM_W - 2) * (DEM_H - 2)
         assert np.isfinite(vals).all()
