@@ -277,6 +277,8 @@ HEADLINE = [
     "q263_vector_dissolve",
     "q264_dem_aspect_degrees",
     "q265_dem_slope_percent",
+    "q266_hard_negatives",
+    "q267_tokenizer_fertility",
 ]
 
 

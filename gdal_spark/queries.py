@@ -13502,3 +13502,110 @@ def q265(spark, sf_dir):
             F.expr("100.0 * sqrt(64.0 * (p*p) + 64.0 * (q*q)) * 0.125"), 6
         ).alias("slope_pct"),
     )
+
+
+# --- hard-negative mining for embedding training (q266) ------------------------------
+
+
+@query(
+    "q266_hard_negatives",
+    """WITH v AS (SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                    AS qv
+             FROM embeddings),
+       q AS (SELECT vec_id AS qid, label AS qlab, qv AS qqv FROM v
+             WHERE vec_id % 10 = 0),
+       pr AS (SELECT q.qid, v.vec_id AS cand,
+                 CAST(list_sum(list_transform(list_zip(q.qqv, v.qv),
+                      s -> s[1]*s[2])) AS BIGINT) AS dot
+              FROM q JOIN v ON v.label <> q.qlab),
+       best AS (SELECT qid, max(dot * 100000 + (99999 - cand)) AS code
+                FROM pr GROUP BY qid)
+       SELECT b.qid,
+              CAST(99999 - (b.code % 100000) AS BIGINT) AS neg_id,
+              CAST((b.code - (b.code % 100000)) // 100000 AS BIGINT)
+                  AS neg_dot
+       FROM best b""",
+)
+def q266(spark, sf_dir):
+    """Hard-negative mining (the contrastive-training data op an
+    embedding pipeline runs per epoch): for each query vector, the
+    DIFFERENT-label candidate with maximum integer-quantized inner
+    product, ties to the lowest candidate id — encoded as the single
+    integer argmax dot*100000 + (99999 - cand), map-side combinable,
+    no window over the candidate table.  The query side broadcasts;
+    candidate work is |Q| x |C| inside each partition (at 10^12 scale
+    the candidate side pre-filters through the q127 IVF cells, the
+    SemDeDup pattern — the mining rule itself is unchanged)."""
+    v = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    )
+    q = v.filter("vec_id % 10 = 0").selectExpr(
+        "vec_id AS qid", "label AS qlab", "qv AS qqv")
+    pr = (
+        F.broadcast(q).join(v, F.col("label") != F.col("qlab"))
+        .selectExpr(
+            "qid", "vec_id AS cand",
+            "aggregate(zip_with(qqv, qv, (x, y) -> x*y), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x) AS dot",
+        )
+    )
+    best = pr.groupBy("qid").agg(
+        F.max(F.col("dot") * 100000 + (99999 - F.col("cand"))).alias("code"))
+    return best.select(
+        "qid",
+        (99999 - (F.col("code") % 100000)).cast("long").alias("neg_id"),
+        F.floor((F.col("code") - (F.col("code") % 100000)) / 100000)
+            .cast("long").alias("neg_dot"),
+    )
+
+
+# --- tokenizer fertility statistics (q267) --------------------------------------------
+
+
+@query(
+    "q267_tokenizer_fertility",
+    _bpe_oracle_sql(
+        _BPE_ROUNDS,
+        f"""SELECT CAST(len([s for s in string_split(trim(syms), ' ')
+                           if s <> '']) AS BIGINT) AS n_pieces,
+              CAST(count(*) AS BIGINT) AS n_words,
+              CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+              CAST(sum(cnt * length(word)) AS BIGINT) AS n_chars
+       FROM w{_BPE_ROUNDS} GROUP BY 1""",
+    ),
+)
+def q267(spark, sf_dir):
+    """Tokenizer FERTILITY statistics (tokens-per-word — the metric
+    that decides whether a trained tokenizer ships): after the q231
+    BPE merges, group the vocabulary by final piece count and emit
+    corpus-weighted word/occurrence/char masses per fertility class.
+    Mean fertility = sum(n_pieces * n_occurrences) / sum(n_occ) falls
+    out of the emitted integers exactly.  Same vocabulary-bounded
+    working set as q231/q233; re-tokenizing the corpus is never
+    needed for the statistic."""
+    from gdal_spark.operators.bpe import train_bpe_state, word_vocab
+
+    v = word_vocab(_t(spark, sf_dir, "documents"))
+    merges, w = train_bpe_state(v, _BPE_ROUNDS)
+    out = (
+        w.selectExpr(
+            "size(filter(split(trim(syms), ' '), s -> s != '')) AS n_pieces",
+            "cnt", "word",
+        )
+        .groupBy("n_pieces")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("cnt").cast("long").alias("n_occurrences"),
+            F.sum(F.col("cnt") * F.length("word")).cast("long")
+                .alias("n_chars"),
+        )
+        .select(F.col("n_pieces").cast("long").alias("n_pieces"),
+                "n_words", "n_occurrences", "n_chars")
+    )
+    res = out.localCheckpoint(eager=True)
+    w.unpersist()
+    return res
