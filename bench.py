@@ -279,6 +279,7 @@ HEADLINE = [
     "q265_dem_slope_percent",
     "q266_hard_negatives",
     "q267_tokenizer_fertility",
+    "q268_binomial_smooth5",
 ]
 
 

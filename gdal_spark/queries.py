@@ -13609,3 +13609,59 @@ def q267(spark, sf_dir):
     res = out.localCheckpoint(eager=True)
     w.unpersist()
     return res
+
+
+# --- 5x5 binomial smoothing, radius-2 halo (q268) -------------------------------------
+
+_BINOM5 = [1, 4, 6, 4, 1]
+
+
+def _binom5_oracle_terms() -> str:
+    terms = []
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            w = _BINOM5[dx + 2] * _BINOM5[dy + 2]
+            terms.append(f"{w}*{_z_sql(f'gx+{dx}', f'gy+{dy}')}")
+    return " + ".join(terms)
+
+
+@query(
+    "q268_binomial_smooth5",
+    f"""WITH g AS ({_DEM_G}),
+       i AS (SELECT gx, gy FROM g
+             WHERE gx >= 2 AND gx < 126 AND gy >= 2 AND gy < 126),
+       s AS (SELECT gx, gy,
+                CAST({_binom5_oracle_terms()} AS DOUBLE) / 256.0 AS sm
+             FROM i)
+       SELECT gx, gy, sm FROM s WHERE sm <> 0""",
+)
+def q268(spark, sf_dir):
+    """5x5 binomial (Gaussian-approximating) smoothing — the
+    VRTKernelFilteredSource arbitrary-size kernel path
+    (frmts/vrt/vrtfilters.cpp) beyond the 3x3 q227 set: weights are
+    the outer product of [1,4,6,4,1] summing to 256, so the
+    normalization is DYADIC-exact (division by 2^8 is lossless in
+    float64 for integer sums).  Exercises the RADIUS-2 halo exchange
+    (each tile task reads a 2-pixel ring from up to 8 neighbor
+    strips); the oracle is the fully unrolled 25-term weighted sum.
+    Interior-only output (gx, gy in [2, 126))."""
+    import numpy as np  # noqa: F811
+    from gdal_spark.operators.focal import _apply_focal
+
+    w5 = np.array(_BINOM5, dtype=np.float64)
+    ker = np.outer(w5, w5)
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 4
+        acc = np.zeros((ts, ts), dtype=np.float64)
+        for dy in range(5):
+            for dx in range(5):
+                acc += ker[dy, dx] * padded[dy:dy + ts, dx:dx + ts]
+        return acc / 256.0
+
+    ntx, nty = DEM_W // DEM_TILE, DEM_H // DEM_TILE
+    out = _apply_focal(_dem_tiles(spark), DEM_TILE, 2, ntx, nty, kern)
+    return out.filter(
+        (F.col("gx") >= 2) & (F.col("gx") < DEM_W - 2)
+        & (F.col("gy") >= 2) & (F.col("gy") < DEM_H - 2)
+    ).select("gx", "gy", F.col("v").alias("sm"))
