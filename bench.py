@@ -280,6 +280,8 @@ HEADLINE = [
     "q266_hard_negatives",
     "q267_tokenizer_fertility",
     "q268_binomial_smooth5",
+    "q269_postings_gamma_bits",
+    "q270_mvt_line_encode",
 ]
 
 

@@ -13665,3 +13665,150 @@ def q268(spark, sf_dir):
         (F.col("gx") >= 2) & (F.col("gx") < DEM_W - 2)
         & (F.col("gy") >= 2) & (F.col("gy") < DEM_H - 2)
     ).select("gx", "gy", F.col("v").alias("sm"))
+
+
+# --- inverted-index compression accounting: Elias gamma (q269) ------------------------
+
+
+@query(
+    "q269_postings_gamma_bits",
+    """WITH t AS (SELECT doc_id,
+                [w for w in string_split(text, ' ') if w <> ''] AS toks
+             FROM documents),
+       e AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM t),
+       g AS (SELECT w, doc_id,
+                doc_id - lag(doc_id) OVER (PARTITION BY w ORDER BY doc_id)
+                    AS gap
+             FROM e),
+       bits AS (SELECT w,
+                  count(*) AS df,
+                  sum(CASE WHEN gap IS NULL
+                       THEN 2 * (length(bin(doc_id + 1)) - 1) + 1
+                       ELSE 2 * (length(bin(gap)) - 1) + 1 END)
+                      AS gamma_bits,
+                  count(*) * 64 AS raw_bits
+               FROM g GROUP BY w)
+       SELECT w, CAST(df AS BIGINT) AS df,
+              CAST(gamma_bits AS BIGINT) AS gamma_bits,
+              CAST(raw_bits AS BIGINT) AS raw_bits,
+              CAST(CASE WHEN gamma_bits * 4 <= raw_bits THEN 1 ELSE 0 END
+                   AS BIGINT) AS compresses_4x
+       FROM bits""",
+)
+def q269(spark, sf_dir):
+    """Inverted-index size accounting under Elias-gamma gap coding
+    (the capacity-planning pass a 10^12-doc index build runs before
+    choosing a postings format): per term, sort postings by doc id,
+    gap-encode (first entry stores doc_id+1), and charge the exact
+    gamma cost 2*floor(log2 g) + 1 bits per gap — floor-log2 is the
+    bin()-length integer idiom, so both engines count identical bits.
+    One term-partitioned window for the gaps + one aggregation;
+    everything shuffles on the term vocabulary."""
+    e = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "explode(filter(split(text, ' '), w -> w != '')) AS w"
+    ).distinct()
+    w = Window.partitionBy("w").orderBy("doc_id")
+    g = e.withColumn("gap", F.col("doc_id") - F.lag("doc_id").over(w))
+    gamma = F.when(
+        F.col("gap").isNull(),
+        2 * (F.length(F.expr("bin(doc_id + 1)")) - 1) + 1,
+    ).otherwise(2 * (F.length(F.expr("bin(gap)")) - 1) + 1)
+    bits = g.groupBy("w").agg(
+        F.count("*").alias("df"),
+        F.sum(gamma).alias("gamma_bits"),
+        (F.count("*") * 64).alias("raw_bits"),
+    )
+    return bits.select(
+        "w",
+        F.col("df").cast("long").alias("df"),
+        F.col("gamma_bits").cast("long").alias("gamma_bits"),
+        F.col("raw_bits").cast("long").alias("raw_bits"),
+        F.when(F.col("gamma_bits") * 4 <= F.col("raw_bits"), 1).otherwise(0)
+        .cast("long").alias("compresses_4x"),
+    )
+
+
+# --- MVT LineString command-stream encode (q270) --------------------------------------
+
+
+@query(
+    "q270_mvt_line_encode",
+    """WITH v AS (SELECT k.range // 5 AS line_id, k.range % 5 AS seq,
+                    ((k.range // 5) * 37 + (k.range % 5) * 41) % 256 AS x,
+                    ((k.range // 5) * 53 + ((k.range % 5) * (k.range % 5))
+                     * 29) % 256 AS y
+             FROM range(100) k),
+       d AS (SELECT line_id, seq, x, y,
+                lag(x) OVER (PARTITION BY line_id ORDER BY seq) AS px,
+                lag(y) OVER (PARTITION BY line_id ORDER BY seq) AS py
+             FROM v),
+       kept AS (SELECT * FROM d
+                WHERE px IS NULL OR x <> px OR y <> py),
+       d2 AS (SELECT line_id, seq, x, y,
+                 x - lag(x) OVER (PARTITION BY line_id ORDER BY seq) AS dx,
+                 y - lag(y) OVER (PARTITION BY line_id ORDER BY seq) AS dy
+              FROM kept),
+       zz AS (SELECT line_id,
+                 count(*) AS n_out,
+                 sum(CASE WHEN dx IS NULL THEN
+                       (CASE WHEN x >= 0 THEN 2*x ELSE -2*x - 1 END)
+                     + (CASE WHEN y >= 0 THEN 2*y ELSE -2*y - 1 END)
+                     ELSE
+                       (CASE WHEN dx >= 0 THEN 2*dx ELSE -2*dx - 1 END)
+                     + (CASE WHEN dy >= 0 THEN 2*dy ELSE -2*dy - 1 END)
+                     END) AS zz_sum
+              FROM d2 GROUP BY line_id),
+       n_in AS (SELECT line_id, count(*) AS n_pts FROM v GROUP BY line_id)
+       SELECT z.line_id,
+              CAST(i.n_pts AS BIGINT) AS n_in,
+              CAST(z.n_out AS BIGINT) AS n_out,
+              CAST(9 AS BIGINT) AS cmd_move,
+              CAST((z.n_out - 1) * 8 + 2 AS BIGINT) AS cmd_line,
+              CAST(z.zz_sum AS BIGINT) AS zz_sum
+       FROM zz z JOIN n_in i ON i.line_id = z.line_id""",
+)
+def q270(spark, sf_dir):
+    """MVT LineString geometry-command encode (the OGR MVT writer,
+    ogr/ogrsf_frmts/mvt/mvtutils.cpp; Mapbox Vector Tile spec §4.3):
+    consecutive duplicate quantized vertices collapse, the first
+    vertex becomes MoveTo (command integer 9 = 1<<3 | 1), the rest
+    one LineTo run ((n-1)<<3 | 2), and every coordinate delta is
+    zigzag-encoded (2d if d>=0 else -2d-1).  Emits per line the
+    in/out vertex counts, command integers, and the exact zigzag
+    parameter sum — all integer, both engines bitwise.  Two
+    line-partitioned windows (collapse, then delta); shards on
+    line_id."""
+    v = spark.range(100).selectExpr(
+        "id div 5 AS line_id", "id % 5 AS seq",
+        "((id div 5) * 37 + (id % 5) * 41) % 256 AS x",
+        "((id div 5) * 53 + ((id % 5) * (id % 5)) * 29) % 256 AS y",
+    )
+    w = Window.partitionBy("line_id").orderBy("seq")
+    d = v.withColumn("px", F.lag("x").over(w)).withColumn(
+        "py", F.lag("y").over(w))
+    kept = d.filter(
+        F.col("px").isNull() | (F.col("x") != F.col("px"))
+        | (F.col("y") != F.col("py")))
+    d2 = kept.withColumn("dx", F.col("x") - F.lag("x").over(w)).withColumn(
+        "dy", F.col("y") - F.lag("y").over(w))
+
+    def _zz(c):
+        return F.when(F.col(c) >= 0, 2 * F.col(c)).otherwise(
+            -2 * F.col(c) - 1)
+
+    first = _zz("x") + _zz("y")
+    rest = _zz("dx") + _zz("dy")
+    zz = d2.groupBy("line_id").agg(
+        F.count("*").alias("n_out"),
+        F.sum(F.when(F.col("dx").isNull(), first).otherwise(rest))
+        .alias("zz_sum"),
+    )
+    n_in = v.groupBy("line_id").agg(F.count("*").alias("n_pts"))
+    return zz.join(n_in, "line_id").select(
+        "line_id",
+        F.col("n_pts").cast("long").alias("n_in"),
+        F.col("n_out").cast("long").alias("n_out"),
+        F.lit(9).cast("long").alias("cmd_move"),
+        ((F.col("n_out") - 1) * 8 + 2).cast("long").alias("cmd_line"),
+        F.col("zz_sum").cast("long").alias("zz_sum"),
+    )
