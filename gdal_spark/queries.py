@@ -12395,11 +12395,20 @@ def q250(spark, sf_dir):
         .filter(2 * F.col("inter") >= F.col("na") + F.col("nb") - F.col("inter"))
         .select("a", "b")
     )
-    nt = truth.count()
-    nc = cand.count()
-    nh = cand.join(truth, ["a", "b"]).count()
+    # one materializing job: full-outer join the two pair sets and
+    # count membership flags in a single aggregation (three separate
+    # .count() jobs re-executed the sig/inter chains three times)
+    j = cand.withColumn("_c", F.lit(1)).join(
+        truth.withColumn("_t", F.lit(1)), ["a", "b"], "full_outer")
+    row = j.agg(
+        F.sum(F.coalesce("_t", F.lit(0))).alias("n_truth"),
+        F.sum(F.coalesce("_c", F.lit(0))).alias("n_cand"),
+        F.sum(F.coalesce("_t", F.lit(0))
+              * F.coalesce("_c", F.lit(0))).alias("n_hit"),
+    ).collect()[0]
     return spark.createDataFrame(
-        [(nt, nc, nh)], "n_truth BIGINT, n_cand BIGINT, n_hit BIGINT")
+        [(row["n_truth"], row["n_cand"], row["n_hit"])],
+        "n_truth BIGINT, n_cand BIGINT, n_hit BIGINT")
 
 
 # --- coverage clean: gap/overlap absorption (q251) -----------------------------------
