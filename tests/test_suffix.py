@@ -116,3 +116,20 @@ def test_suffix_array_round_cap_raises_loudly(corpus_fixture):
     chars, _ = corpus_chars(docs)
     with pytest.raises(RuntimeError, match="dense ranks"):
         suffix_array(chars, 65, max_rounds=2)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(st.text(alphabet="abc", min_size=3, max_size=40))
+def test_suffix_array_random_strings_match_python(spark, s):
+    # repeat-heavy 3-letter strings are the adversarial case for
+    # prefix doubling (long LCPs force maximum rounds incl. folds)
+    docs = spark.createDataFrame([(0, s)], "doc_id INT, body STRING")
+    chars, _ = corpus_chars(docs)
+    n = len(s) + 1  # separator appended
+    got = {r["pos"]: r["rnk"] for r in suffix_array(chars, n).collect()}
+    full = s + "|"
+    _, rnk = _py_suffix_array(full)
+    assert got == {i + 1: rnk[i] for i in range(n)}
