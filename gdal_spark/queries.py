@@ -12985,21 +12985,44 @@ def q258(spark, sf_dir):
     for ch in sorted(hist):
         cs[ch] = run
         run += hist[ch]
+    # backward search is sequential in DEPTH but independent across
+    # patterns: one aggregation job per depth serves every pattern's
+    # two occ() probes at once (a broadcast (pattern, char, l, r)
+    # bounds table joined to the BWT on char, conditional sums)
+    state = {p: (0, n) for p in _FM_PATTERNS}
+    max_len = max(len(p) for p in _FM_PATTERNS)
+    for depth in range(1, max_len + 1):
+        bounds = []
+        for p, (l, r) in state.items():
+            if r <= l or depth > len(p):
+                continue
+            c = p[-depth]
+            if c not in cs:
+                state[p] = (0, 0)
+                continue
+            bounds.append((p, c, l, r))
+        if not bounds:
+            continue
+        bdf = spark.createDataFrame(
+            bounds, "pat STRING, c STRING, l BIGINT, r BIGINT")
+        occ = {
+            row["pat"]: (row["ol"], row["or"])
+            for row in bwt.join(F.broadcast(bdf), F.col("ch") == F.col("c"))
+            .groupBy("pat", "c", "l", "r")
+            .agg(
+                F.sum(F.when(F.col("r0") < F.col("l"), 1).otherwise(0))
+                .alias("ol"),
+                F.sum(F.when(F.col("r0") < F.col("r"), 1).otherwise(0))
+                .alias("or"),
+            ).collect()
+        }
+        for p, c, l, r in bounds:
+            ol, orr = occ.get(p, (0, 0))
+            nl, nr = cs[c] + ol, cs[c] + orr
+            state[p] = (nl, nr) if nl < nr else (0, 0)
     rows = []
     for p in _FM_PATTERNS:
-        l, r = 0, n
-        for c in reversed(p):
-            if c not in cs:
-                l = r = 0
-                break
-            occ_l = bwt.filter((F.col("ch") == c)
-                               & (F.col("r0") < l)).count() if l else 0
-            occ_r = bwt.filter((F.col("ch") == c)
-                               & (F.col("r0") < r)).count() if r else 0
-            l, r = cs[c] + occ_l, cs[c] + occ_r
-            if l >= r:
-                l = r = 0
-                break
+        l, r = state[p]
         if r > l:
             rows.append((p, r - l, l + 1, r))
         else:
