@@ -282,6 +282,8 @@ HEADLINE = [
     "q268_binomial_smooth5",
     "q269_postings_gamma_bits",
     "q270_mvt_line_encode",
+    "q271_raster_trend",
+    "q272_pyramid_audit",
 ]
 
 

@@ -13844,3 +13844,131 @@ def q270(spark, sf_dir):
         ((F.col("n_out") - 1) * 8 + 2).cast("long").alias("cmd_line"),
         F.col("zz_sum").cast("long").alias("zz_sum"),
     )
+
+
+# --- raster time-series linear trend, exact integers (q271) ---------------------------
+
+
+@query(
+    "q271_raster_trend",
+    """WITH g AS (SELECT gx.range AS gx, gy.range AS gy
+                   FROM range(64) gx, range(64) gy),
+       ts AS (SELECT gx, gy, t.range AS t,
+                 (gx*3 + gy*5) % 50 + t.range * ((gx + gy) % 7)
+                 + (t.range * t.range * (gx % 3)) % 5 AS v
+              FROM g, range(12) t),
+       s AS (SELECT gx, gy,
+                count(*) AS n, sum(t) AS sx, sum(v) AS sy,
+                sum(t*v) AS sxy, sum(t*t) AS sxx
+             FROM ts GROUP BY gx, gy),
+       tr AS (SELECT gx, gy,
+                 n*sxy - sx*sy AS slope_num,
+                 n*sxx - sx*sx AS slope_den
+              FROM s)
+       SELECT CAST(slope_num AS BIGINT) AS slope_num,
+              CAST(slope_den AS BIGINT) AS slope_den,
+              CAST(CASE WHEN slope_num > 0 THEN 1
+                        WHEN slope_num < 0 THEN -1 ELSE 0 END AS BIGINT)
+                  AS trend_sign,
+              CAST(count(*) AS BIGINT) AS n_px
+       FROM tr GROUP BY slope_num, slope_den""",
+)
+def q271(spark, sf_dir):
+    """Per-pixel linear TREND over a raster time series (the NDVI
+    trend-analysis workload a 'gdal raster stack' feeds): ordinary
+    least squares slope per pixel, kept as the EXACT integer rational
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) — numerator and denominator emit
+    as integers, so both engines agree bitwise with no float
+    regression anywhere.  One groupBy over (pixel) with five
+    map-side-combinable integer sums; the 12-step series explodes
+    from the synthetic stack (at scale: one scan of the band-stacked
+    table, shuffle keyed on pixel).  Output is the trend histogram
+    (slope rational -> pixel count)."""
+    g = spark.range(64).selectExpr("id AS gx").crossJoin(
+        spark.range(64).selectExpr("id AS gy"))
+    ts = g.crossJoin(spark.range(12).selectExpr("id AS t")).selectExpr(
+        "gx", "gy", "t",
+        "(gx*3 + gy*5) % 50 + t * ((gx + gy) % 7) "
+        "+ (t * t * (gx % 3)) % 5 AS v",
+    )
+    s = ts.groupBy("gx", "gy").agg(
+        F.count("*").alias("n"), F.sum("t").alias("sx"),
+        F.sum("v").alias("sy"), F.sum(F.col("t") * F.col("v")).alias("sxy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+    )
+    tr = s.select(
+        "gx", "gy",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .alias("slope_den"),
+    )
+    return tr.groupBy("slope_num", "slope_den").agg(
+        F.count("*").cast("long").alias("n_px")
+    ).select(
+        F.col("slope_num").cast("long").alias("slope_num"),
+        F.col("slope_den").cast("long").alias("slope_den"),
+        F.when(F.col("slope_num") > 0, 1)
+        .when(F.col("slope_num") < 0, -1).otherwise(0)
+        .cast("long").alias("trend_sign"),
+        "n_px",
+    )
+
+
+# --- tile-pyramid rollup integrity audit (q272) ----------------------------------------
+
+
+@query(
+    "q272_pyramid_audit",
+    f"""WITH p AS ({POINTS_SQL}),
+       z8 AS (SELECT CAST(floor((lon + 180.0)/360.0*256.0) AS BIGINT) AS tx,
+                     CAST(floor((90.0 - lat)/180.0*256.0) AS BIGINT) AS ty,
+                     count(*) AS n
+              FROM p GROUP BY 1, 2),
+       z7 AS (SELECT tx // 2 AS px, ty // 2 AS py, sum(n) AS n_children,
+                     count(*) AS n_tiles
+              FROM z8 GROUP BY 1, 2),
+       z7d AS (SELECT CAST(floor((lon + 180.0)/360.0*128.0) AS BIGINT) AS px,
+                      CAST(floor((90.0 - lat)/180.0*128.0) AS BIGINT) AS py,
+                      count(*) AS n_direct
+               FROM p GROUP BY 1, 2)
+       SELECT z7.px, z7.py,
+              CAST(z7.n_children AS BIGINT) AS n_children,
+              CAST(d.n_direct AS BIGINT) AS n_direct,
+              CAST(z7.n_tiles AS BIGINT) AS n_child_tiles,
+              CAST(CASE WHEN z7.n_children = d.n_direct THEN 1 ELSE 0 END
+                   AS BIGINT) AS consistent
+       FROM z7 JOIN z7d d ON d.px = z7.px AND d.py = z7.py""",
+)
+def q272(spark, sf_dir):
+    """Tile-pyramid ROLLUP INTEGRITY audit (the data-quality gate a
+    production tile table runs after every incremental maintenance
+    pass, q213's complement): the z7 parent count rolled up from z8
+    children must equal the count aggregated DIRECTLY from the source
+    points — floor(v*128) == floor(v*256)//2 holds exactly for the
+    power-of-two tiling, so `consistent` must be 1 everywhere and any
+    0 pinpoints a corrupted parent.  Two independent aggregation
+    paths over the same source, one equi-join on parent tile —
+    both shuffle on tile keys."""
+    p = _points(spark, sf_dir)
+    fx = (F.col("lon") + 180.0) / 360.0
+    fy = (90.0 - F.col("lat")) / 180.0
+    z8 = p.select(
+        F.floor(fx * 256.0).cast("long").alias("tx"),
+        F.floor(fy * 256.0).cast("long").alias("ty"),
+    ).groupBy("tx", "ty").agg(F.count("*").alias("n"))
+    z7 = z8.selectExpr("tx div 2 AS px", "ty div 2 AS py", "n").groupBy(
+        "px", "py").agg(F.sum("n").alias("n_children"),
+                        F.count("*").alias("n_tiles"))
+    z7d = p.select(
+        F.floor(fx * 128.0).cast("long").alias("px"),
+        F.floor(fy * 128.0).cast("long").alias("py"),
+    ).groupBy("px", "py").agg(F.count("*").alias("n_direct"))
+    return z7.join(z7d, ["px", "py"]).select(
+        "px", "py",
+        F.col("n_children").cast("long").alias("n_children"),
+        F.col("n_direct").cast("long").alias("n_direct"),
+        F.col("n_tiles").cast("long").alias("n_child_tiles"),
+        F.when(F.col("n_children") == F.col("n_direct"), 1).otherwise(0)
+        .cast("long").alias("consistent"),
+    )
