@@ -284,6 +284,8 @@ HEADLINE = [
     "q270_mvt_line_encode",
     "q271_raster_trend",
     "q272_pyramid_audit",
+    "q273_text_normalize_hash",
+    "q274_eval_apportionment",
 ]
 
 

@@ -13972,3 +13972,88 @@ def q272(spark, sf_dir):
         F.when(F.col("n_children") == F.col("n_direct"), 1).otherwise(0)
         .cast("long").alias("consistent"),
     )
+
+
+# --- text normalization + content hash (q273) ------------------------------------------
+
+
+@query(
+    "q273_text_normalize_hash",
+    """WITH d AS (SELECT doc_id,
+                trim(regexp_replace(regexp_replace(lower(text),
+                     '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+             FROM documents)
+       SELECT doc_id, length(norm) AS n_norm_chars,
+              md5(norm) AS content_hash
+       FROM d""",
+)
+def q273(spark, sf_dir):
+    """Text NORMALIZATION + content hashing (the CCNet/Dolma
+    pre-dedup canonicalization: lowercase, non-alphanumerics to
+    space, whitespace collapse, trim — so near-identical pages hash
+    identically before the exact-dedup groupBy).  The md5 of the
+    normalized text is the dedup key both engines must agree on
+    byte-for-byte; the normalization chain is three JVM regexp passes
+    with patterns chosen inside the RE2/Java-regex common subset.
+    Pure projection — zero shuffle at any corpus size."""
+    d = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]', ' '), ' +', ' ')) AS norm",
+    )
+    return d.select(
+        "doc_id",
+        F.length("norm").cast("long").alias("n_norm_chars"),
+        F.md5("norm").alias("content_hash"),
+    )
+
+
+# --- eval-set apportionment: largest-remainder method (q274) ---------------------------
+
+
+@query(
+    "q274_eval_apportionment",
+    """WITH s AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+       tot AS (SELECT sum(n) AS N FROM s),
+       q AS (SELECT s.lang, s.n,
+                (s.n * 100) // t.N AS base,
+                (s.n * 100) % t.N AS rem
+             FROM s, tot t),
+       rk AS (SELECT lang, n, base, rem,
+                 row_number() OVER (ORDER BY rem DESC, lang) AS rnk_rem
+              FROM q),
+       gap AS (SELECT 100 - sum(base) AS extra FROM rk)
+       SELECT lang, CAST(n AS BIGINT) AS n_docs,
+              CAST(base + CASE WHEN rnk_rem <= (SELECT extra FROM gap)
+                   THEN 1 ELSE 0 END AS BIGINT) AS quota
+       FROM rk""",
+)
+def q274(spark, sf_dir):
+    """Eval-set APPORTIONMENT by the largest-remainder (Hamilton)
+    method: carve exactly K=100 evaluation slots across languages
+    proportionally — base = floor(n*K/N) per language, the leftover
+    slots go to the largest remainders (ties to lang asc).  All
+    integer (the remainder comparison IS the fraction comparison
+    cross-multiplied); quotas sum to exactly K by construction —
+    the deterministic allocation a multilingual eval harness needs,
+    complementing q208's waterfill (capacity-capped) and q92's
+    stratified sampling (rate-based).  One language-keyed groupBy +
+    one tiny window over the language table."""
+    s = _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n"))
+    tot = s.agg(F.sum("n").alias("ntot"))  # 'N' would collide with 'n'
+    q = s.crossJoin(F.broadcast(tot)).select(
+        "lang", "n",
+        F.floor(F.col("n") * 100 / F.col("ntot")).alias("base"),
+        ((F.col("n") * 100) % F.col("ntot")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    rk = q.withColumn("rnk_rem", F.row_number().over(w))
+    gap = rk.agg((100 - F.sum("base")).alias("extra"))
+    return rk.crossJoin(F.broadcast(gap)).select(
+        "lang",
+        F.col("n").cast("long").alias("n_docs"),
+        (F.col("base")
+         + F.when(F.col("rnk_rem") <= F.col("extra"), 1).otherwise(0))
+        .cast("long").alias("quota"),
+    )
