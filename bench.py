@@ -286,6 +286,8 @@ HEADLINE = [
     "q272_pyramid_audit",
     "q273_text_normalize_hash",
     "q274_eval_apportionment",
+    "q275_triangles",
+    "q276_kcore",
 ]
 
 

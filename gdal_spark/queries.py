@@ -14057,3 +14057,183 @@ def q274(spark, sf_dir):
          + F.when(F.col("rnk_rem") <= F.col("extra"), 1).otherwise(0))
         .cast("long").alias("quota"),
     )
+
+
+# --- host-graph triangle counting + clustering coefficient (q275) ----------------------
+
+
+@query(
+    "q275_triangles",
+    """WITH e0 AS (SELECT doc_id % 40 AS a,
+                      (doc_id * 7 + doc_id // 40) % 40 AS b
+               FROM documents),
+       ud AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM e0 WHERE a <> b),
+       deg AS (SELECT x AS node, count(*) AS d FROM
+                 (SELECT u AS x FROM ud UNION ALL SELECT v FROM ud)
+               GROUP BY x),
+       tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+               FROM ud e1
+               JOIN ud e2 ON e2.u = e1.v
+               JOIN ud e3 ON e3.u = e1.u AND e3.v = e2.v),
+       pern AS (SELECT node, count(*) AS t FROM
+                  (SELECT x AS node FROM tri
+                   UNION ALL SELECT y FROM tri
+                   UNION ALL SELECT z FROM tri)
+                GROUP BY node),
+       cc AS (SELECT d.node, d.d,
+                 coalesce(p.t, 0) AS t,
+                 d.d * (d.d - 1) AS cc_den2
+              FROM deg d LEFT JOIN pern p ON p.node = d.node)
+       SELECT node, CAST(d AS BIGINT) AS degree,
+              CAST(t AS BIGINT) AS triangles,
+              CAST(2 * t AS BIGINT) AS cc_num,
+              CAST(cc_den2 AS BIGINT) AS cc_den
+       FROM cc""",
+)
+def q275(spark, sf_dir):
+    """Triangle counting + local clustering coefficient on the host
+    link graph — the node-iterator join plan that scales (triangles
+    enumerate as ordered wedges u<v<w closed by the (u,w) edge: two
+    edge-table equi-joins, candidate volume bounded by wedge count,
+    never node^3): per-node triangle participation and the exact
+    clustering rational 2t / d(d-1) emitted as integers.  The
+    canonical web-graph cohesion feature (spam farms show abnormally
+    high clustering); everything shuffles on node/edge keys."""
+    e0 = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 40 AS a", "(doc_id * 7 + doc_id div 40) % 40 AS b")
+    ud = (
+        e0.filter("a <> b")
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        ud.selectExpr("u AS x").unionAll(ud.selectExpr("v AS x"))
+        .groupBy("x").agg(F.count("*").alias("d"))
+        .withColumnRenamed("x", "node")
+    )
+    e1 = ud.selectExpr("u AS x", "v AS y")
+    e2 = ud.selectExpr("u AS y", "v AS z")
+    e3 = ud.selectExpr("u AS x", "v AS z")
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pern = (
+        tri.selectExpr("x AS node")
+        .unionAll(tri.selectExpr("y AS node"))
+        .unionAll(tri.selectExpr("z AS node"))
+        .groupBy("node").agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(pern, "node", "left")
+        .select(
+            "node",
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("t", F.lit(0)).cast("long").alias("triangles"),
+            (2 * F.coalesce("t", F.lit(0))).cast("long").alias("cc_num"),
+            (F.col("d") * (F.col("d") - 1)).cast("long").alias("cc_den"),
+        )
+    )
+
+
+# --- k-core decomposition by synchronous peeling (q276) --------------------------------
+
+
+def _kcore_oracle_sql() -> str:
+    # round-synchronous peeling for k = 3, unrolled to a fixpoint
+    # depth the fixture provably reaches (guarded loudly)
+    # every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    # reference, and n{t} feeding d{t+1} twice would expand to 2^8
+    # re-scans of the parquet view ("Too many open files")
+    # irregular degree profile (span 2..13) so the k=4 peel is a real
+    # 3-round cascade with a PARTIAL surviving core (49/60)
+    ctes = ["""h AS MATERIALIZED (SELECT DISTINCT doc_id % 60 AS hh
+               FROM documents),
+       e0 AS MATERIALIZED (SELECT hh AS a,
+                      (hh * j + j * j) % 60 AS b
+               FROM (SELECT hh, unnest([jj for jj in range(1, 8)
+                             if jj <= hh % 6 + 1]) AS j
+                     FROM h)),
+       ud AS MATERIALIZED (SELECT DISTINCT least(a, b) AS u,
+                      greatest(a, b) AS v
+              FROM e0 WHERE a <> b),
+       n0 AS MATERIALIZED (SELECT DISTINCT x AS node FROM
+                (SELECT u AS x FROM ud UNION ALL SELECT v FROM ud))"""]
+    for t in range(1, 9):
+        prev = f"n{t-1}"
+        ctes.append(f"""d{t} AS MATERIALIZED (SELECT x AS node,
+                      count(*) AS d FROM
+                 (SELECT e.u AS x FROM ud e
+                   JOIN {prev} p1 ON p1.node = e.u
+                   JOIN {prev} p2 ON p2.node = e.v
+                  UNION ALL
+                  SELECT e.v FROM ud e
+                   JOIN {prev} p1 ON p1.node = e.u
+                   JOIN {prev} p2 ON p2.node = e.v)
+               GROUP BY x)""")
+        ctes.append(f"""n{t} AS MATERIALIZED (SELECT node FROM d{t}
+                      WHERE d >= 4)""")
+    ctes.append("""chk AS (SELECT CASE WHEN
+                 (SELECT count(*) FROM n8) <> (SELECT count(*) FROM n7)
+               THEN error('q276 peeling did not converge in 8 rounds')
+               ELSE 1 END AS ok)""")
+    return ("WITH " + ",\n       ".join(ctes) + """
+       SELECT n.node,
+              CAST(CASE WHEN k.node IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                  AS in_core
+       FROM n0 n LEFT JOIN n8 k ON k.node = n.node, chk""")
+
+
+@query("q276_kcore", _kcore_oracle_sql())
+def q276(spark, sf_dir):
+    """k-CORE decomposition (k=4) by ROUND-SYNCHRONOUS peeling — the
+    deterministic distributed analogue of the sequential min-degree
+    peel (same fixpoint: the maximal subgraph where every node keeps
+    degree >= k): each round recomputes degrees within the surviving
+    set and drops every under-k node simultaneously; converges in
+    O(peel depth) rounds, each one edge equi-join + one count.  The
+    engine loops to an exact fixpoint with a loud 32-round cap; the
+    oracle unrolls 8 rounds and error()s if the fixture needed more.
+    Core membership is the classic crawl-frontier 'well-linked
+    nucleus' feature."""
+    h = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id % 60 AS hh").distinct()
+    e0 = h.selectExpr(
+        "hh",
+        "explode(sequence(1, CAST(hh % 6 AS INT) + 1)) AS j",
+    ).selectExpr("hh AS a", "(hh * j + j * j) % 60 AS b")
+    ud = (
+        e0.filter("a <> b")
+        .selectExpr("least(a, b) AS u", "greatest(a, b) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        ud.selectExpr("u AS node").unionAll(ud.selectExpr("v AS node"))
+        .distinct().localCheckpoint(eager=True)
+    )
+    alive = nodes
+    n_alive = alive.count()
+    for _round in range(32):
+        a1 = alive.selectExpr("node AS u")
+        a2 = alive.selectExpr("node AS v")
+        live_e = ud.join(a1, "u").join(a2, "v")
+        d = (
+            live_e.selectExpr("u AS node")
+            .unionAll(live_e.selectExpr("v AS node"))
+            .groupBy("node").agg(F.count("*").alias("d"))
+        )
+        nxt = d.filter("d >= 4").select("node").localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_alive:
+            break
+        alive.unpersist()
+        alive, n_alive = nxt, n_nxt
+    else:
+        raise RuntimeError("q276 k-core peeling did not converge")
+    return nodes.join(
+        alive.withColumn("_k", F.lit(1)), "node", "left"
+    ).select(
+        "node",
+        F.when(F.col("_k").isNull(), 0).otherwise(1).cast("long")
+        .alias("in_core"),
+    )
