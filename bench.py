@@ -288,6 +288,7 @@ HEADLINE = [
     "q274_eval_apportionment",
     "q275_triangles",
     "q276_kcore",
+    "q277_two_hop_reach",
 ]
 
 

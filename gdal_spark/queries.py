@@ -14237,3 +14237,72 @@ def q276(spark, sf_dir):
         F.when(F.col("_k").isNull(), 0).otherwise(1).cast("long")
         .alias("in_core"),
     )
+
+
+# --- 2-hop neighborhood reach (q277) -----------------------------------------------
+
+
+@query(
+    "q277_two_hop_reach",
+    """WITH e0 AS (SELECT doc_id % 40 AS src,
+                      (doc_id * 7 + doc_id // 40) % 40 AS dst
+               FROM documents),
+       e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+       two AS (SELECT DISTINCT a.src, b.dst AS hop2
+               FROM e a JOIN e b ON b.src = a.dst
+               WHERE b.dst <> a.src),
+       d1 AS (SELECT src, count(*) AS reach1 FROM e GROUP BY src),
+       d2 AS (SELECT src, count(*) AS reach2_raw FROM two GROUP BY src),
+       nw AS (SELECT t.src, count(*) AS new2
+              FROM two t LEFT JOIN e x
+                ON x.src = t.src AND x.dst = t.hop2
+              WHERE x.dst IS NULL
+              GROUP BY t.src)
+       SELECT d1.src AS host,
+              CAST(d1.reach1 AS BIGINT) AS reach1,
+              CAST(coalesce(d2.reach2_raw, 0) AS BIGINT) AS reach2_closed,
+              CAST(coalesce(nw.new2, 0) AS BIGINT) AS reach2_new
+       FROM d1
+       LEFT JOIN d2 ON d2.src = d1.src
+       LEFT JOIN nw ON nw.src = d1.src""",
+)
+def q277(spark, sf_dir):
+    """2-hop neighborhood reach over the directed host graph (the
+    crawl-expansion feature: how many NEW hosts a frontier reaches at
+    depth 2): distinct 1-hop out-neighbors, distinct 2-hop closures
+    (excluding returning to self), and the 2-hop targets NOT already
+    reachable in one hop (anti-join).  One edge self-join + one
+    anti-join, all keyed on host — at web scale the 2-hop closure is
+    computed per frontier shard, never materialized globally."""
+    e = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("doc_id % 40 AS src",
+                    "(doc_id * 7 + doc_id div 40) % 40 AS dst")
+        .filter("src <> dst").distinct()
+        .localCheckpoint(eager=True)
+    )
+    b = e.selectExpr("src AS mid", "dst AS hop2")
+    two = (
+        e.join(b, e.dst == b.mid)
+        .filter(F.col("hop2") != F.col("src"))
+        .select("src", "hop2").distinct()
+    )
+    d1 = e.groupBy("src").agg(F.count("*").alias("reach1"))
+    d2 = two.groupBy("src").agg(F.count("*").alias("reach2_raw"))
+    nw = (
+        two.join(e.selectExpr("src", "dst AS hop2"), ["src", "hop2"],
+                 "left_anti")
+        .groupBy("src").agg(F.count("*").alias("new2"))
+    )
+    return (
+        d1.withColumnRenamed("src", "host")
+        .join(d2.withColumnRenamed("src", "host"), "host", "left")
+        .join(nw.withColumnRenamed("src", "host"), "host", "left")
+        .select(
+            "host",
+            F.col("reach1").cast("long").alias("reach1"),
+            F.coalesce("reach2_raw", F.lit(0)).cast("long")
+            .alias("reach2_closed"),
+            F.coalesce("new2", F.lit(0)).cast("long").alias("reach2_new"),
+        )
+    )
