@@ -289,6 +289,11 @@ HEADLINE = [
     "q275_triangles",
     "q276_kcore",
     "q277_two_hop_reach",
+    "q278_countmin_sketch",
+    "q279_hll_cardinality",
+    "q280_trustrank",
+    "q281_anchor_text",
+    "q282_bloom_blocklist",
 ]
 
 

@@ -14306,3 +14306,460 @@ def q277(spark, sf_dir):
             F.coalesce("new2", F.lit(0)).cast("long").alias("reach2_new"),
         )
     )
+
+
+# --- count-min sketch term-frequency estimation (q278) ------------------------
+
+
+@query(
+    "q278_countmin_sketch",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       tc AS (SELECT word, count(*) AS cnt FROM w GROUP BY word),
+       cells AS (SELECT r.range AS r,
+                        CAST(CAST('0x' || substr(md5('cm' ||
+                               CAST(r.range AS VARCHAR) || ':' || word),
+                             1, 8) AS UBIGINT) % 64 AS BIGINT) AS c,
+                        word, cnt
+                 FROM tc, range(0, 4) r),
+       sk AS (SELECT r, c, sum(cnt) AS cell FROM cells GROUP BY r, c),
+       est AS (SELECT cells.word, min(sk.cell) AS cms_est
+               FROM cells JOIN sk USING (r, c) GROUP BY cells.word)
+       SELECT tc.word, CAST(tc.cnt AS BIGINT) AS true_cnt,
+              CAST(est.cms_est AS BIGINT) AS cms_est,
+              CAST(est.cms_est - tc.cnt AS BIGINT) AS overcount
+       FROM tc JOIN est USING (word)""",
+)
+def q278(spark, sf_dir):
+    """Count-Min sketch (d=4 rows x w=64 columns) term-frequency
+    estimation — the streaming-scale frequency oracle for web corpora
+    (heavy-hitter detection without a full vocabulary groupBy).  Row
+    hashes are md5-derived integers (the pinned cross-engine idiom:
+    first 8 hex chars via conv/UBIGINT — exact 32-bit value on both
+    engines), the sketch is one (row, col)-keyed BIGINT sum, and each
+    probe takes the MIN over its d cells — est >= truth always, the
+    overcount column shows the collision inflation exactly.  At
+    10^12 tokens the sketch is 256 cells regardless of corpus size:
+    the groupBy is map-side-combinable and the probe side broadcasts."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    tc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    cells = tc.select(
+        "word", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn(
+        "c",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("cm"), F.col("r").cast("string"),
+                            F.lit(":"), F.col("word"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 64
+        ),
+    )
+    sk = cells.groupBy("r", "c").agg(F.sum("cnt").alias("cell"))
+    est = (
+        cells.select("word", "r", "c")
+        .join(F.broadcast(sk), ["r", "c"])
+        .groupBy("word")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return tc.join(est, "word").select(
+        "word",
+        F.col("cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+    )
+
+
+# --- HyperLogLog distinct-URL cardinality sketch (q279) -----------------------
+
+# alpha_32 * m^2 * 2^28 computed once in Python and inlined VERBATIM in
+# both engines (CLAUDE.md: inline Python-computed constants)
+_HLL_C = 191589901139.968  # 0.697 * 32 * 32 * 2**28
+
+
+@query(
+    "q279_hll_cardinality",
+    """WITH u AS (SELECT DISTINCT doc_id % 25 AS host,
+                    'https://h' || CAST(doc_id % 25 AS VARCHAR) ||
+                    '.example.com/p' || CAST((doc_id * 13) % 40 AS VARCHAR)
+                    AS url
+                  FROM documents),
+       h AS (SELECT host, url,
+                    CAST(CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT)
+                         AS BIGINT) AS h32
+             FROM u),
+       rho AS (SELECT host, h32 % 32 AS b,
+                      CASE WHEN h32 // 32 = 0 THEN 28
+                           ELSE 28 - length(bin(h32 // 32)) END AS rho
+               FROM h),
+       reg AS (SELECT host, b, max(rho) AS reg FROM rho GROUP BY host, b),
+       grid AS (SELECT host, r.range AS b FROM
+                  (SELECT DISTINCT host FROM u) hh, range(0, 32) r),
+       full_reg AS (SELECT grid.host, grid.b,
+                           coalesce(reg.reg, 0) AS reg
+                    FROM grid LEFT JOIN reg
+                      ON reg.host = grid.host AND reg.b = grid.b),
+       agg AS (SELECT host,
+                      sum(CAST(1 AS BIGINT) << CAST(28 - reg AS INT))
+                        AS harmonic_d,
+                      sum(CASE WHEN reg > 0 THEN 1 ELSE 0 END) AS used_buckets,
+                      sum(reg) AS sum_reg
+               FROM full_reg GROUP BY host),
+       truth AS (SELECT host, count(DISTINCT url) AS n_distinct FROM u
+                 GROUP BY host)
+       SELECT agg.host,
+              CAST(truth.n_distinct AS BIGINT) AS n_distinct,
+              CAST(agg.used_buckets AS BIGINT) AS used_buckets,
+              CAST(agg.sum_reg AS BIGINT) AS sum_reg,
+              CAST(agg.harmonic_d AS BIGINT) AS harmonic_d,
+              191589901139.968 / CAST(agg.harmonic_d AS DOUBLE) AS hll_est
+       FROM agg JOIN truth USING (host)""",
+)
+def q279(spark, sf_dir):
+    """HyperLogLog per-host distinct-URL cardinality sketch (p=5,
+    m=32 registers) — the mergeable distinct counter every crawl
+    frontier and index-stats job uses at 10^12-URL scale.  The 32-bit
+    md5-derived hash splits into bucket (low 5 bits) and the
+    remaining 27-bit word whose leading-zero rank is the exact
+    integer 28 - floor(log2(w)) - via the bin()-length idiom shared
+    by both engines (no transcendental).  Registers are a per-(host,
+    bucket) MAX — map-side combinable, mergeable across shards, which
+    is the whole point of the sketch.  The harmonic denominator is
+    the EXACT integer sum of 2^(28-reg) (bit-shift, never float pow);
+    the only float op is the final single division by the inlined
+    alpha*m^2*2^28 constant, bitwise on both engines.  The exact
+    distinct count rides along so the estimate error is visible."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        (F.col("doc_id") % 25).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example.com/p"),
+            ((F.col("doc_id") * 13) % 40).cast("string"),
+        ).alias("url"),
+    ).distinct()
+    h = u.withColumn(
+        "h32",
+        F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"),
+    )
+    rho = h.select(
+        "host",
+        (F.col("h32") % 32).alias("b"),
+        F.when(F.expr("h32 div 32") == 0, F.lit(28))
+        .otherwise(28 - F.length(F.bin(F.expr("h32 div 32"))))
+        .alias("rho"),
+    )
+    reg = rho.groupBy("host", "b").agg(F.max("rho").alias("reg"))
+    grid = (
+        u.select("host").distinct()
+        .select("host", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    )
+    full_reg = grid.join(reg, ["host", "b"], "left").select(
+        "host", "b", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    agg = full_reg.groupBy("host").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(28 - reg AS INT))"))
+        .alias("harmonic_d"),
+        F.sum(F.when(F.col("reg") > 0, 1).otherwise(0)).alias("used_buckets"),
+        F.sum("reg").alias("sum_reg"),
+    )
+    truth = u.groupBy("host").agg(
+        F.countDistinct("url").alias("n_distinct")
+    )
+    return agg.join(truth, "host").select(
+        "host",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("used_buckets").cast("long").alias("used_buckets"),
+        F.col("sum_reg").cast("long").alias("sum_reg"),
+        F.col("harmonic_d").cast("long").alias("harmonic_d"),
+        (F.lit(_HLL_C) / F.col("harmonic_d").cast("double")).alias("hll_est"),
+    )
+
+
+# --- TrustRank: seed-teleport anti-spam centrality (q280) ---------------------
+
+
+@query(
+    "q280_trustrank",
+    """WITH hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+       edges AS (SELECT host AS src, (host + 3) % 40 AS dst FROM hosts
+                 UNION ALL SELECT host, (host * 5 + 2) % 40 FROM hosts
+                 UNION ALL SELECT host, (host * 7 + 13) % 40 FROM hosts),
+       seeds AS (SELECT host FROM hosts WHERE host % 10 = 0),
+       r0 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 1 ELSE 0 END
+                          AS BIGINT) AS r
+              FROM hosts h),
+       r1 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r0 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r2 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9 * 60 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r1 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r3 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9 * 3600 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r2 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r4 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9 * 216000 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r3 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host))
+       SELECT r4.host AS host,
+              CAST(CASE WHEN r4.host % 10 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                AS is_seed,
+              r4.r AS trust_scaled,
+              CAST(r4.r AS DOUBLE) / 51840000.0 AS trust
+       FROM r4""",
+)
+def q280(spark, sf_dir):
+    """TrustRank (Gyongyi et al.) — PageRank whose teleport mass goes
+    ONLY to a trusted seed set, the classic link-spam demotion signal
+    for crawl curation.  Same exact-integer scheme as q190 (damping
+    0.85, uniform out-degree 3, scale 60^t so 0.15 -> 9*60^t on seeds
+    and 0.85/3 -> 17/60 on edges): R_{t+1}(v) = [v in S]*9*60^t +
+    17 * sum_{u->v} R_t(u), R_0 = [v in S].  Every value stays BIGINT
+    (growth <= ~170^t, far inside 2^63 at 4 rounds) so the result is
+    order-free across engines; non-seed spam clusters receive trust
+    only through in-links from the trusted region.  Each round is one
+    equi-join + one map-side-combinable sum keyed on host — the same
+    shuffle shape as PageRank, ~10^8 host rows at web scale.  The
+    edge multiset keeps parallel edges (multigraph semantics,
+    UNION ALL on both engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 40).alias("host")).distinct()
+    edges = hosts.select(
+        F.col("host").alias("src"),
+        F.explode(F.array(
+            (F.col("host") + 3) % 40,
+            (F.col("host") * 5 + 2) % 40,
+            (F.col("host") * 7 + 13) % 40,
+        )).alias("dst"),
+    )
+    seed = F.when(F.col("host") % 10 == 0, 1).otherwise(0)
+    ranks = hosts.withColumn("r", seed.cast("long"))
+    for t in range(4):
+        tele = 9 * (60 ** t)
+        contrib = (
+            edges.join(ranks, edges.src == ranks.host)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * 17).alias("s"))
+        )
+        ranks = (
+            hosts.join(contrib, hosts.host == contrib.dst, "left")
+            .select(
+                hosts.host,
+                (
+                    F.when(hosts.host % 10 == 0, F.lit(tele)).otherwise(0)
+                    + F.coalesce(F.col("s"), F.lit(0))
+                ).cast("long").alias("r"),
+            )
+        )
+    return ranks.select(
+        "host",
+        F.when(F.col("host") % 10 == 0, 1).otherwise(0).cast("long")
+        .alias("is_seed"),
+        F.col("r").alias("trust_scaled"),
+        (F.col("r").cast("double") / F.lit(51840000.0)).alias("trust"),
+    )
+
+
+# --- anchor-text consolidation per target host (q281) -------------------------
+
+
+@query(
+    "q281_anchor_text",
+    """WITH links AS (SELECT doc_id % 40 AS src,
+                             (doc_id * 7 + 3) % 40 AS dst,
+                             string_split(text, ' ')[(doc_id % 10) + 1]
+                               AS anchor
+                      FROM documents),
+       a AS (SELECT dst, anchor, count(*) AS cnt FROM links
+             GROUP BY dst, anchor),
+       m AS (SELECT dst, max(cnt) AS mc, sum(cnt) AS inlinks,
+                    count(*) AS n_terms
+             FROM a GROUP BY dst),
+       top AS (SELECT a.dst, max(a.anchor) AS top_anchor
+               FROM a JOIN m ON a.dst = m.dst AND a.cnt = m.mc
+               GROUP BY a.dst)
+       SELECT m.dst AS host,
+              CAST(m.inlinks AS BIGINT) AS inlinks,
+              CAST(m.n_terms AS BIGINT) AS n_anchor_terms,
+              top.top_anchor AS top_anchor,
+              CAST(m.mc AS BIGINT) AS top_cnt
+       FROM m JOIN top ON top.dst = m.dst""",
+)
+def q281(spark, sf_dir):
+    """Anchor-text consolidation — the indexing-side aggregation that
+    attaches the web's description of a page TO the page (anchor
+    terms of in-links, the classic ranking signal): per target host,
+    in-link count, distinct anchor-term count, and the dominant
+    anchor term by a map-side-combinable struct argmax (max count,
+    ties to lexicographically-greatest term — binary string order,
+    identical on both engines for the ascii vocabulary).  The anchor
+    is a deterministic word of the linking document (1-indexed
+    element (doc_id%10)+1; every fixture doc has >= 10 words).  One
+    groupBy keyed on (dst, anchor) then one argmax keyed on dst —
+    never a window over the term table; at web scale both shuffles
+    key on the target host."""
+    docs = _t(spark, sf_dir, "documents")
+    links = docs.select(
+        (F.col("doc_id") % 40).alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 40).alias("dst"),
+        F.element_at(
+            F.split("text", " "), ((F.col("doc_id") % 10) + 1).cast("int")
+        ).alias("anchor"),
+    )
+    a = links.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    m = a.groupBy("dst").agg(
+        F.max(F.struct(F.col("cnt"), F.col("anchor"))).alias("top"),
+        F.sum("cnt").alias("inlinks"),
+        F.count("*").alias("n_terms"),
+    )
+    return m.select(
+        F.col("dst").alias("host"),
+        F.col("inlinks").cast("long").alias("inlinks"),
+        F.col("n_terms").cast("long").alias("n_anchor_terms"),
+        F.col("top.anchor").alias("top_anchor"),
+        F.col("top.cnt").cast("long").alias("top_cnt"),
+    )
+
+
+# --- Bloom-filter blocklist membership accounting (q282) ----------------------
+
+
+@query(
+    "q282_bloom_blocklist",
+    """WITH u AS (SELECT doc_id,
+                    'https://site' || CAST(doc_id % 50 AS VARCHAR) ||
+                    '.org/page' || CAST(doc_id % 23 AS VARCHAR) AS url,
+                    doc_id % 50 AS site
+                  FROM documents),
+       bl AS (SELECT DISTINCT url FROM u WHERE doc_id % 17 = 0),
+       pos AS (SELECT DISTINCT
+                 CAST(CAST('0x' || substr(md5('bf' ||
+                        CAST(k.range AS VARCHAR) || ':' || url), 1, 8)
+                      AS UBIGINT) % 256 AS BIGINT) AS p
+               FROM bl, range(0, 3) k),
+       probe AS (SELECT u.url, u.site, k.range AS k,
+                   CAST(CAST('0x' || substr(md5('bf' ||
+                          CAST(k.range AS VARCHAR) || ':' || u.url), 1, 8)
+                        AS UBIGINT) % 256 AS BIGINT) AS p
+                 FROM (SELECT DISTINCT url, site FROM u) u, range(0, 3) k),
+       hits AS (SELECT url, site, count(*) AS nhit
+                FROM probe JOIN pos USING (p)
+                GROUP BY url, site),
+       verdict AS (SELECT p.url, p.site,
+                          CASE WHEN coalesce(h.nhit, 0) = 3 THEN 1 ELSE 0 END
+                            AS bloom_hit,
+                          CASE WHEN bl.url IS NOT NULL THEN 1 ELSE 0 END
+                            AS truly_blocked
+                   FROM (SELECT DISTINCT url, site FROM u) p
+                   LEFT JOIN (SELECT url, max(nhit) AS nhit FROM hits
+                              GROUP BY url) h ON h.url = p.url
+                   LEFT JOIN bl ON bl.url = p.url)
+       SELECT site,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+              CAST(sum(truly_blocked) AS BIGINT) AS n_blocked,
+              CAST(sum(bloom_hit) - sum(truly_blocked) AS BIGINT)
+                AS n_false_pos
+       FROM verdict GROUP BY site""",
+)
+def q282(spark, sf_dir):
+    """Bloom-filter blocklist gate with exact false-positive
+    accounting — the crawl-ingest membership test (is this URL on the
+    blocklist?) at the scale where the blocklist itself must be a
+    bit-set, not a join side.  k=3 md5-derived hash positions into
+    m=256 bits (the pinned conv/UBIGINT idiom); the filter is the
+    DISTINCT position set of the blocklist, a candidate hits when ALL
+    3 of its positions are present (count==3 over a position
+    semi-join).  Bloom guarantees no false negatives — n_bloom_hits
+    >= n_blocked per site by construction, and the n_false_pos column
+    measures the collision rate of this (m, k, n) point exactly.  At
+    10^12 URLs the filter broadcast is 256 bits and the probe is a
+    map-side broadcast join; nothing shuffles on the URL."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site"), (F.col("doc_id") % 50).cast("string"),
+            F.lit(".org/page"), (F.col("doc_id") % 23).cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 50).alias("site"),
+    )
+    bl = u.filter(F.col("doc_id") % 17 == 0).select("url").distinct()
+
+    def _pos(url_col, k_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("bf"), k_col.cast("string"),
+                                   F.lit(":"), url_col)),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 256
+        )
+
+    ks = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("k")
+    pos = (
+        bl.select("url", ks)
+        .select(_pos(F.col("url"), F.col("k")).alias("p"))
+        .distinct()
+    )
+    cand = u.select("url", "site").distinct()
+    probe = cand.select("url", "site", ks).withColumn(
+        "p", _pos(F.col("url"), F.col("k"))
+    )
+    hits = (
+        probe.join(F.broadcast(pos), "p")
+        .groupBy("url", "site")
+        .agg(F.count("*").alias("nhit"))
+    )
+    verdict = (
+        cand.join(
+            hits.groupBy("url").agg(F.max("nhit").alias("nhit")),
+            "url", "left",
+        )
+        .join(
+            F.broadcast(bl.withColumn("_b", F.lit(1))), "url", "left"
+        )
+        .select(
+            "site",
+            F.when(F.coalesce("nhit", F.lit(0)) == 3, 1).otherwise(0)
+            .alias("bloom_hit"),
+            F.when(F.col("_b").isNotNull(), 1).otherwise(0)
+            .alias("truly_blocked"),
+        )
+    )
+    return verdict.groupBy("site").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+        F.sum("truly_blocked").cast("long").alias("n_blocked"),
+        (F.sum("bloom_hit") - F.sum("truly_blocked")).cast("long")
+        .alias("n_false_pos"),
+    )
