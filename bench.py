@@ -294,6 +294,11 @@ HEADLINE = [
     "q280_trustrank",
     "q281_anchor_text",
     "q282_bloom_blocklist",
+    "q283_shingle_containment",
+    "q284_chisq_drift",
+    "q285_vbyte_postings",
+    "q286_salsa_authority",
+    "q287_conjunctive_planning",
 ]
 
 

@@ -14763,3 +14763,427 @@ def q282(spark, sf_dir):
         (F.sum("bloom_hit") - F.sum("truly_blocked")).cast("long")
         .alias("n_false_pos"),
     )
+
+
+# --- shingle-containment near-dup (q283) --------------------------------------
+
+
+@query(
+    "q283_shingle_containment",
+    """WITH d AS (SELECT doc_id,
+                    CASE WHEN doc_id % 20 = 0 THEN
+                      'alpha beta gamma delta epsilon zeta eta theta iota kappa tail'
+                      || CAST(doc_id % 3 AS VARCHAR)
+                    ELSE text END AS body
+                  FROM documents),
+       s AS (SELECT doc_id, string_split(body, ' ') AS w FROM d),
+       g AS (SELECT DISTINCT doc_id,
+                    w[r.range] || ' ' || w[r.range + 1] AS gram
+             FROM s, range(1, 200) r
+             WHERE r.range <= len(w) - 1),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q283 oracle range(1,200) bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       df AS (SELECT gram, count(*) AS dfc FROM g GROUP BY gram),
+       surv AS (SELECT g.doc_id, g.gram FROM g JOIN df USING (gram)
+                WHERE df.dfc <= 60),
+       sz AS (SELECT doc_id, count(*) AS size_a FROM surv GROUP BY doc_id),
+       pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                        count(*) AS inter
+                 FROM surv a JOIN surv b
+                   ON a.gram = b.gram AND a.doc_id <> b.doc_id
+                 GROUP BY a.doc_id, b.doc_id)
+       SELECT p.a, p.b,
+              CAST(p.inter AS BIGINT) AS inter,
+              CAST(sz.size_a AS BIGINT) AS size_a
+       FROM pairs p JOIN sz ON sz.doc_id = p.a, chk
+       WHERE 2 * p.inter >= sz.size_a""",
+)
+def q283(spark, sf_dir):
+    """Shingle-CONTAINMENT near-dup detection (Broder's asymmetric
+    measure |S_A inter S_B| / |S_A| — catches a short page swallowed
+    by a longer one, which symmetric Jaccard misses).  Universe =
+    word bigrams with document frequency <= 60, an ABSOLUTE df cap
+    (the q19 lesson: proportional caps still admit N^2 pairs at
+    10^12 docs) — candidate volume is sum(df^2) over surviving grams,
+    so hot boilerplate shingles can never explode the self-join; at
+    larger SFs the cap REMOVES the injected template (df grows with
+    corpus) and the plan gets cheaper, which is the linearity story
+    working as intended.  Docs with doc_id%20==0 carry a shared
+    10-word template + a 3-way tail so the fixture has true
+    containment pairs at sf<=0.01; threshold 2*inter >= size_a
+    (containment >= 1/2) in exact integer cross-multiplication."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 0,
+            F.concat(
+                F.lit("alpha beta gamma delta epsilon zeta eta theta "
+                      "iota kappa tail"),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("body"),
+    )
+    w = d.select("doc_id", F.split("body", " ").alias("w"))
+    g = (
+        w.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1), "
+                    "i -> concat(w[i - 1], ' ', w[i]))"
+                )
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    dfc = g.groupBy("gram").agg(F.count("*").alias("dfc"))
+    surv = g.join(dfc.filter(F.col("dfc") <= 60), "gram").select(
+        "doc_id", "gram"
+    )
+    sz = surv.groupBy("doc_id").agg(F.count("*").alias("size_a"))
+    b = surv.select(F.col("doc_id").alias("b"), "gram")
+    pairs = (
+        surv.join(b, "gram")
+        .filter(F.col("doc_id") != F.col("b"))
+        .groupBy(F.col("doc_id").alias("a"), "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(sz.withColumnRenamed("doc_id", "a"), "a")
+        .filter(2 * F.col("inter") >= F.col("size_a"))
+        .select(
+            "a", "b",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_a").cast("long").alias("size_a"),
+        )
+    )
+
+
+# --- corpus-drift chi-square per (source, term) (q284) ------------------------
+
+
+@query(
+    "q284_chisq_drift",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       o AS (SELECT source, word, count(*) AS obs FROM w
+             GROUP BY source, word),
+       r AS (SELECT source, count(*) AS rt FROM w GROUP BY source),
+       c AS (SELECT word, count(*) AS ct FROM w GROUP BY word),
+       t AS (SELECT count(*) AS tt FROM w),
+       grid AS (SELECT r.source, c.word, r.rt, c.ct FROM r, c),
+       cell AS (SELECT grid.source, grid.word, grid.rt, grid.ct,
+                       coalesce(o.obs, 0) AS obs
+                FROM grid LEFT JOIN o
+                  ON o.source = grid.source AND o.word = grid.word)
+       SELECT cell.source, cell.word,
+              CAST(cell.obs AS BIGINT) AS obs,
+              CAST(cell.rt * cell.ct AS BIGINT) AS e_num,
+              CAST(cell.obs * t.tt - cell.rt * cell.ct AS DOUBLE)
+                * CAST(cell.obs * t.tt - cell.rt * cell.ct AS DOUBLE)
+                / CAST(cell.rt AS DOUBLE) / CAST(cell.ct AS DOUBLE)
+                / CAST(t.tt AS DOUBLE) AS chi2_term
+       FROM cell, t""",
+)
+def q284(spark, sf_dir):
+    """Per-(source, term) chi-square drift contribution — the corpus
+    QA pass that localizes which slice of a web crawl shifted its
+    token distribution (domain drift / contamination detection before
+    training).  The statistic's cell term ((O - E)^2 / E with
+    E = R*C/T) is algebraically lifted to (O*T - R*C)^2 / (R*C*T) so
+    the numerator difference is computed in EXACT BIGINT arithmetic
+    (O*T <= ~2.5e11 even at sf1), then squared and divided in a fixed
+    left-to-right double expression — identical IEEE tree on both
+    engines, no rounding needed.  Full source x vocabulary grid
+    (absent cells count 0, contributing exactly R*C/T).  Four
+    map-side-combinable count aggregations + one broadcast-size
+    grid join; at web scale everything keys on (source, word) and the
+    vocabulary side is the small one."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("source", F.explode(F.split("text", " ")).alias("word"))
+    o = w.groupBy("source", "word").agg(F.count("*").alias("obs"))
+    r = w.groupBy("source").agg(F.count("*").alias("rt"))
+    c = w.groupBy("word").agg(F.count("*").alias("ct"))
+    t = w.agg(F.count("*").alias("tt"))
+    grid = r.crossJoin(F.broadcast(c))
+    cell = grid.join(o, ["source", "word"], "left").select(
+        "source", "word", "rt", "ct",
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+    )
+    d = (F.col("obs") * F.col("tt") - F.col("rt") * F.col("ct")).cast(
+        "double"
+    )
+    return cell.crossJoin(F.broadcast(t)).select(
+        "source", "word",
+        F.col("obs").cast("long").alias("obs"),
+        (F.col("rt") * F.col("ct")).cast("long").alias("e_num"),
+        (
+            d * d
+            / F.col("rt").cast("double")
+            / F.col("ct").cast("double")
+            / F.col("tt").cast("double")
+        ).alias("chi2_term"),
+    )
+
+
+# --- VByte postings-size accounting (q285) ------------------------------------
+
+
+@query(
+    "q285_vbyte_postings",
+    """WITH p AS (SELECT DISTINCT word, doc_id FROM
+                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+       gaps AS (SELECT word,
+                       coalesce(doc_id - lag(doc_id) OVER
+                                  (PARTITION BY word ORDER BY doc_id),
+                                doc_id + 1) AS gap
+                FROM p),
+       b AS (SELECT word,
+                    ((length(bin(gap)) - 1) // 7) + 1 AS nbytes
+             FROM gaps)
+       SELECT word,
+              CAST(count(*) AS BIGINT) AS df,
+              CAST(sum(nbytes) AS BIGINT) AS vbyte_bytes,
+              CAST(count(*) * 8 - sum(nbytes) AS BIGINT) AS saved_vs_fixed64
+       FROM b GROUP BY word""",
+)
+def q285(spark, sf_dir):
+    """Variable-byte (VByte) postings-size accounting — the
+    capacity-planning pass for the index tier, complementing q269's
+    Elias-gamma bits: per term, sort the posting list, delta-encode
+    (first entry charged as doc_id+1 so the gap is always >= 1), and
+    charge each gap its exact VByte cost ceil(bits/7) =
+    (floor(log2 g) // 7) + 1 via the cross-engine bin()-length idiom
+    — pure integers, no float log anywhere.  The lag window is
+    TERM-SHARDED (partitioned by word), the q269 contract: at
+    10^12 postings each term's list sorts independently, there is no
+    global window.  saved_vs_fixed64 quantifies the win over 8-byte
+    raw ids."""
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    win = Window.partitionBy("word").orderBy("doc_id")
+    gaps = p.select(
+        "word",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(win),
+            F.col("doc_id") + 1,
+        ).alias("gap"),
+    )
+    b = gaps.select(
+        "word",
+        (F.expr("(length(bin(gap)) - 1) div 7") + 1).alias("nbytes"),
+    )
+    return b.groupBy("word").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("nbytes").cast("long").alias("vbyte_bytes"),
+        (F.count("*") * 8 - F.sum("nbytes")).cast("long")
+        .alias("saved_vs_fixed64"),
+    )
+
+
+# --- SALSA authority scores, closed form (q286) -------------------------------
+
+
+@query(
+    "q286_salsa_authority",
+    """WITH RECURSIVE e AS (SELECT DISTINCT doc_id % 40 AS src,
+                                   (doc_id * 11 + 5) % 40 AS dst
+                            FROM documents),
+       auth AS (SELECT DISTINCT dst FROM e),
+       indeg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst),
+       cocite AS (SELECT DISTINCT a.dst AS x, b.dst AS y
+                  FROM e a JOIN e b ON a.src = b.src
+                  WHERE a.dst <> b.dst),
+       lab AS (SELECT dst AS node, dst AS lbl FROM auth
+               UNION
+               SELECT c.y, l.lbl
+               FROM lab l JOIN cocite c ON c.x = l.node),
+       comp AS (SELECT node, min(lbl) AS comp FROM lab GROUP BY node),
+       den AS (SELECT comp.comp, sum(indeg.indeg) AS comp_indeg
+               FROM comp JOIN indeg ON indeg.dst = comp.node
+               GROUP BY comp.comp)
+       SELECT i.dst AS authority,
+              CAST(i.indeg AS BIGINT) AS indeg,
+              CAST(c.comp AS BIGINT) AS comp,
+              CAST(d.comp_indeg AS BIGINT) AS comp_indeg,
+              CAST(i.indeg AS DOUBLE) / CAST(d.comp_indeg AS DOUBLE)
+                AS salsa
+       FROM indeg i JOIN comp c ON c.node = i.dst
+       JOIN den d ON d.comp = c.comp""",
+)
+def q286(spark, sf_dir):
+    """SALSA authority scores (Lempel-Moran 2000) via the CLOSED FORM:
+    the authority-side random walk's stationary distribution is
+    in-degree normalized WITHIN each connected component of the
+    co-citation graph (authorities joined when they share a hub) —
+    no power iteration at all, which is why SALSA is the cheap
+    link-spam-resistant alternative to HITS at crawl scale.  The
+    engine computes components by round-synchronous min-label
+    propagation over the co-citation edges (loop to an exact
+    fixpoint, loud 16-round cap; the label sum is a monotone integer
+    so it doubles as the convergence signal); the oracle closes the
+    same labels with a recursive CTE.  Scores are the exact rational
+    indeg/comp_indeg emitted as one division — bitwise on both
+    engines.  At web scale the co-citation join is hub-sharded and
+    the component pass is the standard pointer-jumping CC."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * 11 + 5) % 40).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    indeg = e.groupBy("dst").agg(F.count("*").alias("indeg"))
+    cocite = (
+        e.select("src", F.col("dst").alias("x"))
+        .join(e.select("src", F.col("dst").alias("y")), "src")
+        .filter(F.col("x") != F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    comp = indeg.select(
+        F.col("dst").alias("node"), F.col("dst").alias("lbl")
+    ).localCheckpoint(eager=True)
+    prev_sum = comp.agg(F.sum("lbl")).collect()[0][0]
+    for _round in range(16):
+        nb = (
+            cocite.join(
+                comp.select(F.col("node").alias("x"),
+                            F.col("lbl").alias("xl")),
+                "x",
+            )
+            .groupBy(F.col("y").alias("node"))
+            .agg(F.min("xl").alias("nl"))
+        )
+        comp = (
+            comp.join(nb, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nl", F.col("lbl")))
+                .alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        s = comp.agg(F.sum("lbl")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    else:
+        raise RuntimeError("q286 min-label propagation did not converge")
+    den = (
+        comp.join(indeg, comp.node == indeg.dst)
+        .groupBy(F.col("lbl").alias("comp"))
+        .agg(F.sum("indeg").alias("comp_indeg"))
+    )
+    return (
+        indeg.join(comp, indeg.dst == comp.node)
+        .join(den, comp.lbl == den.comp)
+        .select(
+            F.col("dst").alias("authority"),
+            F.col("indeg").cast("long").alias("indeg"),
+            F.col("lbl").cast("long").alias("comp"),
+            F.col("comp_indeg").cast("long").alias("comp_indeg"),
+            (F.col("indeg").cast("double")
+             / F.col("comp_indeg").cast("double")).alias("salsa"),
+        )
+    )
+
+
+# --- conjunctive-query planning stats (q287) ----------------------------------
+
+
+@query(
+    "q287_conjunctive_planning",
+    """WITH p AS (SELECT DISTINCT word, doc_id FROM
+                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+       dft AS (SELECT word, count(*) AS df FROM p GROUP BY word),
+       v AS (SELECT word, df,
+                    row_number() OVER (ORDER BY word) AS rnk
+             FROM dft),
+       q AS (SELECT i.range AS qid,
+                    (i.range % 31) + 1 AS r1,
+                    ((i.range * 7 + 3) % 31) + 1 AS r2
+             FROM range(0, 10) i),
+       qq AS (SELECT q.qid, v1.word AS t1, v1.df AS df1,
+                     v2.word AS t2, v2.df AS df2
+              FROM q JOIN v v1 ON v1.rnk = q.r1
+                     JOIN v v2 ON v2.rnk = q.r2),
+       bq AS (SELECT qq.qid, count(*) AS n_both
+                FROM qq JOIN p p1 ON p1.word = qq.t1
+                        JOIN p p2 ON p2.word = qq.t2
+                               AND p2.doc_id = p1.doc_id
+                GROUP BY qq.qid)
+       SELECT qq.qid, qq.t1, qq.t2,
+              CAST(qq.df1 AS BIGINT) AS df1,
+              CAST(qq.df2 AS BIGINT) AS df2,
+              CAST(coalesce(bq.n_both, 0) AS BIGINT) AS n_both,
+              CASE WHEN qq.df1 < qq.df2
+                     OR (qq.df1 = qq.df2 AND qq.t1 < qq.t2)
+                   THEN qq.t1 ELSE qq.t2 END AS planned_first
+       FROM qq LEFT JOIN bq USING (qid)""",
+)
+def q287(spark, sf_dir):
+    """Conjunctive (AND) query planning statistics — the
+    rarest-term-first decision every posting-list intersection makes:
+    for a deterministic 10-query workload over the lexicon (term
+    ranks (i%31)+1 and ((i*7+3)%31)+1, never equal on this range),
+    emit both document frequencies, the exact intersection size, and
+    the planned driving term = smaller (df, word) — the term whose
+    postings the intersection scans first.  The df table is
+    vocabulary-sized and broadcast; the intersection is a
+    doc-keyed equi-join of two posting selections, never a full
+    posting cross.  The lexicon ranking window runs over the BOUNDED
+    vocabulary (31 rows), not the postings."""
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dft = p.groupBy("word").agg(F.count("*").alias("df"))
+    v = dft.select(
+        "word", "df",
+        F.row_number().over(Window.orderBy("word")).alias("rnk"),
+    )
+    q = spark.range(0, 10).select(
+        F.col("id").alias("qid"),
+        ((F.col("id") % 31) + 1).alias("r1"),
+        (((F.col("id") * 7 + 3) % 31) + 1).alias("r2"),
+    )
+    v1 = v.select(F.col("rnk").alias("r1"), F.col("word").alias("t1"),
+                  F.col("df").alias("df1"))
+    v2 = v.select(F.col("rnk").alias("r2"), F.col("word").alias("t2"),
+                  F.col("df").alias("df2"))
+    qq = q.join(F.broadcast(v1), "r1").join(F.broadcast(v2), "r2")
+    both = (
+        qq.select("qid", "t1", "t2")
+        .join(p.withColumnRenamed("word", "t1"), "t1")
+        .join(p.withColumnRenamed("word", "t2"), ["t2", "doc_id"])
+        .groupBy("qid")
+        .agg(F.count("*").alias("n_both"))
+    )
+    return (
+        qq.join(both, "qid", "left")
+        .select(
+            "qid", "t1", "t2",
+            F.col("df1").cast("long").alias("df1"),
+            F.col("df2").cast("long").alias("df2"),
+            F.coalesce("n_both", F.lit(0)).cast("long").alias("n_both"),
+            F.when(
+                (F.col("df1") < F.col("df2"))
+                | ((F.col("df1") == F.col("df2"))
+                   & (F.col("t1") < F.col("t2"))),
+                F.col("t1"),
+            ).otherwise(F.col("t2")).alias("planned_first"),
+        )
+    )

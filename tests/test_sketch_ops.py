@@ -103,3 +103,54 @@ def test_anchor_top_term_is_argmax(spark):
         assert 1 <= r.top_cnt <= r.inlinks
         assert r.n_anchor_terms >= 1
         assert isinstance(r.top_anchor, str) and len(r.top_anchor) > 0
+
+
+def test_salsa_scores_sum_to_one_per_component(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q286_salsa_authority"](spark, SF).collect()
+    assert len(out) > 0
+    from collections import defaultdict
+
+    by_comp = defaultdict(list)
+    for r in out:
+        by_comp[r.comp].append(r)
+    for comp, rows in by_comp.items():
+        den = rows[0].comp_indeg
+        assert all(r.comp_indeg == den for r in rows)
+        assert sum(r.indeg for r in rows) == den  # scores sum to 1 exactly
+        assert comp == min(r.authority for r in rows)
+
+
+def test_vbyte_bounds(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q285_vbyte_postings"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        # each gap costs 1..8 bytes -> df <= vbyte_bytes <= 8*df
+        assert r.df <= r.vbyte_bytes <= 8 * r.df
+        assert r.saved_vs_fixed64 == 8 * r.df - r.vbyte_bytes
+
+
+def test_conjunctive_planner_picks_rarest(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q287_conjunctive_planning"](spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_both <= min(r.df1, r.df2)  # intersection bound
+        want = r.t1 if (r.df1, r.t1) < (r.df2, r.t2) else r.t2
+        assert r.planned_first == want
+
+
+def test_containment_pairs_include_template_docs(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q283_shingle_containment"](spark, SF).collect()
+    assert len(out) > 0
+    tmpl = [r for r in out if r.a % 20 == 0 and r.b % 20 == 0]
+    assert len(tmpl) > 0  # injected template pairs detected
+    for r in out:
+        assert 2 * r.inter >= r.size_a
+        assert r.inter <= r.size_a
