@@ -299,6 +299,11 @@ HEADLINE = [
     "q285_vbyte_postings",
     "q286_salsa_authority",
     "q287_conjunctive_planning",
+    "q288_url_features",
+    "q289_rrf_fusion",
+    "q290_pmi_collocations",
+    "q291_link_prediction",
+    "q292_truncated_recall",
 ]
 
 

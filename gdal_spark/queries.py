@@ -15187,3 +15187,465 @@ def q287(spark, sf_dir):
             ).otherwise(F.col("t2")).alias("planned_first"),
         )
     )
+
+
+# --- URL structural features for crawl prioritization (q288) ------------------
+
+
+@query(
+    "q288_url_features",
+    """WITH u AS (SELECT doc_id,
+                    'https://' ||
+                    CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+                    'site' || CAST(doc_id % 30 AS VARCHAR) || '.example.' ||
+                    CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                    WHEN 2 THEN 'net' ELSE 'io' END ||
+                    '/' || repeat('d/', CAST(doc_id % 5 AS INT)) ||
+                    'p' || CAST(doc_id AS VARCHAR) ||
+                    CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END ||
+                    CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END
+                    AS url
+                  FROM documents),
+       f AS (SELECT doc_id, url,
+                    regexp_extract(url, 'https://([^/]+)', 1) AS host,
+                    regexp_extract(url, 'https://[^/]+(/[^?#]*)', 1)
+                      AS path,
+                    regexp_extract(url, '\\?([^#]*)', 1) AS qs
+             FROM u)
+       SELECT doc_id, url,
+              CAST(length(host) AS BIGINT) AS host_len,
+              CAST(CASE WHEN host LIKE 'www.%' THEN 1 ELSE 0 END AS BIGINT)
+                AS is_www,
+              CAST(length(path) - length(replace(path, '/', ''))
+                AS BIGINT) AS path_depth,
+              CAST(CASE WHEN qs = '' THEN 0
+                        ELSE length(qs) - length(replace(qs, '&', '')) + 1
+                   END AS BIGINT) AS n_params,
+              CAST(CASE WHEN url LIKE '%#%' THEN 1 ELSE 0 END AS BIGINT)
+                AS has_fragment
+       FROM f""",
+)
+def q288(spark, sf_dir):
+    """URL structural features — the crawl-prioritization signals
+    (shallow paths and parameterless URLs crawl first; fragments and
+    deep calendar-style paths demote): host length, www prefix, path
+    depth (slash count), query-parameter count, fragment flag.  Pure
+    JVM Column regex/length arithmetic (patterns inside the
+    RE2/Java-regex common subset), zero Python, zero shuffle — a
+    projection that runs at scan speed over 10^12 URLs."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("www.")).otherwise(""),
+            F.lit("site"), (F.col("doc_id") % 30).cast("string"),
+            F.lit(".example."),
+            F.element_at(
+                F.array(F.lit("com"), F.lit("org"), F.lit("net"),
+                        F.lit("io")),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+            F.lit("/"),
+            F.repeat(F.lit("d/"), (F.col("doc_id") % 5).cast("int")),
+            F.lit("p"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("?a=1&b=2"))
+            .otherwise(""),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(""),
+        ).alias("url"),
+    )
+    f = u.select(
+        "doc_id", "url",
+        F.regexp_extract("url", "https://([^/]+)", 1).alias("host"),
+        F.regexp_extract("url", "https://[^/]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", "\\?([^#]*)", 1).alias("qs"),
+    )
+    return f.select(
+        "doc_id", "url",
+        F.length("host").cast("long").alias("host_len"),
+        F.when(F.col("host").startswith("www."), 1).otherwise(0)
+        .cast("long").alias("is_www"),
+        (F.length("path")
+         - F.length(F.replace(F.col("path"), F.lit("/"), F.lit(""))))
+        .cast("long").alias("path_depth"),
+        F.when(F.col("qs") == "", 0).otherwise(
+            F.length("qs")
+            - F.length(F.replace(F.col("qs"), F.lit("&"), F.lit(""))) + 1
+        ).cast("long").alias("n_params"),
+        F.when(F.col("url").contains("#"), 1).otherwise(0).cast("long")
+        .alias("has_fragment"),
+    )
+
+
+# --- reciprocal-rank fusion of two retrieval rankings (q289) ------------------
+
+
+@query(
+    "q289_rrf_fusion",
+    """WITH kw AS (SELECT doc_id,
+                     len(list_filter(string_split(text, ' '),
+                         x -> x = 'join')) AS tf
+                   FROM documents),
+       kwr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY tf DESC, doc_id ASC)
+                        AS rnk
+               FROM kw),
+       qv AS (SELECT list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                  AS qq
+              FROM embeddings WHERE vec_id = 0),
+       dots AS (SELECT v.vec_id AS doc_id,
+                  CAST(list_sum(list_transform(list_zip(qv.qq,
+                     list_transform(v.embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5)
+                            AS BIGINT))),
+                     s -> s[1]*s[2])) AS BIGINT) AS dot
+                FROM embeddings v, qv),
+       emr AS (SELECT doc_id,
+                      row_number() OVER (ORDER BY dot DESC, doc_id ASC)
+                        AS rnk
+               FROM dots),
+       fused AS (SELECT k.doc_id,
+                        CAST(1000000000 // (60 + k.rnk)
+                             + 1000000000 // (60 + e.rnk) AS BIGINT)
+                          AS rrf_scaled,
+                        k.rnk AS kw_rank, e.rnk AS emb_rank
+                 FROM kwr k JOIN emr e USING (doc_id)),
+       top AS (SELECT doc_id, rrf_scaled, kw_rank, emb_rank,
+                      row_number() OVER
+                        (ORDER BY rrf_scaled DESC, doc_id ASC) AS fused_rank
+               FROM fused)
+       SELECT doc_id, CAST(kw_rank AS BIGINT) AS kw_rank,
+              CAST(emb_rank AS BIGINT) AS emb_rank,
+              rrf_scaled, CAST(fused_rank AS BIGINT) AS fused_rank
+       FROM top WHERE fused_rank <= 20""",
+)
+def q289(spark, sf_dir):
+    """Reciprocal-rank fusion (RRF, Cormack et al.) of a keyword
+    ranking (tf of 'join', ties to low doc_id) and an embedding
+    ranking (integer-quantized dot with query vector 0) — the
+    standard hybrid-search merge, in EXACT integers: each ranking
+    contributes floor(10^9/(60+rank)), so the fused score is a
+    BIGINT and cross-engine order-free; final top-20 by (score desc,
+    doc asc).  At fleet scale each ranking's row_number is computed
+    within its shard/query group (here one query = one global
+    window over the fixture; the ranking windows are per-query at
+    scale, the q148/q266 serving pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "),
+                        lambda x: x == "join")).alias("tf"),
+    )
+    kwr = kw.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+        ).alias("kw_rank"),
+    )
+    qv = emb.filter("vec_id = 0").selectExpr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qq"
+    )
+    dots = emb.crossJoin(F.broadcast(qv)).selectExpr(
+        "vec_id AS doc_id",
+        "CAST(aggregate(zip_with(qq, transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT)), "
+        "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, v) -> acc + v) "
+        "AS BIGINT) AS dot",
+    )
+    emr = dots.select(
+        "doc_id",
+        F.row_number().over(
+            Window.orderBy(F.col("dot").desc(), F.col("doc_id").asc())
+        ).alias("emb_rank"),
+    )
+    fused = kwr.join(emr, "doc_id").select(
+        "doc_id", "kw_rank", "emb_rank",
+        (
+            F.expr("CAST(1000000000 div (60 + kw_rank) AS BIGINT)")
+            + F.expr("CAST(1000000000 div (60 + emb_rank) AS BIGINT)")
+        ).alias("rrf_scaled"),
+    )
+    top = fused.select(
+        "*",
+        F.row_number().over(
+            Window.orderBy(F.col("rrf_scaled").desc(),
+                           F.col("doc_id").asc())
+        ).alias("fused_rank"),
+    ).filter(F.col("fused_rank") <= 20)
+    return top.select(
+        "doc_id",
+        F.col("kw_rank").cast("long").alias("kw_rank"),
+        F.col("emb_rank").cast("long").alias("emb_rank"),
+        F.col("rrf_scaled").cast("long").alias("rrf_scaled"),
+        F.col("fused_rank").cast("long").alias("fused_rank"),
+    )
+
+
+# --- PMI collocation extraction (q290) ----------------------------------------
+
+
+@query(
+    "q290_pmi_collocations",
+    """WITH s AS (SELECT doc_id,
+                    string_split(text ||
+                      CASE WHEN doc_id % 6 = 0
+                           THEN ' quantum flux quantum flux'
+                           ELSE '' END, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q290 oracle range(1,200) bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       bg AS (SELECT w[r.range] AS x, w[r.range + 1] AS y
+              FROM s, range(1, 200) r
+              WHERE r.range <= len(w) - 1),
+       nxy AS (SELECT x, y, count(*) AS nxy FROM bg GROUP BY x, y),
+       nx AS (SELECT x, count(*) AS nx FROM bg GROUP BY x),
+       ny AS (SELECT y, count(*) AS ny FROM bg GROUP BY y),
+       nn AS (SELECT count(*) AS n FROM bg)
+       SELECT nxy.x, nxy.y,
+              CAST(nxy.nxy AS BIGINT) AS nxy,
+              CAST(nx.nx AS BIGINT) AS nx,
+              CAST(ny.ny AS BIGINT) AS ny,
+              CAST((length(bin(nxy.nxy * nn.n)) - 1)
+                   - (length(bin(nx.nx * ny.ny)) - 1) AS BIGINT)
+                AS pmi_bits
+       FROM nxy JOIN nx USING (x) JOIN ny USING (y), nn, chk
+       WHERE nxy.nxy >= 5
+         AND nxy.nxy * nn.n >= 4 * nx.nx * ny.ny""",
+)
+def q290(spark, sf_dir):
+    """PMI collocation extraction (Church-Hanks): word bigrams whose
+    joint frequency beats independence by >= 2 bits (the exact
+    cross-multiplied test nxy*N >= 4*nx*ny — no log, no float) and
+    occur >= 5 times; the reported pmi_bits is the floor-log2 proxy
+    (bin()-length difference, exact integers on both engines — the
+    q242/q269 idiom).  Marginals here are BIGRAM-position marginals
+    (x = left-position count, y = right-position count) so
+    nxy <= min(nx, ny) by construction.  Three map-side-combinable
+    counts + one broadcast-size marginal join; the bigram table
+    shuffles once on the gram key at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.split(
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 6 == 0,
+                       F.lit(" quantum flux quantum flux")).otherwise(""),
+            ),
+            " ",
+        ).alias("w"),
+    )
+    bg = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i - 1] AS x, w[i] AS y))"
+            )
+        ).alias("p")
+    ).select("p.x", "p.y")
+    nxy = bg.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    nx = bg.groupBy("x").agg(F.count("*").alias("nx"))
+    ny = bg.groupBy("y").agg(F.count("*").alias("ny"))
+    nn = bg.agg(F.count("*").alias("n"))
+    out = (
+        nxy.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .crossJoin(F.broadcast(nn))
+        .filter(
+            (F.col("nxy") >= 5)
+            & (F.col("nxy") * F.col("n") >= 4 * F.col("nx") * F.col("ny"))
+        )
+    )
+    return out.select(
+        "x", "y",
+        F.col("nxy").cast("long").alias("nxy"),
+        F.col("nx").cast("long").alias("nx"),
+        F.col("ny").cast("long").alias("ny"),
+        (
+            (F.length(F.bin(F.col("nxy") * F.col("n"))) - 1)
+            - (F.length(F.bin(F.col("nx") * F.col("ny"))) - 1)
+        ).cast("long").alias("pmi_bits"),
+    )
+
+
+# --- link-prediction features over the host graph (q291) ----------------------
+
+
+@query(
+    "q291_link_prediction",
+    """WITH h AS (SELECT DISTINCT doc_id % 60 AS hh FROM documents),
+       e0 AS (SELECT hh, unnest([1, 2, 3]) AS j FROM h),
+       ed AS (SELECT DISTINCT least(hh, (hh * j + j * j * 7) % 60) AS u,
+                     greatest(hh, (hh * j + j * j * 7) % 60) AS v
+              FROM e0 WHERE hh <> (hh * j + j * j * 7) % 60),
+       adj AS (SELECT u AS a, v AS b FROM ed
+               UNION ALL SELECT v, u FROM ed),
+       deg AS (SELECT a, count(*) AS deg FROM adj GROUP BY a),
+       wedge AS (SELECT n1.a AS x, n2.a AS y, n1.b AS z
+                 FROM adj n1 JOIN adj n2
+                   ON n1.b = n2.b AND n1.a < n2.a),
+       cand AS (SELECT w.x, w.y, count(*) AS cn,
+                       sum(1048576 // (length(bin(dz.deg)) - 1))
+                         AS aa_scaled
+                FROM wedge w JOIN deg dz ON dz.a = w.z
+                LEFT JOIN ed ON ed.u = w.x AND ed.v = w.y
+                WHERE ed.u IS NULL
+                GROUP BY w.x, w.y)
+       SELECT c.x, c.y,
+              CAST(c.cn AS BIGINT) AS cn,
+              CAST(du.deg AS BIGINT) AS deg_x,
+              CAST(dv.deg AS BIGINT) AS deg_y,
+              CAST(c.aa_scaled AS BIGINT) AS aa_scaled,
+              CAST(CASE WHEN 5 * c.cn >= du.deg + dv.deg - c.cn
+                        THEN 1 ELSE 0 END AS BIGINT) AS jaccard_ge_02
+       FROM cand c JOIN deg du ON du.a = c.x
+                   JOIN deg dv ON dv.a = c.y
+       WHERE c.cn >= 2""",
+)
+def q291(spark, sf_dir):
+    """Link-prediction features over the undirected host graph — the
+    crawl-discovery ranking (which un-linked host pairs will link
+    next): for every NON-edge pair with >= 2 common neighbors
+    (wedge-join candidates, the q275 plan shape — work bounded by
+    wedge count, never node^2), emit common-neighbor count, both
+    degrees, the Adamic-Adar score in EXACT integers (each common
+    neighbor z contributes floor(2^20 / floor(log2 deg(z))) via the
+    bin()-length idiom — deg(z) >= 2 for any wedge center so the
+    divisor is >= 1), and the exact cross-multiplied Jaccard >= 0.2
+    flag (5*cn >= |union|).  Candidate generation is one adjacency
+    self-join + one anti-join against the edge set, all host-keyed."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.selectExpr("doc_id % 60 AS hh").distinct()
+    e0 = h.select(
+        "hh", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    ).selectExpr("hh", "(hh * j + j * j * 7) % 60 AS t")
+    ed = (
+        e0.filter("hh <> t")
+        .selectExpr("least(hh, t) AS u", "greatest(hh, t) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = ed.selectExpr("u AS a", "v AS b").unionAll(
+        ed.selectExpr("v AS a", "u AS b")
+    )
+    deg = adj.groupBy("a").agg(F.count("*").alias("deg"))
+    n1 = adj.selectExpr("a AS x", "b AS z")
+    n2 = adj.selectExpr("a AS y", "b AS z")
+    wedge = n1.join(n2, "z").filter(F.col("x") < F.col("y"))
+    cand = (
+        wedge.join(F.broadcast(deg.selectExpr("a AS z", "deg AS dz")), "z")
+        .join(
+            ed.selectExpr("u AS x", "v AS y"), ["x", "y"], "left_anti"
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(
+                F.expr("CAST(1048576 div (length(bin(dz)) - 1) AS BIGINT)")
+            ).alias("aa_scaled"),
+        )
+        .filter(F.col("cn") >= 2)
+    )
+    return (
+        cand.join(F.broadcast(deg.selectExpr("a AS x", "deg AS deg_x")),
+                  "x")
+        .join(F.broadcast(deg.selectExpr("a AS y", "deg AS deg_y")), "y")
+        .select(
+            "x", "y",
+            F.col("cn").cast("long").alias("cn"),
+            F.col("deg_x").cast("long").alias("deg_x"),
+            F.col("deg_y").cast("long").alias("deg_y"),
+            F.col("aa_scaled").cast("long").alias("aa_scaled"),
+            F.when(
+                5 * F.col("cn")
+                >= F.col("deg_x") + F.col("deg_y") - F.col("cn"),
+                1,
+            ).otherwise(0).cast("long").alias("jaccard_ge_02"),
+        )
+    )
+
+
+# --- Matryoshka truncated-dimension recall (q292) -----------------------------
+
+
+@query(
+    "q292_truncated_recall",
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                    AS qv
+             FROM embeddings),
+       q AS (SELECT vec_id AS qid, qv AS qqv FROM v WHERE vec_id % 10 = 0),
+       pr AS (SELECT q.qid, v.vec_id AS cand,
+                 CAST(list_sum(list_transform(list_zip(q.qqv, v.qv),
+                      s -> s[1]*s[2])) AS BIGINT) AS dot_full,
+                 CAST(list_sum(list_transform(list_zip(q.qqv[1:16],
+                      v.qv[1:16]), s -> s[1]*s[2])) AS BIGINT) AS dot_t
+              FROM q JOIN v ON v.vec_id <> q.qid),
+       rf AS (SELECT qid, cand,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY dot_full DESC, cand ASC) AS rnk
+              FROM pr),
+       rt AS (SELECT qid, cand,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY dot_t DESC, cand ASC) AS rnk
+              FROM pr)
+       SELECT rf.qid,
+              CAST(count(rt.cand) AS BIGINT) AS overlap5
+       FROM rf LEFT JOIN rt
+         ON rt.qid = rf.qid AND rt.cand = rf.cand AND rt.rnk <= 5
+       WHERE rf.rnk <= 5
+       GROUP BY rf.qid""",
+)
+def q292(spark, sf_dir):
+    """Matryoshka-style truncated-dimension retrieval eval: for each
+    query vector, top-5 by full 64-dim integer-quantized dot vs
+    top-5 by the first-16-dims dot, and the overlap between the two
+    sets (recall@5 of the cheap truncated index against the full
+    index — the measurement that decides whether a 4x-smaller ANN
+    tier is good enough).  Both rankings use deterministic
+    (dot desc, cand asc) order over exact BIGINT dots, so the result
+    is engine-order-free; the per-query ranking windows are the
+    fixture-scale stand-in for the IVF-prefiltered serving path
+    (q127/q148), where each query ranks only its probed cells."""
+    v = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    )
+    q = v.filter("vec_id % 10 = 0").selectExpr(
+        "vec_id AS qid", "qv AS qqv")
+    pr = (
+        F.broadcast(q).join(v, F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid", "vec_id AS cand",
+            "CAST(aggregate(zip_with(qqv, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, s) -> acc + s) AS BIGINT) "
+            "AS dot_full",
+            "CAST(aggregate(zip_with(slice(qqv, 1, 16), "
+            "slice(qv, 1, 16), (a, b) -> a * b), CAST(0 AS BIGINT), "
+            "(acc, s) -> acc + s) AS BIGINT) AS dot_t",
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("dot_full").desc(), F.col("cand").asc())
+    wt = Window.partitionBy("qid").orderBy(
+        F.col("dot_t").desc(), F.col("cand").asc())
+    rf = pr.select("qid", "cand", F.row_number().over(wf).alias("rnk"))
+    rt = pr.select("qid", "cand", F.row_number().over(wt).alias("rnk"))
+    rts = rt.filter(F.col("rnk") <= 5).select(
+        F.col("qid").alias("tqid"), F.col("cand").alias("tcand"))
+    return (
+        rf.filter(F.col("rnk") <= 5)
+        .join(
+            rts,
+            (F.col("qid") == F.col("tqid"))
+            & (F.col("cand") == F.col("tcand")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(F.count("tcand").cast("long").alias("overlap5"))
+    )

@@ -154,3 +154,60 @@ def test_containment_pairs_include_template_docs(spark):
     for r in out:
         assert 2 * r.inter >= r.size_a
         assert r.inter <= r.size_a
+
+
+def test_rrf_fusion_is_consistent(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q289_rrf_fusion"](spark, SF).collect()
+    assert len(out) == 20
+    ranks = sorted(r.fused_rank for r in out)
+    assert ranks == list(range(1, 21))
+    # fused score must equal the two reciprocal contributions exactly
+    for r in out:
+        assert r.rrf_scaled == 10**9 // (60 + r.kw_rank) + 10**9 // (
+            60 + r.emb_rank
+        )
+
+
+def test_pmi_collocations_fire_on_injection(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q290_pmi_collocations"](spark, SF).collect()
+    grams = {(r.x, r.y) for r in out}
+    assert ("quantum", "flux") in grams
+    for r in out:
+        assert r.nxy >= 5
+        assert r.nxy <= min(r.nx, r.ny)
+        assert r.pmi_bits >= 1
+
+
+def test_link_prediction_candidates_are_nonedges(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q291_link_prediction"](spark, SF).collect()
+    assert len(out) > 0
+    # rebuild the edge set in pure Python and check the anti-join
+    hosts = set(range(60))
+    ed = set()
+    for hh in hosts:
+        for j in (1, 2, 3):
+            t = (hh * j + j * j * 7) % 60
+            if hh != t:
+                ed.add((min(hh, t), max(hh, t)))
+    for r in out:
+        assert r.x < r.y
+        assert (r.x, r.y) not in ed
+        assert r.cn >= 2
+        assert r.cn <= min(r.deg_x, r.deg_y)
+        assert r.aa_scaled >= r.cn  # each CN contributes >= 1
+
+
+def test_truncated_recall_bounds(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q292_truncated_recall"](spark, SF).collect()
+    assert len(out) == 50
+    assert all(0 <= r.overlap5 <= 5 for r in out)
+    # truncation should usually retrieve SOMETHING of the true top-5
+    assert sum(r.overlap5 for r in out) > 0
