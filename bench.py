@@ -304,6 +304,10 @@ HEADLINE = [
     "q290_pmi_collocations",
     "q291_link_prediction",
     "q292_truncated_recall",
+    "q293_rendezvous_hashing",
+    "q294_logbin_quantiles",
+    "q295_kwic_snippets",
+    "q296_bipartite_check",
 ]
 
 

@@ -15649,3 +15649,332 @@ def q292(spark, sf_dir):
         .groupBy("qid")
         .agg(F.count("tcand").cast("long").alias("overlap5"))
     )
+
+
+# --- rendezvous (HRW) hashing shard assignment (q293) -------------------------
+
+
+@query(
+    "q293_rendezvous_hashing",
+    """WITH u AS (SELECT DISTINCT 'u' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+       wts AS (SELECT url, s.range AS shard,
+                 CAST(CAST('0x' || substr(md5('hrw' ||
+                        CAST(s.range AS VARCHAR) || ':' || url), 1, 8)
+                      AS UBIGINT) AS BIGINT) AS w
+               FROM u, range(0, 8) s),
+       a8 AS (SELECT url,
+                     max(w * 8 + (7 - shard)) AS code8
+              FROM wts GROUP BY url),
+       a7 AS (SELECT url,
+                     max(w * 8 + (7 - shard)) AS code7
+              FROM wts WHERE shard < 7 GROUP BY url),
+       asg AS (SELECT a8.url,
+                      7 - (a8.code8 % 8) AS s8,
+                      7 - (a7.code7 % 8) AS s7
+               FROM a8 JOIN a7 USING (url))
+       SELECT s7 AS shard,
+              CAST(sum(CASE WHEN s8 = s7 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_stable,
+              CAST(sum(CASE WHEN s8 <> s7 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_moved_in,
+              CAST(count(*) AS BIGINT) AS n_after
+       FROM asg GROUP BY s7""",
+)
+def q293(spark, sf_dir):
+    """Rendezvous (highest-random-weight) hashing — the shard
+    assignment rule crawl fleets use so that REMOVING a fetcher node
+    moves only that node's URLs (minimal disruption, Thaler-Ravishankar):
+    every (url, shard) pair gets an md5-derived integer weight
+    (pinned conv/UBIGINT idiom) and the url goes to the max-weight
+    shard, encoded as the single combinable integer argmax
+    w*8 + (7-shard) (ties to the LOWEST shard id by construction).
+    The query assigns each url under 8 shards and again under 7
+    (shard 7 removed) and emits per-shard stability accounting —
+    n_moved_in sums exactly to the removed shard's former load, the
+    HRW invariant, pinned in pytest.  Two map-side-combinable
+    argmaxes; at 10^12 URLs nothing shuffles except the 8-row weight
+    explode feeding a url-keyed combine."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    ).distinct()
+    wts = u.select(
+        "url", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("shard")
+    ).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hrw"), F.col("shard").cast("string"),
+                               F.lit(":"), F.col("url"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    code = (F.col("w") * 8 + (7 - F.col("shard")))
+    a8 = wts.groupBy("url").agg(F.max(code).alias("code8"))
+    a7 = (
+        wts.filter(F.col("shard") < 7)
+        .groupBy("url")
+        .agg(F.max(code).alias("code7"))
+    )
+    asg = a8.join(a7, "url").select(
+        "url",
+        (7 - F.col("code8") % 8).alias("s8"),
+        (7 - F.col("code7") % 8).alias("s7"),
+    )
+    return asg.groupBy(F.col("s7").alias("shard")).agg(
+        F.sum(F.when(F.col("s8") == F.col("s7"), 1).otherwise(0))
+        .cast("long").alias("n_stable"),
+        F.sum(F.when(F.col("s8") != F.col("s7"), 1).otherwise(0))
+        .cast("long").alias("n_moved_in"),
+        F.count("*").cast("long").alias("n_after"),
+    )
+
+
+# --- log-bin histogram quantile estimation vs exact (q294) --------------------
+
+
+@query(
+    "q294_logbin_quantiles",
+    """WITH v AS (SELECT n_chars AS val FROM documents),
+       n AS (SELECT count(*) AS n FROM v),
+       exact_t AS (SELECT val, count(*) AS c FROM v GROUP BY val),
+       cum AS (SELECT val,
+                      sum(c) OVER (ORDER BY val
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS cum
+               FROM exact_t),
+       bins AS (SELECT length(bin(val)) AS b, count(*) AS c FROM v
+                GROUP BY length(bin(val))),
+       bcum AS (SELECT b,
+                       sum(c) OVER (ORDER BY b
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS cum
+                FROM bins),
+       pcts AS (SELECT p.p, p.num, p.den FROM
+                  (VALUES (50, 1, 2), (90, 9, 10), (99, 99, 100))
+                  p(p, num, den)),
+       ex AS (SELECT pcts.p, min(cum.val) AS exact_val
+              FROM pcts CROSS JOIN n CROSS JOIN cum
+              WHERE cum.cum * pcts.den >= n.n * pcts.num
+              GROUP BY pcts.p),
+       es AS (SELECT pcts.p,
+                     CAST((CAST(1 AS BIGINT) << CAST(min(bcum.b) AS INT))
+                          - 1 AS BIGINT) AS est_hi
+              FROM pcts CROSS JOIN n CROSS JOIN bcum
+              WHERE bcum.cum * pcts.den >= n.n * pcts.num
+              GROUP BY pcts.p)
+       SELECT ex.p AS pct,
+              CAST(ex.exact_val AS BIGINT) AS exact_val,
+              es.est_hi,
+              CAST(es.est_hi AS DOUBLE) / CAST(ex.exact_val AS DOUBLE)
+                AS overestimate
+       FROM ex JOIN es ON es.p = ex.p""",
+)
+def q294(spark, sf_dir):
+    """Log-binned histogram quantile estimation vs exact percentiles —
+    the one-pass mergeable sketch (power-of-two bins, the HdrHistogram
+    / DDSketch family idea with base 2) a fleet uses for latency and
+    doc-length percentiles when exact sorting 10^12 values is off the
+    table: bin = bin()-length (floor-log2 + 1, exact integers), the
+    estimate for percentile p is the upper edge 2^b - 1 of the first
+    bin whose EXACT integer cross-multiplied cumulative passes
+    p (cum*den >= n*num — no float thresholds), and the exact value
+    computed alongside quantifies the relative-error guarantee (the
+    bound is 2x for base-2 bins).  The cumulative windows run over
+    the BOUNDED distinct-value / bin tables, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(F.col("n_chars").alias("val"))
+    n = v.agg(F.count("*").alias("n"))
+    exact_t = v.groupBy("val").agg(F.count("*").alias("c"))
+    wv = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = exact_t.select("val", F.sum("c").over(wv).alias("cum"))
+    bins = v.groupBy(F.length(F.bin("val")).alias("b")).agg(
+        F.count("*").alias("c"))
+    wb = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    bcum = bins.select("b", F.sum("c").over(wb).alias("cum"))
+    pcts = spark.createDataFrame(
+        [(50, 1, 2), (90, 9, 10), (99, 99, 100)], "p INT, num INT, den INT"
+    )
+    ex = (
+        F.broadcast(pcts).crossJoin(F.broadcast(n))
+        .join(cum, F.col("cum") * F.col("den") >= F.col("n") * F.col("num"))
+        .groupBy("p").agg(F.min("val").alias("exact_val"))
+    )
+    es = (
+        F.broadcast(pcts).crossJoin(F.broadcast(n))
+        .join(bcum, F.col("cum") * F.col("den") >= F.col("n") * F.col("num"))
+        .groupBy("p")
+        .agg(
+            (
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(min(b) AS INT))")
+                - 1
+            ).cast("long").alias("est_hi")
+        )
+    )
+    return ex.join(es, "p").select(
+        F.col("p").alias("pct"),
+        F.col("exact_val").cast("long").alias("exact_val"),
+        F.col("est_hi").cast("long").alias("est_hi"),
+        (F.col("est_hi").cast("double")
+         / F.col("exact_val").cast("double")).alias("overestimate"),
+    )
+
+
+# --- KWIC snippet extraction (q295) -------------------------------------------
+
+
+@query(
+    "q295_kwic_snippets",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q295 oracle range(1,200) bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       hits AS (SELECT doc_id, r.range AS pos, len(w) AS lw, w
+                FROM s, range(1, 200) r
+                WHERE r.range <= len(w) AND w[r.range] = 'join')
+       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              array_to_string(
+                w[greatest(1, pos - 2):least(lw, pos + 2)], ' ')
+                AS snippet
+       FROM hits, chk""",
+)
+def q295(spark, sf_dir):
+    """KWIC (keyword-in-context) snippet extraction for the probe
+    term 'join' — the search-result surface op: every occurrence
+    position plus a +-2-word window joined back to a string.  Pure
+    per-row array HOFs (position filter + slice + array_join), LINEAR
+    work per row (the interpreted-HOF contract: per-row lambdas are
+    fine when per-row work is ~O(L)); zero shuffle — snippet
+    generation runs at scan speed next to the posting lookup at any
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    hits = s.select(
+        "doc_id",
+        F.size("w").alias("lw"),
+        "w",
+        F.explode(
+            F.expr("filter(sequence(1, size(w)), i -> w[i - 1] = 'join')")
+        ).alias("pos"),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.array_join(
+            F.expr(
+                "slice(w, greatest(1, pos - 2), "
+                "least(lw, pos + 2) - greatest(1, pos - 2) + 1)"
+            ),
+            " ",
+        ).alias("snippet"),
+    )
+
+
+# --- bipartite parity check per component (q296) ------------------------------
+
+
+@query(
+    "q296_bipartite_check",
+    """WITH RECURSIVE ed AS (
+         SELECT i.range AS u, (i.range + 1) % 12 AS v FROM range(0, 12) i
+         UNION ALL
+         SELECT 20 + i.range, 20 + (i.range + 1) % 9 FROM range(0, 9) i),
+       und AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+       seeds AS (SELECT 0 AS root, 0 AS node
+                 UNION ALL SELECT 20, 20),
+       bfs AS (SELECT root, node, 0 AS d FROM seeds
+               UNION
+               SELECT b.root, e.v, b.d + 1
+               FROM bfs b JOIN und e ON e.u = b.node
+               WHERE b.d < 16),
+       dist AS (SELECT root, node, min(d) AS d FROM bfs
+                GROUP BY root, node),
+       conf AS (SELECT d1.root, count(*) AS n_conf
+                FROM ed JOIN dist d1 ON d1.node = ed.u
+                        JOIN dist d2 ON d2.node = ed.v
+                               AND d2.root = d1.root
+                WHERE (d1.d + d2.d) % 2 = 0
+                GROUP BY d1.root)
+       SELECT d.root AS component,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(coalesce(max(c.n_conf), 0) AS BIGINT) AS n_conflicts,
+              CAST(CASE WHEN coalesce(max(c.n_conf), 0) = 0 THEN 1 ELSE 0
+                   END AS BIGINT) AS is_bipartite
+       FROM dist d LEFT JOIN conf c ON c.root = d.root
+       GROUP BY d.root""",
+)
+def q296(spark, sf_dir):
+    """Bipartiteness check by parity BFS — the hub/authority
+    two-sidedness test on crawl subgraphs (a bipartite component
+    behaves like a clean site/resource structure; an odd cycle breaks
+    2-coloring): round-synchronous BFS from each component seed
+    (frontier join + min-dist keep, loud 20-round cap), then one edge
+    pass counting SAME-parity endpoints — any such edge certifies an
+    odd cycle.  Fixture: a 12-cycle (even, bipartite) and a 9-cycle
+    (odd, one certificate edge per odd cycle... counted exactly).
+    The oracle closes min-distances with a recursive CTE.  Each BFS
+    round is one frontier equi-join, the standard distributed BFS
+    shape; rounds = component diameter."""
+    spark_range = spark.range(0, 12).selectExpr(
+        "CAST(id AS BIGINT) AS u", "CAST((id + 1) % 12 AS BIGINT) AS v")
+    odd = spark.range(0, 9).selectExpr(
+        "CAST(20 + id AS BIGINT) AS u",
+        "CAST(20 + (id + 1) % 9 AS BIGINT) AS v")
+    ed = spark_range.unionAll(odd).localCheckpoint(eager=True)
+    und = (
+        ed.select("u", "v")
+        .unionAll(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame(
+        [(0, 0, 0), (20, 20, 0)], "root LONG, node LONG, d LONG"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    for _round in range(20):
+        nxt = (
+            frontier.join(und, frontier.node == und.u)
+            .select("root", F.col("v").alias("node"),
+                    (F.col("d") + 1).alias("d"))
+            .groupBy("root", "node").agg(F.min("d").alias("d"))
+            .join(dist.select("root", "node").withColumn("_s", F.lit(1)),
+                  ["root", "node"], "left")
+            .filter(F.col("_s").isNull())
+            .select("root", "node", "d")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError("q296 BFS did not converge in 20 rounds")
+    d1 = dist.selectExpr("root", "node AS u", "d AS du")
+    d2 = dist.selectExpr("root AS r2", "node AS v2", "d AS dv")
+    conf = (
+        ed.join(d1, "u")
+        .join(d2, (F.col("v") == F.col("v2"))
+                  & (F.col("root") == F.col("r2")))
+        .filter((F.col("du") + F.col("dv")) % 2 == 0)
+        .groupBy("root").agg(F.count("*").alias("n_conf"))
+    )
+    return (
+        dist.groupBy(F.col("root").alias("component"))
+        .agg(F.count("*").alias("n_nodes"))
+        .join(conf.withColumnRenamed("root", "component"),
+              "component", "left")
+        .select(
+            "component",
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce("n_conf", F.lit(0)).cast("long")
+            .alias("n_conflicts"),
+            F.when(F.coalesce("n_conf", F.lit(0)) == 0, 1).otherwise(0)
+            .cast("long").alias("is_bipartite"),
+        )
+    )

@@ -211,3 +211,52 @@ def test_truncated_recall_bounds(spark):
     assert all(0 <= r.overlap5 <= 5 for r in out)
     # truncation should usually retrieve SOMETHING of the true top-5
     assert sum(r.overlap5 for r in out) > 0
+
+
+def test_hrw_minimal_disruption(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q293_rendezvous_hashing"](spark, SF).collect()
+    assert {r.shard for r in out} <= set(range(7))  # shard 7 removed
+    # HRW invariant: only URLs formerly on shard 7 move, and they all
+    # land somewhere in 0..6 — so stable counts are the 8-shard loads
+    # of shards 0..6 and moved-in sums to shard 7's former load
+    n_urls = sum(r.n_after for r in out)
+    moved = sum(r.n_moved_in for r in out)
+    assert n_urls == 500
+    assert 0 < moved < n_urls
+    for r in out:
+        assert r.n_after == r.n_stable + r.n_moved_in
+
+
+def test_logbin_quantiles_bound(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q294_logbin_quantiles"](spark, SF).collect()
+    assert {r.pct for r in out} == {50, 90, 99}
+    for r in out:
+        # base-2 bins: estimate is the bin's upper edge — never below
+        # the exact value and within 2x of it
+        assert r.est_hi >= r.exact_val
+        assert r.est_hi < 2 * r.exact_val
+
+
+def test_kwic_snippets_contain_term(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q295_kwic_snippets"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out[:200]:
+        toks = r.snippet.split(" ")
+        assert "join" in toks
+        assert len(toks) <= 5
+
+
+def test_bipartite_certificates(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.component: r for r in
+           Q.QUERIES["q296_bipartite_check"](spark, SF).collect()}
+    assert out[0].n_nodes == 12 and out[0].is_bipartite == 1
+    assert out[20].n_nodes == 9 and out[20].is_bipartite == 0
+    assert out[20].n_conflicts >= 1
