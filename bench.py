@@ -308,6 +308,10 @@ HEADLINE = [
     "q294_logbin_quantiles",
     "q295_kwic_snippets",
     "q296_bipartite_check",
+    "q297_bigram_lm_surprisal",
+    "q298_wand_block_pruning",
+    "q299_change_rate",
+    "q300_host_scorecard",
 ]
 
 

@@ -15978,3 +15978,302 @@ def q296(spark, sf_dir):
             .cast("long").alias("is_bipartite"),
         )
     )
+
+
+# --- bigram backoff LM surprisal scoring (q297) -------------------------------
+
+
+@query(
+    "q297_bigram_lm_surprisal",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q297 oracle range(1,200) bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       tr AS (SELECT w FROM s WHERE doc_id % 2 = 0),
+       trbg AS (SELECT w[r.range] AS x, w[r.range + 1] AS y
+                FROM tr, range(1, 200) r WHERE r.range <= len(w) - 1),
+       c2 AS (SELECT x, y, count(*) AS c2 FROM trbg GROUP BY x, y),
+       c1 AS (SELECT x, count(*) AS c1 FROM trbg GROUP BY x),
+       cy AS (SELECT y, count(*) AS cy FROM trbg GROUP BY y),
+       n1 AS (SELECT count(*) AS n FROM trbg),
+       ho AS (SELECT doc_id, w[r.range] AS x, w[r.range + 1] AS y
+              FROM s, range(1, 200) r
+              WHERE doc_id % 2 = 1 AND r.range <= len(w) - 1),
+       sc AS (SELECT ho.doc_id,
+                     CASE WHEN c2.c2 IS NOT NULL THEN
+                       (length(bin(c1.c1)) - 1) - (length(bin(c2.c2)) - 1)
+                     ELSE
+                       8 + (length(bin(n1.n)) - 1)
+                         - (length(bin(coalesce(cy.cy, 0) + 1)) - 1)
+                     END AS bits,
+                     CASE WHEN c2.c2 IS NULL THEN 1 ELSE 0 END AS backoff
+              FROM ho
+              LEFT JOIN c2 ON c2.x = ho.x AND c2.y = ho.y
+              LEFT JOIN c1 ON c1.x = ho.x
+              LEFT JOIN cy ON cy.y = ho.y
+              CROSS JOIN n1)
+       SELECT sc.doc_id,
+              CAST(sum(sc.bits) AS BIGINT) AS surprisal_bits,
+              CAST(sum(sc.backoff) AS BIGINT) AS n_backoffs,
+              CAST(count(*) AS BIGINT) AS n_bigrams
+       FROM sc, chk GROUP BY sc.doc_id""",
+)
+def q297(spark, sf_dir):
+    """Bigram backoff language-model surprisal — the LM-quality
+    filtering pass (CCNet/Dolma style) one level deeper than q243's
+    unigram: train bigram/unigram counts on even doc_ids, score the
+    held-out odd docs; a seen bigram costs the integer surprisal
+    proxy bits(c1(x)) - bits(c2(x,y)) (~ -log2 p(y|x) via the
+    bin()-length floor-log2 idiom — NO transcendental anywhere), an
+    unseen one pays a fixed 8-bit backoff penalty plus the
+    add-one-smoothed unigram cost bits(N) - bits(cy+1).  The c2 join
+    keys on the bigram, the unigram sides broadcast; per-doc
+    aggregation is one map-side-combinable integer sum.  Backoff
+    count rides along (the OOV-rate signal)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bg = lambda df: df.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(w) - 1), "
+                   "i -> struct(w[i - 1] AS x, w[i] AS y))")
+        ).alias("p"),
+    ).select("doc_id", "p.x", "p.y")
+    trbg = bg(s.filter(F.col("doc_id") % 2 == 0))
+    c2 = trbg.groupBy("x", "y").agg(F.count("*").alias("c2"))
+    c1 = trbg.groupBy("x").agg(F.count("*").alias("c1"))
+    cy = trbg.groupBy("y").agg(F.count("*").alias("cy"))
+    n1 = trbg.agg(F.count("*").alias("n"))
+    ho = bg(s.filter(F.col("doc_id") % 2 == 1))
+    sc = (
+        ho.join(c2, ["x", "y"], "left")
+        .join(F.broadcast(c1), "x", "left")
+        .join(F.broadcast(cy), "y", "left")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c2").isNotNull(),
+                (F.length(F.bin("c1")) - 1) - (F.length(F.bin("c2")) - 1),
+            ).otherwise(
+                8 + (F.length(F.bin("n")) - 1)
+                - (F.length(F.bin(F.coalesce("cy", F.lit(0)) + 1)) - 1)
+            ).alias("bits"),
+            F.when(F.col("c2").isNull(), 1).otherwise(0).alias("backoff"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.sum("bits").cast("long").alias("surprisal_bits"),
+        F.sum("backoff").cast("long").alias("n_backoffs"),
+        F.count("*").cast("long").alias("n_bigrams"),
+    )
+
+
+# --- WAND block upper-bound pruning accounting (q298) -------------------------
+
+
+@query(
+    "q298_wand_block_pruning",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       tf AS (SELECT word, doc_id, count(*) AS tf FROM w
+              GROUP BY word, doc_id),
+       nd AS (SELECT count(DISTINCT doc_id) AS ndocs FROM w),
+       dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       blk AS (SELECT tf.word, tf.doc_id // 64 AS blk,
+                      max(tf.tf) AS max_tf, count(*) AS n_docs
+               FROM tf GROUP BY tf.word, tf.doc_id // 64),
+       ub AS (SELECT blk.word, blk.blk, blk.n_docs,
+                     blk.max_tf * (1 + (length(bin(nd.ndocs)) - 1)
+                                     - (length(bin(dft.df)) - 1))
+                       AS score_ub
+              FROM blk JOIN dft USING (word) CROSS JOIN nd)
+       SELECT word,
+              CAST(count(*) AS BIGINT) AS n_blocks,
+              CAST(sum(CASE WHEN score_ub < 12 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pruned,
+              CAST(sum(CASE WHEN score_ub < 12 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS docs_skipped
+       FROM ub GROUP BY word""",
+)
+def q298(spark, sf_dir):
+    """Block-max WAND pruning accounting (Broder 2003 / Ding-Suel
+    block-max): per term, postings split into 64-doc blocks, each
+    block stores its max term frequency; a block's score upper bound
+    max_tf * (1 + idf_bits) (idf_bits = bits(N) - bits(df), the
+    integer floor-log2 idiom) lets the scorer SKIP every block whose
+    bound misses the threshold (fixed 12 here) — the accounting
+    emits per term how many blocks and how many postings the bound
+    would prune.  This is the index-serving capacity question (what
+    fraction of postings does WAND never touch) answered in exact
+    integers: one (word, block) aggregation + a broadcast df/N join."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    tf = w.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+    nd = w.agg(F.countDistinct("doc_id").alias("ndocs"))
+    dft = tf.groupBy("word").agg(F.count("*").alias("df"))
+    blk = tf.groupBy(
+        "word", F.expr("doc_id div 64").alias("blk")
+    ).agg(F.max("tf").alias("max_tf"), F.count("*").alias("n_docs"))
+    ub = (
+        blk.join(F.broadcast(dft), "word")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "word", "blk", "n_docs",
+            (
+                F.col("max_tf")
+                * (1 + (F.length(F.bin("ndocs")) - 1)
+                   - (F.length(F.bin("df")) - 1))
+            ).alias("score_ub"),
+        )
+    )
+    return ub.groupBy("word").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("score_ub") < 12, 1).otherwise(0)).cast("long")
+        .alias("n_pruned"),
+        F.sum(F.when(F.col("score_ub") < 12, F.col("n_docs")).otherwise(0))
+        .cast("long").alias("docs_skipped"),
+    )
+
+
+# --- recrawl change-rate estimation (q299) ------------------------------------
+
+
+@query(
+    "q299_change_rate",
+    """WITH f AS (SELECT doc_id, t.range AS t,
+                    (t.range * (1 + doc_id % 4)) // 5 AS ver
+                  FROM documents, range(0, 10) t),
+       ch AS (SELECT a.doc_id,
+                     sum(CASE WHEN a.ver <> b.ver THEN 1 ELSE 0 END)
+                       AS n_changes
+              FROM f a JOIN f b
+                ON b.doc_id = a.doc_id AND b.t = a.t - 1
+              GROUP BY a.doc_id)
+       SELECT doc_id,
+              CAST(n_changes AS BIGINT) AS n_changes,
+              CAST(n_changes AS DOUBLE) / 9.0 AS rate_per_fetch,
+              CASE WHEN n_changes * 2 >= 9 THEN 'hot'
+                   WHEN n_changes >= 2 THEN 'warm'
+                   ELSE 'cold' END AS revisit_class
+       FROM ch""",
+)
+def q299(spark, sf_dir):
+    """Recrawl change-rate estimation (the Cho-Garcia-Molina
+    freshness input): 10 simulated fetches per URL with a
+    deterministic integer version step ver(t) = t*(1+doc%4) div 5;
+    changes counted by joining each fetch to its predecessor on
+    (doc, t-1) — NO window, the self-join keys on the url and works
+    shard-local at 10^12 rows; the per-fetch change rate is one
+    division and the revisit class (hot: rate >= 1/2, warm: >= 2
+    changes, cold) is decided by exact integer cross-multiplication.
+    The scheduler consumes the class to set per-URL revisit
+    intervals."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("t")
+    ).select(
+        "doc_id", "t",
+        F.expr("(t * (1 + doc_id % 4)) div 5").alias("ver"),
+    )
+    b = f.selectExpr("doc_id", "t + 1 AS t", "ver AS prev_ver")
+    ch = (
+        f.join(b, ["doc_id", "t"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ver") != F.col("prev_ver"), 1).otherwise(0)
+            ).alias("n_changes")
+        )
+    )
+    return ch.select(
+        "doc_id",
+        F.col("n_changes").cast("long").alias("n_changes"),
+        (F.col("n_changes").cast("double") / F.lit(9.0))
+        .alias("rate_per_fetch"),
+        F.when(F.col("n_changes") * 2 >= 9, "hot")
+        .when(F.col("n_changes") >= 2, "warm")
+        .otherwise("cold").alias("revisit_class"),
+    )
+
+
+# --- host reputation scorecard (q300) -----------------------------------------
+
+
+@query(
+    "q300_host_scorecard",
+    """WITH d AS (SELECT doc_id % 40 AS host, doc_id, text, lang, n_chars,
+                         md5(text) AS h
+                  FROM documents),
+       dup AS (SELECT host, count(*) AS n_docs,
+                      count(DISTINCT h) AS n_unique,
+                      count(DISTINCT lang) AS n_langs,
+                      sum(n_chars) AS total_chars
+               FROM d GROUP BY host),
+       e AS (SELECT DISTINCT doc_id % 40 AS src,
+                    (doc_id * 7 + doc_id // 40) % 40 AS dst
+             FROM documents),
+       er AS (SELECT e.src AS host, count(*) AS n_recip
+              FROM e JOIN e r ON r.src = e.dst AND r.dst = e.src
+              WHERE e.src <> e.dst
+              GROUP BY e.src)
+       SELECT dup.host,
+              CAST(dup.n_docs AS BIGINT) AS n_docs,
+              CAST(dup.n_docs - dup.n_unique AS BIGINT) AS n_dup_docs,
+              CAST(dup.n_langs AS BIGINT) AS n_langs,
+              CAST(dup.total_chars AS BIGINT) AS total_chars,
+              CAST(coalesce(er.n_recip, 0) AS BIGINT) AS n_recip_links,
+              CAST(dup.n_docs - dup.n_unique AS DOUBLE)
+                / CAST(dup.n_docs AS DOUBLE) AS dup_rate
+       FROM dup LEFT JOIN er ON er.host = dup.host""",
+)
+def q300(spark, sf_dir):
+    """Host reputation scorecard — the per-host aggregation a crawl
+    policy actually consumes, composing four signals in one pass:
+    document count, exact-duplicate count (md5 content hash — the
+    q17/q273 dedup key), language diversity, total bytes, and the
+    reciprocal-link count from the q257 spam-signal join; dup_rate
+    is one division over exact integers.  Everything keys on host:
+    one groupBy over documents + one reversed edge self-equi-join —
+    at 10^12 docs the scorecard is a straight map-side-combinable
+    rollup, no row ever leaves its host shard except the edge pass."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 40).alias("host"),
+        "lang", "n_chars", F.md5("text").alias("h"),
+    )
+    dup = d.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    e = (
+        docs.selectExpr(
+            "doc_id % 40 AS src",
+            "(doc_id * 7 + doc_id div 40) % 40 AS dst",
+        )
+        .distinct()
+    )
+    r = e.selectExpr("dst AS src", "src AS dst")
+    er = (
+        e.join(r, ["src", "dst"])
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").alias("n_recip"))
+    )
+    return dup.join(er, "host", "left").select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (F.col("n_docs") - F.col("n_unique")).cast("long")
+        .alias("n_dup_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.coalesce("n_recip", F.lit(0)).cast("long")
+        .alias("n_recip_links"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )

@@ -260,3 +260,52 @@ def test_bipartite_certificates(spark):
     assert out[0].n_nodes == 12 and out[0].is_bipartite == 1
     assert out[20].n_nodes == 9 and out[20].is_bipartite == 0
     assert out[20].n_conflicts >= 1
+
+
+def test_bigram_lm_surprisal_consistency(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q297_bigram_lm_surprisal"](spark, SF).collect()
+    assert len(out) == 250  # held-out odd doc_ids
+    for r in out:
+        assert r.n_bigrams >= 9  # min 10-word doc
+        assert 0 <= r.n_backoffs <= r.n_bigrams
+        # every bigram costs at least 0 and at most ~8+bits(N) bits
+        assert 0 <= r.surprisal_bits <= r.n_bigrams * 32
+
+
+def test_wand_pruning_bounds(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q298_wand_block_pruning"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r.n_pruned <= r.n_blocks
+        assert r.docs_skipped <= r.n_blocks * 64
+
+
+def test_change_rate_classes(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q299_change_rate"](spark, SF).collect()
+    assert len(out) == 500
+    for r in out:
+        # ver(t) = t*(1+doc%4) div 5 over t=0..9 changes at most 9x
+        assert 0 <= r.n_changes <= 9
+        want = ("hot" if 2 * r.n_changes >= 9
+                else "warm" if r.n_changes >= 2 else "cold")
+        assert r.revisit_class == want
+    # the doc%4 spread must produce all three classes
+    assert {r.revisit_class for r in out} == {"hot", "warm", "cold"}
+
+
+def test_host_scorecard_invariants(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q300_host_scorecard"](spark, SF).collect()
+    assert len(out) == 40
+    assert sum(r.n_docs for r in out) == 500
+    for r in out:
+        assert 0 <= r.n_dup_docs < r.n_docs
+        assert 1 <= r.n_langs
+        assert r.n_recip_links % 2 == 0 or r.n_recip_links >= 0
