@@ -312,6 +312,11 @@ HEADLINE = [
     "q298_wand_block_pruning",
     "q299_change_rate",
     "q300_host_scorecard",
+    "q301_symspell_correction",
+    "q302_passage_chunking",
+    "q303_newcomer_dedup",
+    "q304_crawl_trap_detection",
+    "q305_consistent_hash_ring",
 ]
 
 

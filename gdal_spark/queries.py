@@ -16277,3 +16277,401 @@ def q300(spark, sf_dir):
             / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+# --- SymSpell deletion-join spelling correction (q301) ------------------------
+
+
+@query(
+    "q301_symspell_correction",
+    """WITH w AS (SELECT word, count(*) AS df FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       vr AS (SELECT word, df, row_number() OVER (ORDER BY word) AS rnk
+              FROM w),
+       vkeys AS (SELECT word, df, word AS k FROM w
+                 UNION
+                 SELECT w.word, w.df,
+                        substr(w.word, 1, i.range - 1) ||
+                        substr(w.word, i.range + 1,
+                               length(w.word) - i.range) AS k
+                 FROM w, range(1, 20) i
+                 WHERE i.range <= length(w.word)),
+       probes AS (SELECT p.range AS pid, vr.word AS orig,
+                         substr(vr.word, 1,
+                                (p.range % length(vr.word))) ||
+                         substr(vr.word,
+                                (p.range % length(vr.word)) + 2,
+                                length(vr.word)
+                                  - (p.range % length(vr.word)) - 1)
+                           AS typo
+                  FROM range(0, 10) p
+                  JOIN vr ON vr.rnk = (p.range * 3) + 1),
+       pkeys AS (SELECT pid, typo, typo AS k FROM probes
+                 UNION
+                 SELECT p.pid, p.typo,
+                        substr(p.typo, 1, i.range - 1) ||
+                        substr(p.typo, i.range + 1,
+                               length(p.typo) - i.range) AS k
+                 FROM probes p, range(1, 20) i
+                 WHERE i.range <= length(p.typo)),
+       cand AS (SELECT DISTINCT pk.pid, pk.typo, vk.word, vk.df
+                FROM pkeys pk JOIN vkeys vk ON vk.k = pk.k),
+       m AS (SELECT pid, max(df) AS mdf, count(*) AS n_candidates
+             FROM cand GROUP BY pid),
+       best AS (SELECT c.pid, min(c.word) AS correction
+                FROM cand c JOIN m ON m.pid = c.pid AND c.df = m.mdf
+                GROUP BY c.pid)
+       SELECT m.pid, p.typo, b.correction,
+              CAST(m.mdf AS BIGINT) AS cand_df,
+              CAST(m.n_candidates AS BIGINT) AS n_candidates
+       FROM m JOIN best b ON b.pid = m.pid
+       JOIN (SELECT DISTINCT pid, typo FROM probes) p ON p.pid = m.pid""",
+)
+def q301(spark, sf_dir):
+    """SymSpell-style spelling correction by DELETION-KEY join (the
+    query-rewrite op a search frontend runs): every lexicon word
+    contributes itself plus all single-char-deletion variants as
+    match keys; a typo (here: 10 lexicon words with one deterministic
+    char dropped) matches any lexicon word sharing a key — edit
+    distance <= 2 by the SymSpell property, with NO pairwise edit
+    distance computed; the correction is the max-frequency candidate
+    (ties to lexicographically-least).  Key tables are linear in
+    total word length; the join is key-equi and broadcastable at any
+    corpus size (lexicon-bounded, never corpus-bounded)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("df"))
+    )
+    dels = (
+        "transform(sequence(1, length({c})), "
+        "i -> concat(substring({c}, 1, i - 1), "
+        "substring({c}, i + 1, length({c}) - i)))"
+    )
+    vkeys = w.select("word", "df", F.col("word").alias("k")).unionByName(
+        w.select(
+            "word", "df",
+            F.explode(F.expr(dels.format(c="word"))).alias("k"),
+        )
+    ).distinct()
+    vr = w.select(
+        "word", F.row_number().over(Window.orderBy("word")).alias("rnk")
+    )
+    probes = (
+        spark.range(0, 10).selectExpr("id AS pid", "id * 3 + 1 AS rnk")
+        .join(F.broadcast(vr), "rnk")
+        .selectExpr(
+            "pid", "word AS orig",
+            "concat(substring(word, 1, CAST(pid % length(word) AS INT)), "
+            "substring(word, CAST(pid % length(word) AS INT) + 2, "
+            "length(word) - CAST(pid % length(word) AS INT) - 1)) AS typo",
+        )
+    )
+    pkeys = probes.select("pid", "typo", F.col("typo").alias("k")).unionByName(
+        probes.select(
+            "pid", "typo",
+            F.explode(F.expr(dels.format(c="typo"))).alias("k"),
+        )
+    ).distinct()
+    cand = (
+        pkeys.join(F.broadcast(vkeys), "k")
+        .select("pid", "typo", "word", "df")
+        .distinct()
+    )
+    m = cand.groupBy("pid").agg(
+        F.max("df").alias("mdf"), F.count("*").alias("n_candidates"))
+    best = (
+        cand.join(m, "pid")
+        .filter(F.col("df") == F.col("mdf"))
+        .groupBy("pid").agg(F.min("word").alias("correction"))
+    )
+    return (
+        m.join(best, "pid")
+        .join(probes.select("pid", "typo").distinct(), "pid")
+        .select(
+            "pid", "typo", "correction",
+            F.col("mdf").cast("long").alias("cand_df"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+        )
+    )
+
+
+# --- RAG passage chunking with stride (q302) ----------------------------------
+
+
+@query(
+    "q302_passage_chunking",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q302 oracle range bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       p AS (SELECT doc_id, k.range AS k,
+                    1 + 15 * k.range AS s0, len(w) AS lw, w
+             FROM s, range(0, 14) k
+             WHERE 1 + 15 * k.range <= len(w))
+       SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+              CAST(least(30, lw - s0 + 1) AS BIGINT) AS n_words,
+              substr(md5(array_to_string(
+                w[s0:least(lw, s0 + 29)], ' ')), 1, 8) AS h8
+       FROM p, chk""",
+)
+def q302(spark, sf_dir):
+    """RAG passage chunking — overlap-stride windows (size 30, stride
+    15, partial tail kept) with a per-passage content fingerprint
+    (md5 first 8 hex of the space-joined window; byte-identical on
+    both engines) — the retrieval-corpus prep that turns documents
+    into indexable passages; the hash column is the cross-doc
+    passage-dedup key.  Pure per-row slice + join (linear HOF work),
+    zero shuffle: chunking runs at scan speed next to the tokenizer
+    at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    p = s.select(
+        "doc_id", F.size("w").alias("lw"), "w",
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("k"),
+    ).filter(1 + 15 * F.col("k") <= F.col("lw")).withColumn(
+        "s0", 1 + 15 * F.col("k")
+    )
+    return p.select(
+        "doc_id",
+        F.col("k").cast("long").alias("chunk_id"),
+        F.least(F.lit(30), F.col("lw") - F.col("s0") + 1).cast("long")
+        .alias("n_words"),
+        F.substring(
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "slice(w, s0, least(lw, s0 + 29) - s0 + 1)"
+                    ),
+                    " ",
+                )
+            ),
+            1, 8,
+        ).alias("h8"),
+    )
+
+
+# --- incremental newcomer dedup vs corpus (q303) ------------------------------
+
+
+@query(
+    "q303_newcomer_dedup",
+    """WITH d AS (SELECT doc_id,
+                    CASE WHEN doc_id % 15 = 9
+                         THEN 'shared template body for ingest dedup'
+                         ELSE text END AS body
+                  FROM documents),
+       corpus AS (SELECT doc_id, md5(body) AS h FROM d
+                  WHERE doc_id % 10 <> 9),
+       newb AS (SELECT doc_id, md5(body) AS h FROM d
+                WHERE doc_id % 10 = 9),
+       hits AS (SELECT n.doc_id, count(*) AS n_matches,
+                       min(c.doc_id) AS first_match
+                FROM newb n JOIN corpus c ON c.h = n.h
+                GROUP BY n.doc_id)
+       SELECT n.doc_id,
+              CAST(CASE WHEN h.n_matches IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup,
+              CAST(coalesce(h.n_matches, 0) AS BIGINT) AS n_matches,
+              CAST(coalesce(h.first_match, -1) AS BIGINT) AS first_match
+       FROM newb n LEFT JOIN hits h ON h.doc_id = n.doc_id""",
+)
+def q303(spark, sf_dir):
+    """Incremental ingest dedup — the ASYMMETRIC join every crawl
+    ingest runs: a small newcomer batch (doc_id%10==9) checks its
+    md5 content hashes against the existing corpus, never corpus x
+    corpus (the q17 batch-dedup shape inverted: at 10^12 docs the
+    newcomer side broadcasts / bucket-probes the corpus hash index,
+    so ingest cost is proportional to the BATCH, not the corpus).
+    A deterministic shared-template body on doc_id%15==9 plants true
+    newcomer-vs-corpus duplicates at every SF (9,39,69,... are
+    newcomers; 24,54,84,... are corpus).  Emits per newcomer the dup
+    flag, match count, and first matching corpus doc."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 15 == 9,
+               F.lit("shared template body for ingest dedup"))
+        .otherwise(F.col("text")).alias("body"),
+    ).withColumn("h", F.md5("body"))
+    corpus = d.filter(F.col("doc_id") % 10 != 9).select(
+        F.col("doc_id").alias("cdoc"), "h")
+    newb = d.filter(F.col("doc_id") % 10 == 9).select("doc_id", "h")
+    hits = (
+        F.broadcast(newb).join(corpus, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_matches"),
+             F.min("cdoc").alias("first_match"))
+    )
+    return newb.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("n_matches").isNotNull(), 1).otherwise(0)
+        .cast("long").alias("is_dup"),
+        F.coalesce("n_matches", F.lit(0)).cast("long").alias("n_matches"),
+        F.coalesce("first_match", F.lit(-1)).cast("long")
+        .alias("first_match"),
+    )
+
+
+# --- URL-alias / crawl-trap detection (q304) ----------------------------------
+
+
+@query(
+    "q304_crawl_trap_detection",
+    """WITH u AS (SELECT doc_id % 20 AS host,
+                    'https://h' || CAST(doc_id % 20 AS VARCHAR) || '/p'
+                      || CAST(doc_id // 4 AS VARCHAR)
+                      || '?sid=' || CAST(doc_id AS VARCHAR) AS url,
+                    doc_id // 4 AS content_key
+                  FROM documents),
+       agg AS (SELECT host, count(*) AS n_urls,
+                      count(DISTINCT content_key) AS n_content
+               FROM u GROUP BY host)
+       SELECT host,
+              CAST(n_urls AS BIGINT) AS n_urls,
+              CAST(n_content AS BIGINT) AS n_content,
+              CAST(n_urls - n_content AS BIGINT) AS n_alias_urls,
+              CAST(CASE WHEN n_urls >= 2 * n_content THEN 1 ELSE 0 END
+                AS BIGINT) AS is_trap
+       FROM agg""",
+)
+def q304(spark, sf_dir):
+    """URL-alias / crawl-trap detection — the politeness-budget guard
+    (session-id and calendar traps burn fetch quota on one piece of
+    content): per host, distinct URLs vs distinct content keys; a
+    host whose URL count is >= 2x its content count is flagged (the
+    fixture's ?sid= parameter makes every 4-URL group share one
+    content key, so every host trips the detector — the degenerate
+    worst case).  One host-keyed aggregation with two combinable
+    distinct counts; at 10^12 URLs this is the standard per-host
+    rollup next to the q300 scorecard."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        (F.col("doc_id") % 20).alias("host"),
+        F.expr("doc_id div 4").alias("content_key"),
+    )
+    agg = u.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("content_key").alias("n_content"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("n_content").cast("long").alias("n_content"),
+        (F.col("n_urls") - F.col("n_content")).cast("long")
+        .alias("n_alias_urls"),
+        F.when(F.col("n_urls") >= 2 * F.col("n_content"), 1).otherwise(0)
+        .cast("long").alias("is_trap"),
+    )
+
+
+# --- consistent-hash ring with virtual nodes (q305) ---------------------------
+
+
+@query(
+    "q305_consistent_hash_ring",
+    """WITH u AS (SELECT DISTINCT 'u' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+       uh AS (SELECT url,
+                CAST(CAST('0x' || substr(md5(url), 1, 8) AS UBIGINT)
+                     AS BIGINT) AS h
+              FROM u),
+       vn AS (SELECT s.range AS shard, v.range AS vnode,
+                CAST(CAST('0x' || substr(md5('ring' ||
+                       CAST(s.range AS VARCHAR) || '.' ||
+                       CAST(v.range AS VARCHAR)), 1, 8) AS UBIGINT)
+                     AS BIGINT) AS vh
+              FROM range(0, 8) s, range(0, 4) v),
+       a4 AS (SELECT uh.url,
+                     min(((vn.vh - uh.h + 4294967296) % 4294967296) * 64
+                         + vn.shard * 8 + vn.vnode) AS code
+              FROM uh CROSS JOIN vn
+              GROUP BY uh.url),
+       a1 AS (SELECT uh.url,
+                     min(((vn.vh - uh.h + 4294967296) % 4294967296) * 64
+                         + vn.shard * 8 + vn.vnode) AS code
+              FROM uh CROSS JOIN vn
+              WHERE vn.vnode = 0
+              GROUP BY uh.url),
+       asg AS (SELECT a4.url,
+                      (a4.code % 64) // 8 AS s4,
+                      (a1.code % 64) // 8 AS s1
+               FROM a4 JOIN a1 USING (url)),
+       l4 AS (SELECT s4 AS shard, count(*) AS load_vn4 FROM asg
+              GROUP BY s4),
+       l1 AS (SELECT s1 AS shard, count(*) AS load_vn1 FROM asg
+              GROUP BY s1),
+       shards AS (SELECT s.range AS shard FROM range(0, 8) s)
+       SELECT shards.shard,
+              CAST(coalesce(l4.load_vn4, 0) AS BIGINT) AS load_vn4,
+              CAST(coalesce(l1.load_vn1, 0) AS BIGINT) AS load_vn1
+       FROM shards LEFT JOIN l4 USING (shard) LEFT JOIN l1 USING (shard)""",
+)
+def q305(spark, sf_dir):
+    """Consistent-hash ring assignment with virtual nodes (Karger) —
+    the OTHER fleet sharding scheme next to q293's HRW: each shard
+    owns 4 ring positions (md5-derived 32-bit points); a URL goes to
+    the first vnode CLOCKWISE from its own hash, computed exactly as
+    the integer argmin of (vh - h) mod 2^32, encoded combinably as
+    delta*64 + shard*8 + vnode (deterministic tie-break).  The query
+    assigns under 4 vnodes/shard and under 1 vnode/shard and emits
+    both per-shard loads — the variance reduction from virtual nodes
+    is directly visible.  Ring table is 32 rows broadcast; the
+    assignment is one map-side-combinable argmin per URL."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url")
+    ).distinct()
+    uh = u.withColumn(
+        "h", F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"))
+    vn = (
+        spark.range(0, 8).selectExpr("id AS shard")
+        .crossJoin(spark.range(0, 4).selectExpr("id AS vnode"))
+        .withColumn(
+            "vh",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("ring"),
+                                   F.col("shard").cast("string"),
+                                   F.lit("."),
+                                   F.col("vnode").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+        )
+    )
+    code = (
+        ((F.col("vh") - F.col("h") + F.lit(4294967296)) % 4294967296) * 64
+        + F.col("shard") * 8 + F.col("vnode")
+    )
+    a4 = (
+        uh.crossJoin(F.broadcast(vn))
+        .groupBy("url").agg(F.min(code).alias("code4"))
+    )
+    a1 = (
+        uh.crossJoin(F.broadcast(vn.filter(F.col("vnode") == 0)))
+        .groupBy("url").agg(F.min(code).alias("code1"))
+    )
+    asg = a4.join(a1, "url").select(
+        F.expr("(code4 % 64) div 8").alias("s4"),
+        F.expr("(code1 % 64) div 8").alias("s1"),
+    )
+    l4 = asg.groupBy(F.col("s4").alias("shard")).agg(
+        F.count("*").alias("load_vn4"))
+    l1 = asg.groupBy(F.col("s1").alias("shard")).agg(
+        F.count("*").alias("load_vn1"))
+    shards = spark.range(0, 8).selectExpr("id AS shard")
+    return (
+        shards.join(l4, "shard", "left").join(l1, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("load_vn4", F.lit(0)).cast("long")
+            .alias("load_vn4"),
+            F.coalesce("load_vn1", F.lit(0)).cast("long")
+            .alias("load_vn1"),
+        )
+    )

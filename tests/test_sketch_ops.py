@@ -309,3 +309,56 @@ def test_host_scorecard_invariants(spark):
         assert 0 <= r.n_dup_docs < r.n_docs
         assert 1 <= r.n_langs
         assert r.n_recip_links % 2 == 0 or r.n_recip_links >= 0
+
+
+def test_symspell_recovers_original(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q301_symspell_correction"](spark, SF).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.n_candidates >= 1
+        assert r.cand_df >= 1
+        # the correction is a real lexicon word at distance <= 2 of
+        # the typo; lengths can differ by at most 2
+        assert abs(len(r.correction) - len(r.typo)) <= 2
+
+
+def test_passage_chunks_cover_doc(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q302_passage_chunking"](spark, SF).collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in out:
+        per_doc[r.doc_id].append(r)
+        assert 1 <= r.n_words <= 30
+        assert len(r.h8) == 8
+    assert len(per_doc) == 500  # every doc produces >= 1 chunk
+    for rows in per_doc.values():
+        ks = sorted(r.chunk_id for r in rows)
+        assert ks == list(range(len(ks)))  # contiguous chunk ids
+
+
+def test_newcomer_dedup_finds_planted(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.doc_id: r for r in
+           Q.QUERIES["q303_newcomer_dedup"](spark, SF).collect()}
+    assert len(out) == 50
+    # newcomers with doc_id%15==9 carry the template: 9, 39, 69, 99, ...
+    for did, r in out.items():
+        if did % 15 == 9:
+            assert r.is_dup == 1 and r.n_matches >= 1
+            assert r.first_match % 15 == 9 and r.first_match % 10 != 9
+        assert (r.is_dup == 1) == (r.n_matches > 0)
+
+
+def test_ring_loads_conserve_urls(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q305_consistent_hash_ring"](spark, SF).collect()
+    assert len(out) == 8
+    assert sum(r.load_vn4 for r in out) == 500
+    assert sum(r.load_vn1 for r in out) == 500
