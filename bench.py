@@ -317,6 +317,11 @@ HEADLINE = [
     "q303_newcomer_dedup",
     "q304_crawl_trap_detection",
     "q305_consistent_hash_ring",
+    "q306_burst_detection",
+    "q307_degree_assortativity",
+    "q308_cdc_boundaries",
+    "q309_scc_of_pivot",
+    "q310_index_partition_balance",
 ]
 
 

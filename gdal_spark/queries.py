@@ -16675,3 +16675,369 @@ def q305(spark, sf_dir):
             .alias("load_vn1"),
         )
     )
+
+
+# --- trending-burst detection over event streams (q306) -----------------------
+
+
+@query(
+    "q306_burst_detection",
+    """WITH e AS (SELECT event_type, date_trunc('day', ts) AS d
+                  FROM events),
+       c AS (SELECT event_type, d, count(*) AS c FROM e GROUP BY 1, 2),
+       r AS (SELECT event_type, sum(c) AS rt FROM c GROUP BY 1),
+       col AS (SELECT d, sum(c) AS ct FROM c GROUP BY 1),
+       t AS (SELECT count(*) AS tt FROM e)
+       SELECT c.event_type, c.d AS day,
+              CAST(c.c AS BIGINT) AS n,
+              CAST(r.rt AS BIGINT) AS type_total,
+              CAST(col.ct AS BIGINT) AS day_total,
+              CAST(CASE WHEN 8 * c.c * t.tt >= 9 * r.rt * col.ct
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_burst
+       FROM c JOIN r USING (event_type) JOIN col USING (d)
+       CROSS JOIN t""",
+)
+def q306(spark, sf_dir):
+    """Trending-burst detection over the event stream — the
+    rate-anomaly gate (Kleinberg-style burst, decided by LIFT): a
+    (type, day) cell bursts when its count exceeds 9/8 of the
+    independence expectation rate_type * total_day / total, tested by
+    EXACT integer cross-multiplication 8*c*T >= 9*rt*ct — no float
+    rates anywhere.  At the audit SF the Poisson noise of ~70-count
+    cells puts real cells on both sides of the 1.125x threshold, so
+    both branches fire.  Three map-side-combinable counts + two
+    broadcast marginal joins — the same shuffle-free shape as q284's
+    chi-square at any event volume."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d"))
+    c = e.groupBy("event_type", "d").agg(F.count("*").alias("c"))
+    r = c.groupBy("event_type").agg(F.sum("c").alias("rt"))
+    col = c.groupBy("d").agg(F.sum("c").alias("ct"))
+    t = e.agg(F.count("*").alias("tt"))
+    return (
+        c.join(F.broadcast(r), "event_type")
+        .join(F.broadcast(col), "d")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "event_type", F.col("d").alias("day"),
+            F.col("c").cast("long").alias("n"),
+            F.col("rt").cast("long").alias("type_total"),
+            F.col("ct").cast("long").alias("day_total"),
+            F.when(
+                8 * F.col("c") * F.col("tt")
+                >= 9 * F.col("rt") * F.col("ct"), 1
+            ).otherwise(0).cast("long").alias("is_burst"),
+        )
+    )
+
+
+# --- degree assortativity of the host graph (q307) ----------------------------
+
+
+@query(
+    "q307_degree_assortativity",
+    """WITH e AS (SELECT DISTINCT doc_id % 50 AS src,
+                         (doc_id * 3 + 1) % 50 AS dst FROM documents
+                  UNION
+                  SELECT DISTINCT doc_id % 50, (doc_id * 7 + 11) % 50
+                  FROM documents),
+       ed AS (SELECT src, dst FROM e WHERE src <> dst),
+       od AS (SELECT src, count(*) AS od FROM ed GROUP BY src),
+       idg AS (SELECT dst, count(*) AS idg FROM ed GROUP BY dst),
+       j AS (SELECT od.od AS x, idg.idg AS y
+             FROM ed JOIN od USING (src) JOIN idg USING (dst)),
+       s AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+                    sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+             FROM j)
+       SELECT CAST(m AS BIGINT) AS m,
+              CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy,
+              CAST(sxy AS BIGINT) AS sxy,
+              CAST(sxx AS BIGINT) AS sxx, CAST(syy AS BIGINT) AS syy,
+              CAST(m*sxy - sx*sy AS DOUBLE)
+                / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+                       * CAST(m*syy - sy*sy AS DOUBLE)) AS r
+       FROM s""",
+)
+def q307(spark, sf_dir):
+    """Degree assortativity of the directed host graph — Pearson
+    correlation of (out-degree of source, in-degree of target) over
+    edges, the classic webgraph structure metric (the web is
+    disassortative; spam farms skew it): all five moments are EXACT
+    BIGINT sums over the edge list (the q271 OLS pattern), and the
+    coefficient is one fixed float expression (numerator / sqrt of
+    product) evaluated identically by both engines on identical
+    integers.  One edge scan + two broadcast degree joins + a single
+    global aggregate — no shuffle wider than the degree tables at
+    web scale."""
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        docs.selectExpr("doc_id % 50 AS src", "(doc_id * 3 + 1) % 50 AS dst")
+        .unionByName(
+            docs.selectExpr("doc_id % 50 AS src",
+                            "(doc_id * 7 + 11) % 50 AS dst"))
+        .distinct()
+        .filter("src <> dst")
+    )
+    od = e.groupBy("src").agg(F.count("*").alias("od"))
+    idg = e.groupBy("dst").agg(F.count("*").alias("idg"))
+    j = (
+        e.join(F.broadcast(od), "src")
+        .join(F.broadcast(idg), "dst")
+        .selectExpr("od AS x", "idg AS y")
+    )
+    s = j.agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("m"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        F.col("sxy").cast("long").alias("sxy"),
+        F.col("sxx").cast("long").alias("sxx"),
+        F.col("syy").cast("long").alias("syy"),
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double")
+            / F.sqrt(
+                (F.col("m") * F.col("sxx")
+                 - F.col("sx") * F.col("sx")).cast("double")
+                * (F.col("m") * F.col("syy")
+                   - F.col("sy") * F.col("sy")).cast("double")
+            )
+        ).alias("r"),
+    )
+
+
+# --- content-defined chunking boundaries (q308) -------------------------------
+
+
+@query(
+    "q308_cdc_boundaries",
+    """WITH s AS (SELECT doc_id, text, length(text) AS lt
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(lt) > 599
+                      THEN error('q308 oracle range bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       pos AS (SELECT doc_id, i.range AS i,
+                 (CAST(ascii(substr(text, i.range, 1)) AS BIGINT)
+                  + CAST(ascii(substr(text, i.range - 1, 1)) AS BIGINT) * 31
+                  + CAST(ascii(substr(text, i.range - 2, 1)) AS BIGINT) * 961
+                  + CAST(ascii(substr(text, i.range - 3, 1)) AS BIGINT)
+                    * 29791
+                  + CAST(ascii(substr(text, i.range - 4, 1)) AS BIGINT)
+                    * 923521
+                  + CAST(ascii(substr(text, i.range - 5, 1)) AS BIGINT)
+                    * 28629151
+                  + CAST(ascii(substr(text, i.range - 6, 1)) AS BIGINT)
+                    * 887503681
+                  + CAST(ascii(substr(text, i.range - 7, 1)) AS BIGINT)
+                    * 27512614111)
+                   % 64 AS h64
+               FROM s, range(8, 600) i WHERE i.range <= lt)
+       SELECT pos.doc_id,
+              CAST(sum(CASE WHEN h64 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_boundaries,
+              CAST(sum(CASE WHEN h64 = 0 THEN i ELSE 0 END) AS BIGINT)
+                AS boundary_poschk,
+              CAST(max(s2.lt) AS BIGINT) AS n_chars
+       FROM pos JOIN s s2 USING (doc_id), chk
+       GROUP BY pos.doc_id""",
+)
+def q308(spark, sf_dir):
+    """Content-defined chunking (LBFS/restic-style) boundary
+    accounting — the dedup-storage split rule that survives insertions
+    (a fixed-offset split would shift every later chunk): position i
+    is a boundary when the 8-char polynomial rolling hash
+    sum(ascii(c_{i-j}) * 31^j) is 0 mod 64 (expected chunk ~64
+    chars).  Each position's hash is an 8-term integer expression —
+    O(8L) per document, fully codegen'd, position-exploded exactly
+    like the n-gram tables (no sequential fold, no Python).  Emits
+    per doc the boundary count, an order-sensitive position checksum,
+    and length; the boundary hash IS the dedup anchor key at
+    exabyte-store scale."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", "text", F.length("text").alias("lt"))
+    pw = [31 ** j for j in range(8)]
+    terms = " + ".join(
+        f"CAST(ascii(substring(text, i - {j}, 1)) AS BIGINT) * {pw[j]}"
+        if j else "CAST(ascii(substring(text, i, 1)) AS BIGINT)"
+        for j in range(8)
+    )
+    pos = (
+        s.select(
+            "doc_id", "text", "lt",
+            F.explode(F.expr("sequence(8, lt)")).alias("i"),
+        )
+        .withColumn("h64", F.expr(f"({terms}) % 64"))
+    )
+    return pos.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("h64") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_boundaries"),
+        F.sum(F.when(F.col("h64") == 0, F.col("i")).otherwise(0))
+        .cast("long").alias("boundary_poschk"),
+        F.max("lt").cast("long").alias("n_chars"),
+    )
+
+
+# --- strongly connected component of the pivot (q309) -------------------------
+
+
+@query(
+    "q309_scc_of_pivot",
+    """WITH RECURSIVE ed AS (
+         SELECT DISTINCT doc_id % 50 AS src, (doc_id * 3 + 1) % 50 AS dst
+         FROM documents
+         UNION
+         SELECT DISTINCT doc_id % 50, (doc_id * 7 + 11) % 50
+         FROM documents),
+       e2 AS (SELECT src, dst FROM ed WHERE src <> dst),
+       fwd AS (SELECT 0 AS node
+               UNION
+               SELECT e2.dst FROM fwd JOIN e2 ON e2.src = fwd.node),
+       bwd AS (SELECT 0 AS node
+               UNION
+               SELECT e2.src FROM bwd JOIN e2 ON e2.dst = bwd.node),
+       nodes AS (SELECT DISTINCT node FROM
+                   (SELECT src AS node FROM e2
+                    UNION ALL SELECT dst FROM e2))
+       SELECT n.node,
+              CAST(CASE WHEN f.node IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS fwd_reach,
+              CAST(CASE WHEN b.node IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS bwd_reach,
+              CAST(CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                        THEN 1 ELSE 0 END AS BIGINT) AS in_scc
+       FROM nodes n
+       LEFT JOIN (SELECT DISTINCT node FROM fwd) f ON f.node = n.node
+       LEFT JOIN (SELECT DISTINCT node FROM bwd) b ON b.node = n.node""",
+)
+def q309(spark, sf_dir):
+    """Strongly connected component of a pivot (the FW-BW step of
+    distributed SCC decomposition, Fleischer et al.): the pivot's SCC
+    is exactly (forward-reachable set) intersect (backward-reachable
+    set) — two round-synchronous BFS closures (frontier equi-join +
+    anti-join vs visited, loud 32-round caps) over the directed host
+    graph, one on edges and one on reversed edges, then two flag
+    joins.  On the web graph this is the core extraction step that
+    peels the giant SCC (the 'bowtie' center) before recursing on the
+    remainder; each round is one host-keyed equi-join."""
+    docs = _t(spark, sf_dir, "documents")
+    e2 = (
+        docs.selectExpr("doc_id % 50 AS src", "(doc_id * 3 + 1) % 50 AS dst")
+        .unionByName(
+            docs.selectExpr("doc_id % 50 AS src",
+                            "(doc_id * 7 + 11) % 50 AS dst"))
+        .distinct()
+        .filter("src <> dst")
+        .localCheckpoint(eager=True)
+    )
+
+    def closure(edges, key_out, key_in):
+        reach = spark.createDataFrame([(0,)], "node LONG").localCheckpoint(
+            eager=True)
+        frontier = reach
+        for _round in range(32):
+            nxt = (
+                frontier.join(edges, frontier.node == edges[key_out])
+                .select(F.col(key_in).alias("node")).distinct()
+                .join(reach.withColumnRenamed("node", "seen"),
+                      F.col("node") == F.col("seen"), "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if nxt.count() == 0:
+                break
+            reach = reach.unionAll(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        else:
+            raise RuntimeError("q309 BFS did not converge in 32 rounds")
+        return reach
+
+    fwd = closure(e2, "src", "dst")
+    bwd = closure(e2, "dst", "src")
+    nodes = (
+        e2.selectExpr("src AS node").unionAll(e2.selectExpr("dst AS node"))
+        .distinct()
+    )
+    return (
+        nodes.join(fwd.withColumn("_f", F.lit(1)), "node", "left")
+        .join(bwd.withColumnRenamed("node", "bn").withColumn(
+            "_b", F.lit(1)),
+            F.col("node") == F.col("bn"), "left")
+        .select(
+            "node",
+            F.when(F.col("_f").isNotNull(), 1).otherwise(0).cast("long")
+            .alias("fwd_reach"),
+            F.when(F.col("_b").isNotNull(), 1).otherwise(0).cast("long")
+            .alias("bwd_reach"),
+            F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(), 1)
+            .otherwise(0).cast("long").alias("in_scc"),
+        )
+    )
+
+
+# --- term- vs doc-partitioned index balance (q310) ----------------------------
+
+
+@query(
+    "q310_index_partition_balance",
+    """WITH p AS (SELECT DISTINCT word, doc_id FROM
+                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+       tshard AS (SELECT CAST(CAST('0x' || substr(md5(word), 1, 8)
+                          AS UBIGINT) % 8 AS BIGINT) AS shard,
+                         count(*) AS postings
+                  FROM p GROUP BY 1),
+       dshard AS (SELECT doc_id % 8 AS shard, count(*) AS postings,
+                         count(DISTINCT word) AS n_terms
+                  FROM p GROUP BY 1),
+       shards AS (SELECT s.range AS shard FROM range(0, 8) s)
+       SELECT shards.shard,
+              CAST(coalesce(t.postings, 0) AS BIGINT)
+                AS postings_term_part,
+              CAST(coalesce(d.postings, 0) AS BIGINT)
+                AS postings_doc_part,
+              CAST(coalesce(d.n_terms, 0) AS BIGINT) AS terms_doc_part
+       FROM shards LEFT JOIN tshard t USING (shard)
+       LEFT JOIN dshard d USING (shard)""",
+)
+def q310(spark, sf_dir):
+    """Term- vs document-partitioned index balance — the first
+    decision of distributed index design (term partitioning risks
+    hot-term skew, document partitioning replicates the lexicon):
+    posting loads per shard under md5-hash term sharding vs doc_id
+    sharding, plus the per-shard lexicon size the doc layout pays.
+    Pure aggregation accounting on the postings table; the skew
+    visible in postings_term_part vs the near-uniform
+    postings_doc_part IS the argument (every engine from Google to
+    ES chose doc partitioning for it)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    tshard = p.groupBy(
+        (F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long") % 8)
+        .alias("shard")
+    ).agg(F.count("*").alias("tp"))
+    dshard = p.groupBy((F.col("doc_id") % 8).alias("shard")).agg(
+        F.count("*").alias("dp"),
+        F.countDistinct("word").alias("n_terms"),
+    )
+    shards = spark.range(0, 8).selectExpr("id AS shard")
+    return (
+        shards.join(tshard, "shard", "left")
+        .join(dshard, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce("tp", F.lit(0)).cast("long")
+            .alias("postings_term_part"),
+            F.coalesce("dp", F.lit(0)).cast("long")
+            .alias("postings_doc_part"),
+            F.coalesce("n_terms", F.lit(0)).cast("long")
+            .alias("terms_doc_part"),
+        )
+    )

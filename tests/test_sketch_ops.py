@@ -362,3 +362,63 @@ def test_ring_loads_conserve_urls(spark):
     assert len(out) == 8
     assert sum(r.load_vn4 for r in out) == 500
     assert sum(r.load_vn1 for r in out) == 500
+
+
+def test_burst_detection_has_both_branches(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q306_burst_detection"](spark, SF).collect()
+    assert len(out) > 0
+    flags = {r.is_burst for r in out}
+    assert flags == {0, 1}  # threshold splits the cells
+    for r in out:
+        want = 1 if 8 * r.n * sum(x.n for x in out) >= \
+            9 * r.type_total * r.day_total else 0
+        assert r.is_burst == want
+
+
+def test_assortativity_moments_consistent(spark):
+    from gdal_spark import queries as Q
+
+    r = Q.QUERIES["q307_degree_assortativity"](spark, SF).collect()[0]
+    assert r.m > 0
+    assert -1.0 <= r.r <= 1.0
+    import math
+
+    num = r.m * r.sxy - r.sx * r.sy
+    den = math.sqrt(float(r.m * r.sxx - r.sx * r.sx)
+                    * float(r.m * r.syy - r.sy * r.sy))
+    assert abs(r.r - num / den) < 1e-12
+
+
+def test_cdc_boundary_rate(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q308_cdc_boundaries"](spark, SF).collect()
+    assert len(out) == 500
+    tot_chars = sum(r.n_chars for r in out)
+    tot_bounds = sum(r.n_boundaries for r in out)
+    # expected boundary rate 1/64 of positions; allow a wide band
+    assert tot_chars // 200 < tot_bounds < tot_chars // 20
+
+
+def test_scc_subset_relations(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q309_scc_of_pivot"](spark, SF).collect()
+    assert len(out) == 50
+    n_scc = sum(r.in_scc for r in out)
+    assert n_scc >= 1  # pivot itself
+    for r in out:
+        assert r.in_scc == (r.fwd_reach and r.bwd_reach)
+    # pivot 0 must be in its own SCC
+    assert next(r for r in out if r.node == 0).in_scc == 1
+
+
+def test_index_partition_loads_conserve(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q310_index_partition_balance"](spark, SF).collect()
+    assert len(out) == 8
+    assert sum(r.postings_term_part for r in out) == \
+        sum(r.postings_doc_part for r in out)
