@@ -322,6 +322,7 @@ HEADLINE = [
     "q308_cdc_boundaries",
     "q309_scc_of_pivot",
     "q310_index_partition_balance",
+    "q311_streaming_hll",
 ]
 
 

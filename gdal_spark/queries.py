@@ -17041,3 +17041,56 @@ def q310(spark, sf_dir):
             .alias("terms_doc_part"),
         )
     )
+
+
+# --- streaming HLL registers (q311) -------------------------------------------
+
+
+@query("q311_streaming_hll", ORACLES["q279_hll_cardinality"])
+def q311(spark, sf_dir):
+    """STREAMING HyperLogLog: the q279 sketch maintained by a real
+    Structured Streaming query (streaming/windowed.py::
+    stream_hll_registers) — per-row hashing is stateless, the single
+    stateful operator is the mergeable (host, bucket) register MAX
+    (state is 32 rows/host FOREVER, independent of stream volume —
+    the reason fleets run HLL in the stream tier), complete-mode
+    drain.  The drained registers then feed the identical batch
+    estimate pipeline; the oracle is q279's batch SQL, so this query
+    proves stream-maintained registers equal the batch sketch
+    bit-for-bit."""
+    import os
+    from gdal_spark.streaming.windowed import stream_hll_registers
+
+    reg = stream_hll_registers(
+        spark, os.path.join(sf_dir, "documents.parquet"))
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        (F.col("doc_id") % 25).alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".example.com/p"),
+            ((F.col("doc_id") * 13) % 40).cast("string"),
+        ).alias("url"),
+    ).distinct()
+    grid = (
+        u.select("host").distinct()
+        .select("host", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"))
+    )
+    full_reg = grid.join(reg, ["host", "b"], "left").select(
+        "host", "b", F.coalesce("reg", F.lit(0)).alias("reg")
+    )
+    agg = full_reg.groupBy("host").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(28 - reg AS INT))"))
+        .alias("harmonic_d"),
+        F.sum(F.when(F.col("reg") > 0, 1).otherwise(0)).alias("used_buckets"),
+        F.sum("reg").alias("sum_reg"),
+    )
+    truth = u.groupBy("host").agg(F.countDistinct("url").alias("n_distinct"))
+    return agg.join(truth, "host").select(
+        "host",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("used_buckets").cast("long").alias("used_buckets"),
+        F.col("sum_reg").cast("long").alias("sum_reg"),
+        F.col("harmonic_d").cast("long").alias("harmonic_d"),
+        (F.lit(_HLL_C) / F.col("harmonic_d").cast("double")).alias("hll_est"),
+    )

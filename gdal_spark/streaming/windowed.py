@@ -363,3 +363,58 @@ def stream_robots_gate(
         F.col("n").cast("long").alias("n"),
     )
     return out.localCheckpoint(eager=True)
+
+
+def stream_hll_registers(
+    spark: SparkSession,
+    docs_path: str,
+) -> DataFrame:
+    """Maintain per-host HyperLogLog registers (p=5) as a REAL
+    Structured Streaming query: the per-row bucket/rho computation is
+    stateless (md5-derived 32-bit hash, bin()-length leading-zero
+    rank), and the SINGLE stateful operator is the (host, bucket)
+    MAX — which is exactly why HLL suits streaming: registers are
+    mergeable, monotone, and bounded (32 rows per host forever,
+    independent of the URL volume).  complete-mode memory sink,
+    availableNow trigger; the drained register table feeds the batch
+    estimate exactly as the q279 batch path does.
+    """
+    batch_df = spark.read.parquet(docs_path)
+    name = "stream_hll_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(os.path.abspath(docs_path), os.path.join(src_dir, "part-0.parquet"))
+    rho = (
+        spark.readStream.schema(batch_df.schema).parquet(src_dir)
+        .select(
+            (F.col("doc_id") % 25).alias("host"),
+            F.concat(
+                F.lit("https://h"), (F.col("doc_id") % 25).cast("string"),
+                F.lit(".example.com/p"),
+                ((F.col("doc_id") * 13) % 40).cast("string"),
+            ).alias("url"),
+        )
+        .withColumn(
+            "h32",
+            F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"),
+        )
+        .select(
+            "host",
+            (F.col("h32") % 32).alias("b"),
+            F.when(F.expr("h32 div 32") == 0, F.lit(28))
+            .otherwise(28 - F.length(F.bin(F.expr("h32 div 32"))))
+            .alias("rho"),
+        )
+        .groupBy("host", "b")
+        .agg(F.max("rho").alias("reg"))
+    )
+    q = (
+        rho.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
