@@ -323,6 +323,10 @@ HEADLINE = [
     "q309_scc_of_pivot",
     "q310_index_partition_balance",
     "q311_streaming_hll",
+    "q312_mmr_diversified_topk",
+    "q313_cross_source_contamination",
+    "q314_stratified_hash_sampling",
+    "q315_padding_waste",
 ]
 
 

@@ -17094,3 +17094,308 @@ def q311(spark, sf_dir):
         F.col("harmonic_d").cast("long").alias("harmonic_d"),
         (F.lit(_HLL_C) / F.col("harmonic_d").cast("double")).alias("hll_est"),
     )
+
+
+# --- MMR diversified top-5 retrieval (q312) -----------------------------------
+
+
+def _mmr_oracle_sql():
+    """Mechanically unroll the 5 greedy MMR rounds as chained CTEs:
+    round k scores every remaining candidate 2*rel - max_sim_to_sel
+    and picks the (score desc, cand asc) argmax via NOT EXISTS."""
+    head = """WITH v AS (SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                 AS qv FROM embeddings),
+       qv0 AS (SELECT qv FROM v WHERE vec_id = 0),
+       c AS (SELECT v.vec_id AS cand, v.qv,
+               CAST(list_sum(list_transform(list_zip(qv0.qv, v.qv),
+                    s -> s[1]*s[2])) AS BIGINT) AS rel
+             FROM v, qv0 WHERE v.vec_id <> 0)"""
+    prev_sel = None
+    parts = [head]
+    for k in range(1, 6):
+        if prev_sel is None:
+            parts.append(f""",
+       p{k} AS (SELECT cand, 2 * rel AS score FROM c)""")
+        else:
+            parts.append(f""",
+       p{k} AS (SELECT c.cand, 2 * c.rel - max(
+                  CAST(list_sum(list_transform(list_zip(c.qv, sv.qv),
+                       s -> s[1]*s[2])) AS BIGINT)) AS score
+               FROM c CROSS JOIN {prev_sel} s
+               JOIN v sv ON sv.vec_id = s.cand
+               WHERE c.cand NOT IN (SELECT cand FROM {prev_sel})
+               GROUP BY c.cand, c.rel)""")
+        parts.append(f""",
+       w{k} AS (SELECT cand, score FROM p{k} a
+               WHERE NOT EXISTS (SELECT 1 FROM p{k} b
+                 WHERE b.score > a.score
+                    OR (b.score = a.score AND b.cand < a.cand))),
+       sel{k} AS ({"SELECT cand, score FROM w" + str(k)
+                   if k == 1 else
+                   f"SELECT cand, score FROM sel{k-1} UNION ALL "
+                   f"SELECT cand, score FROM w{k}"})""")
+        prev_sel = f"sel{k}"
+    parts.append("""
+       SELECT s.cand, CAST(s.score AS BIGINT) AS mmr_scaled,
+              CAST(c.rel AS BIGINT) AS rel
+       FROM sel5 s JOIN c ON c.cand = s.cand""")
+    return "".join(parts)
+
+
+@query("q312_mmr_diversified_topk", _mmr_oracle_sql())
+def q312(spark, sf_dir):
+    """Maximal Marginal Relevance diversified top-5 (Carbonell-
+    Goldstein) — the dedup-aware reranker every retrieval stack runs
+    so five near-identical passages don't fill the context window:
+    greedily pick argmax of 2*rel(c) - max_{s in S} sim(c, s)
+    (lambda=1/2 cross-multiplied into integers; rel and sim are the
+    exact quantized dots), ties to lowest id.  Five round-synchronous
+    rounds; each round the selected set (<= 4 rows) BROADCASTS
+    against the remaining candidates, so the pairwise-sim work is
+    |C| x |S|, never |C|^2 — the oracle unrolls the same 5 rounds as
+    chained CTEs with NOT-EXISTS argmaxes."""
+    emb = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    ).localCheckpoint(eager=True)
+    qv0 = emb.filter("vec_id = 0").selectExpr("qv AS q0")
+    c = (
+        emb.filter("vec_id <> 0").crossJoin(F.broadcast(qv0))
+        .selectExpr(
+            "vec_id AS cand", "qv",
+            "CAST(aggregate(zip_with(q0, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, s) -> acc + s) AS BIGINT) AS rel",
+        )
+        .localCheckpoint(eager=True)
+    )
+    sel = None  # DataFrame(cand, score)
+    for k in range(5):
+        if sel is None:
+            p = c.selectExpr("cand", "2 * rel AS score")
+        else:
+            sv = sel.select("cand").join(
+                emb.selectExpr("vec_id AS cand", "qv AS sqv"), "cand"
+            ).select("sqv")
+            rem = c.join(sel.select("cand"), "cand", "left_anti")
+            p = (
+                rem.crossJoin(F.broadcast(sv))
+                .selectExpr(
+                    "cand", "rel",
+                    "CAST(aggregate(zip_with(qv, sqv, (a, b) -> a * b), "
+                    "CAST(0 AS BIGINT), (acc, s) -> acc + s) AS BIGINT)"
+                    " AS sim",
+                )
+                .groupBy("cand", "rel")
+                .agg(F.max("sim").alias("maxsim"))
+                .selectExpr("cand", "2 * rel - maxsim AS score")
+            )
+        top = p.agg(
+            F.max(
+                (F.col("score") + 100000000) * 100000
+                + (99999 - F.col("cand"))
+            ).alias("code")
+        ).selectExpr(
+            "CAST(99999 - (code % 100000) AS BIGINT) AS cand",
+            "CAST((code div 100000) - 100000000 AS BIGINT) AS score",
+        )
+        sel = top if sel is None else sel.unionAll(top)
+        sel = sel.localCheckpoint(eager=True)
+    return sel.join(c.select("cand", "rel"), "cand").select(
+        "cand",
+        F.col("score").cast("long").alias("mmr_scaled"),
+        F.col("rel").cast("long").alias("rel"),
+    )
+
+
+# --- cross-source contamination matrix (q313) ---------------------------------
+
+
+@query(
+    "q313_cross_source_contamination",
+    """WITH d AS (SELECT doc_id, source,
+                    md5(CASE WHEN doc_id % 9 = 0
+                        THEN 'shared contamination template'
+                        ELSE text END) AS h
+                  FROM documents),
+       pr AS (SELECT least(a.source, b.source) AS src_a,
+                     greatest(a.source, b.source) AS src_b,
+                     a.h
+              FROM d a JOIN d b
+                ON a.h = b.h AND a.doc_id < b.doc_id
+               AND a.source <> b.source)
+       SELECT src_a, src_b,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(count(DISTINCT h) AS BIGINT) AS n_shared_hashes
+       FROM pr GROUP BY src_a, src_b""",
+)
+def q313(spark, sf_dir):
+    """Cross-source contamination matrix — which corpus slices leak
+    into each other (the check run before claiming slices are
+    independent, e.g. benchmark slices vs training slices): pairs of
+    docs from DIFFERENT sources sharing an md5 content hash,
+    aggregated per unordered source pair.  The hash equi-join makes
+    candidate volume sum(dup_group^2), never corpus^2 — the q17
+    dedup shape with a source-inequality residual; a deterministic
+    template on doc_id%9==0 plants a cross-source dup group at every
+    SF."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.md5(
+            F.when(F.col("doc_id") % 9 == 0,
+                   F.lit("shared contamination template"))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    b = d.selectExpr("doc_id AS bdoc", "source AS bsrc", "h")
+    pr = (
+        d.join(b, "h")
+        .filter((F.col("doc_id") < F.col("bdoc"))
+                & (F.col("source") != F.col("bsrc")))
+        .select(
+            F.least("source", "bsrc").alias("src_a"),
+            F.greatest("source", "bsrc").alias("src_b"),
+            "h",
+        )
+    )
+    return pr.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.countDistinct("h").cast("long").alias("n_shared_hashes"),
+    )
+
+
+# --- quality-stratified deterministic hash sampling (q314) --------------------
+
+
+@query(
+    "q314_stratified_hash_sampling",
+    """WITH d AS (SELECT doc_id, n_chars AS val FROM documents),
+       n AS (SELECT count(*) AS n FROM d),
+       cum AS (SELECT val, count(*) AS c FROM d GROUP BY val),
+       rk AS (SELECT a.val, sum(b.c) AS rank_le
+              FROM cum a JOIN cum b ON b.val <= a.val
+              GROUP BY a.val),
+       dec AS (SELECT d.doc_id, d.val,
+                      ((rk.rank_le - 1) * 10) // n.n + 1 AS decile
+               FROM d JOIN rk USING (val) CROSS JOIN n),
+       kept AS (SELECT decile, doc_id,
+                       CAST(CAST('0x' || substr(md5('s' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)
+                            AS UBIGINT) % 10 AS BIGINT) AS slot
+                FROM dec)
+       SELECT decile,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN slot = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_kept,
+              CAST(min(doc_id) AS BIGINT) AS min_doc
+       FROM kept GROUP BY decile""",
+)
+def q314(spark, sf_dir):
+    """Quality-stratified deterministic hash sampling — the dataset
+    curation pass that takes a FIXED fraction from every quality
+    stratum (here: n_chars deciles) without any randomness: decile =
+    exact integer rank arithmetic ((rank_le-1)*10 div N + 1, the
+    rank table is value-keyed and BOUNDED by distinct values, not
+    corpus size), and the kept set is md5(doc)%10==0 — a pure filter
+    that needs no shuffle, is reproducible forever, and at 10^12
+    docs samples each stratum at exactly the hash rate with zero
+    coordination (the p-sampling idiom; per-stratum exact-k quotas
+    would need a per-stratum sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.col("n_chars").alias("val"))
+    n = d.agg(F.count("*").alias("n"))
+    cum = d.groupBy("val").agg(F.count("*").alias("c"))
+    b = cum.selectExpr("val AS bval", "c AS bc")
+    rk = (
+        cum.join(F.broadcast(b), F.col("bval") <= F.col("val"))
+        .groupBy("val").agg(F.sum("bc").alias("rank_le"))
+    )
+    dec = (
+        d.join(F.broadcast(rk), "val")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (F.expr("((rank_le - 1) * 10) div n") + 1).alias("decile"),
+        )
+    )
+    kept = dec.withColumn(
+        "slot",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("s"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 10,
+    )
+    return kept.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("slot") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+    )
+
+
+# --- padding-waste accounting under length bucketing (q315) -------------------
+
+
+@query(
+    "q315_padding_waste",
+    """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS lw
+                  FROM documents),
+       stats AS (SELECT min(lw) AS mn, max(lw) AS mx, count(*) AS n,
+                        sum(lw) AS tok FROM d),
+       g AS (SELECT CAST(sum(s.mx - d.lw) AS BIGINT) AS waste
+             FROM d CROSS JOIN stats s),
+       bk AS (SELECT d.lw,
+                     (d.lw - s.mn) * 8 // (s.mx - s.mn + 1) AS bucket
+              FROM d CROSS JOIN stats s),
+       bmax AS (SELECT bucket, max(lw) AS bmx FROM bk GROUP BY bucket),
+       b8 AS (SELECT CAST(sum(bmax.bmx - bk.lw) AS BIGINT) AS waste
+              FROM bk JOIN bmax USING (bucket))
+       SELECT s.strategy, st.tok AS total_tokens, s.waste,
+              CAST(st.tok + s.waste AS BIGINT) AS padded_tokens
+       FROM (SELECT 'global_max' AS strategy, waste FROM g
+             UNION ALL
+             SELECT 'equal_width_8', waste FROM b8) s
+       CROSS JOIN (SELECT CAST(sum(lw) AS BIGINT) AS tok FROM d) st""",
+)
+def q315(spark, sf_dir):
+    """Padding-waste accounting under length bucketing — the training
+    throughput question (padding tokens burn FLOPs): total padding
+    under (a) one global max-length batch shape vs (b) 8 equal-width
+    length buckets each padded to its own max.  All exact integers:
+    waste = sum(bucket_max - len); bucket = (len-min)*8 div span.
+    Two scans + a bucket-max broadcast — the accounting that justifies
+    the q93 length-sorted packing operator (which this query brackets
+    from above)."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("lw"))
+    stats = d.agg(
+        F.min("lw").alias("mn"), F.max("lw").alias("mx"),
+        F.count("*").alias("n"), F.sum("lw").alias("tok"),
+    )
+    g = d.crossJoin(F.broadcast(stats)).agg(
+        F.sum(F.col("mx") - F.col("lw")).cast("long").alias("waste"))
+    bk = d.crossJoin(F.broadcast(stats)).select(
+        "lw",
+        F.expr("(lw - mn) * 8 div (mx - mn + 1)").alias("bucket"),
+    )
+    bmax = bk.groupBy("bucket").agg(F.max("lw").alias("bmx"))
+    b8 = bk.join(F.broadcast(bmax), "bucket").agg(
+        F.sum(F.col("bmx") - F.col("lw")).cast("long").alias("waste"))
+    tok = d.agg(F.sum("lw").cast("long").alias("tok"))
+    out = (
+        g.selectExpr("'global_max' AS strategy", "waste")
+        .unionAll(b8.selectExpr("'equal_width_8' AS strategy", "waste"))
+    )
+    return out.crossJoin(F.broadcast(tok)).select(
+        "strategy",
+        F.col("tok").alias("total_tokens"),
+        F.col("waste").cast("long").alias("waste"),
+        (F.col("tok") + F.col("waste")).cast("long")
+        .alias("padded_tokens"),
+    )

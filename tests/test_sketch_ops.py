@@ -422,3 +422,51 @@ def test_index_partition_loads_conserve(spark):
     assert len(out) == 8
     assert sum(r.postings_term_part for r in out) == \
         sum(r.postings_doc_part for r in out)
+
+
+def test_mmr_first_pick_is_pure_relevance(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q312_mmr_diversified_topk"](spark, SF).collect()
+    assert len(out) == 5
+    assert len({r.cand for r in out}) == 5
+    # the pure-relevance argmax must be the first selected element
+    # (score == 2*rel only when no similarity penalty applied)
+    top_rel = max(out, key=lambda r: (r.rel, -r.cand))
+    assert any(r.cand == top_rel.cand and r.mmr_scaled == 2 * r.rel
+               for r in out)
+
+
+def test_contamination_matrix_symmetric_keys(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q313_cross_source_contamination"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.src_a < r.src_b  # canonical unordered pair
+        assert r.n_pairs >= r.n_shared_hashes
+
+
+def test_stratified_sampling_deciles(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q314_stratified_hash_sampling"](spark, SF).collect()
+    assert sorted(r.decile for r in out) == list(range(1, 11))
+    n = sum(r.n_docs for r in out)
+    assert n == 500
+    for r in out:
+        assert 0 <= r.n_kept <= r.n_docs
+        # decile sizes within 2x of N/10 (ties can skew boundaries)
+        assert r.n_docs <= 2 * (n // 10) + 10
+
+
+def test_padding_waste_bucketing_dominates(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.strategy: r for r in
+           Q.QUERIES["q315_padding_waste"](spark, SF).collect()}
+    assert set(out) == {"global_max", "equal_width_8"}
+    # bucketing can only reduce padding
+    assert out["equal_width_8"].waste <= out["global_max"].waste
+    for r in out.values():
+        assert r.padded_tokens == r.total_tokens + r.waste
