@@ -331,6 +331,10 @@ HEADLINE = [
     "q317_retention_cohorts",
     "q318_crawl_index_venn",
     "q319_seasonal_outliers",
+    "q320_readability_gate",
+    "q321_bot_regularity",
+    "q322_entity_resolution",
+    "q323_host_template_detection",
 ]
 
 

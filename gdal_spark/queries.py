@@ -17610,3 +17610,265 @@ def q319(spark, sf_dir):
         F.when(2 * F.col("c") * F.col("n_days") >= 3 * F.col("tot"), 1)
         .otherwise(0).cast("long").alias("is_high"),
     )
+
+
+# --- readability gate (q320) --------------------------------------------------
+
+
+@query(
+    "q320_readability_gate",
+    """SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT)
+                AS n_syl,
+              CAST(CASE WHEN 10 * len(regexp_extract_all(text, '[aeiou]+'))
+                             >= 14 * len(string_split(text, ' '))
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_hard
+       FROM documents""",
+)
+def q320(spark, sf_dir):
+    """Readability gate — the Flesch-style complexity feature for
+    quality filtering, with the syllable count proxied by VOWEL RUNS
+    (regexp '[aeiou]+' — the standard cheap approximation) and the
+    hardness class decided by exact cross-multiplication
+    10*syllables >= 14*words (avg >= 1.4 vowel runs/word — the
+    fixture's ratio spans 1.08..1.70 so both branches fire).  One
+    regexp + one split per row, zero shuffle, scan-speed at any
+    corpus size; both branches fire on the fixture vocabulary (short
+    words like 'the'/'key' vs 'customer'/'window')."""
+    docs = _t(spark, sf_dir, "documents")
+    syl = F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+    words = F.size(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        syl.cast("long").alias("n_syl"),
+        F.when(10 * syl >= 14 * words, 1).otherwise(0).cast("long")
+        .alias("is_hard"),
+    )
+
+
+# --- bot detection by inter-arrival regularity (q321) -------------------------
+
+
+@query(
+    "q321_bot_regularity",
+    """WITH real_e AS (SELECT user_id,
+                         CAST(floor(epoch(ts)) AS BIGINT) AS es
+                       FROM events),
+       bots AS (SELECT 900 + (b.range % 5) AS user_id,
+                       1704067200 + (b.range // 5) * 300
+                         + (b.range % 5) * 7 AS es
+                FROM range(0, 250) b),
+       allev AS (SELECT user_id, es FROM real_e
+                 UNION ALL SELECT user_id, es FROM bots),
+       g AS (SELECT user_id, es,
+                    lag(es) OVER (PARTITION BY user_id ORDER BY es)
+                      AS prev
+             FROM allev),
+       gaps AS (SELECT user_id, es - prev AS gap FROM g
+                WHERE prev IS NOT NULL),
+       agg AS (SELECT user_id, count(*) AS n,
+                      sum(gap) AS sg, sum(gap*gap) AS sg2
+               FROM gaps GROUP BY user_id)
+       SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+              CAST(sg AS BIGINT) AS sum_gap,
+              CAST(n * sg2 - sg * sg AS BIGINT) AS var_num,
+              CAST(CASE WHEN n >= 10
+                         AND 100 * (n * sg2 - sg * sg) <= sg * sg
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+       FROM agg""",
+)
+def q321(spark, sf_dir):
+    """Bot detection by inter-arrival REGULARITY — humans are
+    bursty, schedulers are metronomes: per user, the squared
+    coefficient of variation of event gaps, computed from exact
+    integer moments (n*sum(g^2) - sum(g)^2 over epoch-second gaps)
+    and thresholded by cross-multiplication (CV^2 <= 1/100 with
+    >= 10 gaps flags a bot).  Five synthetic metronome users
+    (300s-spaced streams) ride along so both branches fire; the lag
+    window is user-sharded (the q10 sessionize shape).  At
+    clickstream scale this is the standard per-entity behavioral
+    feature: one shuffle on user_id."""
+    real_e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"))
+    bots = spark.range(0, 250).selectExpr(
+        "900 + (id % 5) AS user_id",
+        "1704067200 + (id div 5) * 300 + (id % 5) * 7 AS es",
+    )
+    allev = real_e.unionByName(bots)
+    w = Window.partitionBy("user_id").orderBy("es")
+    gaps = (
+        allev.withColumn("prev", F.lag("es").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select("user_id", (F.col("es") - F.col("prev")).alias("gap"))
+    )
+    agg = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("gap").alias("sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sg2"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_gaps"),
+        F.col("sg").cast("long").alias("sum_gap"),
+        (F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg"))
+        .cast("long").alias("var_num"),
+        F.when(
+            (F.col("n") >= 10)
+            & (100 * (F.col("n") * F.col("sg2") - F.col("sg") * F.col("sg"))
+               <= F.col("sg") * F.col("sg")),
+            1,
+        ).otherwise(0).cast("long").alias("is_bot"),
+    )
+
+
+# --- entity resolution with blocking (q322) -----------------------------------
+
+
+@query(
+    "q322_entity_resolution",
+    """WITH a AS (SELECT doc_id AS aid,
+                    'user' || CAST(doc_id AS VARCHAR) AS name,
+                    string_split(text, ' ')[1] AS city
+                  FROM documents),
+       b AS (SELECT doc_id + 100000 AS bid,
+                    CASE WHEN doc_id % 3 = 0 THEN
+                      substr('user' || CAST(doc_id AS VARCHAR), 1, 2) ||
+                      substr('user' || CAST(doc_id AS VARCHAR), 4,
+                             length('user' || CAST(doc_id AS VARCHAR)) - 3)
+                    ELSE 'user' || CAST(doc_id AS VARCHAR) END AS name,
+                    string_split(text, ' ')[1] AS city,
+                    doc_id AS truth
+             FROM documents),
+       cand AS (SELECT a.aid, b.bid, b.truth,
+                       CASE WHEN a.name = b.name THEN 5 ELSE 0 END
+                       + CASE WHEN a.city = b.city THEN 3 ELSE 0 END
+                       + CASE WHEN abs(length(a.name) - length(b.name))
+                              <= 1 THEN 1 ELSE 0 END AS score
+                FROM a JOIN b
+                  ON substr(a.name, 1, 3) = substr(b.name, 1, 3)
+                 AND abs(a.aid % 40 - (b.bid - 100000) % 40) = 0)
+       SELECT aid, bid, CAST(score AS BIGINT) AS score,
+              CAST(CASE WHEN score >= 4 THEN 1 ELSE 0 END AS BIGINT)
+                AS is_match,
+              CAST(CASE WHEN truth = aid THEN 1 ELSE 0 END AS BIGINT)
+                AS is_true_pair
+       FROM cand WHERE score >= 2""",
+)
+def q322(spark, sf_dir):
+    """Entity resolution with BLOCKING (Fellegi-Sunter-style
+    integer agreement scoring): record set B is A with a planted
+    char-dropped name typo on every third record; candidate pairs
+    come only from a blocking join (3-char name prefix + a
+    deterministic block residual), NEVER the full cross — the
+    classic linkage shape whose cost is sum(block^2); the match
+    score is the exact integer sum of field-agreement weights
+    (name=5, city=3, length-within-1=1), match at >= 4, and the
+    planted ground truth rides along so precision/recall are
+    computable downstream.  Typo'd records keep city agreement +
+    length tolerance (score 4) — found WITHOUT exact name equality."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.selectExpr(
+        "doc_id AS aid",
+        "concat('user', CAST(doc_id AS STRING)) AS name",
+        "split(text, ' ')[0] AS city",
+    )
+    b = docs.selectExpr(
+        "doc_id + 100000 AS bid",
+        """CASE WHEN doc_id % 3 = 0 THEN
+             concat(substring(concat('user', CAST(doc_id AS STRING)), 1, 2),
+                    substring(concat('user', CAST(doc_id AS STRING)), 4,
+                      length(concat('user', CAST(doc_id AS STRING))) - 3))
+           ELSE concat('user', CAST(doc_id AS STRING)) END AS name""",
+        "split(text, ' ')[0] AS city",
+        "doc_id AS truth",
+    )
+    cand = (
+        a.join(
+            b,
+            (F.substring(a.name, 1, 3) == F.substring(b.name, 1, 3))
+            & (F.abs(F.col("aid") % 40 - (F.col("bid") - 100000) % 40)
+               == 0),
+        )
+        .select(
+            "aid", "bid", "truth",
+            (
+                F.when(a.name == b.name, 5).otherwise(0)
+                + F.when(a.city == b.city, 3).otherwise(0)
+                + F.when(
+                    F.abs(F.length(a.name) - F.length(b.name)) <= 1, 1
+                ).otherwise(0)
+            ).alias("score"),
+        )
+    )
+    return cand.filter(F.col("score") >= 2).select(
+        "aid", "bid",
+        F.col("score").cast("long").alias("score"),
+        F.when(F.col("score") >= 4, 1).otherwise(0).cast("long")
+        .alias("is_match"),
+        F.when(F.col("truth") == F.col("aid"), 1).otherwise(0)
+        .cast("long").alias("is_true_pair"),
+    )
+
+
+# --- host boilerplate-template (soft-404) detection (q323) --------------------
+
+
+@query(
+    "q323_host_template_detection",
+    """WITH d AS (SELECT doc_id, doc_id % 20 AS host,
+                    CASE WHEN doc_id % 20 < 8 AND (doc_id // 20) % 5 < 2
+                         THEN 'page not found error template'
+                         ELSE array_to_string(
+                           string_split(text, ' ')[1:8], ' ') END
+                      AS prefix8
+                  FROM documents),
+       grp AS (SELECT host, prefix8, count(*) AS c FROM d
+               GROUP BY host, prefix8),
+       agg AS (SELECT host, max(c) AS max_grp, sum(c) AS n_docs,
+                      count(*) AS n_prefixes
+               FROM grp GROUP BY host)
+       SELECT host,
+              CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(n_prefixes AS BIGINT) AS n_prefixes,
+              CAST(max_grp AS BIGINT) AS max_template_grp,
+              CAST(CASE WHEN 5 * max_grp >= n_docs THEN 1 ELSE 0 END
+                AS BIGINT) AS is_templated
+       FROM agg""",
+)
+def q323(spark, sf_dir):
+    """Host boilerplate-template (soft-404) detection — a host where
+    many URLs open with the SAME first-8-words prefix is serving an
+    error/placeholder template under 200-OK (the crawl-waste soft-404
+    case): per host, the largest identical-prefix group vs doc count,
+    templated when >= 20% share (5*max_grp >= n_docs exact).  A
+    planted 'page not found' template on hosts 0-7 (2 of every 5
+    doc_id-div-20 slots, so it VARIES within each host) fires the
+    flag there and nowhere else.  One (host, prefix)
+    groupBy + one host rollup — the per-host template screen that
+    runs next to q304's URL-alias detector."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 20).alias("host"),
+        F.when(
+            (F.col("doc_id") % 20 < 8)
+            & (F.expr("doc_id div 20") % 5 < 2),
+            F.lit("page not found error template"),
+        ).otherwise(
+            F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+        ).alias("prefix8"),
+    )
+    grp = d.groupBy("host", "prefix8").agg(F.count("*").alias("c"))
+    agg = grp.groupBy("host").agg(
+        F.max("c").alias("max_grp"), F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_prefixes"),
+    )
+    return agg.select(
+        "host",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_prefixes").cast("long").alias("n_prefixes"),
+        F.col("max_grp").cast("long").alias("max_template_grp"),
+        F.when(5 * F.col("max_grp") >= F.col("n_docs"), 1).otherwise(0)
+        .cast("long").alias("is_templated"),
+    )

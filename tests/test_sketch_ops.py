@@ -516,3 +516,43 @@ def test_seasonal_outliers_exact_rule(spark):
     for r in out[:500]:
         want = 1 if 2 * r.n * r.n_days >= 3 * r.hod_total else 0
         assert r.is_high == want
+
+
+def test_bot_flags_metronomes_only(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q321_bot_regularity"](spark, SF).collect()
+    bots = {r.user_id for r in out if r.is_bot == 1}
+    assert bots == {900, 901, 902, 903, 904}  # exactly the planted ones
+
+
+def test_entity_resolution_finds_typos(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q322_entity_resolution"](spark, SF).collect()
+    true_pairs = [r for r in out if r.is_true_pair == 1]
+    assert len(true_pairs) > 0
+    # every true pair with a typo (aid%3==0) must still match via
+    # city + length tolerance (score 4), exact copies at score 9
+    for r in true_pairs:
+        if r.aid % 3 == 0:
+            assert r.score == 4 and r.is_match == 1
+        else:
+            assert r.score == 9 and r.is_match == 1
+
+
+def test_template_detection_targets_hosts(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.host: r for r in
+           Q.QUERIES["q323_host_template_detection"](spark, SF).collect()}
+    for h, r in out.items():
+        assert r.is_templated == (1 if h < 8 else 0)
+
+
+def test_readability_both_branches(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q320_readability_gate"](spark, SF).collect()
+    assert len(out) == 500
+    assert {r.is_hard for r in out} == {0, 1}
