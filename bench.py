@@ -335,6 +335,10 @@ HEADLINE = [
     "q321_bot_regularity",
     "q322_entity_resolution",
     "q323_host_template_detection",
+    "q324_markov_transitions",
+    "q325_covisitation_recs",
+    "q326_centrality_rank_correlation",
+    "q327_autocomplete_prefixes",
 ]
 
 

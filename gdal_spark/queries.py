@@ -17872,3 +17872,316 @@ def q323(spark, sf_dir):
         F.when(5 * F.col("max_grp") >= F.col("n_docs"), 1).otherwise(0)
         .cast("long").alias("is_templated"),
     )
+
+
+# --- first-order Markov transition matrix (q324) ------------------------------
+
+
+@query(
+    "q324_markov_transitions",
+    """WITH g AS (SELECT user_id, event_type,
+                    lag(event_type) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id)
+                      AS prev
+             FROM events),
+       t AS (SELECT prev, event_type AS curr, count(*) AS c FROM g
+             WHERE prev IS NOT NULL GROUP BY prev, curr),
+       r AS (SELECT prev, sum(c) AS rt FROM t GROUP BY prev)
+       SELECT t.prev, t.curr,
+              CAST(t.c AS BIGINT) AS n,
+              CAST(r.rt AS BIGINT) AS from_total,
+              CAST(t.c AS DOUBLE) / CAST(r.rt AS DOUBLE) AS p
+       FROM t JOIN r USING (prev)""",
+)
+def q324(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — the behavioral model behind next-action prediction
+    and funnel leak analysis: transitions from the user-sharded lag
+    window (ordered by ts then event_id for determinism, the q10
+    idiom), counted per (prev, curr) pair, with the row-conditional
+    probability as ONE division over exact integers.  5x5 output at
+    any clickstream volume; the only shuffle is user-keyed then
+    pair-keyed."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn("prev", F.lag("event_type").over(w))
+    t = (
+        g.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("curr"))
+        .agg(F.count("*").alias("c"))
+    )
+    r = t.groupBy("prev").agg(F.sum("c").alias("rt"))
+    return t.join(F.broadcast(r), "prev").select(
+        "prev", "curr",
+        F.col("c").cast("long").alias("n"),
+        F.col("rt").cast("long").alias("from_total"),
+        (F.col("c").cast("double") / F.col("rt").cast("double"))
+        .alias("p"),
+    )
+
+
+# --- co-visitation recommendations (q325) -------------------------------------
+
+
+@query(
+    "q325_covisitation_recs",
+    """WITH ev AS (SELECT user_id,
+                     CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)
+                       AS item
+                   FROM events),
+       ui AS (SELECT DISTINCT user_id, item FROM ev),
+       pr AS (SELECT a.item AS x, b.item AS y, count(*) AS c
+              FROM ui a JOIN ui b
+                ON a.user_id = b.user_id AND a.item <> b.item
+              GROUP BY a.item, b.item),
+       m AS (SELECT x, max(c) AS mc, sum(c) AS cov_total,
+                    count(*) AS n_coitems
+             FROM pr GROUP BY x),
+       top AS (SELECT pr.x, min(pr.y) AS rec
+               FROM pr JOIN m ON m.x = pr.x AND pr.c = m.mc
+               GROUP BY pr.x)
+       SELECT m.x AS item, top.rec,
+              CAST(m.mc AS BIGINT) AS rec_count,
+              CAST(m.n_coitems AS BIGINT) AS n_coitems,
+              CAST(m.cov_total AS BIGINT) AS cov_total
+       FROM m JOIN top ON top.x = m.x""",
+)
+def q325(spark, sf_dir):
+    """Item co-visitation recommendations ('users who touched X also
+    touched Y') — the classic recsys candidate generator: items
+    parsed out of the JSON props column (cross-engine regexp), the
+    distinct user-item table self-joined on user (candidate volume
+    sum(per-user items^2) — per-user bounded, never item^2), and the
+    top recommendation per item by the (count desc, item asc) argmax
+    (max-count then min-item, two bounded aggregations).  At
+    clickstream scale the user self-join is THE co-visitation
+    shuffle; hot users get capped upstream (the q19 df-cap lesson
+    applies to power users)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.regexp_extract("props", "([0-9]+)", 1).cast("long")
+        .alias("item"),
+    )
+    ui = ev.distinct()
+    b = ui.selectExpr("user_id", "item AS y")
+    pr = (
+        ui.join(b, "user_id")
+        .filter(F.col("item") != F.col("y"))
+        .groupBy(F.col("item").alias("x"), "y")
+        .agg(F.count("*").alias("c"))
+    )
+    m = pr.groupBy("x").agg(
+        F.max("c").alias("mc"), F.sum("c").alias("cov_total"),
+        F.count("*").alias("n_coitems"),
+    )
+    top = (
+        pr.join(m, "x").filter(F.col("c") == F.col("mc"))
+        .groupBy("x").agg(F.min("y").alias("rec"))
+    )
+    return m.join(top, "x").select(
+        F.col("x").alias("item"), "rec",
+        F.col("mc").cast("long").alias("rec_count"),
+        F.col("n_coitems").cast("long").alias("n_coitems"),
+        F.col("cov_total").cast("long").alias("cov_total"),
+    )
+
+
+# --- PageRank vs TrustRank rank correlation (q326) ----------------------------
+
+
+@query(
+    "q326_centrality_rank_correlation",
+    """WITH hosts AS (SELECT DISTINCT doc_id % 40 AS host FROM documents),
+       edges AS (SELECT host AS src, (host + 1) % 40 AS dst FROM hosts
+                 UNION ALL SELECT host, (host * 2 + 7) % 40 FROM hosts
+                 UNION ALL SELECT host, (host * 3 + 11) % 40 FROM hosts),
+       r0 AS (SELECT host, CAST(1 AS BIGINT) AS r FROM hosts),
+       r1 AS (SELECT h.host, CAST(9 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r0 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       r2 AS (SELECT h.host, CAST(9*60 + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN r1 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       t0 AS (SELECT host, CAST(CASE WHEN host % 10 = 0 THEN 1 ELSE 0 END
+                                AS BIGINT) AS r FROM hosts),
+       t1 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN t0 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       t2 AS (SELECT h.host,
+                     CAST(CASE WHEN h.host % 10 = 0 THEN 9*60 ELSE 0 END
+                          + coalesce(s.s, 0) AS BIGINT) AS r
+              FROM hosts h LEFT JOIN
+                   (SELECT e.dst AS host, sum(17 * r.r) AS s
+                    FROM edges e JOIN t1 r ON e.src = r.host
+                    GROUP BY e.dst) s USING (host)),
+       pra AS (SELECT a.host,
+                      (SELECT count(*) FROM r2 b
+                       WHERE b.r > a.r
+                          OR (b.r = a.r AND b.host < a.host)) + 1 AS rnk
+               FROM r2 a),
+       trb AS (SELECT a.host,
+                      (SELECT count(*) FROM t2 b
+                       WHERE b.r > a.r
+                          OR (b.r = a.r AND b.host < a.host)) + 1 AS rnk
+               FROM t2 a),
+       dd AS (SELECT pra.host,
+                     CAST(pra.rnk AS BIGINT) AS pr_rank,
+                     CAST(trb.rnk AS BIGINT) AS tr_rank,
+                     (pra.rnk - trb.rnk) * (pra.rnk - trb.rnk) AS d2
+              FROM pra JOIN trb USING (host))
+       SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(d2) AS BIGINT) AS sum_d2,
+              1.0 - CAST(6 * sum(d2) AS DOUBLE)
+                / CAST(count(*) * (count(*) * count(*) - 1) AS DOUBLE)
+                AS spearman
+       FROM dd""",
+)
+def q326(spark, sf_dir):
+    """Spearman rank correlation between PageRank (q190's uniform
+    teleport) and TrustRank (q280's seed teleport) — the spam-audit
+    number itself: how far does trust REORDER the authority ranking
+    (rank divergence localizes link farms).  Both centralities run 2
+    exact-BIGINT rounds; ranks are total orders via the
+    count-of-greater rule with (score desc, host asc) tie-break (a
+    broadcast self-join over the 40-host table, never a global
+    window); Spearman = 1 - 6*sum(d^2)/(n(n^2-1)) with the integer
+    sums exact and ONE float division.  Composing two centralities
+    in one plan exercises the shared edge table: Catalyst reuses the
+    scan, the rank joins broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.select((F.col("doc_id") % 40).alias("host")).distinct()
+    edges = hosts.select(
+        F.col("host").alias("src"),
+        F.explode(F.array(
+            (F.col("host") + 1) % 40,
+            (F.col("host") * 2 + 7) % 40,
+            (F.col("host") * 3 + 11) % 40,
+        )).alias("dst"),
+    ).localCheckpoint(eager=True)
+
+    def two_rounds(seeded):
+        seed = (F.when(F.col("host") % 10 == 0, 1).otherwise(0)
+                if seeded else F.lit(1))
+        ranks = hosts.withColumn("r", seed.cast("long"))
+        for t in range(2):
+            tele = 9 * (60 ** t)
+            contrib = (
+                edges.join(ranks, edges.src == ranks.host)
+                .groupBy("dst").agg(F.sum(F.col("r") * 17).alias("s"))
+            )
+            tele_col = (
+                F.when(hosts.host % 10 == 0, F.lit(tele)).otherwise(0)
+                if seeded else F.lit(tele)
+            )
+            ranks = (
+                hosts.join(contrib, hosts.host == contrib.dst, "left")
+                .select(
+                    hosts.host,
+                    (tele_col + F.coalesce(F.col("s"), F.lit(0)))
+                    .cast("long").alias("r"),
+                )
+            )
+        return ranks
+
+    pr2 = two_rounds(False)
+    tr2 = two_rounds(True)
+
+    def rank_of(df):
+        b = df.selectExpr("host AS bh", "r AS br")
+        return (
+            df.join(
+                F.broadcast(b),
+                (F.col("br") > F.col("r"))
+                | ((F.col("br") == F.col("r"))
+                   & (F.col("bh") < F.col("host"))),
+                "left",
+            )
+            .groupBy("host").agg((F.count("bh") + 1).alias("rnk"))
+        )
+    pra = rank_of(pr2)
+    trb = rank_of(tr2).withColumnRenamed("rnk", "trnk")
+    dd = pra.join(trb, "host").select(
+        "host", "rnk", "trnk",
+        ((F.col("rnk") - F.col("trnk"))
+         * (F.col("rnk") - F.col("trnk"))).alias("d2"),
+    )
+    return dd.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d2").cast("long").alias("sum_d2"),
+        (
+            F.lit(1.0)
+            - (6 * F.sum("d2")).cast("double")
+            / (F.count("*") * (F.count("*") * F.count("*") - 1))
+            .cast("double")
+        ).alias("spearman"),
+    )
+
+
+# --- autocomplete prefix table (q327) -----------------------------------------
+
+
+@query(
+    "q327_autocomplete_prefixes",
+    """WITH w AS (SELECT word, count(*) AS df FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       px AS (SELECT substr(word, 1, p.range) AS prefix, word, df
+              FROM w, range(1, 5) p
+              WHERE p.range <= length(word)),
+       m AS (SELECT prefix, max(df) AS mdf, count(*) AS n_words,
+                    sum(df) AS prefix_traffic
+             FROM px GROUP BY prefix),
+       top AS (SELECT px.prefix, min(px.word) AS completion
+               FROM px JOIN m ON m.prefix = px.prefix AND px.df = m.mdf
+               GROUP BY px.prefix)
+       SELECT m.prefix, top.completion,
+              CAST(m.mdf AS BIGINT) AS completion_df,
+              CAST(m.n_words AS BIGINT) AS n_words,
+              CAST(m.prefix_traffic AS BIGINT) AS prefix_traffic
+       FROM m JOIN top ON top.prefix = m.prefix""",
+)
+def q327(spark, sf_dir):
+    """Autocomplete prefix table — the search-frontend suggestion
+    index: every 1..4-char prefix of the lexicon maps to its
+    top completion (max corpus frequency, ties to
+    lexicographically-least word) plus the prefix's candidate count
+    and total traffic.  The prefix explosion is lexicon-bounded
+    (4 rows per word), the argmax is the two-phase max-count/min-word
+    pair of bounded aggregations — at a 10^8-term lexicon this is
+    still a lexicon-side build, never touching the corpus twice."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("df"))
+    )
+    px = w.select(
+        "word", "df",
+        F.explode(F.sequence(F.lit(1), F.least(F.lit(4), F.length("word"))))
+        .alias("p"),
+    ).select(
+        F.expr("substring(word, 1, CAST(p AS INT))").alias("prefix"),
+        "word", "df",
+    )
+    m = px.groupBy("prefix").agg(
+        F.max("df").alias("mdf"), F.count("*").alias("n_words"),
+        F.sum("df").alias("prefix_traffic"),
+    )
+    top = (
+        px.join(m, "prefix").filter(F.col("df") == F.col("mdf"))
+        .groupBy("prefix").agg(F.min("word").alias("completion"))
+    )
+    return m.join(top, "prefix").select(
+        "prefix", "completion",
+        F.col("mdf").cast("long").alias("completion_df"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("prefix_traffic").cast("long").alias("prefix_traffic"),
+    )

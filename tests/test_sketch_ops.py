@@ -556,3 +556,50 @@ def test_readability_both_branches(spark):
     out = Q.QUERIES["q320_readability_gate"](spark, SF).collect()
     assert len(out) == 500
     assert {r.is_hard for r in out} == {0, 1}
+
+
+def test_markov_rows_are_distributions(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q324_markov_transitions"](spark, SF).collect()
+    from collections import defaultdict
+
+    rows = defaultdict(list)
+    for r in out:
+        rows[r.prev].append(r)
+    for prev, rs in rows.items():
+        assert sum(r.n for r in rs) == rs[0].from_total
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9
+
+
+def test_covisitation_rec_is_argmax(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q325_covisitation_recs"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.rec != r.item
+        assert 1 <= r.rec_count
+        assert r.n_coitems >= 1
+        assert r.cov_total >= r.rec_count
+
+
+def test_spearman_in_range_and_exact(spark):
+    from gdal_spark import queries as Q
+
+    r = Q.QUERIES["q326_centrality_rank_correlation"](spark, SF).collect()[0]
+    assert r.n == 40
+    assert -1.0 <= r.spearman <= 1.0
+    want = 1.0 - (6 * r.sum_d2) / (r.n * (r.n * r.n - 1))
+    assert abs(r.spearman - want) < 1e-12
+
+
+def test_autocomplete_prefix_consistency(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q327_autocomplete_prefixes"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.completion.startswith(r.prefix)
+        assert r.completion_df <= r.prefix_traffic
+        assert r.n_words >= 1
