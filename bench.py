@@ -339,6 +339,9 @@ HEADLINE = [
     "q325_covisitation_recs",
     "q326_centrality_rank_correlation",
     "q327_autocomplete_prefixes",
+    "q328_streaming_countmin",
+    "q329_crawl_snapshot_diff",
+    "q330_cache_admission_planning",
 ]
 
 

@@ -18185,3 +18185,183 @@ def q327(spark, sf_dir):
         F.col("n_words").cast("long").alias("n_words"),
         F.col("prefix_traffic").cast("long").alias("prefix_traffic"),
     )
+
+
+# --- streaming Count-Min sketch (q328) ----------------------------------------
+
+
+@query("q328_streaming_countmin", ORACLES["q278_countmin_sketch"])
+def q328(spark, sf_dir):
+    """STREAMING Count-Min: the q278 sketch cells maintained by a
+    real Structured Streaming query (streaming/windowed.py::
+    stream_countmin_cells — stateless tokenize + 4-row hash explode,
+    the single stateful operator is the (row, col) count whose state
+    is 256 cells FOREVER), then the identical batch probe over the
+    drained cells.  Oracle = q278's batch SQL: stream-maintained
+    cells are proven equal to the batch sketch, the mergeability
+    property that lets the fleet run frequency estimation in the
+    ingest tier."""
+    import os as _os
+    from gdal_spark.streaming.windowed import stream_countmin_cells
+
+    sk = stream_countmin_cells(
+        spark, _os.path.join(sf_dir, "documents.parquet"))
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    tc = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    cells = tc.select(
+        "word", "cnt", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r")
+    ).withColumn(
+        "c",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"),
+                               F.lit(":"), F.col("word"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 64,
+    )
+    est = (
+        cells.select("word", "r", "c")
+        .join(F.broadcast(sk), ["r", "c"])
+        .groupBy("word")
+        .agg(F.min("cell").alias("cms_est"))
+    )
+    return tc.join(est, "word").select(
+        "word",
+        F.col("cnt").cast("long").alias("true_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("cnt")).cast("long").alias("overcount"),
+    )
+
+
+# --- crawl snapshot diff (q329) -----------------------------------------------
+
+
+@query(
+    "q329_crawl_snapshot_diff",
+    """WITH u AS (SELECT doc_id, doc_id % 20 AS host,
+                    'u' || CAST(doc_id AS VARCHAR) AS url,
+                    md5(CASE WHEN doc_id % 7 = 0
+                        THEN text || ' v2' ELSE text END) AS h_new,
+                    md5(text) AS h_old
+                  FROM documents),
+       m AS (SELECT host, url,
+                    CASE WHEN doc_id % 10 < 9 THEN 1 ELSE 0 END AS in_a,
+                    CASE WHEN doc_id % 10 > 0 THEN 1 ELSE 0 END AS in_b,
+                    CASE WHEN h_new <> h_old THEN 1 ELSE 0 END AS changed
+             FROM u)
+       SELECT host,
+              CAST(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+              CAST(sum(CASE WHEN in_a = 0 AND in_b = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_added,
+              CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 AND changed = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+              CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 AND changed = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+       FROM m GROUP BY host""",
+)
+def q329(spark, sf_dir):
+    """Crawl snapshot diff — the crawl-cycle reconciliation (what did
+    this cycle add / drop / change per host): snapshot membership
+    flags and a content-hash change flag computed in ONE pass, then a
+    single host rollup of the four diff classes (added / removed /
+    changed / unchanged) — the q250/q318 fused-membership pattern
+    applied to snapshot reconciliation; three separate joins would
+    re-scan the snapshots and still miss the cross cells.  At
+    10^12-URL snapshots this is one scan + one host-keyed combine."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select(
+        (F.col("doc_id") % 20).alias("host"),
+        F.when(F.col("doc_id") % 10 < 9, 1).otherwise(0).alias("in_a"),
+        F.when(F.col("doc_id") % 10 > 0, 1).otherwise(0).alias("in_b"),
+        F.when(
+            F.md5(
+                F.when(F.col("doc_id") % 7 == 0,
+                       F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ) != F.md5("text"),
+            1,
+        ).otherwise(0).alias("changed"),
+    )
+    return m.groupBy("host").agg(
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 0), 1)
+              .otherwise(0)).cast("long").alias("n_removed"),
+        F.sum(F.when((F.col("in_a") == 0) & (F.col("in_b") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_added"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1)
+                     & (F.col("changed") == 1), 1).otherwise(0))
+        .cast("long").alias("n_changed"),
+        F.sum(F.when((F.col("in_a") == 1) & (F.col("in_b") == 1)
+                     & (F.col("changed") == 0), 1).otherwise(0))
+        .cast("long").alias("n_unchanged"),
+    )
+
+
+# --- cache admission planning (q330) ------------------------------------------
+
+
+@query(
+    "q330_cache_admission_planning",
+    """WITH req AS (SELECT CAST(regexp_extract(props, '([0-9]+)', 1)
+                             AS BIGINT) AS item
+                    FROM events),
+       c AS (SELECT item, count(*) AS c FROM req GROUP BY item),
+       rk AS (SELECT a.item, a.c,
+                     (SELECT count(*) FROM c b
+                      WHERE b.c > a.c
+                         OR (b.c = a.c AND b.item < a.item)) + 1 AS rnk
+              FROM c a),
+       t AS (SELECT sum(c) AS tot FROM c)
+       SELECT k.k AS cache_k,
+              CAST(t.tot AS BIGINT) AS n_requests,
+              CAST(sum(CASE WHEN rk.rnk <= k.k THEN rk.c ELSE 0 END)
+                AS BIGINT) AS n_hits,
+              CAST(sum(CASE WHEN rk.rnk <= k.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cached_items
+       FROM rk CROSS JOIN (VALUES (10), (25), (50)) k(k)
+       CROSS JOIN t
+       GROUP BY k.k, t.tot""",
+)
+def q330(spark, sf_dir):
+    """Static cache-admission planning — the CDN / result-cache
+    sizing question answered from the request histogram: if the cache
+    pins the top-k hottest items (perfect frequency admission), the
+    hit count is exactly the sum of their request counts.  Items come
+    from the JSON props field; ranks are a total order by
+    (count desc, item asc) via the count-of-greater broadcast
+    self-join over the BOUNDED item table (100 items — never a
+    window over requests); three k values in one pass.  At CDN scale
+    the histogram is the only corpus-sized aggregation."""
+    req = _t(spark, sf_dir, "events").select(
+        F.regexp_extract("props", "([0-9]+)", 1).cast("long").alias("item"))
+    c = req.groupBy("item").agg(F.count("*").alias("c"))
+    b = c.selectExpr("item AS bi", "c AS bc")
+    rk = (
+        c.join(
+            F.broadcast(b),
+            (F.col("bc") > F.col("c"))
+            | ((F.col("bc") == F.col("c")) & (F.col("bi") < F.col("item"))),
+            "left",
+        )
+        .groupBy("item", "c").agg((F.count("bi") + 1).alias("rnk"))
+    )
+    t = c.agg(F.sum("c").alias("tot"))
+    ks = spark.createDataFrame([(10,), (25,), (50,)], "k INT")
+    return (
+        rk.crossJoin(F.broadcast(ks)).crossJoin(F.broadcast(t))
+        .groupBy(F.col("k").alias("cache_k"), "tot")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("c"))
+                  .otherwise(0)).cast("long").alias("n_hits"),
+            F.sum(F.when(F.col("rnk") <= F.col("k"), 1).otherwise(0))
+            .cast("long").alias("n_cached_items"),
+        )
+        .select(
+            "cache_k",
+            F.col("tot").cast("long").alias("n_requests"),
+            "n_hits", "n_cached_items",
+        )
+    )

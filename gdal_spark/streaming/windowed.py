@@ -418,3 +418,52 @@ def stream_hll_registers(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_countmin_cells(
+    spark: SparkSession,
+    docs_path: str,
+) -> DataFrame:
+    """Maintain the q278 Count-Min sketch cells as a REAL Structured
+    Streaming query: tokenization and the 4-row hash explode are
+    stateless; the SINGLE stateful operator is the (row, col) SUM —
+    CMS state is 256 cells forever regardless of stream volume,
+    which is why frequency sketches live in the stream tier.
+    complete-mode memory sink, availableNow trigger.
+    """
+    batch_df = spark.read.parquet(docs_path)
+    name = "stream_cms_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(os.path.abspath(docs_path), os.path.join(src_dir, "part-0.parquet"))
+    cells = (
+        spark.readStream.schema(batch_df.schema).parquet(src_dir)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .select(
+            "word",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("r"),
+        )
+        .withColumn(
+            "c",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("cm"), F.col("r").cast("string"),
+                                   F.lit(":"), F.col("word"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % 64,
+        )
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cell"))
+    )
+    q = (
+        cells.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -603,3 +603,39 @@ def test_autocomplete_prefix_consistency(spark):
         assert r.completion.startswith(r.prefix)
         assert r.completion_df <= r.prefix_traffic
         assert r.n_words >= 1
+
+
+def test_streaming_cms_equals_batch(spark):
+    from gdal_spark import queries as Q
+
+    batch = {r.word: r for r in
+             Q.QUERIES["q278_countmin_sketch"](spark, SF).collect()}
+    stream = {r.word: r for r in
+              Q.QUERIES["q328_streaming_countmin"](spark, SF).collect()}
+    assert batch.keys() == stream.keys()
+    for w in batch:
+        assert batch[w].cms_est == stream[w].cms_est
+        assert batch[w].true_cnt == stream[w].true_cnt
+
+
+def test_snapshot_diff_partitions(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q329_crawl_snapshot_diff"](spark, SF).collect()
+    tot = sum(r.n_removed + r.n_added + r.n_changed + r.n_unchanged
+              for r in out)
+    # every url is in A or B (doc_id%10==9 only misses A; ==0 only
+    # misses B; none miss both), so the four classes cover all 500
+    assert tot == 500
+
+
+def test_cache_hits_monotone_in_k(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.cache_k: r for r in
+           Q.QUERIES["q330_cache_admission_planning"](spark, SF).collect()}
+    assert set(out) == {10, 25, 50}
+    assert out[10].n_hits <= out[25].n_hits <= out[50].n_hits
+    for k, r in out.items():
+        assert r.n_cached_items == min(k, 100)
+        assert r.n_hits <= r.n_requests
