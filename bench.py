@@ -342,6 +342,8 @@ HEADLINE = [
     "q328_streaming_countmin",
     "q329_crawl_snapshot_diff",
     "q330_cache_admission_planning",
+    "q331_local_bridges",
+    "q332_cluster_health",
 ]
 
 

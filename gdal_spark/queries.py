@@ -18365,3 +18365,158 @@ def q330(spark, sf_dir):
             "n_hits", "n_cached_items",
         )
     )
+
+
+# --- local-bridge (triangle-free) edge accounting (q331) ----------------------
+
+
+@query(
+    "q331_local_bridges",
+    """WITH h AS (SELECT DISTINCT doc_id % 60 AS hh FROM documents),
+       e0 AS (SELECT hh, unnest([1, 2, 3]) AS j FROM h),
+       ed AS (SELECT DISTINCT least(hh, (hh * j + j * j * 7) % 60) AS u,
+                     greatest(hh, (hh * j + j * j * 7) % 60) AS v
+              FROM e0 WHERE hh <> (hh * j + j * j * 7) % 60),
+       adj AS (SELECT u AS a, v AS b FROM ed
+               UNION ALL SELECT v, u FROM ed),
+       tri AS (SELECT DISTINCT e.u, e.v
+               FROM ed e JOIN adj x ON x.a = e.u
+                         JOIN adj y ON y.a = e.v AND y.b = x.b),
+       flag AS (SELECT ed.u, ed.v,
+                       CASE WHEN tri.u IS NOT NULL THEN 0 ELSE 1 END
+                         AS is_bridge
+                FROM ed LEFT JOIN tri
+                  ON tri.u = ed.u AND tri.v = ed.v)
+       SELECT u AS host,
+              CAST(count(*) AS BIGINT) AS n_edges,
+              CAST(sum(is_bridge) AS BIGINT) AS n_local_bridges
+       FROM flag GROUP BY u""",
+)
+def q331(spark, sf_dir):
+    """Local-bridge accounting — edges in NO triangle (zero common
+    neighbors) are the graph's weak ties (Granovetter): removing one
+    lengthens the path between its endpoints, so crawl schedulers
+    treat bridge-heavy hosts as fragile discovery frontiers.
+    Detection reuses the q275 wedge machinery inverted: an edge is
+    triangle-covered iff its endpoints share an adjacency row, found
+    by one two-hop equi-join, and bridges are the anti-complement —
+    work bounded by the wedge count, never node^3.  Emitted per
+    lower endpoint (host) as edge/bridge counts."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.selectExpr("doc_id % 60 AS hh").distinct()
+    e0 = h.select(
+        "hh", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    ).selectExpr("hh", "(hh * j + j * j * 7) % 60 AS t")
+    ed = (
+        e0.filter("hh <> t")
+        .selectExpr("least(hh, t) AS u", "greatest(hh, t) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj = ed.selectExpr("u AS a", "v AS b").unionAll(
+        ed.selectExpr("v AS a", "u AS b"))
+    x = adj.selectExpr("a AS u", "b AS w1")
+    y = adj.selectExpr("a AS v2", "b AS w2")
+    tri = (
+        ed.join(x, "u")
+        .join(y, (F.col("v") == F.col("v2"))
+                 & (F.col("w1") == F.col("w2")))
+        .select("u", "v").distinct()
+        .withColumn("_t", F.lit(1))
+    )
+    flag = ed.join(tri, ["u", "v"], "left").select(
+        "u", "v",
+        F.when(F.col("_t").isNotNull(), 0).otherwise(1).alias("is_bridge"),
+    )
+    return flag.groupBy(F.col("u").alias("host")).agg(
+        F.count("*").cast("long").alias("n_edges"),
+        F.sum("is_bridge").cast("long").alias("n_local_bridges"),
+    )
+
+
+# --- embedding cluster-health audit (q332) ------------------------------------
+
+
+@query(
+    "q332_cluster_health",
+    """WITH v AS (SELECT vec_id, label,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                    AS qv
+             FROM embeddings),
+       ex AS (SELECT vec_id, label, i.range AS i, qv[i.range] AS q
+              FROM v, range(1, 65) i),
+       cen AS (SELECT label, i, sum(q) AS cs FROM ex GROUP BY label, i),
+       nt AS (SELECT label, count(*) AS n FROM v GROUP BY label),
+       dev AS (SELECT e.vec_id, e.label,
+                      CAST(sum(abs(e.q * nt.n - cen.cs)) AS BIGINT)
+                        AS dev_num
+               FROM ex e JOIN cen ON cen.label = e.label AND cen.i = e.i
+               JOIN nt ON nt.label = e.label
+               GROUP BY e.vec_id, e.label),
+       tot AS (SELECT label, sum(dev_num) AS sum_dev,
+                      count(*) AS n FROM dev GROUP BY label)
+       SELECT dev.label,
+              CAST(tot.n AS BIGINT) AS n_members,
+              CAST(sum(CASE WHEN dev.dev_num * tot.n >= 2 * tot.sum_dev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+              CAST(max(dev.dev_num) AS BIGINT) AS max_dev,
+              CAST(tot.sum_dev AS BIGINT) AS sum_dev
+       FROM dev JOIN tot USING (label)
+       GROUP BY dev.label, tot.n, tot.sum_dev""",
+)
+def q332(spark, sf_dir):
+    """Embedding cluster-health audit — the drift check a labeled
+    embedding store runs (mislabeled or stale vectors sit far from
+    their class centroid): per-label integer centroid SUMS (division-
+    free — each member's L1 deviation is |qv_i*n - csum_i|, the
+    cross-multiplied distance to the mean), a member is an outlier
+    when its deviation is >= 2x the class average (dev*n >= 2*sum_dev,
+    exact).  Two label-keyed aggregations + one broadcast centroid
+    join; the 64-dim arithmetic is per-row array HOF work (linear).
+    All-integer, engine-order-free."""
+    v = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "label",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    )
+    ex = v.select(
+        "vec_id", "label",
+        F.posexplode("qv").alias("i", "q"),
+    )
+    cen = ex.groupBy("label", "i").agg(F.sum("q").alias("cs"))
+    cen_arr = cen.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(i, cs))), "
+               "s -> s.cs) AS csum"),
+        F.lit(None).alias("_d"),
+    ).select("label", "csum")
+    n_tab = v.groupBy("label").agg(F.count("*").alias("n"))
+    dev = (
+        v.join(F.broadcast(cen_arr), "label")
+        .join(F.broadcast(n_tab), "label")
+        .selectExpr(
+            "vec_id", "label", "n",
+            "CAST(aggregate(zip_with(qv, csum, "
+            "(a, b) -> abs(a * n - b)), CAST(0 AS BIGINT), "
+            "(acc, s) -> acc + s) AS BIGINT) AS dev_num",
+        )
+    )
+    tot = dev.groupBy("label").agg(
+        F.sum("dev_num").alias("sum_dev"), F.count("*").alias("nn"))
+    return (
+        dev.join(F.broadcast(tot), "label")
+        .groupBy("label", "nn", "sum_dev")
+        .agg(
+            F.sum(
+                F.when(F.col("dev_num") * F.col("nn")
+                       >= 2 * F.col("sum_dev"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.max("dev_num").cast("long").alias("max_dev"),
+        )
+        .select(
+            "label",
+            F.col("nn").cast("long").alias("n_members"),
+            "n_outliers", "max_dev",
+            F.col("sum_dev").cast("long").alias("sum_dev"),
+        )
+    )

@@ -639,3 +639,29 @@ def test_cache_hits_monotone_in_k(spark):
     for k, r in out.items():
         assert r.n_cached_items == min(k, 100)
         assert r.n_hits <= r.n_requests
+
+
+def test_local_bridges_bounded(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q331_local_bridges"](spark, SF).collect()
+    assert len(out) > 0
+    tot_e = sum(r.n_edges for r in out)
+    tot_b = sum(r.n_local_bridges for r in out)
+    assert 0 <= tot_b <= tot_e
+    for r in out:
+        assert 0 <= r.n_local_bridges <= r.n_edges
+
+
+def test_cluster_health_outlier_rule(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q332_cluster_health"](spark, SF).collect()
+    assert len(out) == 10  # labels 0..9
+    assert sum(r.n_members for r in out) == 500
+    for r in out:
+        assert 0 <= r.n_outliers < r.n_members
+        # max deviation must reach the outlier bar whenever any
+        # outlier exists
+        if r.n_outliers > 0:
+            assert r.max_dev * r.n_members >= 2 * r.sum_dev
