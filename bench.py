@@ -344,6 +344,10 @@ HEADLINE = [
     "q330_cache_admission_planning",
     "q331_local_bridges",
     "q332_cluster_health",
+    "q333_passage_dedup",
+    "q334_last_touch_attribution",
+    "q335_sliding_distinct_users",
+    "q336_time_to_convert",
 ]
 
 

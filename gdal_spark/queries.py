@@ -18520,3 +18520,245 @@ def q332(spark, sf_dir):
             F.col("sum_dev").cast("long").alias("sum_dev"),
         )
     )
+
+
+# --- cross-doc passage dedup accounting (q333) --------------------------------
+
+
+@query(
+    "q333_passage_dedup",
+    """WITH d AS (SELECT doc_id,
+                    CASE WHEN doc_id % 13 = 0 THEN
+                      'alpha beta gamma delta epsilon zeta eta theta iota '
+                      || 'kappa lam mu nu xi omicron pi rho sigma tau '
+                      || 'upsilon phi chi psi omega one two three four '
+                      || 'five six'
+                    ELSE text END AS body
+                  FROM documents),
+       s AS (SELECT doc_id, string_split(body, ' ') AS w FROM d),
+       p AS (SELECT doc_id, k.range AS k,
+                    substr(md5(array_to_string(
+                      w[1 + 15*k.range :
+                        least(len(w), 1 + 15*k.range + 29)], ' ')), 1, 8)
+                      AS h8
+             FROM s, range(0, 14) k
+             WHERE 1 + 15 * k.range <= len(w)),
+       dup AS (SELECT h8, count(*) AS n_occ,
+                      count(DISTINCT doc_id) AS n_docs,
+                      min(doc_id) AS keeper
+               FROM p GROUP BY h8
+               HAVING count(DISTINCT doc_id) > 1)
+       SELECT h8, CAST(n_occ AS BIGINT) AS n_occ,
+              CAST(n_docs AS BIGINT) AS n_docs,
+              CAST(keeper AS BIGINT) AS keeper
+       FROM dup""",
+)
+def q333(spark, sf_dir):
+    """Cross-document passage dedup accounting — the RAG-corpus
+    compaction pass on top of q302's chunking: passages whose md5
+    fingerprint appears in MORE THAN ONE document, with occurrence /
+    doc counts and the min-id keeper (the q17 exact-dedup contract at
+    passage granularity).  A planted 31-word body on doc_id%13==0
+    makes identical multi-chunk passages across docs at every SF.
+    One fingerprint groupBy — candidate volume is duplicate-group-
+    bounded, the same shape that dedups 10^12 passages."""
+    docs = _t(spark, sf_dir, "documents")
+    tmpl = ("alpha beta gamma delta epsilon zeta eta theta iota "
+            "kappa lam mu nu xi omicron pi rho sigma tau "
+            "upsilon phi chi psi omega one two three four five six")
+    d = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 13 == 0, F.lit(tmpl))
+        .otherwise(F.col("text")).alias("body"),
+    )
+    s = d.select("doc_id", F.split("body", " ").alias("w"))
+    p = (
+        s.select(
+            "doc_id", F.size("w").alias("lw"), "w",
+            F.explode(F.sequence(F.lit(0), F.lit(13))).alias("k"),
+        )
+        .filter(1 + 15 * F.col("k") <= F.col("lw"))
+        .withColumn("s0", 1 + 15 * F.col("k"))
+        .select(
+            "doc_id",
+            F.substring(
+                F.md5(F.array_join(
+                    F.expr("slice(w, s0, least(lw, s0 + 29) - s0 + 1)"),
+                    " ")),
+                1, 8,
+            ).alias("h8"),
+        )
+    )
+    return (
+        p.groupBy("h8")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            "h8",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("keeper").cast("long").alias("keeper"),
+        )
+    )
+
+
+# --- last-touch attribution via as-of join (q334) -----------------------------
+
+
+@query(
+    "q334_last_touch_attribution",
+    """WITH clicks AS (SELECT user_id, ts,
+                         CAST(regexp_extract(props, '([0-9]+)', 1)
+                              AS BIGINT) AS item
+                       FROM events WHERE event_type = 'click'),
+       buys AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'),
+       mt AS (SELECT b.event_id, b.user_id, max(c.ts) AS mts
+              FROM buys b JOIN clicks c
+                ON c.user_id = b.user_id AND c.ts < b.ts
+              GROUP BY b.event_id, b.user_id),
+       x AS (SELECT mt.event_id, max(c.item) AS item
+             FROM mt JOIN clicks c
+               ON c.user_id = mt.user_id AND c.ts = mt.mts
+             GROUP BY mt.event_id)
+       SELECT item,
+              CAST(count(*) AS BIGINT) AS n_attributed
+       FROM x GROUP BY item""",
+)
+def q334(spark, sf_dir):
+    """Last-touch attribution — the AS-OF JOIN Spark lacks natively,
+    expressed as the combinable max-struct idiom: each purchase
+    matches the LATEST prior click of the same user (max(struct(ts,
+    item)) over candidates with ts < purchase_ts — map-side
+    combinable, no window over the event stream), then attributed
+    purchases roll up per item.  The user-keyed equi-join carries
+    the shuffle; candidate fan-out is per-user bounded.  This is the
+    point-in-time enrichment shape (q253's SCD-2 lookup) driven from
+    the event side — the revenue-attribution query every analytics
+    stack runs."""
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"),
+        F.regexp_extract("props", "([0-9]+)", 1).cast("long").alias("item"),
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    att = (
+        buys.join(clicks, "user_id")
+        .filter(F.col("cts") < F.col("ts"))
+        .groupBy("event_id")
+        .agg(F.max(F.struct(F.col("cts"), F.col("item"))).alias("m"))
+    )
+    return (
+        att.select(F.col("m.item").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").cast("long").alias("n_attributed"))
+    )
+
+
+# --- sliding-window distinct users (q335) -------------------------------------
+
+
+@query(
+    "q335_sliding_distinct_users",
+    """WITH e AS (SELECT user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+                  FROM events),
+       win AS (SELECT DISTINCT e.user_id, e.d + o.range AS wend
+               FROM e, range(0, 3) o),
+       span AS (SELECT min(d) AS lo, max(d) AS hi FROM e)
+       SELECT win.wend AS window_end,
+              CAST(count(*) AS BIGINT) AS n_active_3d
+       FROM win, span
+       WHERE win.wend BETWEEN span.lo AND span.hi
+       GROUP BY win.wend""",
+)
+def q335(spark, sf_dir):
+    """Sliding 3-day-window distinct active users — the rolling MAU/
+    WAU family metric computed EXACTLY without per-window re-scans:
+    each (user, day) activation explodes to the 3 window-end days it
+    participates in, dedups, and counts — one explode + one distinct
+    + one count, all keyed on (user, window), no self-join of the
+    event table against itself per window.  At clickstream scale
+    this is the standard rolling-distinct shape (window count bounded
+    by the calendar, not the events); window ends clipped to the
+    observed day span."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("d"),
+    )
+    win = (
+        e.select(
+            "user_id", "d",
+            F.explode(F.sequence(F.lit(0), F.lit(2))).alias("o"),
+        )
+        .select("user_id", (F.col("d") + F.col("o")).alias("wend"))
+        .distinct()
+    )
+    span = e.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    return (
+        win.crossJoin(F.broadcast(span))
+        .filter((F.col("wend") >= F.col("lo"))
+                & (F.col("wend") <= F.col("hi")))
+        .groupBy(F.col("wend").alias("window_end"))
+        .agg(F.count("*").cast("long").alias("n_active_3d"))
+    )
+
+
+# --- time-to-convert distribution (q336) --------------------------------------
+
+
+@query(
+    "q336_time_to_convert",
+    """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+       p AS (SELECT e.user_id, min(e.ts) AS t_buy
+             FROM events e JOIN v ON v.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+             GROUP BY e.user_id),
+       dt AS (SELECT p.user_id,
+                     CAST(floor(epoch(p.t_buy)) AS BIGINT)
+                       - CAST(floor(epoch(v.t_view)) AS BIGINT) AS secs
+              FROM p JOIN v USING (user_id))
+       SELECT CAST(length(bin(secs)) AS BIGINT) AS log2_bucket,
+              CAST(count(*) AS BIGINT) AS n_users,
+              CAST(min(secs) AS BIGINT) AS min_secs,
+              CAST(max(secs) AS BIGINT) AS max_secs
+       FROM dt GROUP BY length(bin(secs))""",
+)
+def q336(spark, sf_dir):
+    """Time-to-convert distribution — seconds from first view to
+    first subsequent purchase, histogrammed into power-of-two
+    buckets (the q294 log-bin sketch applied to a derived duration):
+    conversion deltas come from the q316 funnel's min-ts stages, the
+    bucket is the exact bin()-length integer, min/max per bucket
+    bound the bucket edges visibly.  Two user-keyed aggregations +
+    one join; the histogram is mergeable across shards (the property
+    that lets the metric run incrementally in the stream tier)."""
+    e = _t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_buy"))
+    )
+    dt = p.join(v, "user_id").select(
+        "user_id",
+        (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view"))
+        .alias("secs"),
+    )
+    return dt.groupBy(
+        F.length(F.bin("secs")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.min("secs").cast("long").alias("min_secs"),
+        F.max("secs").cast("long").alias("max_secs"),
+    )

@@ -665,3 +665,50 @@ def test_cluster_health_outlier_rule(spark):
         # outlier exists
         if r.n_outliers > 0:
             assert r.max_dev * r.n_members >= 2 * r.sum_dev
+
+
+def test_passage_dedup_finds_planted(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q333_passage_dedup"](spark, SF).collect()
+    assert len(out) > 0
+    # the 31-word template docs (doc_id%13==0) share chunk 0 and 1
+    big = [r for r in out if r.n_docs >= 10]
+    assert len(big) >= 2
+    for r in out:
+        assert r.n_occ >= r.n_docs >= 2
+        assert r.keeper >= 0
+
+
+def test_attribution_counts_bounded(spark):
+    from gdal_spark import queries as Q
+    from gdal_spark.queries import _t
+
+    out = Q.QUERIES["q334_last_touch_attribution"](spark, SF).collect()
+    n_buys = (_t(spark, SF, "events")
+              .filter("event_type = 'purchase'").count())
+    assert 0 < sum(r.n_attributed for r in out) <= n_buys
+
+
+def test_sliding_window_at_least_daily(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.window_end: r.n_active_3d for r in
+           Q.QUERIES["q335_sliding_distinct_users"](spark, SF).collect()}
+    assert len(out) >= 3
+    # 3-day rolling active >= any single constituent day's actives:
+    # monotone vs the 1-day count is implied; here check positivity
+    # and that interior windows (full 3 days) dominate the first
+    days = sorted(out)
+    assert all(v > 0 for v in out.values())
+    assert out[days[2]] >= out[days[0]] or len(days) < 3
+
+
+def test_time_to_convert_buckets(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q336_time_to_convert"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        lo, hi = 2 ** (r.log2_bucket - 1), 2 ** r.log2_bucket - 1
+        assert lo <= r.min_secs <= r.max_secs <= hi
