@@ -348,6 +348,9 @@ HEADLINE = [
     "q334_last_touch_attribution",
     "q335_sliding_distinct_users",
     "q336_time_to_convert",
+    "q337_heaps_vocab_growth",
+    "q338_zipf_products",
+    "q339_vocab_oov_tradeoff",
 ]
 
 

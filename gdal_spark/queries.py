@@ -18762,3 +18762,160 @@ def q336(spark, sf_dir):
         F.min("secs").cast("long").alias("min_secs"),
         F.max("secs").cast("long").alias("max_secs"),
     )
+
+
+# --- Heaps'-law vocabulary growth (q337) --------------------------------------
+
+
+@query(
+    "q337_heaps_vocab_growth",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       fs AS (SELECT word, min(doc_id) AS first_doc FROM w
+              GROUP BY word),
+       ks AS (SELECT k.k FROM (VALUES (50), (100), (200), (500)) k(k))
+       SELECT ks.k AS n_docs,
+              CAST(sum(CASE WHEN fs.first_doc < ks.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_size
+       FROM ks CROSS JOIN fs
+       GROUP BY ks.k""",
+)
+def q337(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve — distinct vocabulary after
+    the first k documents, for four prefix sizes in ONE pass: a
+    word's first appearance is its min doc_id (map-side-combinable),
+    and each curve point is a flag-sum over the lexicon-sized
+    first-seen table — no per-prefix rescan of the corpus (the naive
+    form scans the corpus once per k).  The growth-curve shape
+    decides tokenizer vocab budgets and dedup thresholds at corpus
+    build time."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    fs = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    ks = spark.createDataFrame([(50,), (100,), (200,), (500,)], "k INT")
+    return (
+        F.broadcast(ks).crossJoin(fs)
+        .groupBy(F.col("k").alias("n_docs"))
+        .agg(
+            F.sum(F.when(F.col("first_doc") < F.col("k"), 1).otherwise(0))
+            .cast("long").alias("vocab_size")
+        )
+        .select(F.col("n_docs").cast("long").alias("n_docs"), "vocab_size")
+    )
+
+
+# --- Zipf rank-frequency products (q338) --------------------------------------
+
+
+@query(
+    "q338_zipf_products",
+    """WITH w AS (SELECT word, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       rk AS (SELECT a.word, a.f,
+                     (SELECT count(*) FROM w b
+                      WHERE b.f > a.f
+                         OR (b.f = a.f AND b.word < a.word)) + 1 AS rnk
+              FROM w a)
+       SELECT CAST(rnk AS BIGINT) AS rnk, word,
+              CAST(f AS BIGINT) AS freq,
+              CAST(rnk * f AS BIGINT) AS rank_freq_product
+       FROM rk WHERE rnk <= 20""",
+)
+def q338(spark, sf_dir):
+    """Zipf rank-frequency products for the top-20 terms — the
+    classic corpus sanity check (natural language keeps rank x freq
+    roughly constant; a synthetic or boilerplate-heavy corpus shows a
+    flat head): ranks are a total order by (freq desc, word asc) via
+    the count-of-greater broadcast self-join over the BOUNDED lexicon
+    (never a window over tokens), and the product is exact integer.
+    The head shape feeds stopword-list selection and CMS sizing."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("f"))
+    )
+    b = w.selectExpr("word AS bw", "f AS bf")
+    rk = (
+        w.join(
+            F.broadcast(b),
+            (F.col("bf") > F.col("f"))
+            | ((F.col("bf") == F.col("f")) & (F.col("bw") < F.col("word"))),
+            "left",
+        )
+        .groupBy("word", "f").agg((F.count("bw") + 1).alias("rnk"))
+    )
+    return rk.filter(F.col("rnk") <= 20).select(
+        F.col("rnk").cast("long").alias("rnk"), "word",
+        F.col("f").cast("long").alias("freq"),
+        (F.col("rnk") * F.col("f")).cast("long")
+        .alias("rank_freq_product"),
+    )
+
+
+# --- vocabulary-size / OOV tradeoff (q339) ------------------------------------
+
+
+@query(
+    "q339_vocab_oov_tradeoff",
+    """WITH w AS (SELECT word, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       rk AS (SELECT a.word, a.f,
+                     (SELECT count(*) FROM w b
+                      WHERE b.f > a.f
+                         OR (b.f = a.f AND b.word < a.word)) + 1 AS rnk
+              FROM w a),
+       t AS (SELECT sum(f) AS tot FROM w),
+       ks AS (SELECT k.k FROM (VALUES (5), (10), (20), (31)) k(k))
+       SELECT ks.k AS vocab_k,
+              CAST(t.tot AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN rk.rnk <= ks.k THEN rk.f ELSE 0 END)
+                AS BIGINT) AS covered,
+              CAST(t.tot - sum(CASE WHEN rk.rnk <= ks.k THEN rk.f
+                               ELSE 0 END) AS BIGINT) AS oov_tokens
+       FROM ks CROSS JOIN rk CROSS JOIN t
+       GROUP BY ks.k, t.tot""",
+)
+def q339(spark, sf_dir):
+    """Vocabulary-size / OOV tradeoff curve — the tokenizer budget
+    decision (how many tokens does a top-k vocabulary leave out-of-
+    vocabulary): coverage per k is a flag-sum over the ranked lexicon
+    (count-of-greater total order, the q338 rank table reused), four
+    k points in one pass.  OOV drives the byte-fallback rate of a
+    BPE vocab and the UNK rate of a word vocab — this curve is the
+    capacity plan for both."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("f"))
+    )
+    b = w.selectExpr("word AS bw", "f AS bf")
+    rk = (
+        w.join(
+            F.broadcast(b),
+            (F.col("bf") > F.col("f"))
+            | ((F.col("bf") == F.col("f")) & (F.col("bw") < F.col("word"))),
+            "left",
+        )
+        .groupBy("word", "f").agg((F.count("bw") + 1).alias("rnk"))
+    )
+    t = w.agg(F.sum("f").alias("tot"))
+    ks = spark.createDataFrame([(5,), (10,), (20,), (31,)], "k INT")
+    return (
+        F.broadcast(ks).crossJoin(rk).crossJoin(F.broadcast(t))
+        .groupBy(F.col("k").alias("vocab_k"), "tot")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("k"), F.col("f"))
+                  .otherwise(0)).cast("long").alias("covered"),
+        )
+        .select(
+            F.col("vocab_k").cast("long").alias("vocab_k"),
+            F.col("tot").cast("long").alias("n_tokens"),
+            "covered",
+            (F.col("tot") - F.col("covered")).cast("long")
+            .alias("oov_tokens"),
+        )
+    )

@@ -712,3 +712,38 @@ def test_time_to_convert_buckets(spark):
     for r in out:
         lo, hi = 2 ** (r.log2_bucket - 1), 2 ** r.log2_bucket - 1
         assert lo <= r.min_secs <= r.max_secs <= hi
+
+
+def test_heaps_growth_is_monotone(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.n_docs: r.vocab_size for r in
+           Q.QUERIES["q337_heaps_vocab_growth"](spark, SF).collect()}
+    ks = sorted(out)
+    assert ks == [50, 100, 200, 500]
+    for a, b in zip(ks, ks[1:]):
+        assert out[a] <= out[b]
+    assert out[500] == 31  # full fixture vocabulary
+
+
+def test_zipf_ranks_are_total_order(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q338_zipf_products"](spark, SF).collect()
+    assert sorted(r.rnk for r in out) == list(range(1, 21))
+    by_rnk = sorted(out, key=lambda r: r.rnk)
+    for a, b in zip(by_rnk, by_rnk[1:]):
+        assert (a.freq, b.word) >= (b.freq, a.word) or a.freq >= b.freq
+
+
+def test_oov_curve_monotone(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.vocab_k: r for r in
+           Q.QUERIES["q339_vocab_oov_tradeoff"](spark, SF).collect()}
+    ks = sorted(out)
+    for a, b in zip(ks, ks[1:]):
+        assert out[a].covered <= out[b].covered
+    assert out[31].oov_tokens == 0  # full vocab covers everything
+    for r in out.values():
+        assert r.covered + r.oov_tokens == r.n_tokens
