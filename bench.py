@@ -351,6 +351,9 @@ HEADLINE = [
     "q337_heaps_vocab_growth",
     "q338_zipf_products",
     "q339_vocab_oov_tradeoff",
+    "q340_language_geography",
+    "q341_host_geo_concentration",
+    "q342_geofence_compliance",
 ]
 
 

@@ -18919,3 +18919,158 @@ def q339(spark, sf_dir):
             .alias("oov_tokens"),
         )
     )
+
+
+# --- language geography per tile (q340) ---------------------------------------
+
+
+@query(
+    "q340_language_geography",
+    f"""WITH pts AS ({POINTS_SQL}),
+       g AS (SELECT p.doc_id,
+                    CAST(floor((p.lon + 180)/360.0*16) AS BIGINT) AS tx,
+                    CAST(floor((90 - p.lat)/180.0*16) AS BIGINT) AS ty,
+                    d.lang
+             FROM pts p JOIN documents d USING (doc_id)),
+       c AS (SELECT tx, ty, lang, count(*) AS c FROM g
+             GROUP BY tx, ty, lang),
+       m AS (SELECT tx, ty, max(c) AS mc, sum(c) AS n_docs,
+                    count(*) AS n_langs
+             FROM c GROUP BY tx, ty),
+       top AS (SELECT c.tx, c.ty, min(c.lang) AS dominant_lang
+               FROM c JOIN m ON m.tx = c.tx AND m.ty = c.ty
+                            AND c.c = m.mc
+               GROUP BY c.tx, c.ty)
+       SELECT m.tx, m.ty,
+              CAST(m.n_docs AS BIGINT) AS n_docs,
+              CAST(m.n_langs AS BIGINT) AS n_langs,
+              top.dominant_lang,
+              CAST(m.mc AS BIGINT) AS dominant_cnt
+       FROM m JOIN top ON top.tx = m.tx AND top.ty = m.ty""",
+)
+def q340(spark, sf_dir):
+    """Language geography — the geospatial x webtext fusion tile map
+    (which language dominates each z4 tile of the geocoded corpus):
+    the doc-keyed synthetic geocode (the q16 fixture) joins the
+    documents' lang column, tiles by the exact floor expression both
+    engines share, and the dominant language per tile is the
+    max-count/lex-min two-phase argmax.  This is the per-tile rollup
+    a multilingual crawl uses to steer regional fetch capacity; one
+    (tile, lang) groupBy + one tile rollup, the q14 density shape
+    with an argmax on top."""
+    pts = _points(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = pts.join(docs, "doc_id").select(
+        F.floor((F.col("lon") + 180) / 360.0 * 16).cast("long").alias("tx"),
+        F.floor((90 - F.col("lat")) / 180.0 * 16).cast("long").alias("ty"),
+        "lang",
+    )
+    c = g.groupBy("tx", "ty", "lang").agg(F.count("*").alias("c"))
+    m = c.groupBy("tx", "ty").agg(
+        F.max("c").alias("mc"), F.sum("c").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+    )
+    top = (
+        c.join(m, ["tx", "ty"]).filter(F.col("c") == F.col("mc"))
+        .groupBy("tx", "ty").agg(F.min("lang").alias("dominant_lang"))
+    )
+    return m.join(top, ["tx", "ty"]).select(
+        "tx", "ty",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        "dominant_lang",
+        F.col("mc").cast("long").alias("dominant_cnt"),
+    )
+
+
+# --- host geographic concentration (q341) -------------------------------------
+
+
+@query(
+    "q341_host_geo_concentration",
+    f"""WITH pts AS ({POINTS_SQL}),
+       g AS (SELECT doc_id % 40 AS host,
+                    CAST(floor((lon + 180)/360.0*16) AS BIGINT) AS tx,
+                    CAST(floor((90 - lat)/180.0*16) AS BIGINT) AS ty
+             FROM pts),
+       c AS (SELECT host, tx, ty, count(*) AS c FROM g
+             GROUP BY host, tx, ty)
+       SELECT host,
+              CAST(sum(c) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS n_tiles,
+              CAST(max(c) AS BIGINT) AS max_tile_cnt,
+              CAST(CASE WHEN 4 * max(c) >= sum(c) THEN 1 ELSE 0 END
+                AS BIGINT) AS is_concentrated
+       FROM c GROUP BY host""",
+)
+def q341(spark, sf_dir):
+    """Host geographic concentration — is a host's content clustered
+    in one region (a local newspaper) or spread worldwide (a CDN
+    mirror)?  Per host: distinct z4 tiles touched, the hottest tile's
+    share, and a concentration flag when one tile holds >= 25% of the
+    docs (4*max >= total, exact).  The geo-affinity feature feeds
+    crawl scheduling (fetch local-heavy hosts from nearby DCs) — one
+    (host, tile) groupBy + one host rollup on the shared geocode
+    fixture."""
+    pts = _points(spark, sf_dir)
+    g = pts.select(
+        (F.col("doc_id") % 40).alias("host"),
+        F.floor((F.col("lon") + 180) / 360.0 * 16).cast("long").alias("tx"),
+        F.floor((90 - F.col("lat")) / 180.0 * 16).cast("long").alias("ty"),
+    )
+    c = g.groupBy("host", "tx", "ty").agg(F.count("*").alias("c"))
+    return c.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_tiles"),
+        F.max("c").cast("long").alias("max_tile_cnt"),
+        F.when(4 * F.max("c") >= F.sum("c"), 1).otherwise(0).cast("long")
+        .alias("is_concentrated"),
+    )
+
+
+# --- geofenced compliance screen (q342) ---------------------------------------
+
+
+@query(
+    "q342_geofence_compliance",
+    f"""WITH pts AS ({POINTS_SQL}),
+       g AS (SELECT p.doc_id, d.lang,
+                    CASE WHEN p.lon >= -30 AND p.lon < 60
+                          AND p.lat >= 0 AND p.lat < 60
+                         THEN 1 ELSE 0 END AS in_region
+             FROM pts p JOIN documents d USING (doc_id))
+       SELECT lang,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(in_region) AS BIGINT) AS n_in_region,
+              CAST(sum(CASE WHEN in_region = 1 AND lang <> 'en'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_needs_review
+       FROM g GROUP BY lang""",
+)
+def q342(spark, sf_dir):
+    """Geofenced compliance screen — the regional-policy pass a
+    multinational corpus runs (content geolocated inside a regulated
+    region in a non-default language gets routed to review): point-in-
+    rect containment over the doc-keyed geocode (exact double
+    comparisons against integer fence bounds — identical on both
+    engines), fused with the language attribute in one pass, rolled
+    up per language.  The fence here is a rect; the general-polygon
+    path is the q11 two-phase spatial join with the same downstream
+    rollup."""
+    pts = _points(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    g = pts.join(docs, "doc_id").select(
+        "lang",
+        F.when(
+            (F.col("lon") >= -30) & (F.col("lon") < 60)
+            & (F.col("lat") >= 0) & (F.col("lat") < 60),
+            1,
+        ).otherwise(0).alias("in_region"),
+    )
+    return g.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("in_region").cast("long").alias("n_in_region"),
+        F.sum(
+            F.when((F.col("in_region") == 1) & (F.col("lang") != "en"), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_needs_review"),
+    )

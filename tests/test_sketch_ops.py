@@ -747,3 +747,37 @@ def test_oov_curve_monotone(spark):
     assert out[31].oov_tokens == 0  # full vocab covers everything
     for r in out.values():
         assert r.covered + r.oov_tokens == r.n_tokens
+
+
+def test_language_geography_consistency(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q340_language_geography"](spark, SF).collect()
+    assert sum(r.n_docs for r in out) == 500
+    for r in out:
+        assert 0 <= r.tx < 16 and 0 <= r.ty < 16
+        assert 1 <= r.dominant_cnt <= r.n_docs
+        assert r.n_langs >= 1
+
+
+def test_host_geo_flags(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q341_host_geo_concentration"](spark, SF).collect()
+    assert len(out) == 40
+    for r in out:
+        assert r.max_tile_cnt <= r.n_docs
+        assert r.n_tiles <= r.n_docs
+        assert r.is_concentrated == (
+            1 if 4 * r.max_tile_cnt >= r.n_docs else 0)
+
+
+def test_geofence_counts_nested(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q342_geofence_compliance"](spark, SF).collect()
+    assert sum(r.n_docs for r in out) == 500
+    for r in out:
+        assert r.n_needs_review <= r.n_in_region <= r.n_docs
+        if r.lang == "en":
+            assert r.n_needs_review == 0
