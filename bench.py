@@ -354,6 +354,8 @@ HEADLINE = [
     "q340_language_geography",
     "q341_host_geo_concentration",
     "q342_geofence_compliance",
+    "q343_sparse_tfidf_neighbor",
+    "q344_index_maintenance_cost",
 ]
 
 

@@ -19074,3 +19074,139 @@ def q342(spark, sf_dir):
             .otherwise(0)
         ).cast("long").alias("n_needs_review"),
     )
+
+
+# --- sparse TF-IDF nearest document (q343) ------------------------------------
+
+
+@query(
+    "q343_sparse_tfidf_neighbor",
+    """WITH w AS (SELECT doc_id, word, count(*) AS tf FROM
+                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY doc_id, word),
+       nd AS (SELECT count(DISTINCT doc_id) AS n FROM w),
+       dft AS (SELECT word, count(*) AS df FROM w GROUP BY word),
+       wt AS (SELECT w.doc_id, w.word,
+                     w.tf * ((length(bin(nd.n)) - 1)
+                             - (length(bin(dft.df)) - 1) + 1) AS wgt
+              FROM w JOIN dft USING (word) CROSS JOIN nd
+              WHERE dft.df * 5 <= nd.n * 4),
+       pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
+                     sum(a.wgt * b.wgt) AS dot
+              FROM wt a JOIN wt b
+                ON a.word = b.word AND a.doc_id <> b.doc_id
+              GROUP BY a.doc_id, b.doc_id),
+       m AS (SELECT a, max(dot) AS md FROM pr GROUP BY a),
+       top AS (SELECT pr.a, min(pr.b) AS nn
+               FROM pr JOIN m ON m.a = pr.a AND pr.dot = m.md
+               GROUP BY pr.a)
+       SELECT m.a AS doc_id, top.nn AS neighbor,
+              CAST(m.md AS BIGINT) AS dot_scaled
+       FROM m JOIN top ON top.a = m.a""",
+)
+def q343(spark, sf_dir):
+    """Sparse TF-IDF nearest document — the lexical (BM25-family)
+    complement to the dense-embedding kNN: per-term weights
+    tf * (idf_bits + 1) in exact integers, candidate pairs ONLY from
+    the shared-term join with a df cap (terms in >= 80% of docs are
+    dropped — df*5 <= n*4 — so the near-stopword terms that would
+    make the self-join quadratic never enter; the q19/q283 absolute-
+    cap family), top-1 by (dot desc, id asc).  At 10^12 docs this is
+    the impact-ordered sparse ANN shape: the term join carries the
+    shuffle, weights broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    )
+    nd = w.agg(F.countDistinct("doc_id").alias("n"))
+    dft = w.groupBy("word").agg(F.count("*").alias("df"))
+    wt = (
+        w.join(F.broadcast(dft), "word")
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") * 5 <= F.col("n") * 4)
+        .select(
+            "doc_id", "word",
+            (
+                F.col("tf")
+                * ((F.length(F.bin("n")) - 1)
+                   - (F.length(F.bin("df")) - 1) + 1)
+            ).alias("wgt"),
+        )
+    )
+    b = wt.selectExpr("doc_id AS bd", "word", "wgt AS bw")
+    pr = (
+        wt.join(b, "word")
+        .filter(F.col("doc_id") != F.col("bd"))
+        .groupBy(F.col("doc_id").alias("a"), F.col("bd").alias("b"))
+        .agg(F.sum(F.col("wgt") * F.col("bw")).alias("dot"))
+    )
+    m = pr.groupBy("a").agg(F.max("dot").alias("md"))
+    top = (
+        pr.join(m, "a").filter(F.col("dot") == F.col("md"))
+        .groupBy("a").agg(F.min("b").alias("nn"))
+    )
+    return m.join(top, "a").select(
+        F.col("a").alias("doc_id"),
+        F.col("nn").alias("neighbor"),
+        F.col("md").cast("long").alias("dot_scaled"),
+    )
+
+
+# --- incremental index maintenance cost (q344) --------------------------------
+
+
+@query(
+    "q344_index_maintenance_cost",
+    """WITH ch AS (SELECT doc_id FROM documents
+                   WHERE doc_id % 7 = 0
+                     AND doc_id % 10 < 9 AND doc_id % 10 > 0),
+       p AS (SELECT DISTINCT word, doc_id FROM
+               (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents)),
+       touched AS (SELECT p.word, count(*) AS n_changed_postings
+                   FROM p JOIN ch USING (doc_id)
+                   GROUP BY p.word),
+       tot AS (SELECT word, count(*) AS df FROM p GROUP BY word)
+       SELECT tot.word,
+              CAST(tot.df AS BIGINT) AS df,
+              CAST(coalesce(touched.n_changed_postings, 0) AS BIGINT)
+                AS n_invalidate,
+              CAST(2 * coalesce(touched.n_changed_postings, 0) AS BIGINT)
+                AS n_ops
+       FROM tot LEFT JOIN touched USING (word)""",
+)
+def q344(spark, sf_dir):
+    """Incremental index maintenance cost — given the q329 snapshot
+    diff's CHANGED set (docs present in both crawl cycles whose
+    content hash moved), how many postings does each term's list
+    invalidate and rewrite (delete + reinsert = 2 ops per changed
+    posting): the capacity model for choosing delete-merge vs
+    rewrite-segment index update strategies.  One semi-join of the
+    postings table against the (small) changed set + a broadcast df
+    join — maintenance cost is proportional to the CHANGED postings,
+    never the index size, which is the entire point of incremental
+    maintenance."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = docs.filter(
+        (F.col("doc_id") % 7 == 0)
+        & (F.col("doc_id") % 10 < 9) & (F.col("doc_id") % 10 > 0)
+    ).select("doc_id")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    touched = (
+        p.join(F.broadcast(ch), "doc_id")
+        .groupBy("word").agg(F.count("*").alias("n_changed_postings"))
+    )
+    tot = p.groupBy("word").agg(F.count("*").alias("df"))
+    return tot.join(touched, "word", "left").select(
+        "word",
+        F.col("df").cast("long").alias("df"),
+        F.coalesce("n_changed_postings", F.lit(0)).cast("long")
+        .alias("n_invalidate"),
+        (2 * F.coalesce("n_changed_postings", F.lit(0))).cast("long")
+        .alias("n_ops"),
+    )

@@ -781,3 +781,24 @@ def test_geofence_counts_nested(spark):
         assert r.n_needs_review <= r.n_in_region <= r.n_docs
         if r.lang == "en":
             assert r.n_needs_review == 0
+
+
+def test_sparse_neighbor_symmetric_dots(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q343_sparse_tfidf_neighbor"](spark, SF).collect()
+    assert len(out) == 500  # every doc finds a neighbor (shared vocab)
+    for r in out:
+        assert r.neighbor != r.doc_id
+        assert r.dot_scaled > 0
+
+
+def test_index_maintenance_bounded(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q344_index_maintenance_cost"](spark, SF).collect()
+    assert len(out) == 31
+    for r in out:
+        assert 0 <= r.n_invalidate <= r.df
+        assert r.n_ops == 2 * r.n_invalidate
+    assert sum(r.n_invalidate for r in out) > 0
