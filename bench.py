@@ -356,6 +356,9 @@ HEADLINE = [
     "q342_geofence_compliance",
     "q343_sparse_tfidf_neighbor",
     "q344_index_maintenance_cost",
+    "q345_term_proximity",
+    "q346_topic_tagging",
+    "q347_ab_wilson_bounds",
 ]
 
 

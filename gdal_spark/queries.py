@@ -19210,3 +19210,201 @@ def q344(spark, sf_dir):
         (2 * F.coalesce("n_changed_postings", F.lit(0))).cast("long")
         .alias("n_ops"),
     )
+
+
+# --- query-term proximity scoring (q345) --------------------------------------
+
+
+@query(
+    "q345_term_proximity",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q345 oracle range bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       pos AS (SELECT doc_id, w[r.range] AS word, r.range AS p
+               FROM s, range(1, 200) r WHERE r.range <= len(w)),
+       q AS (SELECT 0 AS qid, 'join' AS t1, 'filter' AS t2
+             UNION ALL SELECT 1, 'hash', 'sort'
+             UNION ALL SELECT 2, 'scan', 'merge'),
+       hits AS (SELECT q.qid, p1.doc_id,
+                       min(abs(p1.p - p2.p)) AS min_span
+                FROM q JOIN pos p1 ON p1.word = q.t1
+                       JOIN pos p2 ON p2.word = q.t2
+                              AND p2.doc_id = p1.doc_id
+                GROUP BY q.qid, p1.doc_id),
+       best AS (SELECT qid, min(min_span) AS best_span,
+                       count(*) AS n_docs_with_both
+                FROM hits GROUP BY qid),
+       winner AS (SELECT h.qid, min(h.doc_id) AS best_doc
+                  FROM hits h JOIN best b
+                    ON b.qid = h.qid AND h.min_span = b.best_span
+                  GROUP BY h.qid)
+       SELECT b.qid,
+              CAST(b.n_docs_with_both AS BIGINT) AS n_docs_with_both,
+              CAST(b.best_span AS BIGINT) AS best_span,
+              CAST(w.best_doc AS BIGINT) AS best_doc
+       FROM best b JOIN winner w ON w.qid = b.qid, chk""",
+)
+def q345(spark, sf_dir):
+    """Query-term proximity scoring — the positional-index ranking
+    feature (documents where both terms appear CLOSE outrank mere
+    co-occurrence): for each 2-term query, the per-doc minimum
+    position span |p1 - p2| over all occurrence pairs, then the
+    best-proximity doc per query (min span, ties to lowest doc).
+    The occurrence-pair join is doc-keyed and bounded by per-doc
+    term counts (the postings already intersected, the q287 shape
+    with positions attached) — exactly how a positional index scores
+    phrase-nearness at serving time."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    pos = s.select(
+        "doc_id", F.posexplode("w").alias("p0", "word")
+    ).select("doc_id", "word", (F.col("p0") + 1).alias("p"))
+    q = spark.createDataFrame(
+        [(0, "join", "filter"), (1, "hash", "sort"), (2, "scan", "merge")],
+        "qid INT, t1 STRING, t2 STRING",
+    )
+    p1 = pos.selectExpr("doc_id", "word AS t1", "p AS pa")
+    p2 = pos.selectExpr("doc_id", "word AS t2", "p AS pb")
+    hits = (
+        F.broadcast(q).join(p1, "t1")
+        .join(p2, ["t2", "doc_id"])
+        .groupBy("qid", "doc_id")
+        .agg(F.min(F.abs(F.col("pa") - F.col("pb"))).alias("min_span"))
+    )
+    best = hits.groupBy("qid").agg(
+        F.min("min_span").alias("best_span"),
+        F.count("*").alias("n_docs_with_both"),
+    )
+    winner = (
+        hits.join(best, "qid")
+        .filter(F.col("min_span") == F.col("best_span"))
+        .groupBy("qid").agg(F.min("doc_id").alias("best_doc"))
+    )
+    return best.join(winner, "qid").select(
+        "qid",
+        F.col("n_docs_with_both").cast("long").alias("n_docs_with_both"),
+        F.col("best_span").cast("long").alias("best_span"),
+        F.col("best_doc").cast("long").alias("best_doc"),
+    )
+
+
+# --- dictionary topic tagging (q346) ------------------------------------------
+
+
+@query(
+    "q346_topic_tagging",
+    """WITH lex AS (SELECT * FROM (VALUES
+                 ('db', 'join'), ('db', 'hash'), ('db', 'scan'),
+                 ('db', 'merge'),
+                 ('perf', 'fast'), ('perf', 'slow'), ('perf', 'batch'),
+                 ('perf', 'window'),
+                 ('data', 'table'), ('data', 'row'), ('data', 'value'),
+                 ('data', 'customer')) t(topic, word)),
+       w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+       sc AS (SELECT w.doc_id, lex.topic, count(*) AS score
+              FROM w JOIN lex USING (word)
+              GROUP BY w.doc_id, lex.topic),
+       m AS (SELECT doc_id, max(score) AS ms, sum(score) AS total
+             FROM sc GROUP BY doc_id),
+       top AS (SELECT sc.doc_id, min(sc.topic) AS topic
+               FROM sc JOIN m ON m.doc_id = sc.doc_id AND sc.score = m.ms
+               GROUP BY sc.doc_id)
+       SELECT m.doc_id, top.topic,
+              CAST(m.ms AS BIGINT) AS topic_score,
+              CAST(m.total AS BIGINT) AS lex_hits
+       FROM m JOIN top ON top.doc_id = m.doc_id""",
+)
+def q346(spark, sf_dir):
+    """Dictionary topic tagging — the lexicon-based classifier
+    (Aho-Corasick-lite over a token join) that labels every document
+    with its dominant topic: a 3-topic x 4-word lexicon broadcasts
+    against the token stream, per-(doc, topic) hit counts roll up,
+    and the tag is the max-score/lex-min topic.  The lexicon join is
+    the whole trick — at 10^12 tokens the lexicon side is bytes and
+    the tagging runs at scan speed; this is how rule-based routing
+    (safety lexicons, domain routers) runs before any model."""
+    lex = spark.createDataFrame(
+        [("db", "join"), ("db", "hash"), ("db", "scan"), ("db", "merge"),
+         ("perf", "fast"), ("perf", "slow"), ("perf", "batch"),
+         ("perf", "window"),
+         ("data", "table"), ("data", "row"), ("data", "value"),
+         ("data", "customer")],
+        "topic STRING, word STRING",
+    )
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    sc = (
+        w.join(F.broadcast(lex), "word")
+        .groupBy("doc_id", "topic").agg(F.count("*").alias("score"))
+    )
+    m = sc.groupBy("doc_id").agg(
+        F.max("score").alias("ms"), F.sum("score").alias("total"))
+    top = (
+        sc.join(m, "doc_id").filter(F.col("score") == F.col("ms"))
+        .groupBy("doc_id").agg(F.min("topic").alias("topic"))
+    )
+    return m.join(top, "doc_id").select(
+        "doc_id", "topic",
+        F.col("ms").cast("long").alias("topic_score"),
+        F.col("total").cast("long").alias("lex_hits"),
+    )
+
+
+# --- A/B conversion with Wilson bounds (q347) ---------------------------------
+
+
+@query(
+    "q347_ab_wilson_bounds",
+    """WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                        END) AS converted
+                  FROM events GROUP BY user_id),
+       a AS (SELECT arm, count(*) AS n, sum(converted) AS x FROM u
+             GROUP BY arm)
+       SELECT arm,
+              CAST(n AS BIGINT) AS n_users,
+              CAST(x AS BIGINT) AS n_converted,
+              (CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+               + 1.9208 / CAST(n AS DOUBLE)
+               - 1.96 * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                 / CAST(n AS DOUBLE)
+                 + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+               / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lower
+       FROM a""",
+)
+def q347(spark, sf_dir):
+    """A/B conversion accounting with the Wilson lower bound — the
+    experiment readout (is arm B's conversion genuinely above arm
+    A's floor): users split by parity, conversion = any purchase
+    (max-flag per user, combinable), and the 95% Wilson score lower
+    bound computed as ONE fixed float expression over the exact
+    integer (n, x) pair — z constants (1.96, z^2=3.8416, z^2/2=
+    1.9208, z^4/4=0.9604) inlined verbatim on both engines so the
+    IEEE tree is identical (the CLAUDE.md inline-constants rule).
+    Two user-keyed aggregations; the bound math is per-arm O(1)."""
+    e = _t(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select(
+        (F.col("user_id") % 2).alias("arm"), "converted")
+    a = u.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("x"))
+    p = F.col("x").cast("double") / F.col("n").cast("double")
+    nn = F.col("n").cast("double")
+    return a.select(
+        "arm",
+        F.col("n").cast("long").alias("n_users"),
+        F.col("x").cast("long").alias("n_converted"),
+        (
+            (p + F.lit(1.9208) / nn
+             - F.lit(1.96) * F.sqrt(p * (F.lit(1.0) - p) / nn
+                                    + F.lit(0.9604) / (nn * nn)))
+            / (F.lit(1.0) + F.lit(3.8416) / nn)
+        ).alias("wilson_lower"),
+    )

@@ -802,3 +802,34 @@ def test_index_maintenance_bounded(spark):
         assert 0 <= r.n_invalidate <= r.df
         assert r.n_ops == 2 * r.n_invalidate
     assert sum(r.n_invalidate for r in out) > 0
+
+
+def test_proximity_winner_has_best_span(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q345_term_proximity"](spark, SF).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.best_span >= 1
+        assert r.n_docs_with_both >= 1
+
+
+def test_topic_tagging_covers_docs(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q346_topic_tagging"](spark, SF).collect()
+    # every doc should hit the 12-word lexicon (vocab is 31 words)
+    assert len(out) == 500
+    assert {r.topic for r in out} <= {"db", "perf", "data"}
+    for r in out:
+        assert 1 <= r.topic_score <= r.lex_hits
+
+
+def test_wilson_bound_sane(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q347_ab_wilson_bounds"](spark, SF).collect()
+    assert {r.arm for r in out} == {0, 1}
+    for r in out:
+        phat = r.n_converted / r.n_users
+        assert 0.0 <= r.wilson_lower <= phat
