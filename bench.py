@@ -359,6 +359,7 @@ HEADLINE = [
     "q345_term_proximity",
     "q346_topic_tagging",
     "q347_ab_wilson_bounds",
+    "q348_corpus_datasheet",
 ]
 
 

@@ -19408,3 +19408,60 @@ def q347(spark, sf_dir):
             / (F.lit(1.0) + F.lit(3.8416) / nn)
         ).alias("wilson_lower"),
     )
+
+
+# --- corpus datasheet (q348) --------------------------------------------------
+
+
+@query(
+    "q348_corpus_datasheet",
+    """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents),
+       d AS (SELECT count(*) AS n_docs,
+                    sum(n_chars) AS total_chars,
+                    count(DISTINCT lang) AS n_langs,
+                    count(DISTINCT source) AS n_sources,
+                    count(DISTINCT md5(text)) AS n_unique_texts
+             FROM documents),
+       t AS (SELECT count(*) AS n_tokens,
+                    count(DISTINCT word) AS vocab FROM w)
+       SELECT CAST(d.n_docs AS BIGINT) AS n_docs,
+              CAST(t.n_tokens AS BIGINT) AS n_tokens,
+              CAST(t.vocab AS BIGINT) AS vocab_size,
+              CAST(d.total_chars AS BIGINT) AS total_chars,
+              CAST(d.n_langs AS BIGINT) AS n_langs,
+              CAST(d.n_sources AS BIGINT) AS n_sources,
+              CAST(d.n_docs - d.n_unique_texts AS BIGINT) AS n_exact_dups
+       FROM d, t""",
+)
+def q348(spark, sf_dir):
+    """Corpus datasheet — the one-row dataset card (Datasheets for
+    Datasets) every corpus release ships: document/token/vocabulary/
+    byte counts, language and source diversity, and the exact-dup
+    count — seven numbers from TWO scans (one over documents, one
+    over the token explode), every aggregate map-side combinable.
+    This is the summary the q300 per-host scorecard rolls up to at
+    release granularity."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    d = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+    )
+    t = w.agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("vocab"),
+    )
+    return d.crossJoin(F.broadcast(t)).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab_size"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.col("n_langs").cast("long").alias("n_langs"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+        (F.col("n_docs") - F.col("n_unique_texts")).cast("long")
+        .alias("n_exact_dups"),
+    )

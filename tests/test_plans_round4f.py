@@ -94,3 +94,29 @@ def test_burst_marginals_broadcast(spark):
     plan = _p(spark, "q306_burst_detection")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "Window" not in plan
+
+
+def test_sparse_tfidf_weights_broadcast(spark):
+    plan = _p(spark, "q343_sparse_tfidf_neighbor")
+    # df table and corpus-count broadcast; only the term join shuffles
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_topic_lexicon_broadcast(spark):
+    plan = _p(spark, "q346_topic_tagging")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+
+
+def test_attribution_no_window(spark):
+    plan = _p(spark, "q334_last_touch_attribution")
+    # the as-of join is a combinable max-struct aggregate, no window
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_geo_fusion_single_pass(spark):
+    plan = _p(spark, "q342_geofence_compliance")
+    assert "Window" not in plan
+    assert "partial_" in plan  # map-side combine of the flag sums
