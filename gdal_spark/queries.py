@@ -19082,7 +19082,9 @@ def q342(spark, sf_dir):
 @query(
     "q343_sparse_tfidf_neighbor",
     """WITH w AS (SELECT doc_id, word, count(*) AS tf FROM
-                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    (SELECT doc_id,
+                       unnest(string_split(text || ' tag'
+                         || CAST(doc_id % 150 AS VARCHAR), ' ')) AS word
                      FROM documents)
                   GROUP BY doc_id, word),
        nd AS (SELECT count(DISTINCT doc_id) AS n FROM w),
@@ -19091,7 +19093,7 @@ def q342(spark, sf_dir):
                      w.tf * ((length(bin(nd.n)) - 1)
                              - (length(bin(dft.df)) - 1) + 1) AS wgt
               FROM w JOIN dft USING (word) CROSS JOIN nd
-              WHERE dft.df * 5 <= nd.n * 4),
+              WHERE dft.df <= 60),
        pr AS (SELECT a.doc_id AS a, b.doc_id AS b,
                      sum(a.wgt * b.wgt) AS dot
               FROM wt a JOIN wt b
@@ -19109,15 +19111,24 @@ def q343(spark, sf_dir):
     """Sparse TF-IDF nearest document — the lexical (BM25-family)
     complement to the dense-embedding kNN: per-term weights
     tf * (idf_bits + 1) in exact integers, candidate pairs ONLY from
-    the shared-term join with a df cap (terms in >= 80% of docs are
-    dropped — df*5 <= n*4 — so the near-stopword terms that would
-    make the self-join quadratic never enter; the q19/q283 absolute-
-    cap family), top-1 by (dot desc, id asc).  At 10^12 docs this is
-    the impact-ordered sparse ANN shape: the term join carries the
-    shuffle, weights broadcast."""
+    the shared-term join behind an ABSOLUTE df cap (df <= 60 — the
+    q19/q283 lesson verbatim: a PROPORTIONAL cap admitted the whole
+    31-word vocabulary at sf0.1 and the term self-join went quadratic,
+    373 s in the bench; the absolute cap restores sum(df^2)-bounded
+    candidates at every SF), top-1 by (dot desc, id asc).  A ' tagN'
+    rare term (N = doc_id%150) gives every doc a sub-cap
+    discriminative term so neighbors exist at every SF.  At 10^12
+    docs this is the impact-ordered sparse ANN shape: the term join
+    carries the shuffle, weights broadcast."""
     docs = _t(spark, sf_dir, "documents")
     w = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        docs.select(
+            "doc_id",
+            F.explode(F.split(
+                F.concat(F.col("text"), F.lit(" tag"),
+                         (F.col("doc_id") % 150).cast("string")),
+                " ")).alias("word"),
+        )
         .groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     )
     nd = w.agg(F.countDistinct("doc_id").alias("n"))
@@ -19125,7 +19136,7 @@ def q343(spark, sf_dir):
     wt = (
         w.join(F.broadcast(dft), "word")
         .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") * 5 <= F.col("n") * 4)
+        .filter(F.col("df") <= 60)
         .select(
             "doc_id", "word",
             (
