@@ -360,6 +360,8 @@ HEADLINE = [
     "q346_topic_tagging",
     "q347_ab_wilson_bounds",
     "q348_corpus_datasheet",
+    "q349_crawl_yield",
+    "q350_recrawl_budget",
 ]
 
 

@@ -19476,3 +19476,144 @@ def q348(spark, sf_dir):
         (F.col("n_docs") - F.col("n_unique_texts")).cast("long")
         .alias("n_exact_dups"),
     )
+
+
+# --- crawl yield accounting (q349) --------------------------------------------
+
+
+@query(
+    "q349_crawl_yield",
+    """WITH d AS (SELECT doc_id % 20 AS host, n_chars,
+                    CASE WHEN n_chars >= 200 AND lang = 'en'
+                         THEN 1 ELSE 0 END AS kept
+                  FROM documents)
+       SELECT host,
+              CAST(count(*) AS BIGINT) AS n_fetched,
+              CAST(sum(n_chars) AS BIGINT) AS bytes_fetched,
+              CAST(sum(kept) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS bytes_kept,
+              CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END)
+                   AS DOUBLE) / CAST(sum(n_chars) AS DOUBLE)
+                AS byte_yield
+       FROM d GROUP BY host""",
+)
+def q349(spark, sf_dir):
+    """Crawl yield accounting — the economics metric behind crawl
+    budget decisions (fetch bytes are paid; kept bytes earn): per
+    host, fetched/kept doc and byte counts under a simple keep gate
+    (n_chars >= 200 AND lang = 'en' — the production gate is the
+    q232 Gopher composite; the rollup shape is identical) and the
+    byte yield as one exact-integer division.  Hosts with low yield
+    get their frontier quota cut — this feeds q350's budget
+    apportionment.  One host-keyed combinable rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") % 20).alias("host"), "n_chars",
+        F.when((F.col("n_chars") >= 200) & (F.col("lang") == "en"), 1)
+        .otherwise(0).alias("kept"),
+    )
+    return d.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_fetched"),
+        F.sum("n_chars").cast("long").alias("bytes_fetched"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+        .cast("long").alias("bytes_kept"),
+        (
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("double") / F.sum("n_chars").cast("double")
+        ).alias("byte_yield"),
+    )
+
+
+# --- recrawl budget apportionment (q350) --------------------------------------
+
+
+@query(
+    "q350_recrawl_budget",
+    """WITH ch AS (SELECT doc_id,
+                     (SELECT sum(CASE WHEN (t.range * (1 + doc_id % 4)) // 5
+                                       <> ((t.range - 1) * (1 + doc_id % 4)) // 5
+                                 THEN 1 ELSE 0 END)
+                      FROM range(1, 10) t) AS n_changes
+                   FROM documents),
+       cls AS (SELECT doc_id,
+                      CASE WHEN n_changes * 2 >= 9 THEN 4
+                           WHEN n_changes >= 2 THEN 2
+                           ELSE 1 END AS w
+               FROM ch),
+       tot AS (SELECT sum(w) AS tw FROM cls),
+       q AS (SELECT cls.doc_id, cls.w,
+                    (cls.w * 1000) // tot.tw AS base,
+                    (cls.w * 1000) % tot.tw AS rem
+             FROM cls CROSS JOIN tot),
+       k AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS n_extra FROM q),
+       rk AS (SELECT a.doc_id,
+                     (SELECT count(*) FROM q b
+                      WHERE b.rem > a.rem
+                         OR (b.rem = a.rem AND b.doc_id < a.doc_id)) + 1
+                       AS rnk
+              FROM q a),
+       fin AS (SELECT q.doc_id, q.w, q.base,
+                      CASE WHEN rk.rnk <= k.n_extra THEN 1 ELSE 0 END
+                        AS extra
+               FROM q JOIN rk USING (doc_id) CROSS JOIN k)
+       SELECT CAST(w AS BIGINT) AS revisit_weight,
+              CAST(count(*) AS BIGINT) AS n_urls,
+              CAST(sum(base + extra) AS BIGINT) AS slots
+       FROM fin GROUP BY w""",
+)
+def q350(spark, sf_dir):
+    """Recrawl budget apportionment — the q299 change-rate classes
+    (hot=4 / warm=2 / cold=1 weights) share 1000 fetch slots by the
+    LARGEST-REMAINDER method (the q274 Hamilton machinery applied to
+    the crawl stack): integer base quotas floor(w*K/total) sum to at
+    most K by construction, the remaining slots go to the largest
+    remainders with deterministic (remainder desc, doc asc) ties via
+    the count-of-greater rank — total slots are EXACTLY K, rolled up
+    per class.  This closes the loop q299 -> q349 -> budget: exact
+    integer arithmetic end to end, one broadcast total + one
+    bounded rank join."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(9))).alias("t")
+    ).select(
+        "doc_id",
+        (F.expr("(t * (1 + doc_id % 4)) div 5")
+         != F.expr("((t - 1) * (1 + doc_id % 4)) div 5")).cast("int")
+        .alias("chg"),
+    )
+    ch = f.groupBy("doc_id").agg(F.sum("chg").alias("n_changes"))
+    cls = ch.select(
+        "doc_id",
+        F.when(F.col("n_changes") * 2 >= 9, 4)
+        .when(F.col("n_changes") >= 2, 2).otherwise(1).alias("w"),
+    )
+    tot = cls.agg(F.sum("w").alias("tw"))
+    q = cls.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "w",
+        F.expr("(w * 1000) div tw").alias("base"),
+        ((F.col("w") * 1000) % F.col("tw")).alias("rem"),
+    )
+    k = q.agg((1000 - F.sum("base")).alias("n_extra"))
+    b = q.selectExpr("doc_id AS bd", "rem AS brem")
+    rk = (
+        q.join(
+            F.broadcast(b),
+            (F.col("brem") > F.col("rem"))
+            | ((F.col("brem") == F.col("rem"))
+               & (F.col("bd") < F.col("doc_id"))),
+            "left",
+        )
+        .groupBy("doc_id", "w", "base", "rem")
+        .agg((F.count("bd") + 1).alias("rnk"))
+    )
+    fin = rk.crossJoin(F.broadcast(k)).select(
+        "w", "base",
+        F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0)
+        .alias("extra"),
+    )
+    return fin.groupBy(F.col("w").alias("revisit_weight")).agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.col("base") + F.col("extra")).cast("long").alias("slots"),
+    )

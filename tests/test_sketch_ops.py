@@ -833,3 +833,26 @@ def test_wilson_bound_sane(spark):
     for r in out:
         phat = r.n_converted / r.n_users
         assert 0.0 <= r.wilson_lower <= phat
+
+
+def test_crawl_yield_bounds(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q349_crawl_yield"](spark, SF).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 0 <= r.n_kept <= r.n_fetched
+        assert 0 <= r.bytes_kept <= r.bytes_fetched
+        assert 0.0 <= r.byte_yield <= 1.0
+
+
+def test_recrawl_budget_sums_to_k(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q350_recrawl_budget"](spark, SF).collect()
+    assert {r.revisit_weight for r in out} == {1, 2, 4}
+    assert sum(r.slots for r in out) == 1000  # exactly K by construction
+    assert sum(r.n_urls for r in out) == 500
+    # higher weight classes get at least proportionally more per url
+    per = {r.revisit_weight: r.slots / r.n_urls for r in out}
+    assert per[4] > per[2] > per[1]
