@@ -362,6 +362,7 @@ HEADLINE = [
     "q348_corpus_datasheet",
     "q349_crawl_yield",
     "q350_recrawl_budget",
+    "q351_image_hamming_neardup",
 ]
 
 

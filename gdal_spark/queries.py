@@ -19617,3 +19617,122 @@ def q350(spark, sf_dir):
         F.count("*").cast("long").alias("n_urls"),
         F.sum(F.col("base") + F.col("extra")).cast("long").alias("slots"),
     )
+
+
+# --- image aHash Hamming<=2 near-dup via banding (q351) -----------------------
+
+_Q351_HASH_SQL = """d AS (SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id % 50 AS STRING)), 1, 8)) AS BIGINT) AS h8
+        FROM documents),
+       dims AS (SELECT doc_id, h8, 16 + h8 % 64 AS w, 16 + (h8 // 64) % 64 AS h FROM d),
+       px AS (SELECT doc_id, y.range * 8 + x.range AS k,
+               (h8 + 31*(((2*y.range + 1) * h) // 16)
+                   + 17*(((2*x.range + 1) * w) // 16)) % 251 AS p
+              FROM dims CROSS JOIN range(8) y CROSS JOIN range(8) x),
+       s AS (SELECT doc_id, CAST(sum(p) AS BIGINT) AS tot FROM px GROUP BY doc_id),
+       b AS (SELECT px.doc_id, k, CASE WHEN 64 * p > tot THEN 1 ELSE 0 END AS bit
+             FROM px JOIN s ON s.doc_id = px.doc_id),
+       hsh0 AS (SELECT doc_id,
+               CAST(SUM(CASE WHEN k >= 32 AND bit = 1
+                    THEN CAST(power(2, k - 32) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_hi,
+               CAST(SUM(CASE WHEN k < 32 AND bit = 1
+                    THEN CAST(power(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS hash_lo
+               FROM b GROUP BY doc_id),
+       hsh AS (SELECT doc_id,
+                      CASE WHEN (doc_id // 50) % 2 = 1 AND doc_id % 63 >= 32
+                           THEN xor(hash_hi,
+                                CAST(1 AS BIGINT) << CAST(doc_id % 63 - 32 AS INT))
+                           ELSE hash_hi END AS hash_hi,
+                      CASE WHEN (doc_id // 50) % 2 = 1 AND doc_id % 63 < 32
+                           THEN xor(hash_lo,
+                                CAST(1 AS BIGINT) << CAST(doc_id % 63 AS INT))
+                           ELSE hash_lo END AS hash_lo
+               FROM hsh0)"""
+
+
+@query(
+    "q351_image_hamming_neardup",
+    f"""WITH {_Q351_HASH_SQL},
+       bands AS (SELECT doc_id, 0 AS band, hash_hi AS v FROM hsh
+                 UNION ALL
+                 SELECT doc_id, 1, hash_lo // 65536 FROM hsh
+                 UNION ALL
+                 SELECT doc_id, 2, hash_lo % 65536 FROM hsh),
+       cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.v = b.v
+                 AND a.doc_id < b.doc_id),
+       ver AS (SELECT c.a, c.b,
+                      bit_count(xor(ha.hash_hi, hb.hash_hi))
+                      + bit_count(xor(ha.hash_lo, hb.hash_lo)) AS hamming
+               FROM cand c JOIN hsh ha ON ha.doc_id = c.a
+                           JOIN hsh hb ON hb.doc_id = c.b)
+       SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+       FROM ver WHERE hamming <= 2""",
+)
+def q351(spark, sf_dir):
+    """Image near-dup at Hamming <= 2 over the q145 perceptual aHash
+    — the TOLERANT tier of image dedup (re-encoded or lightly cropped
+    copies flip a bit or two; exact hash equality misses them):
+    3-band pigeonhole (32/16/16 bit slices — any pair within 2 flips
+    shares >= 1 intact band) generates candidates by band equi-join,
+    then the exact Hamming distance verifies via bit_count(xor) on
+    both 32-bit halves — identical integer semantics in Spark and
+    DuckDB.  A deterministic 1-bit perturbation on alternate class
+    repetitions ((doc_id div 50) % 2 — it must VARY within each
+    50-doc class; a doc_id%5 selector is constant per class, the
+    q323 fixture trap again) creates true Hamming-1 and Hamming-2
+    pairs inside every class at every SF.  Candidate volume is band-bucket
+    bounded (the q20/q101 SimHash contract applied to the image
+    tier), never all-pairs."""
+    from gdal_spark.operators.multimodal import image_ahash
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 50).cast("string").cast("binary")
+        .alias("content"),
+    )
+    h0 = image_ahash(docs)
+    hsh = h0.select(
+        "doc_id",
+        F.when(
+            (F.expr("doc_id div 50") % 2 == 1)
+            & (F.col("doc_id") % 63 >= 32),
+            F.expr("hash_hi ^ shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(doc_id % 63 - 32 AS INT))"),
+        ).otherwise(F.col("hash_hi")).alias("hash_hi"),
+        F.when(
+            (F.expr("doc_id div 50") % 2 == 1)
+            & (F.col("doc_id") % 63 < 32),
+            F.expr("hash_lo ^ shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(doc_id % 63 AS INT))"),
+        ).otherwise(F.col("hash_lo")).alias("hash_lo"),
+    ).localCheckpoint(eager=True)
+    bands = (
+        hsh.selectExpr("doc_id", "0 AS band", "hash_hi AS v")
+        .unionAll(hsh.selectExpr("doc_id", "1 AS band",
+                                 "hash_lo div 65536 AS v"))
+        .unionAll(hsh.selectExpr("doc_id", "2 AS band",
+                                 "hash_lo % 65536 AS v"))
+    )
+    b2 = bands.selectExpr("doc_id AS b", "band", "v")
+    cand = (
+        bands.join(b2, ["band", "v"])
+        .filter(F.col("doc_id") < F.col("b"))
+        .select(F.col("doc_id").alias("a"), "b")
+        .distinct()
+    )
+    ha = hsh.selectExpr("doc_id AS a", "hash_hi AS ahi", "hash_lo AS alo")
+    hb = hsh.selectExpr("doc_id AS b", "hash_hi AS bhi", "hash_lo AS blo")
+    ver = (
+        cand.join(ha, "a").join(hb, "b")
+        .select(
+            "a", "b",
+            (
+                F.bit_count(F.expr("ahi ^ bhi"))
+                + F.bit_count(F.expr("alo ^ blo"))
+            ).alias("hamming"),
+        )
+    )
+    return ver.filter(F.col("hamming") <= 2).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming"))

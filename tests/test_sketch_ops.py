@@ -859,3 +859,13 @@ def test_recrawl_budget_sums_to_k(spark):
     # (base 0+1 vs base 1+0) — fixture classes are 125/125/250 docs
     slots = {r.revisit_weight: r.slots for r in out}
     assert slots == {1: 125, 2: 125, 4: 750}
+
+
+def test_image_hamming_tiers_present(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q351_image_hamming_neardup"](spark, SF).collect()
+    dists = {r.hamming for r in out}
+    assert dists == {0, 1, 2}  # exact dups, 1-flip and 2-flip pairs
+    for r in out:
+        assert r.a < r.b
