@@ -363,6 +363,8 @@ HEADLINE = [
     "q349_crawl_yield",
     "q350_recrawl_budget",
     "q351_image_hamming_neardup",
+    "q352_storage_tiering",
+    "q353_modularity",
 ]
 
 

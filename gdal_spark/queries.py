@@ -19736,3 +19736,138 @@ def q351(spark, sf_dir):
     )
     return ver.filter(F.col("hamming") <= 2).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- storage tiering plan (q352) ----------------------------------------------
+
+
+@query(
+    "q352_storage_tiering",
+    """WITH ev AS (SELECT CAST(regexp_extract(props, '([0-9]+)', 1)
+                            AS BIGINT) AS item,
+                     CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+                   FROM events),
+       sp AS (SELECT max(d) AS dmax FROM ev),
+       a AS (SELECT item, count(*) AS n_acc, max(d) AS last_d
+             FROM ev GROUP BY item)
+       SELECT a.item,
+              CAST(a.n_acc AS BIGINT) AS n_accesses,
+              CAST(sp.dmax - a.last_d AS BIGINT) AS days_idle,
+              CASE WHEN sp.dmax - a.last_d <= 2 AND a.n_acc >= 50
+                   THEN 'hot'
+                   WHEN sp.dmax - a.last_d <= 7 THEN 'warm'
+                   ELSE 'cold' END AS tier
+       FROM a CROSS JOIN sp""",
+)
+def q352(spark, sf_dir):
+    """Storage tiering plan — the hot/warm/cold placement every
+    serving cache and object store runs nightly: per item, access
+    count and idle days (vs the observed max day), tier decided by
+    exact integer recency/frequency thresholds (hot: touched within
+    2 days AND >= 50 accesses; warm: within a week; cold otherwise).
+    One item-keyed rollup + a broadcast 1-row span — placement for
+    10^12 objects is a single combinable aggregation, and the tier
+    column drives the actual data movement job."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.regexp_extract("props", "([0-9]+)", 1).cast("long").alias("item"),
+        F.expr("CAST(unix_timestamp(ts) div 86400 AS BIGINT)").alias("d"),
+    )
+    sp = ev.agg(F.max("d").alias("dmax"))
+    a = ev.groupBy("item").agg(
+        F.count("*").alias("n_acc"), F.max("d").alias("last_d"))
+    return a.crossJoin(F.broadcast(sp)).select(
+        "item",
+        F.col("n_acc").cast("long").alias("n_accesses"),
+        (F.col("dmax") - F.col("last_d")).cast("long").alias("days_idle"),
+        F.when(
+            ((F.col("dmax") - F.col("last_d")) <= 2)
+            & (F.col("n_acc") >= 50), "hot",
+        ).when((F.col("dmax") - F.col("last_d")) <= 7, "warm")
+        .otherwise("cold").alias("tier"),
+    )
+
+
+# --- Newman modularity of the host partition (q353) ---------------------------
+
+
+@query(
+    "q353_modularity",
+    """WITH h AS (SELECT DISTINCT doc_id % 60 AS hh FROM documents),
+       e0 AS (SELECT hh, unnest([1, 2, 3]) AS j FROM h),
+       ed AS (SELECT DISTINCT least(hh, (hh * j + j * j * 7) % 60) AS u,
+                     greatest(hh, (hh * j + j * j * 7) % 60) AS v
+              FROM e0 WHERE hh <> (hh * j + j * j * 7) % 60),
+       m AS (SELECT count(*) AS m FROM ed),
+       deg AS (SELECT n, count(*) AS d FROM
+                 (SELECT u AS n FROM ed UNION ALL SELECT v FROM ed)
+               GROUP BY n),
+       comm AS (SELECT deg.n, deg.d, deg.n % 4 AS c FROM deg),
+       ein AS (SELECT u % 4 AS c, count(*) AS e_in FROM ed
+               WHERE u % 4 = v % 4 GROUP BY u % 4),
+       dsum AS (SELECT c, sum(d) AS d_c FROM comm GROUP BY c),
+       cell AS (SELECT dsum.c,
+                       coalesce(ein.e_in, 0) AS e_in,
+                       dsum.d_c,
+                       4 * m.m * coalesce(ein.e_in, 0)
+                         - dsum.d_c * dsum.d_c AS q_num_c
+                FROM dsum LEFT JOIN ein USING (c) CROSS JOIN m)
+       SELECT c AS community,
+              CAST(e_in AS BIGINT) AS e_in,
+              CAST(d_c AS BIGINT) AS degree_sum,
+              CAST(q_num_c AS BIGINT) AS q_num_c,
+              (SELECT CAST(4 * m.m * m.m AS BIGINT) FROM m) AS q_den
+       FROM cell""",
+)
+def q353(spark, sf_dir):
+    """Newman modularity of the host%4 partition — the community-
+    quality number (Q = sum_c [e_c/m - (d_c/2m)^2]) kept as EXACT
+    integer rationals: per community the numerator cell
+    4*m*e_c - d_c^2 over the shared denominator 4*m^2, so
+    Q = sum(q_num_c)/q_den with no float until a consumer divides.
+    Communities here are the deterministic host%4 blocks (the
+    partition under evaluation — in production the q94/q286
+    cluster labels); e_in and degree sums are two combinable
+    aggregations over the undirected edge list.  The sign of
+    sum(q_num_c) alone answers 'better than random?' — exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    h = docs.selectExpr("doc_id % 60 AS hh").distinct()
+    e0 = h.select(
+        "hh", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+    ).selectExpr("hh", "(hh * j + j * j * 7) % 60 AS t")
+    ed = (
+        e0.filter("hh <> t")
+        .selectExpr("least(hh, t) AS u", "greatest(hh, t) AS v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    m = ed.agg(F.count("*").alias("m"))
+    deg = (
+        ed.selectExpr("u AS n").unionAll(ed.selectExpr("v AS n"))
+        .groupBy("n").agg(F.count("*").alias("d"))
+    )
+    dsum = deg.groupBy((F.col("n") % 4).alias("c")).agg(
+        F.sum("d").alias("d_c"))
+    ein = (
+        ed.filter(F.col("u") % 4 == F.col("v") % 4)
+        .groupBy((F.col("u") % 4).alias("c"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    cell = (
+        dsum.join(ein, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "c",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "d_c",
+            (4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+             - F.col("d_c") * F.col("d_c")).alias("q_num_c"),
+            (4 * F.col("m") * F.col("m")).alias("q_den"),
+        )
+    )
+    return cell.select(
+        F.col("c").alias("community"),
+        F.col("e_in").cast("long").alias("e_in"),
+        F.col("d_c").cast("long").alias("degree_sum"),
+        F.col("q_num_c").cast("long").alias("q_num_c"),
+        F.col("q_den").cast("long").alias("q_den"),
+    )

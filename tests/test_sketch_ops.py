@@ -869,3 +869,31 @@ def test_image_hamming_tiers_present(spark):
     assert dists == {0, 1, 2}  # exact dups, 1-flip and 2-flip pairs
     for r in out:
         assert r.a < r.b
+
+
+def test_tiering_rules_exact(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q352_storage_tiering"](spark, SF).collect()
+    assert len(out) == 100
+    for r in out:
+        want = ("hot" if r.days_idle <= 2 and r.n_accesses >= 50
+                else "warm" if r.days_idle <= 7 else "cold")
+        assert r.tier == want
+
+
+def test_modularity_cells_consistent(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q353_modularity"](spark, SF).collect()
+    assert len(out) == 4
+    den = out[0].q_den
+    assert all(r.q_den == den for r in out)
+    m2 = den // 4  # m^2
+    import math
+
+    m = math.isqrt(m2)
+    assert m * m == m2
+    assert sum(r.degree_sum for r in out) == 2 * m  # handshake lemma
+    for r in out:
+        assert r.q_num_c == 4 * m * r.e_in - r.degree_sum ** 2
