@@ -365,6 +365,8 @@ HEADLINE = [
     "q351_image_hamming_neardup",
     "q352_storage_tiering",
     "q353_modularity",
+    "q354_glove_cooccurrence",
+    "q355_negative_sampling_table",
 ]
 
 

@@ -19871,3 +19871,139 @@ def q353(spark, sf_dir):
         F.col("q_num_c").cast("long").alias("q_num_c"),
         F.col("q_den").cast("long").alias("q_den"),
     )
+
+
+# --- distance-weighted co-occurrence counts (q354) ----------------------------
+
+
+@query(
+    "q354_glove_cooccurrence",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q354 oracle range bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       co AS (SELECT w[r.range] AS x, w[r.range + o.range] AS y,
+                     CASE WHEN o.range = 1 THEN 2 ELSE 1 END AS wgt
+              FROM s, range(1, 200) r, range(1, 3) o
+              WHERE r.range + o.range <= len(w)),
+       agg AS (SELECT x, y, sum(wgt) AS cowgt, count(*) AS n_pairs
+               FROM co GROUP BY x, y)
+       SELECT x, y,
+              CAST(cowgt AS BIGINT) AS cowgt,
+              CAST(n_pairs AS BIGINT) AS n_pairs
+       FROM agg, chk WHERE cowgt >= 100""",
+)
+def q354(spark, sf_dir):
+    """Distance-weighted co-occurrence counts (the GloVe X matrix
+    with the 1/d weighting made integer-exact: distance 1 scores 2,
+    distance 2 scores 1 — the 2/d scheme): forward window of 2,
+    position-exploded (the q240 gram-table shape — HOF per-row loops
+    measured and rejected for this), one (x, y)-keyed combinable sum,
+    head filtered at cowgt >= 100 to keep the output the matrix HEAD
+    the embedding trainer actually densifies.  At 10^12 tokens this
+    is THE co-occurrence shuffle; the window never widens the rows,
+    only the explode factor (2 here)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    co1 = s.select(
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 1), "
+            "i -> struct(w[i - 1] AS x, w[i] AS y))")).alias("p")
+    ).select("p.x", "p.y", F.lit(2).alias("wgt"))
+    co2 = s.filter(F.size("w") >= 3).select(
+        F.explode(F.expr(
+            "transform(sequence(1, size(w) - 2), "
+            "i -> struct(w[i - 1] AS x, w[i + 1] AS y))")).alias("p")
+    ).select("p.x", "p.y", F.lit(1).alias("wgt"))
+    co = co1.unionAll(co2)
+    agg = co.groupBy("x", "y").agg(
+        F.sum("wgt").alias("cowgt"), F.count("*").alias("n_pairs"))
+    return agg.filter(F.col("cowgt") >= 100).select(
+        "x", "y",
+        F.col("cowgt").cast("long").alias("cowgt"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+# --- negative-sampling table (q355) -------------------------------------------
+
+
+@query(
+    "q355_negative_sampling_table",
+    """WITH w AS (SELECT word, count(*) AS f FROM
+                    (SELECT unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       p AS (SELECT word, f,
+                    CAST(floor(sqrt(floor(sqrt(
+                      CAST(f AS DOUBLE) * CAST(f AS DOUBLE)
+                      * CAST(f AS DOUBLE))))) AS BIGINT) AS w34
+             FROM w),
+       t AS (SELECT sum(w34) AS tw FROM p),
+       q AS (SELECT p.word, p.f, p.w34,
+                    (p.w34 * 10000) // t.tw AS base,
+                    (p.w34 * 10000) % t.tw AS rem
+             FROM p CROSS JOIN t),
+       k AS (SELECT CAST(10000 - sum(base) AS BIGINT) AS n_extra FROM q),
+       rk AS (SELECT a.word,
+                     (SELECT count(*) FROM q b
+                      WHERE b.rem > a.rem
+                         OR (b.rem = a.rem AND b.word < a.word)) + 1
+                       AS rnk
+              FROM q a)
+       SELECT q.word, CAST(q.f AS BIGINT) AS freq,
+              CAST(q.w34 AS BIGINT) AS w34,
+              CAST(q.base + CASE WHEN rk.rnk <= k.n_extra THEN 1 ELSE 0
+                            END AS BIGINT) AS table_slots
+       FROM q JOIN rk USING (word) CROSS JOIN k""",
+)
+def q355(spark, sf_dir):
+    """word2vec negative-sampling table — the unigram^(3/4)
+    distribution (Mikolov) realized EXACTLY: f^(3/4) as the integer
+    floor(sqrt(floor(sqrt(f^3)))) (two correctly-rounded IEEE sqrts
+    + floors, identical in both engines — no pow), then 10000 table
+    slots apportioned by largest remainder with deterministic ties
+    (the q274/q350 Hamilton machinery), so slots sum to EXACTLY the
+    table size and the sampling table is reproducible forever.
+    Lexicon-bounded throughout; the down-weighting of the head
+    (f^0.75 flattens Zipf) is visible in slots/freq."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("f"))
+    )
+    p = w.select(
+        "word", "f",
+        F.floor(F.sqrt(F.floor(F.sqrt(
+            F.col("f").cast("double") * F.col("f").cast("double")
+            * F.col("f").cast("double")
+        )))).cast("long").alias("w34"),
+    )
+    t = p.agg(F.sum("w34").alias("tw"))
+    q = p.crossJoin(F.broadcast(t)).select(
+        "word", "f", "w34",
+        F.expr("(w34 * 10000) div tw").alias("base"),
+        ((F.col("w34") * 10000) % F.col("tw")).alias("rem"),
+    )
+    k = q.agg((10000 - F.sum("base")).alias("n_extra"))
+    b = q.selectExpr("word AS bw", "rem AS brem")
+    rk = (
+        q.join(
+            F.broadcast(b),
+            (F.col("brem") > F.col("rem"))
+            | ((F.col("brem") == F.col("rem"))
+               & (F.col("bw") < F.col("word"))),
+            "left",
+        )
+        .groupBy("word", "f", "w34", "base", "rem")
+        .agg((F.count("bw") + 1).alias("rnk"))
+    )
+    return rk.crossJoin(F.broadcast(k)).select(
+        "word",
+        F.col("f").cast("long").alias("freq"),
+        F.col("w34").cast("long").alias("w34"),
+        (F.col("base")
+         + F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0))
+        .cast("long").alias("table_slots"),
+    )

@@ -897,3 +897,29 @@ def test_modularity_cells_consistent(spark):
     assert sum(r.degree_sum for r in out) == 2 * m  # handshake lemma
     for r in out:
         assert r.q_num_c == 4 * m * r.e_in - r.degree_sum ** 2
+
+
+def test_cooccurrence_weights_bounded(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q354_glove_cooccurrence"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        # wgt 2 per d=1 pair, 1 per d=2: cowgt <= 2 * n_pairs
+        assert r.n_pairs <= r.cowgt <= 2 * r.n_pairs
+        assert r.cowgt >= 100
+
+
+def test_negative_sampling_table_exact(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q355_negative_sampling_table"](spark, SF).collect()
+    assert len(out) == 31
+    assert sum(r.table_slots for r in out) == 10000
+    for r in out:
+        assert r.w34 == int(int((r.freq ** 3) ** 0.5) ** 0.5) or \
+            abs(r.w34 - round(r.freq ** 0.75)) <= 1
+    # the 3/4 power flattens the head: slots/freq falls as freq rises
+    hi = max(out, key=lambda r: r.freq)
+    lo = min(out, key=lambda r: r.freq)
+    assert hi.table_slots * lo.freq < lo.table_slots * hi.freq
