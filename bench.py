@@ -367,6 +367,9 @@ HEADLINE = [
     "q353_modularity",
     "q354_glove_cooccurrence",
     "q355_negative_sampling_table",
+    "q356_epoch_shuffle",
+    "q357_dedup_decision_matrix",
+    "q358_license_propagation",
 ]
 
 

@@ -20007,3 +20007,232 @@ def q355(spark, sf_dir):
          + F.when(F.col("rnk") <= F.col("n_extra"), 1).otherwise(0))
         .cast("long").alias("table_slots"),
     )
+
+
+# --- deterministic epoch shuffling (q356) -------------------------------------
+
+
+@query(
+    "q356_epoch_shuffle",
+    """WITH d AS (SELECT doc_id FROM documents),
+       ep AS (SELECT e.range AS epoch, d.doc_id,
+                CAST(CAST('0x' || substr(md5('ep' ||
+                       CAST(e.range AS VARCHAR) || ':' ||
+                       CAST(d.doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+                     AS BIGINT) AS key
+              FROM d, range(0, 2) e),
+       rk AS (SELECT a.epoch, a.doc_id,
+                     (SELECT count(*) FROM ep b
+                      WHERE b.epoch = a.epoch
+                        AND (b.key < a.key
+                             OR (b.key = a.key AND b.doc_id < a.doc_id)))
+                       + 1 AS pos
+              FROM ep a)
+       SELECT epoch, CAST(pos AS BIGINT) AS pos,
+              CAST(doc_id AS BIGINT) AS doc_id
+       FROM rk WHERE pos <= 10""",
+)
+def q356(spark, sf_dir):
+    """Deterministic epoch shuffling — the reproducible training-data
+    order (seeded shuffles must replay bit-identically across
+    restarts and frameworks): each epoch's order key is the
+    md5-derived integer of ('ep'||epoch||':'||doc), and the emitted
+    head (first 10 positions of epochs 0 and 1) proves the orders
+    differ across epochs yet are fully deterministic.  Position =
+    count-of-smaller — at fixture scale a bounded self-join; at
+    10^12 docs the SAME key feeds a repartitionByRange+sort and the
+    count-of-smaller is never materialized (the key, not the rank,
+    is the contract)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ep = docs.crossJoin(
+        F.broadcast(spark.range(0, 2).selectExpr("id AS epoch"))
+    ).withColumn(
+        "key",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ep"), F.col("epoch").cast("string"),
+                               F.lit(":"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long"),
+    )
+    b = ep.selectExpr("epoch AS bep", "doc_id AS bd", "key AS bk")
+    rk = (
+        ep.join(
+            b,
+            (F.col("epoch") == F.col("bep"))
+            & ((F.col("bk") < F.col("key"))
+               | ((F.col("bk") == F.col("key"))
+                  & (F.col("bd") < F.col("doc_id")))),
+            "left",
+        )
+        .groupBy("epoch", "doc_id")
+        .agg((F.count("bd") + 1).alias("pos"))
+    )
+    return rk.filter(F.col("pos") <= 10).select(
+        "epoch",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+
+
+# --- fused dedup decision matrix (q357) ---------------------------------------
+
+
+@query(
+    "q357_dedup_decision_matrix",
+    """WITH src AS (SELECT doc_id,
+                     CASE WHEN doc_id % 30 = 7 THEN
+                       (CASE WHEN (doc_id // 30) % 2 = 0
+                             THEN 'alpha' ELSE 'Alpha' END)
+                       || ' beta gamma delta five six seven eight nine ten'
+                       || ' tail' || CAST(doc_id % 7 AS VARCHAR)
+                     ELSE text END AS body
+                   FROM documents),
+       d AS (SELECT doc_id,
+                    md5(body) AS h_exact,
+                    md5(lower(regexp_replace(regexp_replace(body,
+                        '[^a-zA-Z0-9]+', ' ', 'g'), ' +', ' ', 'g')))
+                      AS h_norm,
+                    md5(array_to_string(string_split(body, ' ')[1:8], ' '))
+                      AS h_prefix
+                  FROM src),
+       fe AS (SELECT h_exact, min(doc_id) AS k FROM d GROUP BY h_exact),
+       fn AS (SELECT h_norm, min(doc_id) AS k FROM d GROUP BY h_norm),
+       fp AS (SELECT h_prefix, min(doc_id) AS k FROM d
+              GROUP BY h_prefix),
+       m AS (SELECT d.doc_id,
+                    CASE WHEN fe.k < d.doc_id THEN 1 ELSE 0 END AS dup_e,
+                    CASE WHEN fn.k < d.doc_id THEN 1 ELSE 0 END AS dup_n,
+                    CASE WHEN fp.k < d.doc_id THEN 1 ELSE 0 END AS dup_p
+             FROM d JOIN fe USING (h_exact) JOIN fn USING (h_norm)
+                    JOIN fp USING (h_prefix))
+       SELECT dup_e AS dup_exact, dup_n AS dup_normalized,
+              dup_p AS dup_prefix,
+              CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(CASE WHEN dup_e = 0 AND dup_n = 0 AND dup_p = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+       FROM m GROUP BY dup_e, dup_n, dup_p""",
+)
+def q357(spark, sf_dir):
+    """Fused dedup decision matrix — the FINAL keep/drop gate a
+    corpus release applies, with all three dedup keys evaluated in
+    ONE pass (exact md5, CCNet-normalized md5, 8-word-prefix md5 —
+    each level's min-id keeper decides 'am I the first?'), and the
+    full 2^3 agreement matrix emitted (which levels fire together —
+    the column that justifies running the cheaper level first).
+    Three hash groupBys + three equi-joins back, the q318/q329
+    fused-membership pattern at dedup granularity; a doc survives
+    iff it is the keeper at EVERY level.  Case-variant template docs
+    (doc_id%30==7, alternating 'alpha'/'Alpha' leads) populate the
+    partial-agreement cells: casing kills the exact/prefix match but
+    not the normalized one."""
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 30 == 7,
+            F.concat(
+                F.when(F.expr("(doc_id div 30) % 2") == 0,
+                       F.lit("alpha")).otherwise(F.lit("Alpha")),
+                F.lit(" beta gamma delta five six seven eight nine ten"
+                      " tail"),
+                (F.col("doc_id") % 7).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("body"),
+    )
+    d = src.select(
+        "doc_id",
+        F.md5("body").alias("h_exact"),
+        F.md5(
+            F.lower(F.regexp_replace(
+                F.regexp_replace("body", "[^a-zA-Z0-9]+", " "),
+                " +", " "))
+        ).alias("h_norm"),
+        F.md5(F.array_join(F.slice(F.split("body", " "), 1, 8), " "))
+        .alias("h_prefix"),
+    )
+    fe = d.groupBy("h_exact").agg(F.min("doc_id").alias("ke"))
+    fn = d.groupBy("h_norm").agg(F.min("doc_id").alias("kn"))
+    fp = d.groupBy("h_prefix").agg(F.min("doc_id").alias("kp"))
+    m = (
+        d.join(fe, "h_exact").join(fn, "h_norm").join(fp, "h_prefix")
+        .select(
+            F.when(F.col("ke") < F.col("doc_id"), 1).otherwise(0)
+            .alias("dup_e"),
+            F.when(F.col("kn") < F.col("doc_id"), 1).otherwise(0)
+            .alias("dup_n"),
+            F.when(F.col("kp") < F.col("doc_id"), 1).otherwise(0)
+            .alias("dup_p"),
+        )
+    )
+    return m.groupBy(
+        F.col("dup_e").alias("dup_exact"),
+        F.col("dup_n").alias("dup_normalized"),
+        F.col("dup_p").alias("dup_prefix"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("dup_e") == 0) & (F.col("dup_n") == 0)
+                   & (F.col("dup_p") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_keep"),
+    )
+
+
+# --- license propagation through dup clusters (q358) --------------------------
+
+
+@query(
+    "q358_license_propagation",
+    """WITH d AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 11 = 0
+                        THEN 'shared licensed body' ELSE text END) AS h,
+                    CASE WHEN doc_id % 44 = 0 THEN 1 ELSE 0 END
+                      AS flagged_src
+                  FROM documents),
+       cl AS (SELECT h, max(flagged_src) AS any_flagged,
+                     count(*) AS cluster_size
+              FROM d GROUP BY h)
+       SELECT d.doc_id,
+              CAST(d.flagged_src AS BIGINT) AS flagged_src,
+              CAST(cl.any_flagged AS BIGINT) AS flagged_effective,
+              CAST(cl.cluster_size AS BIGINT) AS cluster_size
+       FROM d JOIN cl USING (h)
+       WHERE cl.any_flagged = 1 OR d.flagged_src = 1""",
+)
+def q358(spark, sf_dir):
+    """License/compliance propagation through duplicate clusters —
+    if ANY copy of a text carries a restrictive license or takedown
+    flag, EVERY copy inherits it (content rights attach to the
+    work, not the URL): exact-hash clusters take the max flag and
+    every member reads the cluster verdict.  The planted template on
+    doc_id%11==0 forms one big cluster; flags originate on the
+    doc_id%44==0 subset, so most flagged_effective rows have
+    flagged_src=0 — inheritance doing the work.  One hash groupBy +
+    one equi-join back; at corpus scale this runs as part of the
+    dedup pass for free."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 11 == 0, F.lit("shared licensed body"))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+        F.when(F.col("doc_id") % 44 == 0, 1).otherwise(0)
+        .alias("flagged_src"),
+    )
+    cl = d.groupBy("h").agg(
+        F.max("flagged_src").alias("any_flagged"),
+        F.count("*").alias("cluster_size"),
+    )
+    return (
+        d.join(cl, "h")
+        .filter((F.col("any_flagged") == 1) | (F.col("flagged_src") == 1))
+        .select(
+            "doc_id",
+            F.col("flagged_src").cast("long").alias("flagged_src"),
+            F.col("any_flagged").cast("long").alias("flagged_effective"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )

@@ -923,3 +923,43 @@ def test_negative_sampling_table_exact(spark):
     hi = max(out, key=lambda r: r.freq)
     lo = min(out, key=lambda r: r.freq)
     assert hi.table_slots * lo.freq < lo.table_slots * hi.freq
+
+
+def test_epoch_orders_differ(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q356_epoch_shuffle"](spark, SF).collect()
+    e0 = [r.doc_id for r in sorted(out, key=lambda r: r.pos)
+          if r.epoch == 0]
+    e1 = [r.doc_id for r in sorted(out, key=lambda r: r.pos)
+          if r.epoch == 1]
+    assert len(e0) == len(e1) == 10
+    assert e0 != e1  # different epochs shuffle differently
+
+
+def test_dedup_matrix_partial_cells(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q357_dedup_decision_matrix"](spark, SF).collect()
+    cells = {(r.dup_exact, r.dup_normalized, r.dup_prefix): r.n
+             for r in out}
+    assert (0, 0, 0) in cells  # keepers
+    assert (0, 1, 0) in cells  # normalized-only dups (case variants)
+    assert sum(cells.values()) == 500
+    for r in out:
+        if (r.dup_exact, r.dup_normalized, r.dup_prefix) == (0, 0, 0):
+            assert r.n_keep == r.n
+        else:
+            assert r.n_keep == 0
+
+
+def test_license_inheritance(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q358_license_propagation"](spark, SF).collect()
+    assert len(out) > 0
+    inherited = [r for r in out
+                 if r.flagged_effective == 1 and r.flagged_src == 0]
+    assert len(inherited) > 0  # inheritance did real work
+    for r in out:
+        assert r.flagged_effective >= r.flagged_src
