@@ -20125,9 +20125,10 @@ def q357(spark, sf_dir):
     Three hash groupBys + three equi-joins back, the q318/q329
     fused-membership pattern at dedup granularity; a doc survives
     iff it is the keeper at EVERY level.  Case-variant template docs
-    (doc_id%30==7, alternating 'alpha'/'Alpha' leads) populate the
-    partial-agreement cells: casing kills the exact/prefix match but
-    not the normalized one."""
+    (doc_id%30==7, alternating 'alpha'/'Alpha' leads, tail outside
+    the 8-word prefix) plus natural first-8-word collisions populate
+    the partial-agreement cells — prefix-only and normalized+prefix
+    dups both occur, so the levels provably dissociate."""
     docs = _t(spark, sf_dir, "documents")
     src = docs.select(
         "doc_id",

