@@ -370,6 +370,8 @@ HEADLINE = [
     "q356_epoch_shuffle",
     "q357_dedup_decision_matrix",
     "q358_license_propagation",
+    "q359_redirect_resolution",
+    "q360_hreflang_symmetry",
 ]
 
 

@@ -20237,3 +20237,146 @@ def q358(spark, sf_dir):
             F.col("cluster_size").cast("long").alias("cluster_size"),
         )
     )
+
+
+# --- redirect/canonical chain resolution (q359) -------------------------------
+
+
+@query(
+    "q359_redirect_resolution",
+    """WITH f AS (SELECT doc_id AS src,
+                    CASE WHEN doc_id % 97 = 95 THEN doc_id + 1
+                         WHEN doc_id % 97 = 96 THEN doc_id - 1
+                         WHEN doc_id % 3 = 0 AND doc_id % 97 < 95
+                              THEN (doc_id // 3) * 3 + 300
+                         ELSE doc_id END AS nxt
+                  FROM documents),
+       uni AS (SELECT src, CASE WHEN nxt IN (SELECT src FROM f)
+                                THEN nxt ELSE src END AS nxt
+               FROM f),
+       j1 AS (SELECT a.src, b.nxt FROM uni a JOIN uni b
+              ON b.src = a.nxt),
+       j2 AS (SELECT a.src, b.nxt FROM j1 a JOIN j1 b
+              ON b.src = a.nxt),
+       j3 AS (SELECT a.src, b.nxt FROM j2 a JOIN j2 b
+              ON b.src = a.nxt),
+       res AS (SELECT j3.src, j3.nxt AS target,
+                      CASE WHEN u.nxt = j3.nxt THEN 0 ELSE 1 END
+                        AS in_loop
+               FROM j3 JOIN uni u ON u.src = j3.nxt)
+       SELECT src, CAST(target AS BIGINT) AS target,
+              CAST(in_loop AS BIGINT) AS in_loop
+       FROM res WHERE src <> target OR in_loop = 1""",
+)
+def q359(spark, sf_dir):
+    """Redirect/canonical chain resolution with LOOP detection — the
+    crawl-side URL canonicalization that must terminate even on
+    misconfigured sites: a functional next-hop graph (every third
+    page redirects toward a hub; a planted 2-cycle on doc_id%97 in
+    {95,96} models the classic A<->B redirect loop), resolved by
+    THREE pointer-doubling jumps (depth 8 — chains here are <= 2
+    hops; the doubling count is log2(max depth), the q94/q33 CC
+    contract) with off-graph targets self-absorbed; a page whose
+    depth-8 pointer still MOVES is in a loop and flagged instead of
+    resolved.  Emitted: every redirected page's final target or loop
+    flag."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "doc_id AS src",
+        """CASE WHEN doc_id % 97 = 95 THEN doc_id + 1
+                WHEN doc_id % 97 = 96 THEN doc_id - 1
+                WHEN doc_id % 3 = 0 AND doc_id % 97 < 95
+                     THEN (doc_id div 3) * 3 + 300
+                ELSE doc_id END AS nxt""",
+    )
+    srcs = f.select(F.col("src").alias("s2")).distinct()
+    uni = (
+        f.join(srcs, f.nxt == F.col("s2"), "left")
+        .select(
+            "src",
+            F.when(F.col("s2").isNotNull(), F.col("nxt"))
+            .otherwise(F.col("src")).alias("nxt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    j = uni
+    for _ in range(3):
+        b = j.selectExpr("src AS bs", "nxt AS bn")
+        j = (
+            j.join(b, j.nxt == F.col("bs"))
+            .select("src", F.col("bn").alias("nxt"))
+            .localCheckpoint(eager=True)
+        )
+    res = (
+        j.join(uni.selectExpr("src AS ts", "nxt AS tn"),
+               j.nxt == F.col("ts"))
+        .select(
+            "src", F.col("nxt").alias("target"),
+            F.when(F.col("tn") == F.col("nxt"), 0).otherwise(1)
+            .alias("in_loop"),
+        )
+    )
+    return res.filter(
+        (F.col("src") != F.col("target")) | (F.col("in_loop") == 1)
+    ).select(
+        "src",
+        F.col("target").cast("long").alias("target"),
+        F.col("in_loop").cast("long").alias("in_loop"),
+    )
+
+
+# --- hreflang symmetry audit (q360) -------------------------------------------
+
+
+@query(
+    "q360_hreflang_symmetry",
+    """WITH decl AS (SELECT doc_id AS a,
+                       (doc_id + 250) % 500 AS b
+                     FROM documents WHERE doc_id % 2 = 0
+                     UNION ALL
+                     SELECT doc_id, (doc_id + 250) % 500
+                     FROM documents
+                     WHERE doc_id % 2 = 1 AND doc_id % 7 <> 1),
+       sym AS (SELECT d.a, d.b,
+                      CASE WHEN r.a IS NOT NULL THEN 1 ELSE 0 END
+                        AS reciprocated
+               FROM decl d LEFT JOIN decl r
+                 ON r.a = d.b AND r.b = d.a)
+       SELECT CAST(a % 10 AS BIGINT) AS bucket,
+              CAST(count(*) AS BIGINT) AS n_declared,
+              CAST(sum(reciprocated) AS BIGINT) AS n_reciprocated,
+              CAST(count(*) - sum(reciprocated) AS BIGINT) AS n_broken
+       FROM sym GROUP BY a % 10""",
+)
+def q360(spark, sf_dir):
+    """hreflang symmetry audit — the SEO/i18n correctness check
+    (language-alternate annotations must be RECIPROCAL; a one-way
+    declaration is ignored by crawlers and silently loses the
+    pairing): the declared alternate-pair table self-joins reversed,
+    and unreciprocated declarations are counted per bucket.  Odd
+    pages with doc_id%7==1 deliberately omit their back-declaration,
+    so ~7% of pairs break — the audit localizes exactly those.  One
+    self-equi-join on the (b, a) key — the q257 reciprocity shape
+    applied to annotation QA."""
+    docs = _t(spark, sf_dir, "documents")
+    even = docs.filter(F.col("doc_id") % 2 == 0).selectExpr(
+        "doc_id AS a", "(doc_id + 250) % 500 AS b")
+    odd = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 != 1)
+    ).selectExpr("doc_id AS a", "(doc_id + 250) % 500 AS b")
+    decl = even.unionAll(odd).localCheckpoint(eager=True)
+    r = decl.selectExpr("a AS rb", "b AS ra")
+    sym = decl.join(
+        r, (F.col("ra") == F.col("a")) & (F.col("rb") == F.col("b")),
+        "left",
+    ).select(
+        "a", "b",
+        F.when(F.col("ra").isNotNull(), 1).otherwise(0)
+        .alias("reciprocated"),
+    )
+    return sym.groupBy((F.col("a") % 10).alias("bucket")).agg(
+        F.count("*").cast("long").alias("n_declared"),
+        F.sum("reciprocated").cast("long").alias("n_reciprocated"),
+        (F.count("*") - F.sum("reciprocated")).cast("long")
+        .alias("n_broken"),
+    )

@@ -967,3 +967,27 @@ def test_license_inheritance(spark):
     assert len(inherited) > 0  # inheritance did real work
     for r in out:
         assert r.flagged_effective >= r.flagged_src
+
+
+def test_redirect_loops_flagged(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q359_redirect_resolution"](spark, SF).collect()
+    loops = {r.src for r in out if r.in_loop == 1}
+    # the planted 2-cycle members (doc_id%97 in {95,96}) are looped
+    expect = {d for d in range(500) if d % 97 in (95, 96)}
+    assert loops == expect
+    for r in out:
+        if r.in_loop == 0:
+            assert r.target != r.src
+
+
+def test_hreflang_breaks_localized(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q360_hreflang_symmetry"](spark, SF).collect()
+    tot_break = sum(r.n_broken for r in out)
+    tot_decl = sum(r.n_declared for r in out)
+    assert 0 < tot_break < tot_decl // 5  # ~7% planted breakage
+    for r in out:
+        assert r.n_reciprocated + r.n_broken == r.n_declared
