@@ -372,6 +372,8 @@ HEADLINE = [
     "q358_license_propagation",
     "q359_redirect_resolution",
     "q360_hreflang_symmetry",
+    "q361_index_shard_merge",
+    "q362_highlight_offsets",
 ]
 
 

@@ -20380,3 +20380,117 @@ def q360(spark, sf_dir):
         (F.count("*") - F.sum("reciprocated")).cast("long")
         .alias("n_broken"),
     )
+
+
+# --- index shard-merge reconciliation (q361) ----------------------------------
+
+
+@query(
+    "q361_index_shard_merge",
+    """WITH p AS (SELECT DISTINCT word, doc_id FROM
+                    (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                     FROM documents)),
+       sa AS (SELECT word, count(*) AS df_a FROM p
+              WHERE doc_id % 2 = 0 GROUP BY word),
+       sb AS (SELECT word, count(*) AS df_b FROM p
+              WHERE doc_id % 2 = 1 GROUP BY word),
+       g AS (SELECT word, count(*) AS df_g FROM p GROUP BY word)
+       SELECT g.word,
+              CAST(coalesce(sa.df_a, 0) AS BIGINT) AS df_shard_a,
+              CAST(coalesce(sb.df_b, 0) AS BIGINT) AS df_shard_b,
+              CAST(g.df_g AS BIGINT) AS df_merged,
+              CAST(CASE WHEN coalesce(sa.df_a, 0) + coalesce(sb.df_b, 0)
+                             = g.df_g THEN 1 ELSE 0 END AS BIGINT)
+                AS merge_consistent
+       FROM g LEFT JOIN sa USING (word) LEFT JOIN sb USING (word)""",
+)
+def q361(spark, sf_dir):
+    """Index shard-merge reconciliation — the correctness audit run
+    after merging per-shard partial indexes (doc-partitioned shards
+    mean per-term df must ADD exactly; any inconsistency pinpoints a
+    doc double-indexed or dropped at the shard boundary): per term,
+    both shard dfs, the merged df, and the exact additivity flag.
+    Three postings aggregations sharing one scan — the audit every
+    segment-merge (Lucene-style) runs before swapping the new
+    segment in; at 10^12 postings the reconciliation is
+    term-sharded and combinable."""
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    sa = p.filter(F.col("doc_id") % 2 == 0).groupBy("word").agg(
+        F.count("*").alias("df_a"))
+    sb = p.filter(F.col("doc_id") % 2 == 1).groupBy("word").agg(
+        F.count("*").alias("df_b"))
+    g = p.groupBy("word").agg(F.count("*").alias("df_g"))
+    return (
+        g.join(sa, "word", "left").join(sb, "word", "left")
+        .select(
+            "word",
+            F.coalesce("df_a", F.lit(0)).cast("long").alias("df_shard_a"),
+            F.coalesce("df_b", F.lit(0)).cast("long").alias("df_shard_b"),
+            F.col("df_g").cast("long").alias("df_merged"),
+            F.when(
+                F.coalesce("df_a", F.lit(0)) + F.coalesce("df_b", F.lit(0))
+                == F.col("df_g"), 1,
+            ).otherwise(0).cast("long").alias("merge_consistent"),
+        )
+    )
+
+
+# --- snippet highlight char offsets (q362) ------------------------------------
+
+
+@query(
+    "q362_highlight_offsets",
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+       chk AS (SELECT CASE WHEN max(len(w)) > 199
+                      THEN error('q362 oracle range bound exceeded')
+                      ELSE 1 END AS ok FROM s),
+       hits AS (SELECT doc_id, r.range AS pos,
+                       CASE WHEN r.range = 1 THEN 0
+                            ELSE len(array_to_string(
+                                   w[1:r.range - 1], ' ')) + 1 END
+                         AS char_start
+                FROM s, range(1, 200) r
+                WHERE r.range <= len(w) AND w[r.range] = 'merge')
+       SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+              CAST(char_start AS BIGINT) AS char_start,
+              CAST(char_start + 5 AS BIGINT) AS char_end
+       FROM hits, chk""",
+)
+def q362(spark, sf_dir):
+    """Snippet highlight character offsets — the serving-UI detail
+    that turns a match position into <em> byte ranges: for every
+    occurrence of the probe term, the exact character offset (length
+    of the joined prefix words + one separator; position 1 starts at
+    0) and the end offset.  Derived entirely from the SAME split the
+    tokenizer used, so offsets can never drift from tokenization —
+    the invariant highlighters break when they re-tokenize.
+    Per-row linear array work at scan speed (the q295 KWIC shape
+    emitting offsets instead of windows)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.select("doc_id", F.split("text", " ").alias("w"))
+    hits = s.select(
+        "doc_id",
+        F.explode(
+            F.expr("filter(sequence(1, size(w)), i -> w[i - 1] = 'merge')")
+        ).alias("pos"),
+        "w",
+    ).select(
+        "doc_id", "pos",
+        F.when(F.col("pos") == 1, 0).otherwise(
+            F.length(
+                F.array_join(
+                    F.expr("slice(w, 1, CAST(pos AS INT) - 1)"), " ")
+            ) + 1
+        ).alias("char_start"),
+    )
+    return hits.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("char_start").cast("long").alias("char_start"),
+        (F.col("char_start") + 5).cast("long").alias("char_end"),
+    )

@@ -1018,3 +1018,25 @@ def test_hreflang_breaks_localized(spark):
     assert 0 < tot_break < tot_decl // 5  # ~7% planted breakage
     for r in out:
         assert r.n_reciprocated + r.n_broken == r.n_declared
+
+
+def test_shard_merge_always_consistent(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q361_index_shard_merge"](spark, SF).collect()
+    assert len(out) == 31
+    # doc-partitioned shards are disjoint: additivity must hold
+    assert all(r.merge_consistent == 1 for r in out)
+    assert all(r.df_shard_a + r.df_shard_b == r.df_merged for r in out)
+
+
+def test_highlight_offsets_are_exact(spark):
+    from gdal_spark import queries as Q
+    from gdal_spark.queries import _t
+
+    out = Q.QUERIES["q362_highlight_offsets"](spark, SF).collect()
+    assert len(out) > 0
+    texts = {r.doc_id: r.text for r in
+             _t(spark, SF, "documents").select("doc_id", "text").collect()}
+    for r in out[:200]:
+        assert texts[r.doc_id][r.char_start:r.char_end] == "merge"
