@@ -374,6 +374,8 @@ HEADLINE = [
     "q360_hreflang_symmetry",
     "q361_index_shard_merge",
     "q362_highlight_offsets",
+    "q363_weak_supervision_vote",
+    "q364_release_pipeline",
 ]
 
 

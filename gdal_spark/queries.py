@@ -20494,3 +20494,135 @@ def q362(spark, sf_dir):
         F.col("char_start").cast("long").alias("char_start"),
         (F.col("char_start") + 5).cast("long").alias("char_end"),
     )
+
+
+# --- weak-supervision label vote (q363) ---------------------------------------
+
+
+@query(
+    "q363_weak_supervision_vote",
+    """WITH f AS (SELECT doc_id,
+                    CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS r_len,
+                    CASE WHEN len(list_filter(string_split(text, ' '),
+                           x -> x IN ('the', 'and', 'of', 'a'))) >= 2
+                         THEN 1 ELSE 0 END AS r_stop,
+                    CASE WHEN lang IN ('en', 'es', 'de', 'fr')
+                         THEN 1 ELSE 0 END AS r_lang
+                  FROM documents),
+       v AS (SELECT doc_id, r_len, r_stop, r_lang,
+                    r_len + r_stop + r_lang AS votes
+             FROM f)
+       SELECT CAST(votes AS BIGINT) AS votes,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(sum(CASE WHEN votes >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_keep,
+              CAST(sum(CASE WHEN r_len = r_stop AND r_stop = r_lang
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unanimous
+       FROM v GROUP BY votes""",
+)
+def q363(spark, sf_dir):
+    """Weak-supervision label vote (Snorkel-lite) — three cheap
+    labeling functions (length, stopword presence, language
+    allowlist) combined by MAJORITY VOTE, with the per-vote-level
+    histogram and unanimity counts that diagnose labeling-function
+    agreement (the number the label-model's learned weights replace).
+    One projection + one rollup, all rules exact integer tests —
+    the shape under every programmatic-labeling pipeline before a
+    trained model exists."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("r_len"),
+        F.when(
+            F.size(F.filter(
+                F.split("text", " "),
+                lambda x: x.isin("the", "and", "of", "a"))) >= 2, 1,
+        ).otherwise(0).alias("r_stop"),
+        F.when(F.col("lang").isin("en", "es", "de", "fr"), 1).otherwise(0)
+        .alias("r_lang"),
+    )
+    v = f.select(
+        "doc_id", "r_len", "r_stop", "r_lang",
+        (F.col("r_len") + F.col("r_stop") + F.col("r_lang")).alias("votes"),
+    )
+    return v.groupBy("votes").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("votes") >= 2, 1).otherwise(0)).cast("long")
+        .alias("n_keep"),
+        F.sum(
+            F.when((F.col("r_len") == F.col("r_stop"))
+                   & (F.col("r_stop") == F.col("r_lang")), 1).otherwise(0)
+        ).cast("long").alias("n_unanimous"),
+    ).select(
+        F.col("votes").cast("long").alias("votes"),
+        "n_docs", "n_keep", "n_unanimous",
+    )
+
+
+# --- web release pipeline rollup (q364) ---------------------------------------
+
+
+@query(
+    "q364_release_pipeline",
+    """WITH d AS (SELECT doc_id, source, text, lang, n_chars,
+                         md5(text) AS h,
+                         len(string_split(text, ' ')) AS lw
+                  FROM documents),
+       gated AS (SELECT *,
+                   CASE WHEN n_chars >= 150 AND lang IN ('en', 'es')
+                        THEN 1 ELSE 0 END AS pass_gate
+                 FROM d),
+       keep AS (SELECT g.*, 
+                       CASE WHEN g.pass_gate = 1 AND k.keeper = g.doc_id
+                            THEN 1 ELSE 0 END AS kept
+               FROM gated g LEFT JOIN
+                 (SELECT h, min(doc_id) AS keeper FROM gated
+                  WHERE pass_gate = 1 GROUP BY h) k ON k.h = g.h)
+       SELECT source,
+              CAST(count(*) AS BIGINT) AS docs_in,
+              CAST(sum(pass_gate) AS BIGINT) AS docs_after_gate,
+              CAST(sum(kept) AS BIGINT) AS docs_released,
+              CAST(sum(CASE WHEN kept = 1
+                       THEN (lw + 14) // 15 ELSE 0 END) AS BIGINT)
+                AS n_passages
+       FROM keep GROUP BY source""",
+)
+def q364(spark, sf_dir):
+    """Web release pipeline rollup — gate -> dedup -> chunk in ONE
+    composed plan per source (the q146 training-pipeline pattern on
+    the release side): the quality gate (length + language), the
+    exact-dedup keeper decision applied ONLY among gated docs (the
+    keeper must be a released doc, not a rejected one — the ordering
+    bug release pipelines actually hit), and the q302-stride passage
+    count ceil(words/15) for what ships.  One scan + one hash
+    groupBy + one source rollup — the per-source release dashboard
+    row."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("lw"),
+    )
+    gated = d.withColumn(
+        "pass_gate",
+        F.when((F.col("n_chars") >= 150)
+               & (F.col("lang").isin("en", "es")), 1).otherwise(0),
+    )
+    k = (
+        gated.filter(F.col("pass_gate") == 1)
+        .groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    )
+    keep = gated.join(k, "h", "left").withColumn(
+        "kept",
+        F.when((F.col("pass_gate") == 1)
+               & (F.col("keeper") == F.col("doc_id")), 1).otherwise(0),
+    )
+    return keep.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_in"),
+        F.sum("pass_gate").cast("long").alias("docs_after_gate"),
+        F.sum("kept").cast("long").alias("docs_released"),
+        F.sum(
+            F.when(F.col("kept") == 1,
+                   F.expr("(lw + 14) div 15")).otherwise(0)
+        ).cast("long").alias("n_passages"),
+    )

@@ -1040,3 +1040,28 @@ def test_highlight_offsets_are_exact(spark):
              _t(spark, SF, "documents").select("doc_id", "text").collect()}
     for r in out[:200]:
         assert texts[r.doc_id][r.char_start:r.char_end] == "merge"
+
+
+def test_weak_supervision_vote_levels(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.votes: r for r in
+           Q.QUERIES["q363_weak_supervision_vote"](spark, SF).collect()}
+    assert set(out) <= {0, 1, 2, 3}
+    assert sum(r.n_docs for r in out.values()) == 500
+    for v, r in out.items():
+        assert r.n_keep == (r.n_docs if v >= 2 else 0)
+        if v in (0, 3):
+            assert r.n_unanimous == r.n_docs
+
+
+def test_release_pipeline_monotone(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q364_release_pipeline"](spark, SF).collect()
+    assert len(out) == 20
+    assert sum(r.docs_in for r in out) == 500
+    for r in out:
+        assert r.docs_released <= r.docs_after_gate <= r.docs_in
+        if r.docs_released > 0:
+            assert r.n_passages >= r.docs_released  # >=1 passage/doc
