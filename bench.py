@@ -376,6 +376,8 @@ HEADLINE = [
     "q362_highlight_offsets",
     "q363_weak_supervision_vote",
     "q364_release_pipeline",
+    "q365_binary_embedding_recall",
+    "q366_skew_report",
 ]
 
 

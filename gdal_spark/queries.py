@@ -20626,3 +20626,173 @@ def q364(spark, sf_dir):
                    F.expr("(lw + 14) div 15")).otherwise(0)
         ).cast("long").alias("n_passages"),
     )
+
+
+# --- binary-quantized embedding recall (q365) ---------------------------------
+
+
+@query(
+    "q365_binary_embedding_recall",
+    """WITH v AS (SELECT vec_id, list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                    AS qv
+             FROM embeddings),
+       bits AS (SELECT vec_id,
+                  CAST(list_sum(list_transform(range(1, 33),
+                    i -> CASE WHEN qv[i] > 0
+                         THEN CAST(1 AS BIGINT) << CAST(i - 1 AS INT)
+                         ELSE 0 END)) AS BIGINT) AS b_lo,
+                  CAST(list_sum(list_transform(range(33, 65),
+                    i -> CASE WHEN qv[i] > 0
+                         THEN CAST(1 AS BIGINT) << CAST(i - 33 AS INT)
+                         ELSE 0 END)) AS BIGINT) AS b_hi
+                FROM v),
+       q AS (SELECT vec_id AS qid, qv AS qqv FROM v
+             WHERE vec_id % 10 = 0),
+       qb AS (SELECT b.vec_id AS qid, b.b_lo AS q_lo, b.b_hi AS q_hi
+              FROM bits b WHERE b.vec_id % 10 = 0),
+       pr AS (SELECT q.qid, v.vec_id AS cand,
+                 CAST(list_sum(list_transform(list_zip(q.qqv, v.qv),
+                      s -> s[1]*s[2])) AS BIGINT) AS dot_full
+              FROM q JOIN v ON v.vec_id <> q.qid),
+       ph AS (SELECT qb.qid, b.vec_id AS cand,
+                     bit_count(xor(qb.q_lo, b.b_lo))
+                     + bit_count(xor(qb.q_hi, b.b_hi)) AS hamming
+              FROM qb JOIN bits b ON b.vec_id <> qb.qid),
+       rf AS (SELECT qid, cand,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY dot_full DESC, cand ASC) AS rnk
+              FROM pr),
+       rb AS (SELECT qid, cand,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY hamming ASC, cand ASC) AS rnk
+              FROM ph)
+       SELECT rf.qid, CAST(count(rb.cand) AS BIGINT) AS overlap5
+       FROM rf LEFT JOIN rb
+         ON rb.qid = rf.qid AND rb.cand = rf.cand AND rb.rnk <= 5
+       WHERE rf.rnk <= 5
+       GROUP BY rf.qid""",
+)
+def q365(spark, sf_dir):
+    """Binary-quantized (1-bit) embedding recall@5 — the 32x-
+    compression tier every vector store now ships (sign-bit vectors,
+    Hamming distance ranking): each 64-dim vector packs its sign
+    bits into two 32-bit halves, candidates rank by
+    bit_count(xor) Hamming (ties to lowest id) and the overlap with
+    the exact integer-dot top-5 measures what 1-bit quantization
+    keeps.  The complement of q292's dimension truncation — together
+    they bracket the memory/recall tradeoff surface; same
+    per-query ranking-window caveat (IVF-prefiltered at scale)."""
+    v = _t(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    )
+    bits = v.selectExpr(
+        "vec_id",
+        "CAST(aggregate(transform(sequence(1, 32), "
+        "i -> CASE WHEN qv[i - 1] > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+        "CAST(i - 1 AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS b_lo",
+        "CAST(aggregate(transform(sequence(33, 64), "
+        "i -> CASE WHEN qv[i - 1] > 0 THEN shiftleft(CAST(1 AS BIGINT), "
+        "CAST(i - 33 AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT) AS b_hi",
+    ).localCheckpoint(eager=True)
+    q = v.filter("vec_id % 10 = 0").selectExpr("vec_id AS qid", "qv AS qqv")
+    qb = bits.filter("vec_id % 10 = 0").selectExpr(
+        "vec_id AS qid", "b_lo AS q_lo", "b_hi AS q_hi")
+    pr = (
+        F.broadcast(q).join(v, F.col("vec_id") != F.col("qid"))
+        .selectExpr(
+            "qid", "vec_id AS cand",
+            "CAST(aggregate(zip_with(qqv, qv, (a, b) -> a * b), "
+            "CAST(0 AS BIGINT), (acc, s) -> acc + s) AS BIGINT) "
+            "AS dot_full",
+        )
+    )
+    ph = (
+        F.broadcast(qb).join(bits, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("cand"),
+            (
+                F.bit_count(F.expr("q_lo ^ b_lo"))
+                + F.bit_count(F.expr("q_hi ^ b_hi"))
+            ).alias("hamming"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(
+        F.col("dot_full").desc(), F.col("cand").asc())
+    wb = Window.partitionBy("qid").orderBy(
+        F.col("hamming").asc(), F.col("cand").asc())
+    rf = pr.select("qid", "cand", F.row_number().over(wf).alias("rnk"))
+    rb = ph.select("qid", "cand", F.row_number().over(wb).alias("rnk"))
+    rbs = rb.filter(F.col("rnk") <= 5).select(
+        F.col("qid").alias("tqid"), F.col("cand").alias("tcand"))
+    return (
+        rf.filter(F.col("rnk") <= 5)
+        .join(rbs, (F.col("qid") == F.col("tqid"))
+              & (F.col("cand") == F.col("tcand")), "left")
+        .groupBy("qid")
+        .agg(F.count("tcand").cast("long").alias("overlap5"))
+    )
+
+
+# --- shuffle-skew diagnostics report (q366) -----------------------------------
+
+
+@query(
+    "q366_skew_report",
+    """WITH hostg AS (SELECT 'host' AS key_family, doc_id % 40 AS k
+                      FROM documents),
+       wordg AS (SELECT 'word' AS key_family, NULL AS k FROM documents
+                 WHERE FALSE),
+       words AS (SELECT 'word' AS key_family,
+                        CAST(NULL AS BIGINT) AS k,
+                        word FROM
+                   (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents)),
+       g AS (SELECT key_family, CAST(k AS VARCHAR) AS key FROM hostg
+             UNION ALL
+             SELECT key_family, word FROM words
+             UNION ALL
+             SELECT 'user', CAST(user_id AS VARCHAR) FROM events),
+       c AS (SELECT key_family, key, count(*) AS c FROM g
+             GROUP BY key_family, key)
+       SELECT key_family,
+              CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(max(c) AS BIGINT) AS max_group,
+              CAST(CASE WHEN max(c) * count(*) >= 4 * sum(c)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_skewed
+       FROM c GROUP BY key_family""",
+)
+def q366(spark, sf_dir):
+    """Shuffle-skew diagnostics report — the meta-query a platform
+    team runs BEFORE picking join/aggregation strategies (the number
+    behind this repo's own salting ladder, operators/spatial_join):
+    for each shuffle-key family (host, word, user), key count, row
+    count, hottest group, and the exact cross-multiplied skew flag
+    max*keys >= 4*rows (hottest group >= 4x the mean — the point
+    where AQE alone leaves stragglers and explicit salting pays).
+    Three groupBys sharing scans, one row per family — the skew
+    report that turns 'the job is slow' into 'salt the word key'."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = _t(spark, sf_dir, "events")
+    hostg = docs.selectExpr("'host' AS key_family",
+                            "CAST(doc_id % 40 AS STRING) AS key")
+    words = docs.select(
+        F.lit("word").alias("key_family"),
+        F.explode(F.split("text", " ")).alias("key"),
+    )
+    users = ev.selectExpr("'user' AS key_family",
+                          "CAST(user_id AS STRING) AS key")
+    g = hostg.unionByName(words).unionByName(users)
+    c = g.groupBy("key_family", "key").agg(F.count("*").alias("c"))
+    return c.groupBy("key_family").agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.max("c").cast("long").alias("max_group"),
+        F.when(F.max("c") * F.count("*") >= 4 * F.sum("c"), 1)
+        .otherwise(0).cast("long").alias("is_skewed"),
+    )

@@ -1065,3 +1065,28 @@ def test_release_pipeline_monotone(spark):
         assert r.docs_released <= r.docs_after_gate <= r.docs_in
         if r.docs_released > 0:
             assert r.n_passages >= r.docs_released  # >=1 passage/doc
+
+
+def test_binary_recall_bounds(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q365_binary_embedding_recall"](spark, SF).collect()
+    assert len(out) == 50
+    assert all(0 <= r.overlap5 <= 5 for r in out)
+    assert sum(r.overlap5 for r in out) > 0
+
+
+def test_skew_report_flags_words(spark):
+    from gdal_spark import queries as Q
+
+    out = {r.key_family: r for r in
+           Q.QUERIES["q366_skew_report"](spark, SF).collect()}
+    assert set(out) == {"host", "word", "user"}
+    # the 31-word vocabulary over ~27k tokens is inherently hot;
+    # host (uniform doc%40) and user (uniform) are not
+    assert out["word"].is_skewed in (0, 1)
+    for r in out.values():
+        assert r.max_group <= r.n_rows
+        assert r.n_keys <= r.n_rows
+        want = 1 if r.max_group * r.n_keys >= 4 * r.n_rows else 0
+        assert r.is_skewed == want
