@@ -378,6 +378,8 @@ HEADLINE = [
     "q364_release_pipeline",
     "q365_binary_embedding_recall",
     "q366_skew_report",
+    "q367_effective_tokens",
+    "q368_leakage_safe_splits",
 ]
 
 

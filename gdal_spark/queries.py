@@ -20796,3 +20796,112 @@ def q366(spark, sf_dir):
         F.when(F.max("c") * F.count("*") >= 4 * F.sum("c"), 1)
         .otherwise(0).cast("long").alias("is_skewed"),
     )
+
+
+# --- duplicate-aware effective tokens (q367) ----------------------------------
+
+
+@query(
+    "q367_effective_tokens",
+    """WITH d AS (SELECT doc_id, source,
+                    md5(text) AS h,
+                    len(string_split(text, ' ')) AS lw
+                  FROM documents),
+       k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h)
+       SELECT d.source,
+              CAST(sum(d.lw) AS BIGINT) AS raw_tokens,
+              CAST(sum(CASE WHEN k.keeper = d.doc_id THEN d.lw ELSE 0 END)
+                AS BIGINT) AS effective_tokens,
+              CAST(sum(CASE WHEN k.keeper <> d.doc_id THEN d.lw ELSE 0 END)
+                AS BIGINT) AS duplicated_tokens
+       FROM d JOIN k USING (h)
+       GROUP BY d.source""",
+)
+def q367(spark, sf_dir):
+    """Duplicate-aware EFFECTIVE token accounting — the number
+    dataset papers actually report (raw token counts overstate a
+    corpus whose duplicates will be dropped; epochs-over-effective-
+    tokens is what the scaling laws consume): per source, raw vs
+    keeper-only vs duplicated tokens under the exact md5 dedup key.
+    One hash groupBy + one source rollup sharing a scan — the
+    datasheet (q348) column that changes once dedup runs."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).alias("lw"),
+    )
+    k = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    return d.join(k, "h").groupBy("source").agg(
+        F.sum("lw").cast("long").alias("raw_tokens"),
+        F.sum(F.when(F.col("keeper") == F.col("doc_id"), F.col("lw"))
+              .otherwise(0)).cast("long").alias("effective_tokens"),
+        F.sum(F.when(F.col("keeper") != F.col("doc_id"), F.col("lw"))
+              .otherwise(0)).cast("long").alias("duplicated_tokens"),
+    )
+
+
+# --- leakage-safe split assignment (q368) -------------------------------------
+
+
+@query(
+    "q368_leakage_safe_splits",
+    """WITH d AS (SELECT doc_id,
+                    md5(CASE WHEN doc_id % 15 = 9
+                        THEN 'shared template body for ingest dedup'
+                        ELSE text END) AS h
+                  FROM documents),
+       asg AS (SELECT doc_id, h,
+                 CASE CAST(CAST('0x' || substr(md5('split:' || h), 1, 8)
+                      AS UBIGINT) % 10 AS BIGINT)
+                   WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+                   ELSE 'train' END AS split
+               FROM d),
+       leak AS (SELECT h, count(DISTINCT split) AS n_splits,
+                       count(*) AS grp
+                FROM asg GROUP BY h)
+       SELECT asg.split,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(count(DISTINCT asg.h) AS BIGINT) AS n_groups,
+              CAST(max(leak.n_splits) AS BIGINT) AS max_splits_per_group
+       FROM asg JOIN leak USING (h)
+       GROUP BY asg.split""",
+)
+def q368(spark, sf_dir):
+    """Leakage-safe train/val/test split assignment — splits keyed
+    on the CONTENT HASH, never the doc id, so exact duplicates land
+    in the SAME split by construction (doc-id splits leak dup
+    content from train into test, silently inflating eval):
+    split = md5('split:'||h) % 10 (8/1/1), and the audit column
+    max_splits_per_group == 1 PROVES no hash straddles splits —
+    emitted, not assumed.  The q303 planted template group (docs
+    9, 24, 39, ...) all land together.  One hash groupBy + one
+    rollup; the assignment is a pure deterministic projection at
+    any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 15 == 9,
+                   F.lit("shared template body for ingest dedup"))
+            .otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    slot = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("h"))), 1, 8),
+            16, 10,
+        ).cast("long") % 10
+    )
+    asg = d.select(
+        "doc_id", "h",
+        F.when(slot == 0, "test").when(slot == 1, "val")
+        .otherwise("train").alias("split"),
+    )
+    leak = asg.groupBy("h").agg(
+        F.countDistinct("split").alias("n_splits"))
+    return asg.join(leak, "h").groupBy("split").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_groups"),
+        F.max("n_splits").cast("long").alias("max_splits_per_group"),
+    )

@@ -1090,3 +1090,24 @@ def test_skew_report_flags_words(spark):
         assert r.n_keys <= r.n_rows
         want = 1 if r.max_group * r.n_keys >= 4 * r.n_rows else 0
         assert r.is_skewed == want
+
+
+def test_effective_tokens_partition(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q367_effective_tokens"](spark, SF).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.raw_tokens == r.effective_tokens + r.duplicated_tokens
+    assert sum(r.duplicated_tokens for r in out) >= 0
+
+
+def test_splits_never_straddle_groups(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q368_leakage_safe_splits"](spark, SF).collect()
+    assert {r.split for r in out} <= {"train", "val", "test"}
+    assert sum(r.n_docs for r in out) == 500
+    assert all(r.max_splits_per_group == 1 for r in out)  # no leakage
+    train = next(r for r in out if r.split == "train")
+    assert train.n_docs > 300  # ~80% of docs
