@@ -380,6 +380,8 @@ HEADLINE = [
     "q366_skew_report",
     "q367_effective_tokens",
     "q368_leakage_safe_splits",
+    "q369_view_dwell_time",
+    "q370_term_range_partitions",
 ]
 
 

