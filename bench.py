@@ -382,6 +382,8 @@ HEADLINE = [
     "q368_leakage_safe_splits",
     "q369_view_dwell_time",
     "q370_term_range_partitions",
+    "q371_stack_distance",
+    "q372_ranking_mrr",
 ]
 
 

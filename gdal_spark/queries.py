@@ -21020,3 +21020,211 @@ def q370(spark, sf_dir):
         F.min("word").alias("first_term"),
         F.max("word").alias("last_term"),
     )
+
+
+# --- LRU stack-distance cache curve (q371) -------------------------------------
+
+
+@query(
+    "q371_stack_distance",
+    """WITH acc AS (SELECT event_id AS pos,
+                CASE WHEN event_id % 4 = 0 THEN 0
+                     WHEN event_id % 4 = 1 THEN 20 + (event_id // 4) % 3
+                     WHEN event_id % 4 = 2 THEN 50 + (event_id // 4) % 12
+                     ELSE 100 + (event_id * 7919) % 97 END AS item
+              FROM events),
+       prevs AS (SELECT pos, item,
+                        lag(pos) OVER (PARTITION BY item ORDER BY pos) AS pp
+                 FROM acc),
+       warm AS (SELECT a.pos, count(DISTINCT b.item) AS d
+                FROM prevs a LEFT JOIN acc b
+                  ON b.pos > a.pp AND b.pos < a.pos
+                WHERE a.pp IS NOT NULL GROUP BY a.pos),
+       dist AS (SELECT d FROM warm
+                UNION ALL
+                SELECT -1 AS d FROM prevs WHERE pp IS NULL),
+       lab AS (SELECT CASE WHEN d < 0 THEN 'cold' WHEN d < 4 THEN 'lt4'
+                           WHEN d < 16 THEN 'lt16' WHEN d < 64 THEN 'lt64'
+                           ELSE 'ge64' END AS bucket, d FROM dist)
+       SELECT bucket, CAST(count(*) AS BIGINT) AS n_accesses,
+              CAST(min(d) AS BIGINT) AS min_d,
+              CAST(max(d) AS BIGINT) AS max_d
+       FROM lab GROUP BY bucket""",
+)
+def q371(spark, sf_dir):
+    """LRU stack-distance (reuse-distance) histogram — Mattson's
+    one-pass answer to "what would the hit ratio be at EVERY cache
+    size": an access hits a size-C LRU cache iff the number of
+    DISTINCT items touched since its previous access is < C, so the
+    bucketed distance histogram (lt4/lt16/lt64/ge64 + cold) reads
+    off the whole hit-ratio curve at once — the cache-capacity
+    planning input q330's static admission plan cannot give.
+    Access stream = events in event_id order over a four-class item
+    mix (one hot item, period-3 and period-12 working sets, a
+    97-item cold tail — exact integer derivation) so every cache
+    tier of the curve is populated at every SF.  Shape: the
+    previous-access position is a per-item lag window (item-sharded,
+    scales); the distinct-count-in-interval join's candidate volume
+    is Σ reuse-gap lengths — bounded for the cacheable (small-gap)
+    mass that decides the curve.  The classic one-pass Mattson
+    stack walk is inherently sequential and belongs to the
+    per-shard streaming tier; this is its exact batch form."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("pos"),
+        F.when(F.col("event_id") % 4 == 0, F.lit(0))
+        .when(F.col("event_id") % 4 == 1,
+              20 + F.expr("event_id div 4") % 3)
+        .when(F.col("event_id") % 4 == 2,
+              50 + F.expr("event_id div 4") % 12)
+        .otherwise(100 + (F.col("event_id") * 7919) % 97)
+        .alias("item"),
+    )
+    w = Window.partitionBy("item").orderBy("pos")
+    a = e.withColumn("pp", F.lag("pos").over(w))
+    b = e.select(F.col("pos").alias("bpos"), F.col("item").alias("bitem"))
+    warm = (
+        a.filter(F.col("pp").isNotNull())
+        .join(b, (F.col("bpos") > F.col("pp")) & (F.col("bpos") < F.col("pos")),
+              "left")
+        .groupBy("pos")
+        .agg(F.countDistinct("bitem").alias("d"))
+        .select("d")
+    )
+    cold = a.filter(F.col("pp").isNull()).select(F.lit(-1).alias("d"))
+    dist = warm.unionByName(cold)
+    lab = dist.select(
+        F.when(F.col("d") < 0, "cold")
+        .when(F.col("d") < 4, "lt4")
+        .when(F.col("d") < 16, "lt16")
+        .when(F.col("d") < 64, "lt64")
+        .otherwise("ge64")
+        .alias("bucket"),
+        "d",
+    )
+    return lab.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_accesses"),
+        F.min("d").cast("long").alias("min_d"),
+        F.max("d").cast("long").alias("max_d"),
+    )
+
+
+# --- ranking eval: exact-integer MRR@10 (q372) ---------------------------------
+
+
+@query(
+    "q372_ranking_mrr",
+    """WITH tf AS (SELECT doc_id, word, count(*) AS tf FROM
+                     (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                      FROM documents)
+                   GROUP BY doc_id, word),
+       d AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       top AS (SELECT a.word
+               FROM d a LEFT JOIN d b
+                 ON b.df > a.df OR (b.df = a.df AND b.word < a.word)
+               GROUP BY a.word, a.df
+               HAVING count(b.word) < 20),
+       cls AS (SELECT tf.* FROM tf JOIN top USING (word)
+               WHERE doc_id % 7 = length(word) % 7),
+       m1 AS (SELECT word, max(tf) AS rel_tf FROM cls GROUP BY word),
+       rel AS (SELECT cls.word, m1.rel_tf, min(cls.doc_id) AS rel_doc
+               FROM cls JOIN m1
+                 ON m1.word = cls.word AND cls.tf = m1.rel_tf
+               GROUP BY cls.word, m1.rel_tf),
+       rk AS (SELECT rel.word, count(c.doc_id) + 1 AS rnk
+              FROM rel LEFT JOIN tf c
+                ON c.word = rel.word
+               AND (c.tf > rel.rel_tf
+                    OR (c.tf = rel.rel_tf AND c.doc_id < rel.rel_doc))
+              GROUP BY rel.word)
+       SELECT CAST(count(*) AS BIGINT) AS n_queries,
+              CAST(sum(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hits_at1,
+              CAST(sum(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hits_at5,
+              CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hits_at10,
+              CAST(sum(CASE WHEN rnk <= 10 THEN 2520 // rnk ELSE 0 END)
+                AS BIGINT) AS mrr_x2520,
+              CAST(sum(CASE WHEN rnk <= 10 THEN 2520 // rnk ELSE 0 END)
+                AS DOUBLE) / (2520.0 * count(*)) AS mrr
+       FROM rk""",
+)
+def q372(spark, sf_dir):
+    """Search-ranking MRR@10 as EXACT integers — the offline eval
+    number behind every ranker change, computed with no float until
+    the final single division: reciprocal rank 1/r is scaled by
+    2520 = lcm(1..10), so 2520 div r is exact for every admissible
+    rank and the MRR numerator sums in BIGINT; the reported `mrr`
+    is ONE double division at the end (bitwise across engines).
+    Query set = top-20 lexicon terms by (df desc, word asc)
+    count-of-greater ranks (lexicon-bounded, never a window);
+    editorial relevance label = the argmax-tf doc within the term's
+    assessment class (doc_id % 7 == len(word) % 7, min-doc tiebreak)
+    so labels land at varied in-range ranks; the ranker orders docs
+    by (tf desc, doc_id asc), and the relevant doc's rank is
+    1 + count(better docs) — ONE count per query (20·df pairs,
+    linear in corpus), never a materialized full ranking.
+    hits@1/5/10 fall out of the same pass."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    d = tf.groupBy("word").agg(F.count("*").alias("df"))
+    lex = d.select(F.col("word").alias("w2"), F.col("df").alias("df2"))
+    top = (
+        d.join(
+            F.broadcast(lex),
+            (F.col("df2") > F.col("df"))
+            | ((F.col("df2") == F.col("df")) & (F.col("w2") < F.col("word"))),
+            "left",
+        )
+        .groupBy("word", "df")
+        .agg(F.count("w2").alias("n_greater"))
+        .filter(F.col("n_greater") < 20)
+        .select("word")
+    )
+    cls = tf.join(F.broadcast(top), "word").filter(
+        F.col("doc_id") % 7 == F.length("word") % 7)
+    # editorial label = argmax tf within the class, min doc_id tiebreak —
+    # ONE combinable max(struct(tf, -doc_id)) per word (the q334 idiom);
+    # the oracle mirrors it TWO-PHASE (max tf, then min doc at that tf)
+    # per the round-4f struct-max contract.
+    rel = (
+        cls.groupBy("word")
+        .agg(F.max(F.struct(F.col("tf").alias("t"),
+                            (-F.col("doc_id")).alias("nid"))).alias("s"))
+        .select("word", F.col("s.t").alias("rel_tf"),
+                (-F.col("s.nid")).alias("rel_doc"))
+    )
+    cand = tf.select(F.col("word").alias("cw"), F.col("doc_id").alias("cd"),
+                     F.col("tf").alias("ctf"))
+    rk = (
+        rel.join(
+            cand,
+            (F.col("cw") == F.col("word"))
+            & ((F.col("ctf") > F.col("rel_tf"))
+               | ((F.col("ctf") == F.col("rel_tf"))
+                  & (F.col("cd") < F.col("rel_doc")))),
+            "left",
+        )
+        .groupBy("word")
+        .agg((F.count("cd") + F.lit(1)).alias("rnk"))
+    )
+    agg = rk.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rnk") == 1, 1).otherwise(0)).cast("long")
+        .alias("hits_at1"),
+        F.sum(F.when(F.col("rnk") <= 5, 1).otherwise(0)).cast("long")
+        .alias("hits_at5"),
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0)).cast("long")
+        .alias("hits_at10"),
+        F.sum(F.when(F.col("rnk") <= 10, F.expr("2520 div rnk")).otherwise(0))
+        .cast("long").alias("mrr_x2520"),
+    )
+    return agg.select(
+        "n_queries", "hits_at1", "hits_at5", "hits_at10", "mrr_x2520",
+        (F.col("mrr_x2520").cast("double")
+         / (F.lit(2520.0) * F.col("n_queries"))).alias("mrr"),
+    )
