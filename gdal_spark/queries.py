@@ -21064,11 +21064,15 @@ def q371(spark, sf_dir):
     97-item cold tail — exact integer derivation) so every cache
     tier of the curve is populated at every SF.  Shape: the
     previous-access position is a per-item lag window (item-sharded,
-    scales); the distinct-count-in-interval join's candidate volume
-    is Σ reuse-gap lengths — bounded for the cacheable (small-gap)
-    mass that decides the curve.  The classic one-pass Mattson
-    stack walk is inherently sequential and belongs to the
-    per-shard streaming tier; this is its exact batch form."""
+    scales); the distinct-count-in-reuse-interval join is BUCKETED —
+    each warm access explodes to the 32-position blocks its interval
+    spans and equi-joins on the block id (a pure range join has no
+    equi key and Spark plans a BroadcastNestedLoopJoin: O(n^2), 52 s
+    at sf0.1 where this plan takes ~2 s), so candidate volume is
+    Σ reuse-gap lengths + 2·32 per access — bounded for the
+    cacheable (small-gap) mass that decides the curve.  The classic
+    one-pass Mattson stack walk is inherently sequential and belongs
+    to the per-shard streaming tier; this is its exact batch form."""
     e = _t(spark, sf_dir, "events").select(
         F.col("event_id").alias("pos"),
         F.when(F.col("event_id") % 4 == 0, F.lit(0))
@@ -21081,14 +21085,24 @@ def q371(spark, sf_dir):
     )
     w = Window.partitionBy("item").orderBy("pos")
     a = e.withColumn("pp", F.lag("pos").over(w))
-    b = e.select(F.col("pos").alias("bpos"), F.col("item").alias("bitem"))
-    warm = (
-        a.filter(F.col("pp").isNotNull())
-        .join(b, (F.col("bpos") > F.col("pp")) & (F.col("bpos") < F.col("pos")),
-              "left")
+    wa = a.filter(F.col("pp").isNotNull()).select("pos", "pp")
+    # block-bucketed range join: explode each reuse interval to the
+    # 32-position blocks it spans, equi-join on the block id, filter
+    # exactly — a hash join Catalyst can shuffle, never a BNLJ.
+    blk_a = wa.withColumn(
+        "blk", F.explode(F.sequence(F.expr("(pp + 1) div 32"),
+                                    F.expr("(pos - 1) div 32"))))
+    b = e.select(F.col("pos").alias("bpos"), F.col("item").alias("bitem"),
+                 F.expr("pos div 32").alias("blk"))
+    counts = (
+        blk_a.join(b, "blk")
+        .filter((F.col("bpos") > F.col("pp")) & (F.col("bpos") < F.col("pos")))
         .groupBy("pos")
-        .agg(F.countDistinct("bitem").alias("d"))
-        .select("d")
+        .agg(F.countDistinct("bitem").alias("dc"))
+    )
+    warm = (
+        wa.join(counts, "pos", "left")
+        .select(F.coalesce(F.col("dc"), F.lit(0)).alias("d"))
     )
     cold = a.filter(F.col("pp").isNull()).select(F.lit(-1).alias("d"))
     dist = warm.unionByName(cold)
