@@ -384,6 +384,8 @@ HEADLINE = [
     "q370_term_range_partitions",
     "q371_stack_distance",
     "q372_ranking_mrr",
+    "q373_position_bias_ctr",
+    "q374_latency_percentiles",
 ]
 
 

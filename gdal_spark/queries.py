@@ -21242,3 +21242,150 @@ def q372(spark, sf_dir):
         (F.col("mrr_x2520").cast("double")
          / (F.lit(2520.0) * F.col("n_queries"))).alias("mrr"),
     )
+
+
+# --- position-bias CTR estimation (q373) ----------------------------------------
+
+
+@query(
+    "q373_position_bias_ctr",
+    """WITH imp AS (SELECT event_id,
+                event_id % 10 + 1 AS serp_pos,
+                (event_id // 10 + (event_id % 10 + 1) * 13) % 50 AS item
+              FROM events),
+       lab AS (SELECT serp_pos,
+                      CASE WHEN (item * 7919) % 100 >= 40
+                            AND (event_id * 2654435761) % 97
+                                < 97 - 9 * (serp_pos - 1)
+                           THEN 1 ELSE 0 END AS clicked
+               FROM imp),
+       st AS (SELECT serp_pos,
+                     CAST(count(*) AS BIGINT) AS n_impr,
+                     CAST(sum(clicked) AS BIGINT) AS n_clicks
+              FROM lab GROUP BY serp_pos),
+       p1 AS (SELECT n_impr AS i1, n_clicks AS c1 FROM st WHERE serp_pos = 1)
+       SELECT serp_pos, n_impr, n_clicks,
+              CAST(n_clicks AS DOUBLE) / CAST(n_impr AS DOUBLE) AS ctr,
+              CAST(n_clicks * i1 AS DOUBLE)
+                / CAST(n_impr * c1 AS DOUBLE) AS bias_vs_pos1
+       FROM st, p1""",
+)
+def q373(spark, sf_dir):
+    """Position-bias curve from click logs — the propensity estimate
+    every counterfactual learning-to-rank pipeline divides by
+    (clicks at rank k are depressed by EXAMINATION, not relevance;
+    training on raw clicks bakes the presentation order in).  The
+    impression log is a Latin-square rotation (item = (query +
+    13*pos) % 50) so every item visits every SERP position —
+    result-randomization identification, no relevance confound;
+    the click model is deterministic-integer (item-intrinsic
+    relevance gate x position-decaying examination slot) so both
+    engines reproduce it exactly.  bias@k = ctr@k / ctr@1 is
+    emitted as ONE double division of exact BIGINT cross-products
+    (clicks_k*impr_1) / (impr_k*clicks_1) — bitwise across engines,
+    and pos 1 is exactly 1.0.  Shape: one groupBy over 10 positions
+    (map-side combinable), the rank-1 row broadcast-crossed back —
+    no window, no skew; scales as one pass over the log."""
+    e = _t(spark, sf_dir, "events").select("event_id")
+    imp = e.select(
+        (F.col("event_id") % 10 + 1).alias("serp_pos"),
+        ((F.expr("event_id div 10") + (F.col("event_id") % 10 + 1) * 13) % 50
+         ).alias("item"),
+        "event_id",
+    )
+    lab = imp.select(
+        "serp_pos",
+        F.when(
+            ((F.col("item") * 7919) % 100 >= 40)
+            & ((F.col("event_id") * F.lit(2654435761)) % 97
+               < 97 - 9 * (F.col("serp_pos") - 1)),
+            1,
+        ).otherwise(0).alias("clicked"),
+    )
+    st = lab.groupBy("serp_pos").agg(
+        F.count("*").cast("long").alias("n_impr"),
+        F.sum("clicked").cast("long").alias("n_clicks"),
+    )
+    p1 = st.filter(F.col("serp_pos") == 1).select(
+        F.col("n_impr").alias("i1"), F.col("n_clicks").alias("c1"))
+    return st.crossJoin(F.broadcast(p1)).select(
+        "serp_pos", "n_impr", "n_clicks",
+        (F.col("n_clicks").cast("double") / F.col("n_impr").cast("double")
+         ).alias("ctr"),
+        ((F.col("n_clicks") * F.col("i1")).cast("double")
+         / (F.col("n_impr") * F.col("c1")).cast("double")
+         ).alias("bias_vs_pos1"),
+    )
+
+
+# --- exact latency percentiles via bounded-domain histogram (q374) --------------
+
+
+@query(
+    "q374_latency_percentiles",
+    """WITH req AS (SELECT event_type AS endpoint,
+                (event_id * 48271) % 1000
+                + CASE WHEN event_id % 20 = 0
+                       THEN (event_id * 69621) % 9000 ELSE 0 END AS lat
+              FROM events),
+       hist AS (SELECT endpoint, lat, CAST(count(*) AS BIGINT) AS cnt
+                FROM req GROUP BY endpoint, lat),
+       cum AS (SELECT endpoint, lat, cnt,
+                      CAST(sum(cnt) OVER (PARTITION BY endpoint ORDER BY lat
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS c,
+                      CAST(sum(cnt) OVER (PARTITION BY endpoint)
+                           AS BIGINT) AS n
+               FROM hist)
+       SELECT endpoint, CAST(max(n) AS BIGINT) AS n_requests,
+              CAST(min(CASE WHEN 1000*c >= 500*n THEN lat END) AS BIGINT) AS p50,
+              CAST(min(CASE WHEN 1000*c >= 900*n THEN lat END) AS BIGINT) AS p90,
+              CAST(min(CASE WHEN 1000*c >= 990*n THEN lat END) AS BIGINT) AS p99,
+              CAST(min(CASE WHEN 1000*c >= 999*n THEN lat END) AS BIGINT)
+                AS p999
+       FROM cum GROUP BY endpoint""",
+)
+def q374(spark, sf_dir):
+    """EXACT p50/p90/p99/p999 latency per endpoint WITHOUT sorting
+    the stream — the SLO numbers, and the reason they are usually
+    approximated (percentile_approx / t-digest): a naive exact
+    percentile sorts the corpus.  When the value domain is bounded
+    (integer milliseconds, here 0..9999 with a 5% heavy tail), the
+    exact answer is a HISTOGRAM problem: groupBy (endpoint, lat)
+    counts — map-side combinable, output bounded by |endpoints| x
+    |domain|, NOT corpus size — then a cumulative window over the
+    bounded histogram and nearest-rank selection min(lat : cum >=
+    ceil(q*n)) written as the integer cross-multiplication
+    1000*cum >= k*n (no ceil, no float, per house style).  All
+    output columns are BIGINT — nothing to round, bitwise by
+    construction.  The window partition is <= 10^4 rows per
+    endpoint at ANY corpus size: this is the exact-percentile plan
+    that still works at 100 TB, vs the q294 log-binned approximate
+    quantiles when the domain is unbounded."""
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    req = e.select(
+        F.col("event_type").alias("endpoint"),
+        ((F.col("event_id") * 48271) % 1000
+         + F.when(F.col("event_id") % 20 == 0,
+                  (F.col("event_id") * 69621) % 9000).otherwise(0)
+         ).alias("lat"),
+    )
+    hist = req.groupBy("endpoint", "lat").agg(
+        F.count("*").cast("long").alias("cnt"))
+    wcum = (Window.partitionBy("endpoint").orderBy("lat")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy("endpoint")
+    cum = hist.select(
+        "endpoint", "lat",
+        F.sum("cnt").over(wcum).alias("c"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    def pick(k, name):
+        return F.min(
+            F.when(1000 * F.col("c") >= k * F.col("n"), F.col("lat"))
+        ).cast("long").alias(name)
+    return cum.groupBy("endpoint").agg(
+        F.max("n").cast("long").alias("n_requests"),
+        pick(500, "p50"), pick(900, "p90"), pick(990, "p99"),
+        pick(999, "p999"),
+    )

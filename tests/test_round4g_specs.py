@@ -38,3 +38,34 @@ def test_ranking_mrr_contracts(spark):
     # eval measures nothing
     assert r["hits_at1"] < r["n_queries"]
     assert r["mrr_x2520"] > 0
+
+
+def test_position_bias_contracts(spark):
+    rows = {r["serp_pos"]: r for r in
+            QUERIES["q373_position_bias_ctr"](spark, SF).collect()}
+    assert set(rows) == set(range(1, 11))
+    # rank 1 is the propensity anchor: bias exactly 1.0
+    assert rows[1]["bias_vs_pos1"] == 1.0
+    # examination decays with position: every lower rank clicks less
+    # often than rank 1 (Latin-square rotation removes the relevance
+    # confound, so the decay IS the position bias)
+    for p in range(2, 11):
+        assert rows[p]["bias_vs_pos1"] < 1.0
+        assert 0 <= rows[p]["n_clicks"] <= rows[p]["n_impr"]
+    # the rotation balances impressions across positions
+    assert len({r["n_impr"] for r in rows.values()}) == 1
+
+
+def test_latency_percentiles_contracts(spark):
+    rows = QUERIES["q374_latency_percentiles"](spark, SF).collect()
+    assert len(rows) >= 3
+    total = 0
+    for r in rows:
+        # percentiles monotone in q, all within the bounded domain
+        assert 0 <= r["p50"] <= r["p90"] <= r["p99"] <= r["p999"] <= 9999
+        # body is sub-1000; the 5% spike tail must lift p999 past it
+        assert r["p50"] < 1000
+        assert r["p999"] >= 1000
+        total += r["n_requests"]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == n_events
