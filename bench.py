@@ -386,6 +386,8 @@ HEADLINE = [
     "q372_ranking_mrr",
     "q373_position_bias_ctr",
     "q374_latency_percentiles",
+    "q375_snapshot_gc",
+    "q376_quadtree_build",
 ]
 
 

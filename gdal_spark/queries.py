@@ -21389,3 +21389,163 @@ def q374(spark, sf_dir):
         pick(500, "p50"), pick(900, "p90"), pick(990, "p99"),
         pick(999, "p999"),
     )
+
+
+# --- snapshot GC / retention planning (q375) -------------------------------------
+
+
+@query(
+    "q375_snapshot_gc",
+    """WITH files AS (SELECT event_id AS file_id,
+                event_id % 16 AS part,
+                1000 + (event_id * 127) % 9000 AS bytes,
+                (event_id * 31) % 20 AS created,
+                CASE WHEN event_id % 3 = 0 THEN NULL
+                     ELSE (event_id * 31) % 20 + 1 + (event_id * 7) % 6
+                     END AS deleted_at
+              FROM events),
+       cls AS (SELECT part, bytes,
+                      CASE WHEN deleted_at IS NULL OR deleted_at > 19
+                           THEN 1 ELSE 0 END AS live_head,
+                      CASE WHEN deleted_at IS NOT NULL
+                            AND deleted_at <= 19 AND deleted_at > 17
+                           THEN 1 ELSE 0 END AS pinned,
+                      CASE WHEN deleted_at IS NOT NULL AND deleted_at <= 17
+                           THEN 1 ELSE 0 END AS reclaim
+               FROM files)
+       SELECT part, CAST(count(*) AS BIGINT) AS n_files,
+              CAST(sum(live_head) AS BIGINT) AS live_head,
+              CAST(sum(pinned) AS BIGINT) AS pinned_by_retention,
+              CAST(sum(reclaim) AS BIGINT) AS reclaim_files,
+              CAST(sum(reclaim * bytes) AS BIGINT) AS reclaim_bytes
+       FROM cls GROUP BY part""",
+)
+def q375(spark, sf_dir):
+    """Snapshot garbage collection with a time-travel retention
+    window — the expire-snapshots planning query under every
+    table-format maintenance job (Iceberg expireSnapshots /
+    RemoveOrphanFiles; this repo's own plans/manifest.py snapshots
+    create exactly this file lifecycle).  Synthetic file ledger:
+    created/deleted snapshot ids derived from event keys; head = 19,
+    retained = {17,18,19}.  A file is reclaimable iff no retained
+    snapshot can see it (deleted_at <= min(retained)); files deleted
+    before head but after min(retained) are PINNED — the bytes you
+    would free by tightening retention, the number the storage-cost
+    conversation actually needs, split out per partition next to the
+    reclaimable bytes.  Pure per-row integer classification + one
+    partition-keyed groupBy (map-side combinable) — one pass over
+    the manifest at any scale, no join at all."""
+    e = _t(spark, sf_dir, "events").select("event_id")
+    files = e.select(
+        (F.col("event_id") % 16).alias("part"),
+        (1000 + (F.col("event_id") * 127) % 9000).alias("bytes"),
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("long"))
+        .otherwise((F.col("event_id") * 31) % 20 + 1 + (F.col("event_id") * 7) % 6)
+        .alias("deleted_at"),
+    )
+    cls = files.select(
+        "part", "bytes",
+        F.when(F.col("deleted_at").isNull() | (F.col("deleted_at") > 19), 1)
+        .otherwise(0).alias("live_head"),
+        F.when(F.col("deleted_at").isNotNull()
+               & (F.col("deleted_at") <= 19) & (F.col("deleted_at") > 17), 1)
+        .otherwise(0).alias("pinned"),
+        F.when(F.col("deleted_at").isNotNull() & (F.col("deleted_at") <= 17), 1)
+        .otherwise(0).alias("reclaim"),
+    )
+    return cls.groupBy("part").agg(
+        F.count("*").cast("long").alias("n_files"),
+        F.sum("live_head").cast("long").alias("live_head"),
+        F.sum("pinned").cast("long").alias("pinned_by_retention"),
+        F.sum(F.col("reclaim") * F.col("bytes")).cast("long").alias("rb"),
+        F.sum("reclaim").cast("long").alias("reclaim_files"),
+    ).select("part", "n_files", "live_head", "pinned_by_retention",
+             "reclaim_files", F.col("rb").alias("reclaim_bytes"))
+
+
+# --- adaptive quadtree leaf assignment (q376) ------------------------------------
+
+
+@query(
+    "q376_quadtree_build",
+    """WITH pts AS (SELECT event_id,
+                CASE WHEN event_id % 10 < 3
+                     THEN 1024 + (event_id * 13) % 64
+                     ELSE (event_id * 48271) % 4096 END AS x,
+                CASE WHEN event_id % 10 < 3
+                     THEN 2048 + (event_id * 17) % 64
+                     ELSE (event_id * 69621) % 4096 END AS y
+              FROM events),
+       lev AS (SELECT event_id, x, y, d,
+                      (x // (1 << (12 - d))) * 64 + (y // (1 << (12 - d)))
+                        AS cell
+               FROM pts CROSS JOIN (SELECT unnest(range(7)) AS d)),
+       cnt AS (SELECT d, cell, count(*) AS c FROM lev GROUP BY d, cell),
+       leafd AS (SELECT event_id, x, y,
+                        coalesce(min(CASE WHEN c <= 64 THEN d END), 6) AS ld
+                 FROM lev JOIN cnt USING (d, cell)
+                 GROUP BY event_id, x, y),
+       occ AS (SELECT ld,
+                      (x // (1 << (12 - ld))) * 64 + (y // (1 << (12 - ld)))
+                        AS cell,
+                      count(*) AS pts
+               FROM leafd GROUP BY 1, 2)
+       SELECT CAST(ld AS BIGINT) AS depth,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(pts) AS BIGINT) AS n_points,
+              CAST(min(pts) AS BIGINT) AS min_cell_pts,
+              CAST(max(pts) AS BIGINT) AS max_cell_pts
+       FROM occ GROUP BY ld""",
+)
+def q376(spark, sf_dir):
+    """Adaptive quadtree index build — leaf assignment per point
+    where a cell splits iff it holds > 64 points, max depth 6 over a
+    4096x4096 grid: the capacity-driven spatial index whose leaf
+    histogram (cells / points / occupancy per depth) is the index
+    manifest a spatial-partitioning sink writes.  Quadtree cells
+    NEST, so two points sharing a depth-d cell share every ancestor
+    — leaf depth is a pure function of the point's 7-cell ancestry
+    and the whole build is THREE bounded aggregations, no recursion:
+    explode each point to its 7 (depth, cell) keys, count per key
+    (output bounded by sum 4^d = 5461 cells, broadcastable — never
+    corpus-sized), take min depth whose count <= capacity (coalesce
+    to the depth cap — the hotspot-overflow leaf), re-derive the
+    leaf cell arithmetically.  A 64x64 hotspot holding 30% of points
+    pins the overflow path; the uniform background populates the
+    shallow depths.  At 100 TB the count table is still 5461 rows —
+    the iterative split-only-overfull loop the single-node reference
+    would run is unnecessary in the declarative form."""
+    e = _t(spark, sf_dir, "events").select("event_id")
+    pts = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 3,
+               1024 + (F.col("event_id") * 13) % 64)
+        .otherwise((F.col("event_id") * 48271) % 4096).alias("x"),
+        F.when(F.col("event_id") % 10 < 3,
+               2048 + (F.col("event_id") * 17) % 64)
+        .otherwise((F.col("event_id") * 69621) % 4096).alias("y"),
+    )
+    lev = pts.withColumn("d", F.explode(F.sequence(F.lit(0), F.lit(6)))) \
+        .withColumn(
+            "cell",
+            F.expr("(x div shiftleft(1, 12 - d)) * 64"
+                   " + (y div shiftleft(1, 12 - d))"))
+    cnt = lev.groupBy("d", "cell").agg(F.count("*").alias("c"))
+    leafd = (
+        lev.join(F.broadcast(cnt), ["d", "cell"])
+        .groupBy("event_id", "x", "y")
+        .agg(F.coalesce(
+            F.min(F.when(F.col("c") <= 64, F.col("d"))), F.lit(6)).alias("ld"))
+    )
+    occ = leafd.select(
+        "ld",
+        F.expr("(x div shiftleft(1, 12 - ld)) * 64"
+               " + (y div shiftleft(1, 12 - ld))").alias("cell"),
+    ).groupBy("ld", "cell").agg(F.count("*").alias("pts"))
+    return occ.groupBy("ld").agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sum("pts").cast("long").alias("n_points"),
+        F.min("pts").cast("long").alias("min_cell_pts"),
+        F.max("pts").cast("long").alias("max_cell_pts"),
+    ).select(F.col("ld").cast("long").alias("depth"), "n_cells", "n_points",
+             "min_cell_pts", "max_cell_pts")

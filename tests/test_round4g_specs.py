@@ -69,3 +69,34 @@ def test_latency_percentiles_contracts(spark):
         total += r["n_requests"]
     n_events = spark.read.parquet(f"{SF}/events.parquet").count()
     assert total == n_events
+
+
+def test_snapshot_gc_contracts(spark):
+    rows = QUERIES["q375_snapshot_gc"](spark, SF).collect()
+    assert len(rows) == 16
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_files"] for r in rows) == n_events
+    for r in rows:
+        # the three lifecycle classes partition the ledger
+        assert (r["live_head"] + r["pinned_by_retention"]
+                + r["reclaim_files"]) == r["n_files"]
+        # reclaimable bytes only from reclaimable files
+        assert r["reclaim_bytes"] >= 1000 * r["reclaim_files"]
+        # never-deleted files (event_id % 3 == 0) guarantee live mass
+        assert r["live_head"] > 0
+
+
+def test_quadtree_contracts(spark):
+    rows = {r["depth"]: r for r in
+            QUERIES["q376_quadtree_build"](spark, SF).collect()}
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert sum(r["n_points"] for r in rows.values()) == n_events
+    assert all(0 <= d <= 6 for d in rows)
+    # non-overflow leaves respect capacity; only depth-6 may overflow
+    for d, r in rows.items():
+        assert r["min_cell_pts"] >= 1
+        if d < 6:
+            assert r["max_cell_pts"] <= 64
+    # the 64x64 hotspot (30% of points) lands in ONE depth-6 cell
+    assert 6 in rows
+    assert rows[6]["max_cell_pts"] >= (3 * n_events) // 10
