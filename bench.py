@@ -388,6 +388,8 @@ HEADLINE = [
     "q374_latency_percentiles",
     "q375_snapshot_gc",
     "q376_quadtree_build",
+    "q377_language_gini",
+    "q378_span_corruption_plan",
 ]
 
 

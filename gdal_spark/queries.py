@@ -21549,3 +21549,137 @@ def q376(spark, sf_dir):
         F.max("pts").cast("long").alias("max_cell_pts"),
     ).select(F.col("ld").cast("long").alias("depth"), "n_cells", "n_points",
              "min_cell_pts", "max_cell_pts")
+
+
+# --- language-diversity Gini / HHI per source (q377) -----------------------------
+
+
+@query(
+    "q377_language_gini",
+    """WITH lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+              FROM documents GROUP BY source, lang),
+       st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+                     CAST(sum(c) AS BIGINT) AS n_docs,
+                     CAST(sum(c * c) AS BIGINT) AS sum_c2
+              FROM lc GROUP BY source),
+       pr AS (SELECT a.source, CAST(sum(abs(a.c - b.c)) AS BIGINT) AS num
+              FROM lc a JOIN lc b ON a.source = b.source
+              GROUP BY a.source)
+       SELECT source, n_docs, n_langs,
+              CAST(num AS DOUBLE)
+                / CAST(2 * n_langs * n_docs AS DOUBLE) AS gini,
+              CAST(sum_c2 AS DOUBLE)
+                / CAST(n_docs * n_docs AS DOUBLE) AS hhi
+       FROM st JOIN pr USING (source)""",
+)
+def q377(spark, sf_dir):
+    """Language-diversity concentration per source — the corpus-mix
+    governance numbers next to q348's datasheet: Gini coefficient
+    over each source's language distribution (G = Σij|ci-cj| /
+    (2·k·Σc), the mean-absolute-difference form — 0 = perfectly
+    balanced languages, →1 = one language dominates) and the
+    Herfindahl-Hirschman index (Σci²/total² — the acquisition-review
+    number).  Both emitted as ONE double division of exact BIGINT
+    products.  The pairwise |ci-cj| sum joins the per-(source,lang)
+    count table to itself on source: the LANGUAGE LEXICON bounds the
+    join (k² pairs per source for k languages, k ≤ dozens), never
+    the corpus — the q19-lesson df-cap logic applied to a diversity
+    statistic.  One groupBy over the corpus feeds everything."""
+    docs = _t(spark, sf_dir, "documents")
+    lc = docs.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("c"))
+    st = lc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_langs"),
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    lc2 = lc.select(F.col("source").alias("source"),
+                    F.col("c").alias("c2"))
+    pr = lc.join(lc2, "source").groupBy("source").agg(
+        F.sum(F.abs(F.col("c") - F.col("c2"))).cast("long").alias("num"))
+    return st.join(pr, "source").select(
+        "source", "n_docs", "n_langs",
+        (F.col("num").cast("double")
+         / (2 * F.col("n_langs") * F.col("n_docs")).cast("double")
+         ).alias("gini"),
+        (F.col("sum_c2").cast("double")
+         / (F.col("n_docs") * F.col("n_docs")).cast("double")).alias("hhi"),
+    )
+
+
+# --- T5 span-corruption planning (q378) ------------------------------------------
+
+
+@query(
+    "q378_span_corruption_plan",
+    """WITH d AS (SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS L
+              FROM documents),
+       el AS (SELECT doc_id, L,
+                     CASE WHEN L // 20 >= 64
+                          THEN CAST(error('q378: spans outgrew range(64)')
+                                    AS BIGINT)
+                          ELSE L // 20 END AS s,
+                     CAST(length(bin(L)) AS BIGINT) AS len_bucket
+              FROM d WHERE L >= 20),
+       g AS (SELECT el.len_bucket,
+                    ((j.j * L) // s) - (((j.j - 1) * L) // s) AS gap
+             FROM el JOIN (SELECT unnest(range(64)) AS j) j
+               ON j.j >= 1 AND j.j < s),
+       agg AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(L) AS BIGINT) AS raw_tokens,
+                      CAST(sum(3 * s) AS BIGINT) AS corrupted_tokens,
+                      CAST(sum(L - 2 * s) AS BIGINT) AS input_tokens,
+                      CAST(sum(4 * s + 1) AS BIGINT) AS target_tokens
+               FROM el GROUP BY len_bucket),
+       gg AS (SELECT len_bucket, CAST(min(gap) AS BIGINT) AS mg
+              FROM g GROUP BY len_bucket)
+       SELECT agg.len_bucket, n_docs, raw_tokens, corrupted_tokens,
+              input_tokens, target_tokens,
+              coalesce(gg.mg, -1) AS min_start_gap
+       FROM agg LEFT JOIN gg USING (len_bucket)""",
+)
+def q378(spark, sf_dir):
+    """T5-style span-corruption pretraining plan — the sequence-
+    length accounting that sizes the encoder/decoder batches BEFORE
+    tokenizing a single example: corruption rate 15%, mean span 3 =>
+    s = L div 20 spans of 3 tokens; encoder input length L - 2s
+    (each span collapses to one sentinel), decoder target 4s + 1
+    (spans + sentinels + EOS).  Per power-of-two length bucket (the
+    shared bin()-length idiom): docs, raw/corrupted/input/target
+    token totals — the packing planner's (q93/q315) demand curve.
+    Span starts are the deterministic lattice (j·L) div s, and the
+    emitted min_start_gap PROVES non-overlap (gap >= 20 > span
+    length 3 by floor-sequence arithmetic) instead of assuming it —
+    the q368 prove-don't-assume pattern; gaps come from pure
+    arithmetic on the exploded span index, s <= L/20 rows per doc,
+    no join, no window; the oracle's fixed range(64) carries the
+    loud error() guard against fixture outgrowth."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("L"))
+    el = d.filter(F.col("L") >= 20).select(
+        "doc_id", "L",
+        F.expr("L div 20").alias("s"),
+        F.expr("CAST(length(bin(L)) AS BIGINT)").alias("len_bucket"),
+    )
+    g = (
+        el.filter(F.col("s") >= 2)
+        .withColumn("j", F.explode(F.sequence(F.lit(1), F.col("s") - 1)))
+        .select("len_bucket",
+                F.expr("(j * L) div s - ((j - 1) * L) div s").alias("gap"))
+    )
+    gg = g.groupBy("len_bucket").agg(
+        F.min("gap").cast("long").alias("mg"))
+    agg = el.groupBy("len_bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("L").cast("long").alias("raw_tokens"),
+        F.sum(3 * F.col("s")).cast("long").alias("corrupted_tokens"),
+        F.sum(F.col("L") - 2 * F.col("s")).cast("long").alias("input_tokens"),
+        F.sum(4 * F.col("s") + 1).cast("long").alias("target_tokens"),
+    )
+    return agg.join(gg, "len_bucket", "left").select(
+        "len_bucket", "n_docs", "raw_tokens", "corrupted_tokens",
+        "input_tokens", "target_tokens",
+        F.coalesce(F.col("mg"), F.lit(-1)).alias("min_start_gap"),
+    )

@@ -100,3 +100,31 @@ def test_quadtree_contracts(spark):
     # the 64x64 hotspot (30% of points) lands in ONE depth-6 cell
     assert 6 in rows
     assert rows[6]["max_cell_pts"] >= (3 * n_events) // 10
+
+
+def test_language_gini_contracts(spark):
+    rows = QUERIES["q377_language_gini"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # Gini bounded [0, 1); HHI bounded (1/k, 1]
+        assert 0.0 <= r["gini"] < 1.0
+        assert 1.0 / r["n_langs"] <= r["hhi"] <= 1.0
+        # single-language source would be gini 0 / hhi 1 exactly
+        if r["n_langs"] == 1:
+            assert r["gini"] == 0.0 and r["hhi"] == 1.0
+
+
+def test_span_corruption_contracts(spark):
+    rows = QUERIES["q378_span_corruption_plan"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # token accounting identity: input + 2*spans == raw;
+        # corrupted = 3 * spans
+        s_total = r["corrupted_tokens"] // 3
+        assert r["corrupted_tokens"] == 3 * s_total
+        assert r["input_tokens"] == r["raw_tokens"] - 2 * s_total
+        assert r["target_tokens"] == 4 * s_total + r["n_docs"]
+        # the non-overlap PROOF: span starts at least 20 apart
+        # (span length 3), or -1 when every doc has a single span
+        assert r["min_start_gap"] == -1 or r["min_start_gap"] >= 20
