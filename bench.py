@@ -390,6 +390,8 @@ HEADLINE = [
     "q376_quadtree_build",
     "q377_language_gini",
     "q378_span_corruption_plan",
+    "q379_exact_auc",
+    "q380_shuffle_sharding",
 ]
 
 

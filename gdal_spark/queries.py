@@ -21683,3 +21683,185 @@ def q378(spark, sf_dir):
         "input_tokens", "target_tokens",
         F.coalesce(F.col("mg"), F.lit(-1)).alias("min_start_gap"),
     )
+
+
+# --- exact AUC via bounded score histogram (q379) --------------------------------
+
+
+@query(
+    "q379_exact_auc",
+    """WITH scored AS (SELECT
+                (n_chars * 7 + doc_id * 13) % 1000 AS score,
+                CASE WHEN (doc_id * 2654435761) % 1000
+                          < 300 + ((n_chars * 7 + doc_id * 13) % 1000) // 2
+                     THEN 1 ELSE 0 END AS label
+              FROM documents),
+       hist AS (SELECT score,
+                       CAST(sum(label) AS BIGINT) AS n_pos,
+                       CAST(sum(1 - label) AS BIGINT) AS n_neg
+                FROM scored GROUP BY score),
+       cum AS (SELECT score, n_pos, n_neg,
+                      CAST(coalesce(sum(n_neg) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS neg_below
+               FROM hist)
+       SELECT CAST(sum(n_pos) AS BIGINT) AS n_pos,
+              CAST(sum(n_neg) AS BIGINT) AS n_neg,
+              CAST(sum(n_pos * neg_below) AS BIGINT) AS concordant_pairs,
+              CAST(sum(n_pos * n_neg) AS BIGINT) AS tied_pairs,
+              CAST(2 * sum(n_pos * neg_below) + sum(n_pos * n_neg) AS DOUBLE)
+                / CAST(2 * sum(n_pos) * sum(n_neg) AS DOUBLE) AS auc
+       FROM cum""",
+)
+def q379(spark, sf_dir):
+    """EXACT ROC-AUC without sorting the corpus — the classifier-
+    quality number behind every filtering-model gate (q194/q320),
+    usually approximated by sampling because the naive Mann-Whitney
+    rank-sum sorts all scores.  With a bounded integer score domain
+    (0..999 here) AUC is a HISTOGRAM problem, same insight as q374:
+    AUC = P(score_pos > score_neg) + P(tie)/2 =
+    (2*Σ_s pos_s·negBelow_s + Σ_s pos_s·neg_s) / (2·P·N) — one
+    groupBy over the corpus (map-side combinable), one cumulative
+    window over the <= 1000-row histogram (bounded by the SCORE
+    DOMAIN, never the corpus — the single-partition window is over
+    1000 rows at 100 TB too), every pair count an exact BIGINT and
+    the AUC ONE double division of them.  The label model is
+    deterministic-integer with P(label) increasing in score, so the
+    fixture's AUC is meaningfully above 0.5 and the tie-correction
+    term is exercised at every score."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("n_chars") * 7 + F.col("doc_id") * 13) % 1000).alias("score"),
+        F.when(
+            (F.col("doc_id") * F.lit(2654435761)) % 1000
+            < 300 + F.expr("((n_chars * 7 + doc_id * 13) % 1000) div 2"),
+            1,
+        ).otherwise(0).alias("label"),
+    )
+    hist = scored.groupBy("score").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    )
+    wb = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.sum("n_neg").over(wb), F.lit(0)).alias("neg_below"),
+    )
+    return cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(F.col("n_pos") * F.col("neg_below")).cast("long")
+        .alias("concordant_pairs"),
+        F.sum(F.col("n_pos") * F.col("n_neg")).cast("long")
+        .alias("tied_pairs"),
+        ((2 * F.sum(F.col("n_pos") * F.col("neg_below"))
+          + F.sum(F.col("n_pos") * F.col("n_neg"))).cast("double")
+         / (2 * F.sum("n_pos") * F.sum("n_neg")).cast("double")).alias("auc"),
+    )
+
+
+# --- shuffle-sharding blast-radius audit (q380) -----------------------------------
+
+
+@query(
+    "q380_shuffle_sharding",
+    """WITH sh AS (SELECT unnest(range(16)) AS s),
+       pairs AS (SELECT a.s AS i, b.s AS j FROM sh a JOIN sh b ON a.s < b.s),
+       ord AS (SELECT a.i, a.j, CAST(count(b.i) AS BIGINT) AS ordn
+               FROM pairs a LEFT JOIN pairs b
+                 ON b.i < a.i OR (b.i = a.i AND b.j < a.j)
+               GROUP BY a.i, a.j),
+       cust AS (SELECT DISTINCT user_id FROM events),
+       asg AS (SELECT user_id,
+                      ((user_id * 2654435761) % 1000003) % 120 AS ordn
+               FROM cust),
+       cc AS (SELECT o.i, o.j, o.ordn, CAST(count(*) AS BIGINT) AS c
+              FROM asg JOIN ord o USING (ordn) GROUP BY o.i, o.j, o.ordn),
+       tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                      CAST(count(*) AS BIGINT) AS n_asg,
+                      CAST(sum(c * (c - 1) // 2) AS BIGINT) AS full_blast,
+                      CAST(max(c) AS BIGINT) AS max_load,
+                      CAST(min(c) AS BIGINT) AS min_load
+               FROM cc),
+       part AS (SELECT CAST(coalesce(sum(a.c * b.c), 0) AS BIGINT) AS partial
+                FROM cc a JOIN cc b
+                  ON a.ordn < b.ordn
+                 AND (a.i = b.i OR a.i = b.j OR a.j = b.i OR a.j = b.j))
+       SELECT n AS n_customers, n_asg AS n_assignments,
+              full_blast AS full_blast_pairs,
+              partial AS partial_blast_pairs,
+              n * (n - 1) // 2 - full_blast - partial AS isolated_pairs,
+              n * (n - 1) // 2 AS total_pairs,
+              max_load, min_load
+       FROM tot, part""",
+)
+def q380(spark, sf_dir):
+    """Shuffle-sharding blast-radius audit — the isolation proof
+    behind cellular architectures (each customer gets 2 of 16
+    shards; a poisoned customer can only take down customers
+    sharing BOTH shards): classify every customer pair as
+    full-blast (same 2-shard assignment: C(c,2) within each
+    assignment), partial (assignments sharing exactly one shard —
+    two distinct 2-subsets share at most one element, so >=1 IS
+    exactly 1), or isolated, and PROVE the classification partitions
+    all C(N,2) pairs by emitting total_pairs alongside.  The
+    combinatorics never touch customer pairs: the C(16,2) = 120
+    assignment table is built relationally (triangular count-of-
+    smaller ordinal — deterministic in both engines), customers
+    hash-join to it (broadcast, one corpus pass), and the pair
+    classes are exact integer arithmetic over the 120-row
+    aggregate's self-join (120^2 bounded).  c*(c-1) is always even
+    so the // 2 is exact."""
+    e = _t(spark, sf_dir, "events")
+    sh = spark.range(16).select(F.col("id").alias("s"))
+    pairs = sh.crossJoin(sh.select(F.col("s").alias("s2"))) \
+        .filter(F.col("s") < F.col("s2")) \
+        .select(F.col("s").alias("i"), F.col("s2").alias("j"))
+    p2 = pairs.select(F.col("i").alias("i2"), F.col("j").alias("j2"))
+    ordt = (
+        pairs.join(
+            p2,
+            (F.col("i2") < F.col("i"))
+            | ((F.col("i2") == F.col("i")) & (F.col("j2") < F.col("j"))),
+            "left",
+        )
+        .groupBy("i", "j")
+        .agg(F.count("i2").cast("long").alias("ordn"))
+    )
+    # mix through a prime modulus first: 2654435761 = 1 (mod 120), so a
+    # direct % 120 of dense user ids yields CONSECUTIVE ordinals — all
+    # lexicographic pairs (0, j), every assignment sharing shard 0.
+    asg = e.select("user_id").distinct().select(
+        (((F.col("user_id") * F.lit(2654435761)) % 1000003) % 120)
+        .alias("ordn"))
+    cc = asg.join(F.broadcast(ordt), "ordn").groupBy("i", "j", "ordn").agg(
+        F.count("*").cast("long").alias("c"))
+    tot = cc.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.count("*").cast("long").alias("n_asg"),
+        F.sum(F.expr("c * (c - 1) div 2")).cast("long").alias("full_blast"),
+        F.max("c").cast("long").alias("max_load"),
+        F.min("c").cast("long").alias("min_load"),
+    )
+    cc2 = cc.select(F.col("ordn").alias("ordn2"), F.col("i").alias("i2"),
+                    F.col("j").alias("j2"), F.col("c").alias("c2"))
+    part = (
+        cc.join(
+            cc2,
+            (F.col("ordn") < F.col("ordn2"))
+            & ((F.col("i") == F.col("i2")) | (F.col("i") == F.col("j2"))
+               | (F.col("j") == F.col("i2")) | (F.col("j") == F.col("j2"))),
+        )
+        .agg(F.coalesce(F.sum(F.col("c") * F.col("c2")), F.lit(0))
+             .cast("long").alias("partial"))
+    )
+    return tot.crossJoin(part).select(
+        F.col("n").alias("n_customers"),
+        F.col("n_asg").alias("n_assignments"),
+        F.col("full_blast").alias("full_blast_pairs"),
+        F.col("partial").alias("partial_blast_pairs"),
+        (F.expr("n * (n - 1) div 2") - F.col("full_blast") - F.col("partial")
+         ).alias("isolated_pairs"),
+        F.expr("n * (n - 1) div 2").alias("total_pairs"),
+        "max_load", "min_load",
+    )

@@ -128,3 +128,30 @@ def test_span_corruption_contracts(spark):
         # the non-overlap PROOF: span starts at least 20 apart
         # (span length 3), or -1 when every doc has a single span
         assert r["min_start_gap"] == -1 or r["min_start_gap"] >= 20
+
+
+def test_exact_auc_contracts(spark):
+    r = QUERIES["q379_exact_auc"](spark, SF).collect()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert r["n_pos"] + r["n_neg"] == n_docs
+    assert r["n_pos"] > 0 and r["n_neg"] > 0
+    # pair accounting bounded by P*N
+    assert 0 <= r["concordant_pairs"] + r["tied_pairs"] \
+        <= r["n_pos"] * r["n_neg"]
+    # the label model correlates with score: meaningfully above chance
+    assert 0.5 < r["auc"] < 1.0
+    # AUC is exactly the cross-multiplied integers
+    expect = (2 * r["concordant_pairs"] + r["tied_pairs"]) \
+        / (2.0 * r["n_pos"] * r["n_neg"])
+    assert r["auc"] == expect
+
+
+def test_shuffle_sharding_contracts(spark):
+    r = QUERIES["q380_shuffle_sharding"](spark, SF).collect()[0]
+    n = r["n_customers"]
+    # the three blast classes PARTITION all customer pairs
+    assert (r["full_blast_pairs"] + r["partial_blast_pairs"]
+            + r["isolated_pairs"]) == r["total_pairs"] == n * (n - 1) // 2
+    assert r["isolated_pairs"] > 0  # isolation exists = sharding works
+    assert 1 <= r["n_assignments"] <= 120
+    assert r["min_load"] >= 1 and r["max_load"] >= r["min_load"]
