@@ -392,6 +392,8 @@ HEADLINE = [
     "q378_span_corruption_plan",
     "q379_exact_auc",
     "q380_shuffle_sharding",
+    "q381_calibration_ece",
+    "q382_interval_coverage",
 ]
 
 

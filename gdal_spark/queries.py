@@ -21865,3 +21865,158 @@ def q380(spark, sf_dir):
         F.expr("n * (n - 1) div 2").alias("total_pairs"),
         "max_load", "min_load",
     )
+
+
+# --- exact expected calibration error (q381) --------------------------------------
+
+
+@query(
+    "q381_calibration_ece",
+    """WITH scored AS (SELECT
+                (doc_id * 48271 + n_chars * 31) % 1000 AS conf,
+                CASE WHEN (doc_id * 2654435761) % 1000
+                          < ((doc_id * 48271 + n_chars * 31) % 1000) * 8 // 10
+                            + 100
+                     THEN 1 ELSE 0 END AS outcome
+              FROM documents),
+       b AS (SELECT conf // 100 AS bucket,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(outcome) AS BIGINT) AS correct,
+                    CAST(sum(conf) AS BIGINT) AS conf_sum
+             FROM scored GROUP BY conf // 100),
+       g AS (SELECT bucket, n, correct, conf_sum,
+                    abs(1000 * correct - conf_sum) AS gap_num
+             FROM b),
+       tot AS (SELECT CAST(sum(gap_num) AS BIGINT) AS gap_total,
+                      CAST(sum(n) AS BIGINT) AS n_total
+               FROM g)
+       SELECT CAST(bucket AS BIGINT) AS bucket, n, correct, conf_sum,
+              CAST(correct AS DOUBLE) / CAST(n AS DOUBLE) AS accuracy,
+              CAST(conf_sum AS DOUBLE) / CAST(1000 * n AS DOUBLE)
+                AS mean_conf,
+              CAST(gap_num AS BIGINT) AS gap_num,
+              CAST(gap_total AS DOUBLE) / CAST(1000 * n_total AS DOUBLE)
+                AS ece
+       FROM g, tot""",
+)
+def q381(spark, sf_dir):
+    """Expected calibration error computed EXACTLY — the reliability
+    number behind every confidence-thresholded filter (q194's gate
+    trusts the classifier's probabilities; ECE says whether it
+    should): with per-mille integer confidences, the per-bucket
+    |accuracy - mean confidence| gap is |1000·correct - Σconf| /
+    (1000·n) — an exact BIGINT numerator — and ECE = Σ_b gap_num /
+    (1000·N) needs ONE double division total; accuracy and mean_conf
+    are each one division too, so every emitted float is a single
+    IEEE op on exact integers.  The outcome model draws with true
+    probability 0.8·conf + 100 per-mille: overconfident above
+    conf = 500, underconfident below — both failure directions
+    exercised, and the |.| is load-bearing.  Shape: one map-side-
+    combinable groupBy into 10 buckets, the scalar totals cross-
+    joined back (1 row) — one corpus pass, bounded everything."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        ((F.col("doc_id") * 48271 + F.col("n_chars") * 31) % 1000)
+        .alias("conf"),
+        F.when(
+            (F.col("doc_id") * F.lit(2654435761)) % 1000
+            < F.expr("((doc_id * 48271 + n_chars * 31) % 1000) * 8 div 10")
+            + 100,
+            1,
+        ).otherwise(0).alias("outcome"),
+    )
+    b = scored.groupBy(F.expr("conf div 100").alias("bucket")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("outcome").cast("long").alias("correct"),
+        F.sum("conf").cast("long").alias("conf_sum"),
+    )
+    g = b.withColumn(
+        "gap_num", F.abs(1000 * F.col("correct") - F.col("conf_sum")))
+    tot = g.agg(F.sum("gap_num").cast("long").alias("gap_total"),
+                F.sum("n").cast("long").alias("n_total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("long").alias("bucket"), "n", "correct",
+        "conf_sum",
+        (F.col("correct").cast("double") / F.col("n").cast("double"))
+        .alias("accuracy"),
+        (F.col("conf_sum").cast("double")
+         / (1000 * F.col("n")).cast("double")).alias("mean_conf"),
+        F.col("gap_num").cast("long").alias("gap_num"),
+        (F.col("gap_total").cast("double")
+         / (1000 * F.col("n_total")).cast("double")).alias("ece"),
+    )
+
+
+# --- interval-union coverage per user (q382) ---------------------------------------
+
+
+@query(
+    "q382_interval_coverage",
+    """WITH iv AS (SELECT user_id, event_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                CAST(floor(epoch(ts)) AS BIGINT)
+                  + 60 + (event_id % 10) * 90 AS e
+              FROM events),
+       mk AS (SELECT user_id, event_id, s, e,
+                     CASE WHEN s > coalesce(max(e) OVER (
+                              PARTITION BY user_id ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), -1)
+                          THEN 1 ELSE 0 END AS new_island
+              FROM iv),
+       isl AS (SELECT user_id, s, e,
+                      CAST(sum(new_island) OVER (
+                           PARTITION BY user_id ORDER BY s, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS island
+               FROM mk),
+       per AS (SELECT user_id, island,
+                      CAST(max(e) - min(s) AS BIGINT) AS covered
+               FROM isl GROUP BY user_id, island)
+       SELECT user_id,
+              CAST(count(*) AS BIGINT) AS n_islands,
+              CAST(sum(covered) AS BIGINT) AS covered_seconds,
+              CAST(max(covered) AS BIGINT) AS longest_island
+       FROM per GROUP BY user_id""",
+)
+def q382(spark, sf_dir):
+    """Interval-union coverage per user — the gaps-and-islands sweep
+    (total ONLINE time from overlapping session intervals; double-
+    counting overlaps is THE classic uptime-accounting bug): each
+    event opens an interval [epoch, epoch + 60 + (event_id%10)*90s],
+    an interval starts a NEW island iff its start exceeds the
+    running max of all previous ends (one cumulative-max window),
+    islands are numbered by the running sum of the flags (one
+    cumulative-sum window over the same order), and each island
+    contributes max(end) - min(start) exactly once.  Epoch seconds
+    via the q317 cross-engine contract (CAST(floor(epoch)) mirrors
+    unix_timestamp) — all-integer output, nothing to round.  Both
+    windows shard by user_id (the house shuffle-key family): the
+    sweep is linear per user and the merge is one pass — the
+    declarative form of the sort-and-sweep every interval-union
+    implementation runs."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 60 + (F.col("event_id") % 10) * 90)
+        .alias("e"),
+    )
+    wprev = (Window.partitionBy("user_id").orderBy("s", "event_id")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    mk = e.select(
+        "user_id", "event_id", "s", "e",
+        F.when(F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1)
+        .otherwise(0).alias("new_island"),
+    )
+    wcum = (Window.partitionBy("user_id").orderBy("s", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    isl = mk.select(
+        "user_id", "s", "e",
+        F.sum("new_island").over(wcum).cast("long").alias("island"))
+    per = isl.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("covered"))
+    return per.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("covered").cast("long").alias("covered_seconds"),
+        F.max("covered").cast("long").alias("longest_island"),
+    )

@@ -155,3 +155,53 @@ def test_shuffle_sharding_contracts(spark):
     assert r["isolated_pairs"] > 0  # isolation exists = sharding works
     assert 1 <= r["n_assignments"] <= 120
     assert r["min_load"] >= 1 and r["max_load"] >= r["min_load"]
+
+
+def test_calibration_ece_contracts(spark):
+    rows = QUERIES["q381_calibration_ece"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n"] for r in rows) == n_docs
+    # 10 per-mille deciles, all populated by the LCG confidence model
+    assert sorted(r["bucket"] for r in rows) == list(range(10))
+    ece = rows[0]["ece"]
+    for r in rows:
+        assert r["ece"] == ece  # scalar broadcast to every bucket row
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert r["bucket"] / 10.0 <= r["mean_conf"] < (r["bucket"] + 1) / 10.0
+        # gap numerator is the exact integer |1000*correct - conf_sum|
+        assert r["gap_num"] == abs(1000 * r["correct"] - r["conf_sum"])
+    # the +100 per-mille offset makes low buckets UNDERconfident
+    # (accuracy > mean_conf) and high buckets OVERconfident
+    by_b = {r["bucket"]: r for r in rows}
+    assert by_b[0]["accuracy"] > by_b[0]["mean_conf"]
+    assert by_b[9]["accuracy"] < by_b[9]["mean_conf"]
+    # ECE is the exact weighted identity over the emitted integers
+    n_total = sum(r["n"] for r in rows)
+    assert ece == sum(r["gap_num"] for r in rows) / (1000.0 * n_total)
+    assert 0.0 < ece < 1.0
+
+
+def test_interval_coverage_contracts(spark):
+    rows = QUERIES["q382_interval_coverage"](spark, SF).collect()
+    ev = spark.read.parquet(f"{SF}/events.parquet").collect()
+    # replay the sweep per user in pure Python on the SAME interval spec
+    from collections import defaultdict
+    ivs = defaultdict(list)
+    for r in ev:
+        s = int(r["ts"].timestamp())
+        ivs[r["user_id"]].append((s, s + 60 + (r["event_id"] % 10) * 90))
+    for row in rows:
+        spans = sorted(ivs[row["user_id"]])
+        merged = []
+        for s, e in spans:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        assert row["n_islands"] == len(merged)
+        assert row["covered_seconds"] == sum(e - s for s, e in merged)
+        assert row["longest_island"] == max(e - s for s, e in merged)
+    # intervals DO overlap (islands < events) and gaps DO exist
+    n_events = len(ev)
+    assert sum(r["n_islands"] for r in rows) < n_events
+    assert any(r["n_islands"] > 1 for r in rows)
