@@ -394,6 +394,8 @@ HEADLINE = [
     "q380_shuffle_sharding",
     "q381_calibration_ece",
     "q382_interval_coverage",
+    "q383_chao1_richness",
+    "q384_zonemap_skipping",
 ]
 
 

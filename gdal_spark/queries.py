@@ -22020,3 +22020,209 @@ def q382(spark, sf_dir):
         F.sum("covered").cast("long").alias("covered_seconds"),
         F.max("covered").cast("long").alias("longest_island"),
     )
+
+
+# --- species-richness estimators (q383) ---------------------------------------------
+
+
+@query(
+    "q383_chao1_richness",
+    """WITH obs AS (SELECT CASE WHEN doc_id % 16 < 10
+                                THEN doc_id * 4 + 1
+                                WHEN doc_id % 16 < 14
+                                THEN (doc_id // 16) * 4 + 2
+                                ELSE (doc_id // 16) * 4 + 3
+                           END AS species
+              FROM documents),
+       fof AS (SELECT species, CAST(count(*) AS BIGINT) AS f
+               FROM obs GROUP BY species),
+       s AS (SELECT CAST(sum(f) AS BIGINT) AS n_obs,
+                    CAST(count(*) AS BIGINT) AS n_species,
+                    CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f1,
+                    CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS f2
+             FROM fof)
+       SELECT n_obs, n_species, f1, f2,
+              CAST(n_species * 2 * (f2 + 1) + f1 * (f1 - 1) AS DOUBLE)
+                / CAST(2 * (f2 + 1) AS DOUBLE) AS chao1,
+              CAST(f1 AS DOUBLE) / CAST(n_obs AS DOUBLE) AS missing_mass,
+              CAST(n_obs - f1 AS DOUBLE) / CAST(n_obs AS DOUBLE)
+                AS gt_coverage
+       FROM s""",
+)
+def q383(spark, sf_dir):
+    """Chao1 species-richness + Good-Turing missing mass — the
+    how-much-vocabulary-have-we-NOT-seen estimators that decide
+    whether crawling more of a source still yields new entities
+    (Chao1's unseen-species term f1^2/(2 f2) and Turing's unseen
+    probability mass f1/N both need only the frequency-of-frequencies
+    head, so the whole estimate is two counts over the bounded
+    species table).  Every emitted float is ONE IEEE division of
+    exact BIGINTs: chao1 = (2 V (f2+1) + f1 (f1-1)) / (2 (f2+1))
+    folds the bias-corrected form into a single rational.  The
+    mention model assigns per 16-doc block: 10 singleton species
+    (residue 1 mod 4), one 4-observation species (residue 2), one
+    2-observation species (residue 3) — f1, f2, and a deeper tail all
+    populated at every SF, and the three classes can never collide.
+    Shape: one map-side-combinable groupBy to the species table, one
+    aggregation over it, 1 row out — two passes of pure counting at
+    any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    obs = docs.select(
+        F.when(F.col("doc_id") % 16 < 10, F.col("doc_id") * 4 + 1)
+        .when(F.col("doc_id") % 16 < 14,
+              F.expr("(doc_id div 16) * 4 + 2"))
+        .otherwise(F.expr("(doc_id div 16) * 4 + 3"))
+        .alias("species")
+    )
+    fof = obs.groupBy("species").agg(F.count("*").cast("long").alias("f"))
+    s = fof.agg(
+        F.sum("f").cast("long").alias("n_obs"),
+        F.count("*").cast("long").alias("n_species"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0)).cast("long")
+        .alias("f1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0)).cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        "n_obs", "n_species", "f1", "f2",
+        ((F.col("n_species") * 2 * (F.col("f2") + 1)
+          + F.col("f1") * (F.col("f1") - 1)).cast("double")
+         / (2 * (F.col("f2") + 1)).cast("double")).alias("chao1"),
+        (F.col("f1").cast("double") / F.col("n_obs").cast("double"))
+        .alias("missing_mass"),
+        ((F.col("n_obs") - F.col("f1")).cast("double")
+         / F.col("n_obs").cast("double")).alias("gt_coverage"),
+    )
+
+
+# --- zone-map data-skipping audit (q384) --------------------------------------------
+
+
+@query(
+    "q384_zonemap_skipping",
+    """WITH d AS (SELECT doc_id, doc_id // 100 AS file_id,
+                         doc_id AS ckey,
+                         (doc_id * 2654435761) % 100000 AS ukey
+              FROM documents),
+       tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       pr AS (SELECT 'clustered' AS kind, i.i AS probe,
+                     i.i * (tot.n // 10) AS lo,
+                     i.i * (tot.n // 10) + (tot.n // 20) AS hi
+              FROM range(10) i(i), tot
+              UNION ALL
+              SELECT 'unclustered' AS kind, i.i AS probe,
+                     CAST(i.i * 10000 AS BIGINT) AS lo,
+                     CAST(i.i * 10000 + 5000 AS BIGINT) AS hi
+              FROM range(10) i(i)),
+       z AS (SELECT file_id,
+                    min(ckey) AS cmin, max(ckey) AS cmax,
+                    min(ukey) AS umin, max(ukey) AS umax,
+                    CAST(count(*) AS BIGINT) AS n_rows
+             FROM d GROUP BY file_id),
+       nf AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM z),
+       sc AS (SELECT pr.kind, pr.probe,
+                     CAST(count(*) AS BIGINT) AS files_scanned,
+                     CAST(sum(z.n_rows) AS BIGINT) AS rows_scanned
+              FROM pr JOIN z
+                ON (pr.kind = 'clustered' AND z.cmin < pr.hi
+                    AND z.cmax >= pr.lo)
+                OR (pr.kind = 'unclustered' AND z.umin < pr.hi
+                    AND z.umax >= pr.lo)
+              GROUP BY pr.kind, pr.probe),
+       mt AS (SELECT pr.kind, pr.probe,
+                     CAST(count(DISTINCT d.file_id) AS BIGINT)
+                       AS files_matching,
+                     CAST(count(*) AS BIGINT) AS rows_matched
+              FROM pr JOIN d
+                ON (pr.kind = 'clustered' AND d.ckey >= pr.lo
+                    AND d.ckey < pr.hi)
+                OR (pr.kind = 'unclustered' AND d.ukey >= pr.lo
+                    AND d.ukey < pr.hi)
+              GROUP BY pr.kind, pr.probe)
+       SELECT sc.kind, CAST(sc.probe AS BIGINT) AS probe, nf.n_files,
+              sc.files_scanned, sc.rows_scanned,
+              coalesce(mt.files_matching, 0) AS files_matching,
+              coalesce(mt.rows_matched, 0) AS rows_matched
+       FROM sc LEFT JOIN mt
+         ON sc.kind = mt.kind AND sc.probe = mt.probe
+       CROSS JOIN nf""",
+)
+def q384(spark, sf_dir):
+    """Zone-map data-skipping audit — the min/max-pruning
+    effectiveness report behind every Parquet row-group skip and
+    Iceberg file prune (the repo's own q30 bbox row-group skipping,
+    generalized into a measurable meta-query): per 100-row file,
+    zone = (min,max) of a CLUSTERED key (doc_id — tight zones) and an
+    UNCLUSTERED one (doc_id*2654435761 mod 100000 — every zone spans
+    the domain, stride 35761 is coprime to 100000 so 100 samples
+    equidistribute); ten 5%-of-domain range probes per key kind are
+    checked against the zone table ([lo,hi) overlaps iff min < hi AND
+    max >= lo) and against row-level truth.  Same selectivity, ~20x
+    file-skipping gap — the number that justifies sorting before
+    writing.  Shape: zones = one map-side-combinable groupBy into a
+    FILE-grain table; the 20 probes broadcast against both the zone
+    table and the row stream — bounded output, linear passes, no
+    shuffle beyond the file-grain agg at any corpus size."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id div 100").alias("file_id"),
+        F.col("doc_id").alias("ckey"),
+        ((F.col("doc_id") * F.lit(2654435761)) % 100000).alias("ukey"),
+    )
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    idx = spark.createDataFrame([(i,) for i in range(10)], "i INT")
+    prc = F.broadcast(idx).crossJoin(F.broadcast(tot)).select(
+        F.lit("clustered").alias("kind"), F.col("i").alias("probe"),
+        (F.col("i") * F.expr("n div 10")).alias("lo"),
+        (F.col("i") * F.expr("n div 10") + F.expr("n div 20")).alias("hi"),
+    )
+    pru = F.broadcast(idx).select(
+        F.lit("unclustered").alias("kind"), F.col("i").alias("probe"),
+        (F.col("i") * 10000).cast("long").alias("lo"),
+        (F.col("i") * 10000 + 5000).cast("long").alias("hi"),
+    )
+    pr = prc.unionAll(pru)
+    z = d.groupBy("file_id").agg(
+        F.min("ckey").alias("cmin"), F.max("ckey").alias("cmax"),
+        F.min("ukey").alias("umin"), F.max("ukey").alias("umax"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    nf = z.agg(F.count("*").cast("long").alias("n_files"))
+    overlap_z = (
+        ((F.col("kind") == "clustered") & (F.col("cmin") < F.col("hi"))
+         & (F.col("cmax") >= F.col("lo")))
+        | ((F.col("kind") == "unclustered") & (F.col("umin") < F.col("hi"))
+           & (F.col("umax") >= F.col("lo")))
+    )
+    sc = (
+        z.join(F.broadcast(pr), overlap_z)
+        .groupBy("kind", "probe")
+        .agg(F.count("*").cast("long").alias("files_scanned"),
+             F.sum("n_rows").cast("long").alias("rows_scanned"))
+    )
+    match_row = (
+        ((F.col("kind") == "clustered") & (F.col("ckey") >= F.col("lo"))
+         & (F.col("ckey") < F.col("hi")))
+        | ((F.col("kind") == "unclustered") & (F.col("ukey") >= F.col("lo"))
+           & (F.col("ukey") < F.col("hi")))
+    )
+    mt = (
+        d.join(F.broadcast(pr), match_row)
+        .groupBy("kind", "probe")
+        .agg(F.countDistinct("file_id").cast("long").alias("files_matching"),
+             F.count("*").cast("long").alias("rows_matched"))
+    )
+    return (
+        sc.join(mt, ["kind", "probe"], "left")
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "kind", F.col("probe").cast("long").alias("probe"), "n_files",
+            "files_scanned", "rows_scanned",
+            F.coalesce("files_matching", F.lit(0)).cast("long")
+            .alias("files_matching"),
+            F.coalesce("rows_matched", F.lit(0)).cast("long")
+            .alias("rows_matched"),
+        )
+    )

@@ -205,3 +205,45 @@ def test_interval_coverage_contracts(spark):
     n_events = len(ev)
     assert sum(r["n_islands"] for r in rows) < n_events
     assert any(r["n_islands"] > 1 for r in rows)
+
+
+def test_chao1_richness_contracts(spark):
+    r = QUERIES["q383_chao1_richness"](spark, SF).collect()[0]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # one observation per doc
+    assert r["n_obs"] == n_docs
+    # all three frequency classes populated at every SF
+    assert r["f1"] > 0 and r["f2"] > 0
+    assert r["n_species"] > r["f1"] + r["f2"]  # the 4-obs class exists
+    # chao1 never estimates FEWER species than observed
+    assert r["chao1"] >= r["n_species"]
+    # every float is the single division of the emitted integers
+    assert r["chao1"] == (
+        r["n_species"] * 2 * (r["f2"] + 1) + r["f1"] * (r["f1"] - 1)
+    ) / (2.0 * (r["f2"] + 1))
+    assert r["missing_mass"] == r["f1"] / float(r["n_obs"])
+    assert r["gt_coverage"] == (r["n_obs"] - r["f1"]) / float(r["n_obs"])
+    assert 0.0 < r["missing_mass"] < 1.0
+    # the construction: 10 singletons / 16 docs => mass > 1/2
+    assert r["missing_mass"] > 0.5
+
+
+def test_zonemap_skipping_contracts(spark):
+    rows = QUERIES["q384_zonemap_skipping"](spark, SF).collect()
+    assert len(rows) == 20
+    by = {(r["kind"], r["probe"]): r for r in rows}
+    n_files = rows[0]["n_files"]
+    for r in rows:
+        # pruning is SOUND: scanning the overlapped zones covers
+        # every matching file and row
+        assert r["files_scanned"] >= r["files_matching"]
+        assert r["rows_scanned"] >= r["rows_matched"]
+        assert r["files_scanned"] <= n_files
+    for i in range(10):
+        c, u = by[("clustered", i)], by[("unclustered", i)]
+        # same 5%-of-domain probes: clustered zones skip, unclustered
+        # zones (stride 35761 equidistributes per file) never do
+        assert c["files_scanned"] <= u["files_scanned"]
+        assert c["files_scanned"] <= n_files // 20 + 2
+        assert u["files_scanned"] >= n_files - 1
+        assert c["rows_matched"] > 0
