@@ -396,6 +396,8 @@ HEADLINE = [
     "q382_interval_coverage",
     "q383_chao1_richness",
     "q384_zonemap_skipping",
+    "q385_kcenter_coreset",
+    "q386_kanonymity_audit",
 ]
 
 

@@ -22226,3 +22226,209 @@ def q384(spark, sf_dir):
             .alias("rows_matched"),
         )
     )
+
+
+# --- k-center coreset selection (q385) ----------------------------------------------
+
+_GONZ_L1 = ("CAST(list_sum(list_transform(range(1,65), "
+            "i -> abs({a}.qv[i] - {c}.cqv[i]))) AS BIGINT)")
+
+
+def _gonzalez_oracle_sql() -> str:
+    parts = [
+        """WITH v AS MATERIALIZED (SELECT vec_id,
+                list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))
+                    AS qv
+             FROM embeddings),
+       c1 AS MATERIALIZED (SELECT vec_id AS cid, qv AS cqv FROM v
+                           ORDER BY vec_id LIMIT 1),
+       d1 AS MATERIALIZED (SELECT v.vec_id, v.qv, """
+        + _GONZ_L1.format(a="v", c="c1")
+        + " AS dmin FROM v, c1)"
+    ]
+    for r in range(2, 6):
+        p = r - 1
+        parts.append(
+            f""",
+       s{r} AS MATERIALIZED (SELECT vec_id AS cid, dmin AS sel_dist
+                             FROM d{p} ORDER BY dmin DESC, vec_id LIMIT 1),
+       c{r} AS MATERIALIZED (SELECT s{r}.cid, s{r}.sel_dist, v.qv AS cqv
+                             FROM v JOIN s{r} ON v.vec_id = s{r}.cid),
+       d{r} AS MATERIALIZED (SELECT d{p}.vec_id, d{p}.qv,
+                     least(d{p}.dmin, """
+            + _GONZ_L1.format(a=f"d{p}", c=f"c{r}")
+            + f") AS dmin FROM d{p}, c{r})"
+        )
+    parts.append(
+        """,
+       rad AS (SELECT CAST(max(dmin) AS BIGINT) AS final_radius FROM d5),
+       u AS (SELECT CAST(1 AS BIGINT) AS rnd, CAST(cid AS BIGINT)
+                      AS center_id, CAST(0 AS BIGINT) AS sel_dist FROM c1"""
+    )
+    for r in range(2, 6):
+        parts.append(
+            f"""
+             UNION ALL SELECT CAST({r} AS BIGINT), CAST(cid AS BIGINT),
+                              CAST(sel_dist AS BIGINT) FROM c{r}"""
+        )
+    parts.append(
+        """)
+       SELECT u.rnd, u.center_id, u.sel_dist, rad.final_radius
+       FROM u, rad"""
+    )
+    return "".join(parts)
+
+
+@query("q385_kcenter_coreset", _gonzalez_oracle_sql())
+def q385(spark, sf_dir):
+    """Gonzalez farthest-point k-center selection (k=5) — the coreset
+    / diverse-prompt-selection primitive (2-approximation to the
+    optimal k-center cover; the geometric complement to q312's
+    relevance-tradeoff MMR): seed = min vec_id, then four unrolled
+    rounds of argmax-of-min-distance with the running dmin column
+    updated by ONE least() against the newly broadcast center — each
+    round is one map-side-combinable max(struct(dmin, -vec_id))
+    (ties to LOWEST id via the negated-id field) plus one 1-row
+    broadcast, so the whole selection is ~2 linear passes per round
+    at any corpus size, never a pairwise matrix.  Distances are
+    exact-integer L1 over the per-mille-quantized embedding (the
+    q332 contract), so both engines agree bitwise; the emitted
+    sel_dist sequence is Gonzalez's non-increasing coverage-radius
+    certificate, and final_radius <= sel_dist of round 5 by
+    construction.  At 100 TB each round would localCheckpoint the
+    dmin column; at fixture scale the lazy chain is 9 passes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000 "
+        "+ 0.5) AS BIGINT)) AS qv",
+    )
+    l1 = ("CAST(aggregate(zip_with(qv, cqv, (a, b) -> abs(a - b)), "
+          "CAST(0 AS BIGINT), (acc, s) -> acc + s) AS BIGINT)")
+    c1 = (
+        v.orderBy("vec_id").limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    )
+    cur = v.crossJoin(F.broadcast(c1.select("cqv"))).selectExpr(
+        "vec_id", "qv", f"{l1} AS dmin")
+    rows = [
+        c1.select(
+            F.lit(1).cast("long").alias("rnd"),
+            F.col("cid").cast("long").alias("center_id"),
+            F.lit(0).cast("long").alias("sel_dist"),
+        )
+    ]
+    for r in range(2, 6):
+        sel = (
+            cur.agg(
+                F.max(F.struct(F.col("dmin").alias("d"),
+                               (-F.col("vec_id")).alias("nid"))).alias("m")
+            )
+            .select((-F.col("m.nid")).alias("cid"),
+                    F.col("m.d").alias("sel_dist"))
+        )
+        crow = (
+            v.join(F.broadcast(sel), v["vec_id"] == F.col("cid"))
+            .select("cid", "sel_dist", F.col("qv").alias("cqv"))
+        )
+        rows.append(
+            crow.select(
+                F.lit(r).cast("long").alias("rnd"),
+                F.col("cid").cast("long").alias("center_id"),
+                F.col("sel_dist").cast("long").alias("sel_dist"),
+            )
+        )
+        cur = (
+            cur.crossJoin(F.broadcast(crow.select("cqv")))
+            .selectExpr("vec_id", "qv", f"least(dmin, {l1}) AS dmin")
+        )
+    rad = cur.agg(F.max("dmin").cast("long").alias("final_radius"))
+    out = rows[0]
+    for c in rows[1:]:
+        out = out.unionAll(c)
+    return out.crossJoin(F.broadcast(rad))
+
+
+# --- k-anonymity generalization audit (q386) ----------------------------------------
+
+
+@query(
+    "q386_kanonymity_audit",
+    """WITH lv AS (
+         SELECT 0 AS lvl, concat(lang, '|', source, '|',
+                CAST(n_chars // 16 AS VARCHAR)) AS gkey FROM documents
+         UNION ALL
+         SELECT 1, concat(lang, '|', source, '|',
+                CAST(n_chars // 128 AS VARCHAR)) FROM documents
+         UNION ALL
+         SELECT 2, concat(lang, '|', source) FROM documents
+         UNION ALL
+         SELECT 3, lang FROM documents
+         UNION ALL
+         SELECT 4, 'all' FROM documents),
+       g AS (SELECT lvl, gkey, CAST(count(*) AS BIGINT) AS n
+             FROM lv GROUP BY lvl, gkey),
+       per AS (SELECT lvl,
+                      CAST(sum(n) AS BIGINT) AS n_rows,
+                      CAST(count(*) AS BIGINT) AS n_groups,
+                      CAST(min(n) AS BIGINT) AS min_group,
+                      CAST(sum(CASE WHEN n < 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS violating_groups,
+                      CAST(sum(CASE WHEN n < 10 THEN n ELSE 0 END)
+                        AS BIGINT) AS violating_rows
+               FROM g GROUP BY lvl),
+       ch AS (SELECT CAST(min(lvl) AS BIGINT) AS chosen_level
+              FROM per WHERE violating_rows = 0)
+       SELECT CAST(per.lvl AS BIGINT) AS lvl, per.n_rows, per.n_groups,
+              per.min_group, per.violating_groups, per.violating_rows,
+              CAST(CASE WHEN per.violating_rows = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS satisfies_k10,
+              ch.chosen_level
+       FROM per, ch""",
+)
+def q386(spark, sf_dir):
+    """k-anonymity audit over a generalization CHAIN (k=10) — the
+    release-governance gate for quasi-identifiers (lang, source,
+    n_chars): five levels where each strictly coarsens the previous
+    ((lang, source, chars div 16) -> div 128 -> (lang, source) ->
+    (lang) -> all), so violating rows and violating groups are
+    MONOTONE non-increasing by the refinement argument (any fine
+    group inside a >= k coarse group only grows when merged) and the
+    chosen level = the minimum level with zero violations is well-
+    defined (level 4 is one group of N).  Shape: each row explodes to
+    its 5 (level, group-key) cells, ONE map-side-combinable groupBy
+    to the bounded group table, one per-level rollup — the full
+    lattice audit in a single corpus pass, no per-level rescans."""
+    docs = _t(spark, sf_dir, "documents")
+    lv = docs.selectExpr(
+        "explode(array("
+        "struct(0 AS lvl, concat(lang, '|', source, '|', "
+        "CAST(n_chars div 16 AS STRING)) AS gkey), "
+        "struct(1 AS lvl, concat(lang, '|', source, '|', "
+        "CAST(n_chars div 128 AS STRING)) AS gkey), "
+        "struct(2 AS lvl, concat(lang, '|', source) AS gkey), "
+        "struct(3 AS lvl, lang AS gkey), "
+        "struct(4 AS lvl, 'all' AS gkey))) AS s"
+    ).select("s.lvl", "s.gkey")
+    g = lv.groupBy("lvl", "gkey").agg(F.count("*").alias("n"))
+    per = g.groupBy("lvl").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.min("n").cast("long").alias("min_group"),
+        F.sum(F.when(F.col("n") < 10, 1).otherwise(0)).cast("long")
+        .alias("violating_groups"),
+        F.sum(F.when(F.col("n") < 10, F.col("n")).otherwise(0)).cast("long")
+        .alias("violating_rows"),
+    )
+    per = per.withColumn(
+        "satisfies_k10",
+        F.when(F.col("violating_rows") == 0, 1).otherwise(0).cast("long"),
+    )
+    ch = per.filter("satisfies_k10 = 1").agg(
+        F.min("lvl").cast("long").alias("chosen_level"))
+    return per.crossJoin(F.broadcast(ch)).select(
+        F.col("lvl").cast("long").alias("lvl"), "n_rows", "n_groups",
+        "min_group", "violating_groups", "violating_rows",
+        "satisfies_k10", "chosen_level",
+    )

@@ -247,3 +247,48 @@ def test_zonemap_skipping_contracts(spark):
         assert c["files_scanned"] <= n_files // 20 + 2
         assert u["files_scanned"] >= n_files - 1
         assert c["rows_matched"] > 0
+
+
+def test_kcenter_coreset_contracts(spark):
+    rows = {r["rnd"]: r for r in
+            QUERIES["q385_kcenter_coreset"](spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    ids = [rows[r]["center_id"] for r in range(1, 6)]
+    # five DISTINCT centers; seed is the minimum vec_id
+    assert len(set(ids)) == 5
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert ids[0] == emb.agg({"vec_id": "min"}).collect()[0][0]
+    # Gonzalez certificate: selection distances non-increasing,
+    # and the final radius is covered by the last selection distance
+    d = [rows[r]["sel_dist"] for r in range(2, 6)]
+    assert all(d[i] >= d[i + 1] for i in range(len(d) - 1))
+    assert all(x > 0 for x in d)
+    fr = rows[1]["final_radius"]
+    assert all(rows[r]["final_radius"] == fr for r in range(1, 6))
+    assert 0 < fr <= d[-1]
+
+
+def test_kanonymity_audit_contracts(spark):
+    rows = {r["lvl"]: r for r in
+            QUERIES["q386_kanonymity_audit"](spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows.values():
+        assert r["n_rows"] == n_docs  # every level partitions the table
+        assert (r["satisfies_k10"] == 1) == (r["violating_rows"] == 0)
+    # refinement chain => violations monotone non-increasing
+    for lvl in range(4):
+        assert (rows[lvl]["violating_rows"]
+                >= rows[lvl + 1]["violating_rows"])
+        assert (rows[lvl]["violating_groups"]
+                >= rows[lvl + 1]["violating_groups"])
+        assert rows[lvl]["n_groups"] >= rows[lvl + 1]["n_groups"]
+    # the coarsest level is one group of N and always satisfies
+    assert rows[4]["n_groups"] == 1 and rows[4]["min_group"] == n_docs
+    # the finest level genuinely violates at fixture scale
+    assert rows[0]["violating_rows"] > 0
+    # chosen level is the min satisfying level, consistent everywhere
+    chosen = rows[0]["chosen_level"]
+    assert all(r["chosen_level"] == chosen for r in rows.values())
+    assert rows[chosen]["satisfies_k10"] == 1
+    assert all(rows[l]["satisfies_k10"] == 0 for l in range(chosen))
