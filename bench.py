@@ -398,6 +398,8 @@ HEADLINE = [
     "q384_zonemap_skipping",
     "q385_kcenter_coreset",
     "q386_kanonymity_audit",
+    "q387_watermark_planning",
+    "q388_merkle_replica_diff",
 ]
 
 

@@ -22432,3 +22432,175 @@ def q386(spark, sf_dir):
         "min_group", "violating_groups", "violating_rows",
         "satisfies_k10", "chosen_level",
     )
+
+
+# --- watermark late-data planning (q387) --------------------------------------------
+
+
+@query(
+    "q387_watermark_planning",
+    """WITH d AS (SELECT event_id,
+                CASE WHEN event_id % 10 < 9
+                     THEN (event_id * 31) % 60
+                     ELSE 300 + (event_id * 31) % 3300
+                END AS delay
+              FROM events),
+       w AS (SELECT CAST(w.w AS BIGINT) AS watermark_s
+             FROM (VALUES (60), (300), (900), (3600)) w(w))
+       SELECT w.watermark_s,
+              CAST(count(*) AS BIGINT) AS n_events,
+              CAST(sum(CASE WHEN d.delay > w.watermark_s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+              CAST(sum(CASE WHEN d.delay > w.watermark_s
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE) AS drop_rate,
+              CAST(max(CASE WHEN d.delay <= w.watermark_s
+                       THEN d.delay ELSE -1 END) AS BIGINT)
+                AS max_kept_delay,
+              CAST(sum(CASE WHEN d.delay <= w.watermark_s
+                       THEN 1 ELSE 0 END) * w.watermark_s AS BIGINT)
+                AS state_cost_event_seconds
+       FROM w CROSS JOIN d
+       GROUP BY w.watermark_s""",
+)
+def q387(spark, sf_dir):
+    """Watermark policy planning for Structured Streaming — the
+    completeness/state-cost tradeoff curve that decides
+    withWatermark() before the job ships: a deterministic two-regime
+    arrival-delay model (90% prompt, delay < 60 s; 10% stragglers,
+    300..3599 s — the checkpoint-recovery / mobile-client tail), four
+    candidate watermarks evaluated in ONE corpus pass (4-row policy
+    table broadcast against the event stream), emitting per policy
+    the dropped-event count (delay > W is dropped exactly as a
+    too-late row under watermark W), the drop rate as one IEEE
+    division, the max surviving delay, and the state-retention cost
+    proxy kept_events x W — the number that says a 3600 s watermark
+    buys 0 drops at 60x the state of the 60 s policy.  Everything
+    integer except the single division; map-side combinable."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 9, (F.col("event_id") * 31) % 60)
+        .otherwise(300 + (F.col("event_id") * 31) % 3300).alias("delay"),
+    )
+    w = spark.createDataFrame(
+        [(60,), (300,), (900,), (3600,)], "watermark_s LONG")
+    late = F.col("delay") > F.col("watermark_s")
+    return (
+        F.broadcast(w).crossJoin(ev)
+        .groupBy("watermark_s")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.when(late, 1).otherwise(0)).cast("long")
+            .alias("n_dropped"),
+            (F.sum(F.when(late, 1).otherwise(0)).cast("double")
+             / F.count("*").cast("double")).alias("drop_rate"),
+            F.max(F.when(~late, F.col("delay")).otherwise(-1)).cast("long")
+            .alias("max_kept_delay"),
+            (F.sum(F.when(~late, 1).otherwise(0))
+             * F.first("watermark_s")).cast("long")
+            .alias("state_cost_event_seconds"),
+        )
+    )
+
+
+# --- Merkle-tree replica diff (q388) ------------------------------------------------
+
+
+@query(
+    "q388_merkle_replica_diff",
+    """WITH l0 AS (SELECT doc_id,
+                md5(text) AS ha,
+                md5(CASE WHEN doc_id % 97 = 13 THEN text || 'X'
+                         ELSE text END) AS hb
+              FROM documents),
+       l1 AS (SELECT doc_id // 16 AS node,
+                     md5(string_agg(ha, '' ORDER BY doc_id)) AS ha,
+                     md5(string_agg(hb, '' ORDER BY doc_id)) AS hb
+              FROM l0 GROUP BY doc_id // 16),
+       l2 AS (SELECT node // 16 AS node,
+                     md5(string_agg(ha, '' ORDER BY node)) AS ha,
+                     md5(string_agg(hb, '' ORDER BY node)) AS hb
+              FROM l1 GROUP BY node // 16),
+       l3 AS (SELECT node // 16 AS node,
+                     md5(string_agg(ha, '' ORDER BY node)) AS ha,
+                     md5(string_agg(hb, '' ORDER BY node)) AS hb
+              FROM l2 GROUP BY node // 16),
+       rt AS (SELECT 0 AS node,
+                     md5(string_agg(ha, '' ORDER BY node)) AS ha,
+                     md5(string_agg(hb, '' ORDER BY node)) AS hb
+              FROM l3)
+       SELECT CAST(0 AS BIGINT) AS lvl,
+              CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_diff
+       FROM l0
+       UNION ALL
+       SELECT 1, count(*),
+              sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) FROM l1
+       UNION ALL
+       SELECT 2, count(*),
+              sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) FROM l2
+       UNION ALL
+       SELECT 3, count(*),
+              sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) FROM l3
+       UNION ALL
+       SELECT 4, count(*),
+              sum(CASE WHEN ha <> hb THEN 1 ELSE 0 END) FROM rt""",
+)
+def q388(spark, sf_dir):
+    """Merkle-tree replica reconciliation — the anti-entropy diff
+    every multi-region table replica runs (Dynamo/Cassandra repair:
+    compare roots, drill into differing subtrees only, never ship the
+    table): fanout-16 tree over doc_id ranges, node hash = md5 of the
+    child hex digests concatenated in child order (Spark's
+    sort_array(collect_list(struct)) mirrors string_agg ORDER BY —
+    hex md5 strings are engine-identical so every level compares
+    bitwise); replica B deviates on doc_id % 97 = 13 (simulated
+    missed updates).  Emits n_nodes / n_diff per level: leaf n_diff
+    is exactly the corrupted-doc count, and each level's diff set is
+    the ancestor closure of the one below — the drill-down cost is 16
+    x n_diff(parent), the log-vs-linear reconciliation argument.
+    Shape: 4 combinable groupBys over geometrically shrinking tables;
+    the leaf pass is the only corpus-sized one."""
+    docs = _t(spark, sf_dir, "documents")
+    cur = docs.select(
+        F.col("doc_id").alias("node"),
+        F.md5("text").alias("ha"),
+        F.md5(F.when(F.col("doc_id") % 97 == 13,
+                     F.concat(F.col("text"), F.lit("X")))
+              .otherwise(F.col("text"))).alias("hb"),
+    )
+    levels = [
+        cur.agg(
+            F.lit(0).cast("long").alias("lvl"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum(F.when(F.col("ha") != F.col("hb"), 1).otherwise(0))
+            .cast("long").alias("n_diff"),
+        ).select("lvl", "n_nodes", "n_diff")
+    ]
+    for lv in range(1, 5):
+        parent = F.expr("node div 16") if lv < 4 else F.lit(0)
+        cur = (
+            cur.groupBy(parent.alias("pnode"))
+            .agg(
+                F.md5(F.array_join(F.expr(
+                    "transform(array_sort(collect_list(struct(node, ha))), "
+                    "s -> s.ha)"), "")).alias("ha"),
+                F.md5(F.array_join(F.expr(
+                    "transform(array_sort(collect_list(struct(node, hb))), "
+                    "s -> s.hb)"), "")).alias("hb"),
+            )
+            .withColumnRenamed("pnode", "node")
+        )
+        levels.append(
+            cur.agg(
+                F.lit(lv).cast("long").alias("lvl"),
+                F.count("*").cast("long").alias("n_nodes"),
+                F.sum(F.when(F.col("ha") != F.col("hb"), 1).otherwise(0))
+                .cast("long").alias("n_diff"),
+            ).select("lvl", "n_nodes", "n_diff")
+        )
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionAll(df)
+    return out

@@ -292,3 +292,49 @@ def test_kanonymity_audit_contracts(spark):
     assert all(r["chosen_level"] == chosen for r in rows.values())
     assert rows[chosen]["satisfies_k10"] == 1
     assert all(rows[l]["satisfies_k10"] == 0 for l in range(chosen))
+
+
+def test_watermark_planning_contracts(spark):
+    rows = {r["watermark_s"]: r for r in
+            QUERIES["q387_watermark_planning"](spark, SF).collect()}
+    assert sorted(rows) == [60, 300, 900, 3600]
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    prev = None
+    for w in [60, 300, 900, 3600]:
+        r = rows[w]
+        assert r["n_events"] == n_events
+        assert 0 <= r["n_dropped"] <= n_events
+        assert r["drop_rate"] == r["n_dropped"] / float(n_events)
+        assert r["max_kept_delay"] <= w
+        assert (r["state_cost_event_seconds"]
+                == (n_events - r["n_dropped"]) * w)
+        if prev is not None:  # drops monotone non-increasing in W
+            assert r["n_dropped"] <= prev
+        prev = r["n_dropped"]
+    # the two-regime delay model: 60 s keeps only the prompt 90%,
+    # 3600 s drops nothing (tail delay < 3600 by construction)
+    assert rows[60]["n_dropped"] > 0
+    assert rows[3600]["n_dropped"] == 0
+    # completeness costs state: the zero-drop policy is the priciest
+    assert (rows[3600]["state_cost_event_seconds"]
+            > rows[60]["state_cost_event_seconds"])
+
+
+def test_merkle_replica_diff_contracts(spark):
+    rows = {r["lvl"]: r for r in
+            QUERIES["q388_merkle_replica_diff"](spark, SF).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    n_bad = docs.filter("doc_id % 97 = 13").count()
+    # leaf level: every corrupted doc differs, nothing else does
+    assert rows[0]["n_nodes"] == n_docs and rows[0]["n_diff"] == n_bad
+    assert n_bad > 0
+    # each level's diff set is the ancestor closure of the one below:
+    # nonempty all the way to the root, never larger than the child's
+    for lvl in range(1, 5):
+        assert rows[lvl]["n_diff"] >= 1
+        assert rows[lvl]["n_diff"] <= rows[lvl - 1]["n_diff"]
+        assert rows[lvl]["n_nodes"] <= (rows[lvl - 1]["n_nodes"] + 15) // 16 \
+            or lvl == 4
+    assert rows[4]["n_nodes"] == 1 and rows[4]["n_diff"] == 1
