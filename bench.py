@@ -400,6 +400,8 @@ HEADLINE = [
     "q386_kanonymity_audit",
     "q387_watermark_planning",
     "q388_merkle_replica_diff",
+    "q389_geo_density_clusters",
+    "q390_join_order_planning",
 ]
 
 

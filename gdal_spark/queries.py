@@ -22604,3 +22604,250 @@ def q388(spark, sf_dir):
     for df in levels[1:]:
         out = out.unionAll(df)
     return out
+
+
+# --- geo density hotspot clustering (q389) ------------------------------------------
+
+_HOTSPOT_PTS_SQL = """SELECT doc_id,
+           CASE WHEN doc_id % 10 < 3
+                THEN (-120 + 100*(doc_id % 3))
+                     + ((doc_id*13) % 500)/100.0 - 2.5
+                ELSE ((doc_id*9973) % 36000)/100.0 - 180.0 END AS lon,
+           CASE WHEN doc_id % 10 < 3
+                THEN (20*(doc_id % 3) - 20)
+                     + ((doc_id*17) % 400)/100.0 - 2.0
+                ELSE ((doc_id*7919) % 16000)/100.0 - 80.0 END AS lat
+       FROM documents"""
+
+
+@query(
+    "q389_geo_density_clusters",
+    f"""WITH RECURSIVE pts AS ({_HOTSPOT_PTS_SQL}),
+       g AS (SELECT CAST(floor((lon + 180)/360.0*64) AS BIGINT) AS cx,
+                    CAST(floor((90 - lat)/180.0*32) AS BIGINT) AS cy
+             FROM pts),
+       cellcnt AS (SELECT cy*64 + cx AS cell, cx, cy,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM g GROUP BY cx, cy),
+       tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cellcnt),
+       dense AS (SELECT cell, cx, cy, cnt FROM cellcnt, tot
+                 WHERE cnt >= greatest(8, n // 256)),
+       e AS (SELECT a.cell AS u, b.cell AS v
+             FROM dense a JOIN dense b
+               ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+       und AS (SELECT DISTINCT u, v FROM
+                 (SELECT u, v FROM e UNION ALL SELECT v, u FROM e)),
+       reach(node, lab) AS (
+         SELECT cell, cell FROM dense
+         UNION
+         SELECT und.v, r.lab FROM reach r JOIN und ON und.u = r.node),
+       comp AS (SELECT node, min(lab) AS component FROM reach
+                GROUP BY node)
+       SELECT CAST(comp.component AS BIGINT) AS component,
+              CAST(count(*) AS BIGINT) AS n_cells,
+              CAST(sum(dense.cnt) AS BIGINT) AS n_points,
+              CAST(min(dense.cx) AS BIGINT) AS min_cx,
+              CAST(max(dense.cx) AS BIGINT) AS max_cx,
+              CAST(min(dense.cy) AS BIGINT) AS min_cy,
+              CAST(max(dense.cy) AS BIGINT) AS max_cy
+       FROM comp JOIN dense ON dense.cell = comp.node
+       GROUP BY comp.component""",
+)
+def q389(spark, sf_dir):
+    """Grid-density hotspot clustering of the geocoded corpus — the
+    DBSCAN-at-scale shape (ST-DBSCAN / in-database hotspot detection:
+    rasterize points to cells, threshold density, 8-connect the dense
+    cells): the cell histogram is ONE map-side-combinable groupBy
+    whose output is bounded by the 64x32 GRID — never corpus-sized —
+    so the adjacency self-join and the connected-components run
+    (operators/graph.py pointer-jumping, the q33 machinery) cost the
+    same at 500 docs or 10^12.  The density threshold is
+    corpus-proportional (max(8, n div 256)) so the uniform background
+    lattice stays sub-threshold at every SF while three planted
+    5-degree blobs (30% of docs, 100 degrees apart; the %10 regime
+    selector and %3 blob selector are coprime per the q323 rule)
+    always clear it — the cluster report is exactly 3 components with
+    1-2-cell bboxes.  Self-pairs keep isolated dense cells in the
+    node set.  Oracle: recursive-CTE min-label fixpoint with the
+    q309 DISTINCT-wrapped undirected edge set."""
+    from gdal_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.col("doc_id") % 10 < 3
+    pts = docs.select(
+        F.when(blob, (-120 + 100 * (F.col("doc_id") % 3))
+               + ((F.col("doc_id") * 13) % 500) / 100.0 - 2.5)
+        .otherwise(((F.col("doc_id") * 9973) % 36000) / 100.0 - 180.0)
+        .alias("lon"),
+        F.when(blob, (20 * (F.col("doc_id") % 3) - 20)
+               + ((F.col("doc_id") * 17) % 400) / 100.0 - 2.0)
+        .otherwise(((F.col("doc_id") * 7919) % 16000) / 100.0 - 80.0)
+        .alias("lat"),
+    )
+    g = pts.select(
+        F.floor((F.col("lon") + 180) / 360.0 * 64).cast("long").alias("cx"),
+        F.floor((90 - F.col("lat")) / 180.0 * 32).cast("long").alias("cy"),
+    )
+    cellcnt = g.groupBy("cx", "cy").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).select((F.col("cy") * 64 + F.col("cx")).alias("cell"),
+             "cx", "cy", "cnt")
+    tot = cellcnt.agg(F.sum("cnt").cast("long").alias("n"))
+    dense = (
+        cellcnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") >= F.greatest(F.lit(8), F.expr("n div 256")))
+        .select("cell", "cx", "cy", "cnt")
+    )
+    b = dense.select(F.col("cell").alias("v"), F.col("cx").alias("bx"),
+                     F.col("cy").alias("by"))
+    edges = dense.join(
+        F.broadcast(b),
+        (F.abs(F.col("cx") - F.col("bx")) <= 1)
+        & (F.abs(F.col("cy") - F.col("by")) <= 1),
+    ).select(F.col("cell").alias("src"), F.col("v").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        comp.join(dense, comp["node"] == dense["cell"])
+        .groupBy(F.col("component").cast("long").alias("component"))
+        .agg(
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum("cnt").cast("long").alias("n_points"),
+            F.min("cx").cast("long").alias("min_cx"),
+            F.max("cx").cast("long").alias("max_cx"),
+            F.min("cy").cast("long").alias("min_cy"),
+            F.max("cy").cast("long").alias("max_cy"),
+        )
+    )
+
+
+# --- left-deep join-order planning (q390) -------------------------------------------
+
+_JOIN_ORDERS = [
+    ("C>O>L>S", "01", "012"),
+    ("O>C>L>S", "01", "012"),
+    ("O>L>C>S", "12", "012"),
+    ("O>L>S>C", "12", "123"),
+    ("L>O>C>S", "12", "012"),
+    ("L>O>S>C", "12", "123"),
+    ("L>S>O>C", "23", "123"),
+    ("S>L>O>C", "23", "123"),
+]
+
+
+@query(
+    "q390_join_order_planning",
+    """WITH st AS (SELECT
+         (SELECT count(*) FROM customer) AS c0,
+         (SELECT count(*) FROM orders) AS c1,
+         (SELECT count(*) FROM lineitem) AS c2,
+         (SELECT count(*) FROM supplier) AS c3,
+         greatest((SELECT count(DISTINCT c_custkey) FROM customer),
+                  (SELECT count(DISTINCT o_custkey) FROM orders)) AS n01,
+         greatest((SELECT count(DISTINCT o_orderkey) FROM orders),
+                  (SELECT count(DISTINCT l_orderkey) FROM lineitem))
+           AS n12,
+         greatest((SELECT count(DISTINCT l_suppkey) FROM lineitem),
+                  (SELECT count(DISTINCT s_suppkey) FROM supplier))
+           AS n23),
+       e1 AS (SELECT *, c0*c1 // n01 AS e01, c1*c2 // n12 AS e12,
+                     c2*c3 // n23 AS e23 FROM st),
+       e2 AS (SELECT *, e01*c2 // n12 AS e012, e12*c3 // n23 AS e123
+              FROM e1),
+       e3 AS (SELECT *, e012*c3 // n23 AS e0123 FROM e2),
+       ords AS (SELECT * FROM (VALUES
+         ('C>O>L>S','01','012'), ('O>C>L>S','01','012'),
+         ('O>L>C>S','12','012'), ('O>L>S>C','12','123'),
+         ('L>O>C>S','12','012'), ('L>O>S>C','12','123'),
+         ('L>S>O>C','23','123'), ('S>L>O>C','23','123'))
+         o(lbl, p2, p3)),
+       y AS (SELECT lbl,
+               CAST(CASE p2 WHEN '01' THEN e01 WHEN '12' THEN e12
+                    ELSE e23 END AS BIGINT) AS est_2,
+               CAST(CASE p3 WHEN '012' THEN e012 ELSE e123 END
+                 AS BIGINT) AS est_3,
+               CAST(e0123 AS BIGINT) AS est_4
+             FROM ords, e3),
+       z AS (SELECT lbl, est_2, est_3, est_4,
+                    est_2 + est_3 + est_4 AS cost FROM y),
+       b1 AS (SELECT min(cost) AS bc FROM z),
+       b2 AS (SELECT min(lbl) AS bl FROM z, b1 WHERE cost = bc)
+       SELECT z.lbl AS ord_label, z.est_2, z.est_3, z.est_4,
+              CAST(z.cost AS BIGINT) AS cost,
+              CAST(CASE WHEN z.cost = b1.bc AND z.lbl = b2.bl
+                   THEN 1 ELSE 0 END AS BIGINT) AS is_best
+       FROM z, b1, b2""",
+)
+def q390(spark, sf_dir):
+    """Selinger-style left-deep join-order planning over REAL catalog
+    statistics — the System R enumeration Catalyst itself runs, as an
+    oracle-checked query: the chain join graph customer-(custkey)-
+    orders-(orderkey)-lineitem-(suppkey)-supplier admits exactly
+    2^(n-1) = 8 cross-product-free left-deep orders (enumerated as a
+    literal — the optimizer's search space is structural, never
+    data-dependent); intermediate cardinalities use the textbook
+    |A join B| = |A||B| / max(ndv_A, ndv_B) estimate computed
+    SEGMENT-CANONICALLY (right-extension recursion with pinned floor
+    division, so shared prefixes share estimates bitwise) from exact
+    count / countDistinct stats gathered in four table scans; plan
+    cost = sum of the three prefix-join sizes, best = (min cost, lex
+    label) — the C-first / O-first orders tie by symmetry and
+    exercise the tie rule.  Exact BIGINT throughout (catalog-scale
+    planners switch to doubles; the relational shape is identical).
+    Shape: 4 stat scans -> 1-row stats -> 8-row broadcast enumerate —
+    planning cost is CONSTANT in data size."""
+    c = _t(spark, sf_dir, "customer").agg(
+        F.count("*").alias("c0"),
+        F.countDistinct("c_custkey").alias("dc_cust"))
+    o = _t(spark, sf_dir, "orders").agg(
+        F.count("*").alias("c1"),
+        F.countDistinct("o_custkey").alias("do_cust"),
+        F.countDistinct("o_orderkey").alias("do_ord"))
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.count("*").alias("c2"),
+        F.countDistinct("l_orderkey").alias("dl_ord"),
+        F.countDistinct("l_suppkey").alias("dl_supp"))
+    s = _t(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("c3"),
+        F.countDistinct("s_suppkey").alias("ds_supp"))
+    st = (
+        c.crossJoin(o).crossJoin(li).crossJoin(s)
+        .selectExpr(
+            "c0", "c1", "c2", "c3",
+            "greatest(dc_cust, do_cust) AS n01",
+            "greatest(do_ord, dl_ord) AS n12",
+            "greatest(dl_supp, ds_supp) AS n23",
+        )
+        .selectExpr("*", "c0*c1 div n01 AS e01", "c1*c2 div n12 AS e12",
+                    "c2*c3 div n23 AS e23")
+        .selectExpr("*", "e01*c2 div n12 AS e012",
+                    "e12*c3 div n23 AS e123")
+        .selectExpr("*", "e012*c3 div n23 AS e0123")
+    )
+    ords = spark.createDataFrame(
+        _JOIN_ORDERS, "lbl STRING, p2 STRING, p3 STRING")
+    z = (
+        F.broadcast(ords).crossJoin(F.broadcast(st))
+        .selectExpr(
+            "lbl",
+            "CAST(CASE p2 WHEN '01' THEN e01 WHEN '12' THEN e12 "
+            "ELSE e23 END AS BIGINT) AS est_2",
+            "CAST(CASE p3 WHEN '012' THEN e012 ELSE e123 END AS BIGINT) "
+            "AS est_3",
+            "CAST(e0123 AS BIGINT) AS est_4",
+        )
+        .withColumn("cost", (F.col("est_2") + F.col("est_3")
+                             + F.col("est_4")).cast("long"))
+    )
+    b1 = z.agg(F.min("cost").alias("bc"))
+    b2 = (z.crossJoin(F.broadcast(b1)).filter(F.col("cost") == F.col("bc"))
+          .agg(F.min("lbl").alias("bl")))
+    return (
+        z.crossJoin(F.broadcast(b1)).crossJoin(F.broadcast(b2))
+        .select(
+            F.col("lbl").alias("ord_label"), "est_2", "est_3", "est_4",
+            "cost",
+            F.when((F.col("cost") == F.col("bc"))
+                   & (F.col("lbl") == F.col("bl")), 1).otherwise(0)
+            .cast("long").alias("is_best"),
+        )
+    )

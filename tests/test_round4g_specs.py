@@ -338,3 +338,48 @@ def test_merkle_replica_diff_contracts(spark):
         assert rows[lvl]["n_nodes"] <= (rows[lvl - 1]["n_nodes"] + 15) // 16 \
             or lvl == 4
     assert rows[4]["n_nodes"] == 1 and rows[4]["n_diff"] == 1
+
+
+def test_geo_density_clusters_contracts(spark):
+    rows = QUERIES["q389_geo_density_clusters"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    # exactly the three planted blobs, 100 degrees apart
+    assert len(rows) == 3
+    comps = sorted(r["component"] for r in rows)
+    assert len(set(comps)) == 3
+    n_blob_docs = n_docs * 3 // 10  # doc_id % 10 in {0,1,2}
+    for r in rows:
+        # each blob holds ~n/10 docs; dense cells capture most of it
+        assert r["n_points"] >= n_docs // 20
+        # blob span is 5x4 degrees => at most 2x2 cells of 5.625 deg
+        assert r["max_cx"] - r["min_cx"] <= 1
+        assert r["max_cy"] - r["min_cy"] <= 1
+        assert 1 <= r["n_cells"] <= 4
+    # clustered mass covers the planted blobs except at most one
+    # sub-threshold minority cell per blob (each loses < thr points)
+    thr = max(8, n_docs // 256)
+    assert sum(r["n_points"] for r in rows) >= n_blob_docs - 3 * thr
+    # clusters are disjoint in space (centers 100 degrees apart)
+    xs = sorted((r["min_cx"], r["max_cx"]) for r in rows)
+    for i in range(2):
+        assert xs[i][1] < xs[i + 1][0]
+
+
+def test_join_order_planning_contracts(spark):
+    rows = {r["ord_label"]: r for r in
+            QUERIES["q390_join_order_planning"](spark, SF).collect()}
+    assert len(rows) == 8
+    for r in rows.values():
+        assert r["est_2"] > 0 and r["est_3"] > 0 and r["est_4"] > 0
+        assert r["cost"] == r["est_2"] + r["est_3"] + r["est_4"]
+    # the final-join estimate is segment-canonical: shared by ALL plans
+    e4 = {r["est_4"] for r in rows.values()}
+    assert len(e4) == 1
+    # C-first and O-first orders tie by symmetry; lex rule breaks it
+    assert rows["C>O>L>S"]["cost"] == rows["O>C>L>S"]["cost"]
+    best = [r for r in rows.values() if r["is_best"] == 1]
+    assert len(best) == 1
+    mc = min(r["cost"] for r in rows.values())
+    assert best[0]["cost"] == mc
+    assert best[0]["ord_label"] == min(
+        r["ord_label"] for r in rows.values() if r["cost"] == mc)
