@@ -402,6 +402,8 @@ HEADLINE = [
     "q388_merkle_replica_diff",
     "q389_geo_density_clusters",
     "q390_join_order_planning",
+    "q391_delta_transfer",
+    "q392_simpsons_paradox",
 ]
 
 

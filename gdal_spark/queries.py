@@ -22851,3 +22851,211 @@ def q390(spark, sf_dir):
             .cast("long").alias("is_best"),
         )
     )
+
+
+# --- block-level delta transfer (q391) ----------------------------------------------
+
+
+@query(
+    "q391_delta_transfer",
+    """WITH v AS (SELECT doc_id, text AS v1,
+                CASE WHEN doc_id % 7 = 2 THEN
+                       substr(text, 1, CAST(length(text) // 2 AS INT))
+                       || 'EDITSEGMENT'
+                       || substr(text,
+                                 CAST(length(text) // 2 + 1 AS INT))
+                     WHEN doc_id % 7 = 3 THEN text || ' APPENDED TAIL'
+                     ELSE text END AS v2,
+                CASE WHEN doc_id % 7 = 2 THEN 'insert_middle'
+                     WHEN doc_id % 7 = 3 THEN 'append'
+                     ELSE 'unchanged' END AS edit_class
+              FROM documents),
+       b1 AS (SELECT DISTINCT doc_id, blk FROM (
+                SELECT doc_id,
+                       unnest(list_filter(list_transform(range(1, 41),
+                         i -> CASE WHEN i = 1 AND length(v1) > 1280
+                              THEN error('q391: fixture outgrew 40 blocks')
+                              ELSE substr(v1, CAST((i-1)*32+1 AS INT), 32)
+                              END),
+                         s -> length(s) > 0)) AS blk
+                FROM v)),
+       b2 AS (SELECT doc_id, edit_class,
+                     unnest(list_filter(list_transform(range(1, 41),
+                       i -> CASE WHEN i = 1 AND length(v2) > 1280
+                            THEN error('q391: fixture outgrew 40 blocks')
+                            ELSE substr(v2, CAST((i-1)*32+1 AS INT), 32)
+                            END),
+                       s -> length(s) > 0)) AS blk
+              FROM v),
+       j AS (SELECT b2.doc_id, b2.edit_class,
+                    CASE WHEN b1.blk IS NULL THEN 1 ELSE 0 END AS xfer
+             FROM b2 LEFT JOIN b1
+               ON b1.doc_id = b2.doc_id AND b1.blk = b2.blk)
+       SELECT edit_class,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              CAST(count(*) AS BIGINT) AS v2_blocks,
+              CAST(sum(xfer) AS BIGINT) AS transferred_blocks,
+              CAST(sum(xfer) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                AS transfer_rate
+       FROM j GROUP BY edit_class""",
+)
+def q391(spark, sf_dir):
+    """Block-level delta-transfer accounting between two snapshot
+    versions — the rsync/recrawl-economics number (ship only the
+    32-char blocks of v2 absent from the SAME doc's v1 block set):
+    three deterministic edit classes prove the fixed-blocking
+    tradeoff — APPEND edits transfer only the tail block(s) because
+    earlier block offsets are untouched, while a MIDDLE INSERT shifts
+    every later block boundary and forces ~half the doc across the
+    wire (the shift-sensitivity that motivates content-defined
+    chunking, q308), and unchanged docs transfer exactly 0.  Both
+    engines enumerate blocks over the SAME fixed range(1,41) with the
+    q180 loud error() outgrowth guard (max doc 569+11 chars << 1280);
+    the per-doc (doc_id, block) anti-membership is one equi-join
+    whose candidate volume is the block count — linear, shuffled on
+    doc_id, never cross-doc.  transfer_rate is the single IEEE
+    division of exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        F.col("text").alias("v1"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 2 THEN "
+            "substring(text, 1, CAST(length(text) div 2 AS INT)) "
+            "|| 'EDITSEGMENT' "
+            "|| substring(text, CAST(length(text) div 2 + 1 AS INT), "
+            "1000000) "
+            "WHEN doc_id % 7 = 3 THEN text || ' APPENDED TAIL' "
+            "ELSE text END").alias("v2"),
+        F.expr(
+            "CASE WHEN doc_id % 7 = 2 THEN 'insert_middle' "
+            "WHEN doc_id % 7 = 3 THEN 'append' "
+            "ELSE 'unchanged' END").alias("edit_class"),
+    )
+    blk = ("filter(transform(sequence(1, 40), i -> CASE WHEN i = 1 "
+           "AND length({c}) > 1280 THEN "
+           "raise_error('q391: fixture outgrew 40 blocks') "
+           "ELSE substring({c}, CAST((i-1)*32+1 AS INT), 32) END), "
+           "s -> length(s) > 0)")
+    b1 = (
+        v.select("doc_id",
+                 F.explode(F.expr(blk.format(c="v1"))).alias("blk"))
+        .distinct()
+    )
+    b2 = v.select(
+        "doc_id", "edit_class",
+        F.explode(F.expr(blk.format(c="v2"))).alias("blk"))
+    j = b2.join(
+        b1.withColumnRenamed("blk", "blk1"),
+        (b2["doc_id"] == b1["doc_id"]) & (F.col("blk") == F.col("blk1")),
+        "left",
+    ).select(
+        b2["doc_id"].alias("doc_id"), "edit_class",
+        F.when(F.col("blk1").isNull(), 1).otherwise(0).alias("xfer"),
+    )
+    return j.groupBy("edit_class").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("v2_blocks"),
+        F.sum("xfer").cast("long").alias("transferred_blocks"),
+        (F.sum("xfer").cast("double") / F.count("*").cast("double"))
+        .alias("transfer_rate"),
+    )
+
+
+# --- Simpson's-paradox detector (q392) ----------------------------------------------
+
+
+@query(
+    "q392_simpsons_paradox",
+    """WITH a AS (SELECT doc_id % 2 AS stratum,
+                CASE WHEN (doc_id // 2) % 10 < 1 + 8 * (doc_id % 2)
+                     THEN 'A' ELSE 'B' END AS variant,
+                CASE WHEN (doc_id * 2654435761
+                           + (doc_id // 20) * 567) % 1000 <
+                          200 + 500 * (doc_id % 2)
+                          + CASE WHEN (doc_id // 2) % 10
+                                      >= 1 + 8 * (doc_id % 2)
+                                 THEN 100 ELSE 0 END
+                     THEN 1 ELSE 0 END AS conv
+              FROM documents),
+       s AS (SELECT stratum,
+                    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN variant = 'A' THEN conv ELSE 0
+                             END) AS BIGINT) AS succ_a,
+                    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN variant = 'B' THEN conv ELSE 0
+                             END) AS BIGINT) AS succ_b
+             FROM a GROUP BY stratum),
+       p AS (SELECT CAST(-1 AS BIGINT) AS stratum,
+                    CAST(sum(n_a) AS BIGINT) AS n_a,
+                    CAST(sum(succ_a) AS BIGINT) AS succ_a,
+                    CAST(sum(n_b) AS BIGINT) AS n_b,
+                    CAST(sum(succ_b) AS BIGINT) AS succ_b
+             FROM s),
+       u AS (SELECT CAST(stratum AS BIGINT) AS stratum, n_a, succ_a,
+                    n_b, succ_b FROM s
+             UNION ALL SELECT * FROM p)
+       SELECT stratum, n_a, succ_a, n_b, succ_b,
+              CAST(CASE WHEN succ_b * n_a > succ_a * n_b
+                   THEN 1 ELSE 0 END AS BIGINT) AS b_wins
+       FROM u""",
+)
+def q392(spark, sf_dir):
+    """Simpson's-paradox detector for A/B readouts — the stratified
+    vs pooled sign-flip audit every experimentation platform needs
+    before q347's Wilson bound is trusted (the kidney-stone shape):
+    variant B converts 10 pp better than A in BOTH strata
+    (deterministic per-mille rates 200/700 for A, +100 for B), but
+    A's exposure is skewed toward the high-base stratum (A share 1
+    vs 9 tenths), so the POOLED comparison flips — pooled A ~650 vs
+    B ~350 per-mille by the exact weighted arithmetic; margins are
+    fat enough that the realized deterministic rates keep the flip
+    at every SF (the first cut used 5 strata with 5 pp margins and
+    25-sample cells drowned the bonus — sample-size floors are part
+    of the fixture contract).  The outcome hash mixes in
+    (doc_id div 20)*567 so consecutive docs within a (stratum,
+    share-bucket) cell step the per-mille lattice by 787 (coprime to
+    1000) — equidistributed even over 25-doc cells.  Winners are
+    decided by the exact integer cross-multiplication
+    succ_b*n_a > succ_a*n_b (no rate division anywhere), emitted per
+    stratum plus the pooled -1 row whose flag DISAGREES with both
+    strata — the paradox certificate.  One corpus pass, one
+    bounded groupBy, one rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        (F.col("doc_id") % 2).alias("stratum"),
+        F.expr("CASE WHEN (doc_id div 2) % 10 < 1 + 8 * (doc_id % 2) "
+               "THEN 'A' ELSE 'B' END").alias("variant"),
+        F.expr(
+            "CASE WHEN (doc_id * 2654435761 + (doc_id div 20) * 567) "
+            "% 1000 < 200 + 500 * (doc_id % 2) "
+            "+ CASE WHEN (doc_id div 2) % 10 >= 1 + 8 * (doc_id % 2) "
+            "THEN 100 ELSE 0 END THEN 1 ELSE 0 END").alias("conv"),
+    )
+    s = a.groupBy("stratum").agg(
+        F.sum(F.when(F.col("variant") == "A", 1).otherwise(0))
+        .cast("long").alias("n_a"),
+        F.sum(F.when(F.col("variant") == "A", F.col("conv")).otherwise(0))
+        .cast("long").alias("succ_a"),
+        F.sum(F.when(F.col("variant") == "B", 1).otherwise(0))
+        .cast("long").alias("n_b"),
+        F.sum(F.when(F.col("variant") == "B", F.col("conv")).otherwise(0))
+        .cast("long").alias("succ_b"),
+    )
+    p = s.agg(
+        F.lit(-1).cast("long").alias("stratum"),
+        F.sum("n_a").cast("long").alias("n_a"),
+        F.sum("succ_a").cast("long").alias("succ_a"),
+        F.sum("n_b").cast("long").alias("n_b"),
+        F.sum("succ_b").cast("long").alias("succ_b"),
+    ).select("stratum", "n_a", "succ_a", "n_b", "succ_b")
+    u = s.select(F.col("stratum").cast("long").alias("stratum"),
+                 "n_a", "succ_a", "n_b", "succ_b").unionAll(p)
+    return u.withColumn(
+        "b_wins",
+        F.when(F.col("succ_b") * F.col("n_a")
+               > F.col("succ_a") * F.col("n_b"), 1).otherwise(0)
+        .cast("long"),
+    )

@@ -383,3 +383,44 @@ def test_join_order_planning_contracts(spark):
     assert best[0]["cost"] == mc
     assert best[0]["ord_label"] == min(
         r["ord_label"] for r in rows.values() if r["cost"] == mc)
+
+
+def test_delta_transfer_contracts(spark):
+    rows = {r["edit_class"]: r for r in
+            QUERIES["q391_delta_transfer"](spark, SF).collect()}
+    assert set(rows) == {"unchanged", "insert_middle", "append"}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    # unchanged docs ship NOTHING
+    assert rows["unchanged"]["transferred_blocks"] == 0
+    # append touches only the tail: at most 2 blocks per doc
+    ap = rows["append"]
+    assert 0 < ap["transferred_blocks"] <= 2 * ap["n_docs"]
+    # a middle insert shifts every later block boundary: ~half the doc
+    ins = rows["insert_middle"]
+    assert ins["transferred_blocks"] * 5 >= ins["v2_blocks"] * 2
+    # the rsync ordering: insert >> append >> unchanged (rates)
+    assert ins["transfer_rate"] > ap["transfer_rate"] > 0.0
+    for r in rows.values():
+        assert r["transfer_rate"] == (
+            r["transferred_blocks"] / float(r["v2_blocks"]))
+
+
+def test_simpsons_paradox_contracts(spark):
+    rows = {r["stratum"]: r for r in
+            QUERIES["q392_simpsons_paradox"](spark, SF).collect()}
+    assert sorted(rows) == [-1, 0, 1]
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    pooled = rows[-1]
+    assert pooled["n_a"] + pooled["n_b"] == n_docs
+    assert (sum(rows[s]["n_a"] for s in range(2)) == pooled["n_a"])
+    assert (sum(rows[s]["succ_b"] for s in range(2)) == pooled["succ_b"])
+    # the paradox certificate: B wins BOTH strata, loses the pool
+    for s in range(2):
+        assert rows[s]["b_wins"] == 1
+        assert rows[s]["n_a"] > 0 and rows[s]["n_b"] > 0
+    assert pooled["b_wins"] == 0
+    # the flip is driven by exposure skew: A concentrated in the
+    # high-base stratum (share 9/10 there vs 1/10 in the low one)
+    assert (rows[0]["n_a"] * (rows[1]["n_a"] + rows[1]["n_b"])
+            < rows[1]["n_a"] * (rows[0]["n_a"] + rows[0]["n_b"]))
