@@ -404,6 +404,8 @@ HEADLINE = [
     "q390_join_order_planning",
     "q391_delta_transfer",
     "q392_simpsons_paradox",
+    "q393_reshard_migration",
+    "q394_encoding_selection",
 ]
 
 

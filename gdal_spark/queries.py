@@ -23059,3 +23059,231 @@ def q392(spark, sf_dir):
                > F.col("succ_a") * F.col("n_b"), 1).otherwise(0)
         .cast("long"),
     )
+
+
+# --- elastic reshard migration audit (q393) -----------------------------------------
+
+
+@query(
+    "q393_reshard_migration",
+    """WITH u AS (SELECT DISTINCT 'k' || CAST(doc_id AS VARCHAR) AS k
+                  FROM documents),
+       hm AS (SELECT k,
+                CAST(CAST('0x' || substr(md5('mod:' || k), 1, 8)
+                     AS UBIGINT) AS BIGINT) AS h
+              FROM u),
+       wts AS (SELECT k, s.range AS node,
+                CAST(CAST('0x' || substr(md5('grow' ||
+                       CAST(s.range AS VARCHAR) || ':' || k), 1, 8)
+                     AS UBIGINT) AS BIGINT) AS w
+               FROM u, range(0, 20) s),
+       a16 AS (SELECT k, max(w * 32 + (31 - node)) AS c16
+               FROM wts WHERE node < 16 GROUP BY k),
+       a20 AS (SELECT k, max(w * 32 + (31 - node)) AS c20
+               FROM wts GROUP BY k),
+       asg AS (SELECT hm.k,
+                      hm.h % 16 AS m16, hm.h % 20 AS m20,
+                      31 - (a16.c16 % 32) AS h16,
+                      31 - (a20.c20 % 32) AS h20
+               FROM hm JOIN a16 USING (k) JOIN a20 USING (k))
+       SELECT CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(CASE WHEN m16 <> m20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_mod,
+              CAST(sum(CASE WHEN h16 <> h20 THEN 1 ELSE 0 END)
+                AS BIGINT) AS moved_hrw,
+              CAST(sum(CASE WHEN h20 >= 16 THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_node_keys,
+              CAST(sum(CASE WHEN m16 <> m20 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS moved_mod_rate,
+              CAST(sum(CASE WHEN h16 <> h20 THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS moved_hrw_rate
+       FROM asg""",
+)
+def q393(spark, sf_dir):
+    """Elastic reshard migration audit, 16 -> 20 nodes — THE argument
+    for rendezvous/consistent hashing over modulo placement when a
+    fleet GROWS (q293 covers node removal; this is the capacity-add
+    direction): under h % n placement almost every key moves
+    (P[h%16 = h%20] = 1/80 of the residue lattice... ~5%), while the
+    HRW argmax moves EXACTLY the keys whose 20-node winner is one of
+    the 4 new nodes — the emitted new_node_keys column equals
+    moved_hrw by construction (a key's max over the old 16 weights
+    is unchanged, so its assignment changes iff a new node's weight
+    beats them all), the minimal-disruption optimality PROOF at ~4/20
+    of the corpus.  Weights via the pinned md5 conv/UBIGINT idiom;
+    both policies and both fleet sizes in ONE pass over a 20-row
+    explode feeding two map-side-combinable integer argmaxes
+    (w*32 + (31-node), ties to lowest node); rates are single IEEE
+    divisions of the exact counts."""
+    docs = _t(spark, sf_dir, "documents")
+    u = docs.select(
+        F.concat(F.lit("k"), F.col("doc_id").cast("string")).alias("k")
+    ).distinct()
+    hm = u.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.concat(F.lit("mod:"), F.col("k"))),
+                           1, 8), 16, 10).cast("long"),
+    )
+    wts = u.select(
+        "k", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("node")
+    ).withColumn(
+        "w",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("grow"), F.col("node").cast("string"),
+                               F.lit(":"), F.col("k"))), 1, 8),
+            16, 10,
+        ).cast("long"),
+    )
+    code = F.col("w") * 32 + (31 - F.col("node"))
+    a16 = (wts.filter(F.col("node") < 16).groupBy("k")
+           .agg(F.max(code).alias("c16")))
+    a20 = wts.groupBy("k").agg(F.max(code).alias("c20"))
+    asg = (
+        hm.join(a16, "k").join(a20, "k")
+        .select(
+            (F.col("h") % 16).alias("m16"), (F.col("h") % 20).alias("m20"),
+            (31 - F.col("c16") % 32).alias("h16"),
+            (31 - F.col("c20") % 32).alias("h20"),
+        )
+    )
+    modmove = F.col("m16") != F.col("m20")
+    hrwmove = F.col("h16") != F.col("h20")
+    return asg.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum(F.when(modmove, 1).otherwise(0)).cast("long")
+        .alias("moved_mod"),
+        F.sum(F.when(hrwmove, 1).otherwise(0)).cast("long")
+        .alias("moved_hrw"),
+        F.sum(F.when(F.col("h20") >= 16, 1).otherwise(0)).cast("long")
+        .alias("new_node_keys"),
+        (F.sum(F.when(modmove, 1).otherwise(0)).cast("double")
+         / F.count("*").cast("double")).alias("moved_mod_rate"),
+        (F.sum(F.when(hrwmove, 1).otherwise(0)).cast("double")
+         / F.count("*").cast("double")).alias("moved_hrw_rate"),
+    )
+
+
+# --- columnar encoding selection (q394) ---------------------------------------------
+
+
+def _enc_block_sql(name: str, cexpr: str, is_string: bool) -> str:
+    if is_string:
+        plain = f"(SELECT CAST(sum(length({cexpr})) AS BIGINT) FROM documents)"
+        dstore = (f"(SELECT CAST(sum(length(v)) AS BIGINT) FROM "
+                  f"(SELECT DISTINCT {cexpr} AS v FROM documents))")
+        width = f"(SELECT CAST(max(length({cexpr})) AS BIGINT) FROM documents)"
+    else:
+        plain = "(SELECT CAST(8 * count(*) AS BIGINT) FROM documents)"
+        dstore = (f"(SELECT CAST(8 * count(DISTINCT {cexpr}) AS BIGINT) "
+                  f"FROM documents)")
+        width = "CAST(8 AS BIGINT)"
+    return f"""SELECT '{name}' AS col_name,
+         (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(count(DISTINCT {cexpr}) AS BIGINT)
+          FROM documents) AS ndv,
+         (SELECT CAST(1 + sum(CASE WHEN a.{name}_v <> b.{name}_v
+                              THEN 1 ELSE 0 END) AS BIGINT)
+          FROM (SELECT doc_id, {cexpr} AS {name}_v FROM documents) a
+          JOIN (SELECT doc_id, {cexpr} AS {name}_v FROM documents) b
+            ON b.doc_id = a.doc_id + 1) AS runs,
+         {plain} AS plain_bytes,
+         {dstore} AS dict_store,
+         {width} AS width"""
+
+
+_ENC_COLS = [
+    ("lang", "lang", "lang", True),
+    ("src", "source", "source", True),
+    ("blk", "doc_id // 50", "doc_id div 50", False),
+    ("txt", "text", "text", True),
+]
+
+
+def _enc_oracle_sql() -> str:
+    blocks = "\n       UNION ALL\n       ".join(
+        _enc_block_sql(n, c, s) for n, c, _, s in _ENC_COLS)
+    return f"""WITH p AS ({blocks}),
+       e AS (SELECT col_name, n, ndv, runs, plain_bytes,
+                    dict_store + (n * (CASE WHEN ndv = 1 THEN 0
+                        ELSE length(bin(ndv - 1)) END) + 7) // 8
+                      AS dict_bytes,
+                    runs * (width + 4) AS rle_bytes
+             FROM p)
+       SELECT col_name, n, ndv, runs, plain_bytes,
+              CAST(dict_bytes AS BIGINT) AS dict_bytes,
+              CAST(rle_bytes AS BIGINT) AS rle_bytes,
+              CASE WHEN plain_bytes <= dict_bytes
+                    AND plain_bytes <= rle_bytes THEN 'plain'
+                   WHEN dict_bytes <= rle_bytes THEN 'dict'
+                   ELSE 'rle' END AS best_encoding
+       FROM e"""
+
+
+@query("q394_encoding_selection", _enc_oracle_sql())
+def q394(spark, sf_dir):
+    """Columnar encoding selection — the per-column writer decision
+    every Parquet/ORC encoder makes (PLAIN vs DICTIONARY vs RLE),
+    planned from exact column statistics: bytes_plain = data bytes,
+    bytes_dict = dictionary store + n ceil(log2(ndv))-bit codes (the
+    shared bin()-length idiom computes the bit width), bytes_rle =
+    runs x (width + 4), where runs = 1 + adjacent-change count in
+    doc_id order (a dense-key offset-1 equi-join — linear, never a
+    global window).  The four profiled columns exercise every
+    winner: lang/source (tiny lexicons) pick DICT, the sorted
+    doc_id div 50 column (~n/50 runs) picks RLE, and high-cardinality
+    text stays PLAIN (its dictionary IS the data plus code overhead).
+    Tie order plain < dict < rle is pinned in one CASE chain shared
+    by both engines.  Per column: one stats aggregation, one
+    distinct-store aggregation, one adjacency join — all linear."""
+    docs = _t(spark, sf_dir, "documents")
+    outs = []
+    for name, _, cexpr, is_string in _ENC_COLS:
+        c = docs.selectExpr("doc_id", f"{cexpr} AS v")
+        if is_string:
+            st = c.agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("v").cast("long").alias("ndv"),
+                F.sum(F.length("v")).cast("long").alias("plain_bytes"),
+                F.max(F.length("v")).cast("long").alias("width"),
+            )
+            ds = (c.select("v").distinct()
+                  .agg(F.sum(F.length("v")).cast("long")
+                       .alias("dict_store")))
+        else:
+            st = c.agg(
+                F.count("*").cast("long").alias("n"),
+                F.countDistinct("v").cast("long").alias("ndv"),
+                (F.count("*") * 8).cast("long").alias("plain_bytes"),
+                F.lit(8).cast("long").alias("width"),
+            )
+            ds = c.agg((F.countDistinct("v") * 8).cast("long")
+                       .alias("dict_store"))
+        b = c.selectExpr("doc_id + 1 AS nid", "v AS pv")
+        runs = (
+            c.join(b, c["doc_id"] == b["nid"])
+            .agg((1 + F.sum(F.when(F.col("v") != F.col("pv"), 1)
+                            .otherwise(0))).cast("long").alias("runs"))
+        )
+        outs.append(
+            st.crossJoin(ds).crossJoin(runs)
+            .select(F.lit(name).alias("col_name"), "n", "ndv", "runs",
+                    "plain_bytes", "dict_store", "width")
+        )
+    p = outs[0]
+    for o in outs[1:]:
+        p = p.unionAll(o)
+    e = p.selectExpr(
+        "col_name", "n", "ndv", "runs", "plain_bytes",
+        "CAST(dict_store + (n * (CASE WHEN ndv = 1 THEN 0 "
+        "ELSE length(bin(ndv - 1)) END) + 7) div 8 AS BIGINT) "
+        "AS dict_bytes",
+        "CAST(runs * (width + 4) AS BIGINT) AS rle_bytes",
+    )
+    return e.selectExpr(
+        "col_name", "n", "ndv", "runs", "plain_bytes", "dict_bytes",
+        "rle_bytes",
+        "CASE WHEN plain_bytes <= dict_bytes AND plain_bytes <= rle_bytes "
+        "THEN 'plain' WHEN dict_bytes <= rle_bytes THEN 'dict' "
+        "ELSE 'rle' END AS best_encoding",
+    )

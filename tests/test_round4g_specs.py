@@ -424,3 +424,37 @@ def test_simpsons_paradox_contracts(spark):
     # high-base stratum (share 9/10 there vs 1/10 in the low one)
     assert (rows[0]["n_a"] * (rows[1]["n_a"] + rows[1]["n_b"])
             < rows[1]["n_a"] * (rows[0]["n_a"] + rows[0]["n_b"]))
+
+
+def test_reshard_migration_contracts(spark):
+    r = QUERIES["q393_reshard_migration"](spark, SF).collect()[0]
+    n = r["n_keys"]
+    assert n == spark.read.parquet(f"{SF}/documents.parquet").count()
+    # HRW optimality PROOF: moved keys are exactly the new-node keys
+    assert r["moved_hrw"] == r["new_node_keys"]
+    # minimal disruption: HRW moves ~4/20, mod moves almost everything
+    assert 0 < r["moved_hrw"] < r["moved_mod"]
+    assert r["moved_hrw"] * 10 < n * 3      # < 30%
+    assert r["moved_mod"] * 10 > n * 6      # > 60%
+    assert r["moved_mod_rate"] == r["moved_mod"] / float(n)
+    assert r["moved_hrw_rate"] == r["moved_hrw"] / float(n)
+
+
+def test_encoding_selection_contracts(spark):
+    rows = {r["col_name"]: r for r in
+            QUERIES["q394_encoding_selection"](spark, SF).collect()}
+    assert set(rows) == {"lang", "src", "blk", "txt"}
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows.values():
+        assert r["n"] == n_docs
+        # structural sanity: every run holds >= 1 value, every distinct
+        # value appears in >= 1 run
+        assert r["ndv"] <= r["runs"] <= r["n"]
+        assert min(r["plain_bytes"], r["dict_bytes"], r["rle_bytes"]) > 0
+    # each encoding wins where it should
+    assert rows["lang"]["best_encoding"] == "dict"
+    assert rows["src"]["best_encoding"] == "dict"
+    assert rows["blk"]["best_encoding"] == "rle"
+    assert rows["txt"]["best_encoding"] == "plain"
+    # the sorted block column has exactly ceil(n/50) runs
+    assert rows["blk"]["runs"] == (n_docs + 49) // 50
