@@ -406,6 +406,8 @@ HEADLINE = [
     "q392_simpsons_paradox",
     "q393_reshard_migration",
     "q394_encoding_selection",
+    "q395_kendall_tau",
+    "q396_cas_storage",
 ]
 
 

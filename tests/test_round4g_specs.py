@@ -458,3 +458,34 @@ def test_encoding_selection_contracts(spark):
     assert rows["txt"]["best_encoding"] == "plain"
     # the sorted block column has exactly ceil(n/50) runs
     assert rows["blk"]["runs"] == (n_docs + 49) // 50
+
+
+def test_kendall_tau_contracts(spark):
+    r = QUERIES["q395_kendall_tau"](spark, SF).collect()[0]
+    # 40 hosts => C(40,2) pairs, the five classes partition them
+    assert r["n_pairs"] == 40 * 39 // 2
+    assert (r["concordant"] + r["discordant"] + r["ties_x"]
+            + r["ties_y"] + r["ties_xy"]) == r["n_pairs"]
+    # tie correction is exercised (equal host doc-counts exist)
+    assert r["ties_x"] + r["ties_y"] + r["ties_xy"] > 0
+    # tau-b bounded and exactly the pinned sqrt expression
+    import math
+    expect = (r["concordant"] - r["discordant"]) / (
+        math.sqrt(r["n_pairs"] - r["ties_x"] - r["ties_xy"])
+        * math.sqrt(r["n_pairs"] - r["ties_y"] - r["ties_xy"]))
+    assert r["tau_b"] == expect
+    assert -1.0 <= r["tau_b"] <= 1.0
+
+
+def test_cas_storage_contracts(spark):
+    r = QUERIES["q396_cas_storage"](spark, SF).collect()[0]
+    # refcount bins partition the unique-block store
+    assert (r["refs_1"] + r["refs_2_3"] + r["refs_4_7"]
+            + r["refs_8p"]) == r["unique_blocks"]
+    # dedup exists (shared blocks) but the store is non-trivial
+    assert 0 < r["unique_blocks"] < r["total_refs"]
+    assert r["physical_bytes"] < r["logical_bytes"]
+    assert r["dedup_ratio"] == (
+        r["logical_bytes"] / float(r["physical_bytes"]))
+    # deleting src0 frees something, but never the shared majority
+    assert 0 < r["src0_exclusive_bytes"] < r["physical_bytes"]
