@@ -408,6 +408,8 @@ HEADLINE = [
     "q394_encoding_selection",
     "q395_kendall_tau",
     "q396_cas_storage",
+    "q397_deletion_cascade",
+    "q398_equidepth_histogram",
 ]
 
 

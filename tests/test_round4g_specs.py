@@ -489,3 +489,42 @@ def test_cas_storage_contracts(spark):
         r["logical_bytes"] / float(r["physical_bytes"]))
     # deleting src0 frees something, but never the shared majority
     assert 0 < r["src0_exclusive_bytes"] < r["physical_bytes"]
+
+
+def test_deletion_cascade_contracts(spark):
+    r = QUERIES["q397_deletion_cascade"](spark, SF).collect()[0]
+    # the closure covers everything its parents imply: ZERO orphans
+    assert r["residual_orphans"] == 0
+    # the delete set is non-trivial and cascades downward
+    assert 0 < r["del_customers"] < r["n_customers"]
+    assert 0 < r["del_orders"] < r["n_orders"]
+    assert 0 < r["del_lineitems"] < r["n_lineitems"]
+    # fan-out grows down the FK chain on TPC-H-shaped data
+    assert r["del_orders"] >= r["del_customers"]
+    assert r["del_lineitems"] >= r["del_orders"]
+    # exact replay of the closure definition
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    assert r["del_customers"] == cust.filter("c_custkey % 50 = 7").count()
+
+
+def test_equidepth_histogram_contracts(spark):
+    rows = sorted(QUERIES["q398_equidepth_histogram"](spark, SF).collect(),
+                  key=lambda r: r["bucket"])
+    assert [r["bucket"] for r in rows] == list(range(1, 9))
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    # buckets tile the domain: lo chain = previous hi, rows sum to n
+    for i, r in enumerate(rows):
+        assert r["lo"] < r["hi"]
+        if i:
+            assert r["lo"] == rows[i - 1]["hi"]
+    assert sum(r["bucket_rows"] for r in rows) == n_docs
+    # equi-depth: every bucket holds >= 1 row and <= ~2n/8 (duplicates
+    # can overfill a bucket, but never past one boundary step)
+    for r in rows:
+        assert r["bucket_rows"] >= 1
+    # the no-interpolation estimate is an over-estimate, never under
+    true = docs.filter("n_chars BETWEEN 100 AND 300").count()
+    assert rows[0]["probe_true"] == true
+    assert rows[0]["probe_est"] >= true
+    assert rows[0]["probe_est"] <= n_docs
