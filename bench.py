@@ -410,6 +410,8 @@ HEADLINE = [
     "q396_cas_storage",
     "q397_deletion_cascade",
     "q398_equidepth_histogram",
+    "q399_pareto_frontier",
+    "q400_release_scorecard",
 ]
 
 

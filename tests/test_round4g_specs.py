@@ -528,3 +528,55 @@ def test_equidepth_histogram_contracts(spark):
     assert rows[0]["probe_true"] == true
     assert rows[0]["probe_est"] >= true
     assert rows[0]["probe_est"] <= n_docs
+
+
+def test_pareto_frontier_contracts(spark):
+    rows = sorted(QUERIES["q399_pareto_frontier"](spark, SF).collect(),
+                  key=lambda r: r["len"])
+    assert len(rows) >= 2  # thick frontier, not a single corner
+    # frontier quality strictly increases with length
+    for i in range(1, len(rows)):
+        assert rows[i]["best_q"] > rows[i - 1]["best_q"]
+        assert rows[i]["len"] > rows[i - 1]["len"]
+    # pure-Python dominance replay: no frontier point dominated, and
+    # every doc is dominated-or-equal by some frontier point
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pts = [(r["n_chars"],
+            (r["doc_id"] * 48271) % 500 + (600 - r["n_chars"]) // 2)
+           for r in docs]
+    fr = [(r["len"], r["best_q"]) for r in rows]
+    for fl, fq in fr:
+        assert not any((l <= fl and q >= fq and (l < fl or q > fq))
+                       for l, q in pts)
+    for l, q in pts:
+        assert any(fl <= l and fq >= q for fl, fq in fr)
+    # multiplicities count exactly the docs sitting ON each point
+    from collections import Counter
+    cnt = Counter(pts)
+    for r in rows:
+        assert r["n_docs"] == cnt[(r["len"], r["best_q"])]
+
+
+def test_release_scorecard_contracts(spark):
+    rows = {r["source"]: r for r in
+            QUERIES["q400_release_scorecard"](spark, SF).collect()}
+    assert len(rows) == 20
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["total"] for r in rows.values()) == n_docs
+    passing = [r for r in rows.values() if r["release_ok"] == 1]
+    failing = [r for r in rows.values() if r["release_ok"] == 0]
+    assert passing and failing  # both outcomes occur
+    for r in rows.values():
+        # release flag is exactly the gate product
+        assert r["release_ok"] == (r["gate_dup"] * r["gate_length"]
+                                   * r["gate_diversity"]
+                                   * r["gate_license"])
+        # every gate replays its integer cross-multiplication
+        assert r["gate_dup"] == int(5 * r["dups"] <= r["total"])
+        assert r["gate_length"] == int(
+            20 * r["short_docs"] <= 3 * r["total"])
+        assert r["gate_diversity"] == int(
+            10 * r["lang_sq_sum"] <= 3 * r["total"] * r["total"])
+        assert r["gate_license"] == int(r["flagged"] == 0)
+        # HHI lower bound: sum(c^2) >= total^2 / n_langs >= total
+        assert r["lang_sq_sum"] >= r["total"]
