@@ -412,6 +412,8 @@ HEADLINE = [
     "q398_equidepth_histogram",
     "q399_pareto_frontier",
     "q400_release_scorecard",
+    "q401_hex_binning",
+    "q402_geohash_cells",
 ]
 
 

@@ -580,3 +580,50 @@ def test_release_scorecard_contracts(spark):
         assert r["gate_license"] == int(r["flagged"] == 0)
         # HHI lower bound: sum(c^2) >= total^2 / n_langs >= total
         assert r["lang_sq_sum"] >= r["total"]
+
+
+def test_hex_binning_contracts(spark):
+    rows = QUERIES["q401_hex_binning"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    n_docs = len(docs)
+    assert sum(r["n_points"] for r in rows) == n_docs
+    # pure-Python replay of the full float pipeline (same IEEE ops)
+    import math
+    from collections import Counter
+    cnt = Counter()
+    for d in docs:
+        lon = ((d["doc_id"] * 9973) % 36000) / 100.0 - 180.0
+        lat = ((d["doc_id"] * 7919) % 16000) / 100.0 - 80.0
+        qf = lon * 0.11547005383792515 - lat * 0.06666666666666667
+        rf = lat * 0.13333333333333333
+        zf = -qf - rf
+        rx, ry, rz = (math.floor(qf + 0.5), math.floor(rf + 0.5),
+                      math.floor(zf + 0.5))
+        dx, dy, dz = abs(rx - qf), abs(ry - rf), abs(rz - zf)
+        if dx > dy and dx > dz:
+            rx = -ry - rz
+        elif dy > dz:
+            ry = -rx - rz
+        else:
+            rz = -rx - ry
+        assert rx + ry + rz == 0  # the cube invariant after repair
+        cnt[(rx, ry)] += 1
+    got = {(r["hq"], r["hr"]): r["n_points"] for r in rows}
+    assert got == dict(cnt)
+    for r in rows:
+        assert r["hex_dist"] == (abs(r["hq"]) + abs(r["hr"])
+                                 + abs(r["hq"] + r["hr"])) // 2
+
+
+def test_geohash_contracts(spark):
+    rows = QUERIES["q402_geohash_cells"](spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert sum(r["n_points"] for r in rows) == n_docs
+    # the roundtrip PROOF: encode/decode are inverses on every row
+    assert all(r["rt_fail"] == 0 for r in rows)
+    for r in rows:
+        # prefix containment: a 3-char prefix covers >= its 6-char cells
+        assert 1 <= r["n_cells"] <= r["n_points"]
+        assert len(r["prefix"]) == 3
+        assert all(c in "0123456789bcdefghjkmnpqrstuvwxyz"
+                   for c in r["prefix"])
