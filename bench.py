@@ -414,6 +414,8 @@ HEADLINE = [
     "q400_release_scorecard",
     "q401_hex_binning",
     "q402_geohash_cells",
+    "q403_typosquat_domains",
+    "q404_quadkey_tiles",
 ]
 
 
