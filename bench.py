@@ -416,6 +416,8 @@ HEADLINE = [
     "q402_geohash_cells",
     "q403_typosquat_domains",
     "q404_quadkey_tiles",
+    "q405_dp_geometric_release",
+    "q406_cohens_kappa",
 ]
 
 
