@@ -418,6 +418,8 @@ HEADLINE = [
     "q404_quadkey_tiles",
     "q405_dp_geometric_release",
     "q406_cohens_kappa",
+    "q407_geo_principal_axis",
+    "q408_emd_drift",
 ]
 
 
