@@ -420,6 +420,8 @@ HEADLINE = [
     "q406_cohens_kappa",
     "q407_geo_principal_axis",
     "q408_emd_drift",
+    "q409_pass_at_k",
+    "q410_mirror_hosts",
 ]
 
 
