@@ -422,6 +422,7 @@ HEADLINE = [
     "q408_emd_drift",
     "q409_pass_at_k",
     "q410_mirror_hosts",
+    "q412_arena_ranking",
 ]
 
 

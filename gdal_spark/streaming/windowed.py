@@ -467,3 +467,68 @@ def stream_countmin_cells(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_click_attribution(
+    spark: SparkSession,
+    events_path: str,
+    window_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM interval join — the one Structured Streaming
+    join shape the other streaming queries don't exercise: an
+    impression stream joined to a click stream on user equality plus
+    an event-time range (click within ``window_s`` after the
+    impression), with watermarks on BOTH sides so the join state is
+    bounded (impressions older than max(event time) − watermark −
+    window are evicted; Spark derives the state-cleanup predicate
+    from the time-range condition).  Both streams are carved from
+    the same landing directory by key class — at scale these are two
+    separate topics/prefixes.  availableNow drains everything in one
+    pass; the returned DataFrame is the drained APPEND-mode sink
+    aggregated in batch (keeping the stream itself to ONE stateful
+    operator, the round-3 contract)."""
+    batch_df = spark.read.parquet(events_path)
+    name = "stream_attr_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+    src_dir = tempfile.mkdtemp(prefix="gdal_spark_stream_")
+    os.symlink(os.path.abspath(events_path), os.path.join(src_dir, "part-0.parquet"))
+
+    def _side(pred: str, idcol: str) -> DataFrame:
+        return (
+            spark.readStream.schema(batch_df.schema).parquet(src_dir)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .filter(pred)
+            .selectExpr(f"event_id AS {idcol}", "user_id", "ts")
+            .withWatermark("ts", watermark)
+        )
+
+    imps = _side("event_id % 3 != 0", "imp_id").withColumnRenamed(
+        "user_id", "i_user").withColumnRenamed("ts", "i_ts")
+    clicks = _side("event_id % 3 = 0", "click_id").withColumnRenamed(
+        "user_id", "c_user").withColumnRenamed("ts", "c_ts")
+    joined = imps.join(
+        clicks,
+        F.expr(
+            f"i_user = c_user AND c_ts >= i_ts "
+            f"AND c_ts <= i_ts + interval {window_s} seconds"
+        ),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy((F.col("i_user") % 50).cast("long").alias("cohort"))
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.countDistinct("click_id").cast("long").alias("n_clicks"),
+            F.countDistinct("imp_id").cast("long").alias("n_imps"),
+        )
+    )
