@@ -423,6 +423,8 @@ HEADLINE = [
     "q409_pass_at_k",
     "q410_mirror_hosts",
     "q412_arena_ranking",
+    "q413_lsm_amplification",
+    "q414_bleu_precisions",
 ]
 
 
