@@ -425,6 +425,8 @@ HEADLINE = [
     "q412_arena_ranking",
     "q413_lsm_amplification",
     "q414_bleu_precisions",
+    "q415_snap_to_segment",
+    "q416_matryoshka_recall",
 ]
 
 
