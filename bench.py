@@ -427,6 +427,8 @@ HEADLINE = [
     "q414_bleu_precisions",
     "q415_snap_to_segment",
     "q416_matryoshka_recall",
+    "q417_set_cover_sources",
+    "q418_quadkey_compact",
 ]
 
 
