@@ -429,6 +429,8 @@ HEADLINE = [
     "q416_matryoshka_recall",
     "q417_set_cover_sources",
     "q418_quadkey_compact",
+    "q419_occ_conflicts",
+    "q420_geodesic_destination",
 ]
 
 

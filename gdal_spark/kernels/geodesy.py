@@ -409,3 +409,64 @@ def geodesic_ring_area(lats, lons, a=WGS84_A, f=WGS84_F) -> float:
         np.tan(dl / 2.0) * (t0 + t1), 1.0 + t0 * t1
     )
     return float(abs(np.sum(E)) * R * R)
+
+
+def vincenty_direct(lat1, lon1, azi1, s, a=WGS84_A, f=WGS84_F):
+    """Vincenty DIRECT problem (destination point): given start
+    lat/lon (degrees), forward azimuth (degrees) and geodesic
+    distance (meters), return (lat2, lon2, azi2) — the complement of
+    :func:`vincenty_inverse` (PROJ's geod_direct surface, used by the
+    reference's OGRPoint-offset utilities; re-derived from Vincenty
+    1975 eqs. 1-12, no reference code).  Unlike the inverse, the
+    direct sigma fixed-point converges for ALL inputs (the iteration
+    is a contraction everywhere), so no antipodal fallback is
+    needed.  Vectorized over NumPy arrays."""
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    azi1 = np.asarray(azi1, dtype=np.float64)
+    s = np.asarray(s, dtype=np.float64)
+    b = a * (1.0 - f)
+    phi1 = np.radians(lat1)
+    alpha1 = np.radians(azi1)
+    U1 = np.arctan((1.0 - f) * np.tan(phi1))
+    sinU1, cosU1 = np.sin(U1), np.cos(U1)
+    sinA1, cosA1 = np.sin(alpha1), np.cos(alpha1)
+    sigma1 = np.arctan2(np.tan(U1), cosA1)
+    sin_alpha = cosU1 * sinA1
+    cos2_alpha = 1.0 - sin_alpha * sin_alpha
+    u2 = cos2_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    B = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    sigma = s / (b * A)
+    for _ in range(200):
+        two_sigma_m = 2.0 * sigma1 + sigma
+        cos2sm = np.cos(two_sigma_m)
+        sin_s, cos_s = np.sin(sigma), np.cos(sigma)
+        dsigma = B * sin_s * (
+            cos2sm
+            + B / 4.0 * (cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+                         - B / 6.0 * cos2sm * (-3.0 + 4.0 * sin_s * sin_s)
+                         * (-3.0 + 4.0 * cos2sm * cos2sm))
+        )
+        new_sigma = s / (b * A) + dsigma
+        if np.all(np.abs(new_sigma - sigma) < 1e-14):
+            sigma = new_sigma
+            break
+        sigma = new_sigma
+    two_sigma_m = 2.0 * sigma1 + sigma
+    cos2sm = np.cos(two_sigma_m)
+    sin_s, cos_s = np.sin(sigma), np.cos(sigma)
+    tmp = sinU1 * sin_s - cosU1 * cos_s * cosA1
+    phi2 = np.arctan2(
+        sinU1 * cos_s + cosU1 * sin_s * cosA1,
+        (1.0 - f) * np.sqrt(sin_alpha * sin_alpha + tmp * tmp),
+    )
+    lam = np.arctan2(sin_s * sinA1, cosU1 * cos_s - sinU1 * sin_s * cosA1)
+    C = f / 16.0 * cos2_alpha * (4.0 + f * (4.0 - 3.0 * cos2_alpha))
+    L = lam - (1.0 - C) * f * sin_alpha * (
+        sigma + C * sin_s * (cos2sm + C * cos_s * (-1.0 + 2.0 * cos2sm * cos2sm))
+    )
+    lon2 = np.degrees(np.radians(lon1) + L)
+    lon2 = (lon2 + 540.0) % 360.0 - 180.0
+    alpha2 = np.arctan2(sin_alpha, -tmp)
+    return np.degrees(phi2), lon2, np.degrees(alpha2)
