@@ -431,6 +431,8 @@ HEADLINE = [
     "q418_quadkey_compact",
     "q419_occ_conflicts",
     "q420_geodesic_destination",
+    "q421_temperature_mixing",
+    "q422_hll_merge_proof",
 ]
 
 
