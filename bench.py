@@ -433,6 +433,8 @@ HEADLINE = [
     "q420_geodesic_destination",
     "q421_temperature_mixing",
     "q422_hll_merge_proof",
+    "q423_cell_covering",
+    "q424_clustering_benefit",
 ]
 
 
