@@ -435,6 +435,8 @@ HEADLINE = [
     "q422_hll_merge_proof",
     "q423_cell_covering",
     "q424_clustering_benefit",
+    "q425_anf_reachability",
+    "q426_benford_audit",
 ]
 
 
