@@ -437,6 +437,8 @@ HEADLINE = [
     "q424_clustering_benefit",
     "q425_anf_reachability",
     "q426_benford_audit",
+    "q427_fisher_separability",
+    "q428_huffman_dictionary",
 ]
 
 
