@@ -439,6 +439,8 @@ HEADLINE = [
     "q426_benford_audit",
     "q427_fisher_separability",
     "q428_huffman_dictionary",
+    "q429_grouping_sets_report",
+    "q430_range_frame_load",
 ]
 
 
