@@ -441,6 +441,8 @@ HEADLINE = [
     "q428_huffman_dictionary",
     "q429_grouping_sets_report",
     "q430_range_frame_load",
+    "q431_lsh_s_curve",
+    "q432_hex_kring",
 ]
 
 
