@@ -443,6 +443,8 @@ HEADLINE = [
     "q430_range_frame_load",
     "q431_lsh_s_curve",
     "q432_hex_kring",
+    "q433_dedup_transitivity",
+    "q434_polar_stereo_roundtrip",
 ]
 
 

@@ -335,3 +335,53 @@ def aea_to_lonlat(
         + (1.0 / (2.0 * _E)) * F.log((1.0 - _E * s) / (1.0 + _E * s))
     )
     return lon, phi / _D2R
+
+
+# --- Polar stereographic (EPSG 9829 variant B, north) -------------------------------
+
+
+def _ps_consts(lat_ts_deg: float):
+    """Python-computed constants for the north polar stereographic
+    with standard parallel ``lat_ts_deg`` (EPSG method 9829; Snyder
+    1987 eqs. 21-33/34, 15-9; re-derived, no reference code)."""
+    e = _E
+    phi_f = math.radians(lat_ts_deg)
+    t_f = math.tan(math.pi / 4.0 - phi_f / 2.0) / (
+        (1.0 - e * math.sin(phi_f)) / (1.0 + e * math.sin(phi_f))
+    ) ** (e / 2.0)
+    m_f = math.cos(phi_f) / math.sqrt(1.0 - _E2 * math.sin(phi_f) ** 2)
+    rho_scale = WGS84_A * m_f / t_f
+    e2 = _E2
+    c2 = e2 / 2.0 + 5.0 * e2**2 / 24.0 + e2**3 / 12.0 + 13.0 * e2**4 / 360.0
+    c4 = 7.0 * e2**2 / 48.0 + 29.0 * e2**3 / 240.0 + 811.0 * e2**4 / 11520.0
+    c6 = 7.0 * e2**3 / 120.0 + 81.0 * e2**4 / 1120.0
+    c8 = 4279.0 * e2**4 / 161280.0
+    return rho_scale, m_f, t_f, c2, c4, c6, c8
+
+
+def lonlat_to_ps(lon: Column, lat: Column, lat_ts_deg: float = 71.0,
+                 lon0_deg: float = 0.0):
+    """Forward north polar stereographic as Column expressions —
+    whole-stage codegen, like the UTM/LCC/AEA families above."""
+    rho_scale, _m, _t, *_ = _ps_consts(lat_ts_deg)
+    phi = F.radians(lat)
+    dlam = F.radians(lon - F.lit(lon0_deg))
+    sinp = F.sin(phi)
+    t = F.tan(F.lit(math.pi / 4.0) - phi / 2.0) / F.pow(
+        (1.0 - _E * sinp) / (1.0 + _E * sinp), _E / 2.0)
+    rho = F.lit(rho_scale) * t
+    return rho * F.sin(dlam), -rho * F.cos(dlam)
+
+
+def ps_to_lonlat(E: Column, N: Column, lat_ts_deg: float = 71.0,
+                 lon0_deg: float = 0.0):
+    """Inverse via the standard conformal-latitude series (exact to
+    O(e^10) — sub-nanodegree on WGS84)."""
+    rho_scale, _m, _t, c2, c4, c6, c8 = _ps_consts(lat_ts_deg)
+    rho = F.sqrt(E * E + N * N)
+    tp = rho / F.lit(rho_scale)
+    chi = F.lit(math.pi / 2.0) - 2.0 * F.atan(tp)
+    phi = (chi + F.lit(c2) * F.sin(2.0 * chi) + F.lit(c4) * F.sin(4.0 * chi)
+           + F.lit(c6) * F.sin(6.0 * chi) + F.lit(c8) * F.sin(8.0 * chi))
+    lam = F.atan2(E, -N)
+    return F.degrees(lam) + F.lit(lon0_deg), F.degrees(phi)
