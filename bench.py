@@ -445,6 +445,7 @@ HEADLINE = [
     "q432_hex_kring",
     "q433_dedup_transitivity",
     "q434_polar_stereo_roundtrip",
+    "q435_merge_apply",
 ]
 
 
