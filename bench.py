@@ -446,6 +446,8 @@ HEADLINE = [
     "q433_dedup_transitivity",
     "q434_polar_stereo_roundtrip",
     "q435_merge_apply",
+    "q436_scatter_gather_topk",
+    "q437_code_switching",
 ]
 
 
