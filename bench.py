@@ -448,6 +448,8 @@ HEADLINE = [
     "q435_merge_apply",
     "q436_scatter_gather_topk",
     "q437_code_switching",
+    "q438_ndcg_at_10",
+    "q439_contribution_analysis",
 ]
 
 
