@@ -450,6 +450,8 @@ HEADLINE = [
     "q437_code_switching",
     "q438_ndcg_at_10",
     "q439_contribution_analysis",
+    "q440_markov_absorption",
+    "q441_fanout_tail_latency",
 ]
 
 
