@@ -452,6 +452,8 @@ HEADLINE = [
     "q439_contribution_analysis",
     "q440_markov_absorption",
     "q441_fanout_tail_latency",
+    "q442_hypsometric_curve",
+    "q443_sample_size_planning",
 ]
 
 
