@@ -454,6 +454,8 @@ HEADLINE = [
     "q441_fanout_tail_latency",
     "q442_hypsometric_curve",
     "q443_sample_size_planning",
+    "q444_pipeline_bubble",
+    "q445_moe_capacity_overflow",
 ]
 
 
