@@ -456,6 +456,8 @@ HEADLINE = [
     "q443_sample_size_planning",
     "q444_pipeline_bubble",
     "q445_moe_capacity_overflow",
+    "q446_hedged_requests",
+    "q447_erasure_durability",
 ]
 
 
