@@ -458,6 +458,8 @@ HEADLINE = [
     "q445_moe_capacity_overflow",
     "q446_hedged_requests",
     "q447_erasure_durability",
+    "q448_warp_order_stats",
+    "q449_dem_zt",
 ]
 
 

@@ -800,6 +800,47 @@ def horn_pq_tiles(
     )
 
 
+def zt_pq_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Zevenbergen–Thorne central-difference derivatives as a
+    (gx, gy, p, q) DataFrame, interior pixels only: p = (E − W)/2 and
+    q = (S − N)/2 — the 4-rook-neighbor alternative to Horn's
+    weighted-8 stencil (apps/gdaldem_lib.cpp
+    GDALSlopeZevenbergenThorneAlg:1390 / AspectZT:1482, where
+    dx = W − E = −2p and dy = S − N = 2q at unit resolution).
+    Integer DEMs keep p, q exactly dyadic on both engines."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern_p(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c, lo, hi = slice(1, 1 + ts), slice(0, ts), slice(2, 2 + ts)
+        return (z[c, hi] - z[c, lo]) / 2.0
+
+    def kern_q(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded
+        c, lo, hi = slice(1, 1 + ts), slice(0, ts), slice(2, 2 + ts)
+        return (z[hi, c] - z[lo, c]) / 2.0
+
+    keep_all = lambda res: np.ones_like(res, dtype=bool)  # noqa: E731
+    p = _apply_focal(tiles, tile_size, 1, ntx, nty, kern_p, keep=keep_all)
+    q = _apply_focal(tiles, tile_size, 1, ntx, nty, kern_q, keep=keep_all)
+    interior = (
+        (F.col("gx") > 0) & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < height - 1)
+    )
+    return (
+        p.filter(interior).withColumnRenamed("v", "p")
+        .join(q.filter(interior).withColumnRenamed("v", "q"), ["gx", "gy"])
+    )
+
+
 def hillshade_md_consts_values(altitude: float = 45.0):
     """The multidirectional constants (float64): s127 = 127 sin(alt),
     c225 = cos(225 deg) * cos(alt)/8 * 127, cz = 127 cos(alt)/8,

@@ -62,7 +62,9 @@ def _axis_bounds(gd_off, gd_scale, gs_off, gs_scale, ts, n_dst, method):
     def bounds(dt_col):
         i0 = dt_col * ts
         i1 = F.least(i0 + ts, F.lit(n_dst)) - 1
-        if method in ("average", "mode", "rms"):
+        if method in (
+            "average", "mode", "rms", "min", "max", "med", "q1", "q3", "sum"
+        ):
             # footprint methods read src pixels whose CENTERS fall in
             # the dst pixel's edge-to-edge span — bound by the tile's
             # outer edges, padded one pixel (conservative is harmless)
@@ -163,7 +165,8 @@ def warp_resample(
     the tile table itself is taken as the universe (every window cell
     counts, matching dense interior fixtures)."""
     if method not in (
-        "nearest", "bilinear", "cubic", "lanczos", "average", "mode", "rms"
+        "nearest", "bilinear", "cubic", "lanczos", "average", "mode", "rms",
+        "min", "max", "med", "q1", "q3", "sum",
     ):
         raise ValueError(method)
     spark = tiles.sparkSession
@@ -172,7 +175,9 @@ def warp_resample(
     bilinear = method == "bilinear"
     cubic = method == "cubic"
     lanczos = method == "lanczos"
-    footprint = method in ("average", "mode", "rms")
+    footprint = method in (
+        "average", "mode", "rms", "min", "max", "med", "q1", "q3", "sum"
+    )
     rotated = gt_src[2] != 0 or gt_src[4] != 0 or gt_dst[2] != 0 or gt_dst[4] != 0
     det = gt_src[1] * gt_src[5] - gt_src[2] * gt_src[4]
     ndtx = (dst_width + ts - 1) // ts
@@ -375,6 +380,36 @@ def warp_resample(
                 for v_arr, m in zip(vals, valids):
                     s2 += np.where(m, v_arr * v_arr, 0.0)
                 out = np.where(cnt0 > 0, np.sqrt(s2 / cnt), fill)
+            elif method == "sum":
+                # GRA_Sum: plain sum of valid contributors (the
+                # center-inclusion footprint rule shared by the family)
+                s = np.zeros(U.shape)
+                for v_arr, m in zip(vals, valids):
+                    s += np.where(m, v_arr, 0.0)
+                out = np.where(cnt0 > 0, s, fill)
+            elif method == "min":
+                s = np.full(U.shape, np.inf)
+                for v_arr, m in zip(vals, valids):
+                    s = np.minimum(s, np.where(m, v_arr, np.inf))
+                out = np.where(cnt0 > 0, s, fill)
+            elif method == "max":
+                s = np.full(U.shape, -np.inf)
+                for v_arr, m in zip(vals, valids):
+                    s = np.maximum(s, np.where(m, v_arr, -np.inf))
+                out = np.where(cnt0 > 0, s, fill)
+            elif method in ("med", "q1", "q3"):
+                # GRA_Med / GRA_Q1 / GRA_Q3: the reference's quantile
+                # pick over the SORTED footprint values is
+                # idx = ceil(quant*n - 1), value = sorted[idx]
+                # (alg/gdalwarpkernel.cpp:8338 GWKAOM_Quant) — exact
+                # order statistic, no interpolation.
+                quant = {"med": 0.5, "q1": 0.25, "q3": 0.75}[method]
+                A = np.where(np.stack(valids), np.stack(vals), np.inf)
+                A.sort(axis=0)
+                idx = np.ceil(quant * cnt0 - 1.0).astype(np.int64)
+                idx = np.clip(idx, 0, A.shape[0] - 1)
+                picked = np.take_along_axis(A, idx[None, :, :], axis=0)[0]
+                out = np.where(cnt0 > 0, picked, fill)
             else:  # mode, ties → SMALLEST value (pinned deterministic
                 # contract; the reference's tie order is scan-order-
                 # dependent and implementation-defined)
