@@ -460,6 +460,8 @@ HEADLINE = [
     "q447_erasure_durability",
     "q448_warp_order_stats",
     "q449_dem_zt",
+    "q450_checkpoint_interval",
+    "q451_speculative_decoding",
 ]
 
 
