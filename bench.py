@@ -462,6 +462,8 @@ HEADLINE = [
     "q449_dem_zt",
     "q450_checkpoint_interval",
     "q451_speculative_decoding",
+    "q452_late_interaction_maxsim",
+    "q453_audio_vad_frames",
 ]
 
 

@@ -259,6 +259,59 @@ def audio_frame_energy(
     return docs.select(id_col, content_col).mapInPandas(gen, AUDIO_SCHEMA)
 
 
+ZCR_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("f", T.LongType()),
+        T.StructField("zc", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_zcr_frames(
+    docs: DataFrame,
+    frame: int = 64,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Per-frame zero-crossing rate + energy — the two features a
+    classical VAD (voice-activity detector) gates on before any
+    model sees the audio (energy splits voiced/quiet, ZCR splits
+    voiced/fricative).  Same fake-decode seam and framing as
+    :func:`audio_frame_energy`; the ZCR contract is pinned as
+    crossing iff s[i]*s[i+1] < 0 for consecutive samples WITHIN the
+    frame (an exact integer product — zeros never cross, the
+    sign-function ambiguity never arises).  One ``mapInPandas``
+    pass, frame-level rows out; integer samples keep both columns
+    exact on both engines."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real audio decode requires soundfile/ffmpeg, absent from this container"
+        )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = {"doc_id": [], "f": [], "zc": [], "energy": []}
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                n = 256 + h8 % 512
+                i = np.arange(n, dtype=np.int64)
+                s = (h8 + 37 * i) % 201 - 100
+                nf = n // frame
+                fr = s[: nf * frame].reshape(nf, frame)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                e = (fr * fr).sum(axis=1)
+                out["doc_id"].extend([int(did)] * nf)
+                out["f"].extend(range(nf))
+                out["zc"].extend(int(x) for x in zc)
+                out["energy"].extend(int(x) for x in e)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, content_col).mapInPandas(gen, ZCR_SCHEMA)
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
