@@ -464,6 +464,8 @@ HEADLINE = [
     "q451_speculative_decoding",
     "q452_late_interaction_maxsim",
     "q453_audio_vad_frames",
+    "q454_haar_energy",
+    "q455_chrf_score",
 ]
 
 
