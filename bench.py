@@ -466,6 +466,8 @@ HEADLINE = [
     "q453_audio_vad_frames",
     "q454_haar_energy",
     "q455_chrf_score",
+    "q456_quorum_planning",
+    "q457_shot_boundaries",
 ]
 
 

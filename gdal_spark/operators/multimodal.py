@@ -312,6 +312,59 @@ def audio_zcr_frames(
     return docs.select(id_col, content_col).mapInPandas(gen, ZCR_SCHEMA)
 
 
+SAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("t", T.LongType()),
+        T.StructField("sad", T.LongType()),
+    ]
+)
+
+
+def video_shot_sad(
+    docs: DataFrame,
+    n_px: int = 16,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Per-transition frame-difference SAD (sum of absolute pixel
+    differences) — the classical shot-boundary detector every video
+    curation pipeline runs before sampling frames for training (cut
+    when SAD(t) = sum_px |v(t,px) - v(t-1,px)| spikes).  Fake decode
+    (pure function of the bytes, same import-gated seam as the other
+    modalities): n_frames = 8 + h8 mod 56, 8-frame shots s = t div 8,
+    pixel v(t, p) = (h8 + 1009*s + 13*p + 7*p*s) mod 200 + 3*(t mod 8)
+    — within a shot consecutive frames differ by EXACTLY 3 per pixel
+    (monotone ramp, no modular wrap: 199 + 21 <= 220 < 256), so
+    within-shot SAD is the constant 3*n_px while cross-shot seeds
+    jump pixel-dependently (the 7*p*s term keeps the jump from
+    collapsing to a constant).  One ``mapInPandas`` pass, rows only
+    for t >= 1; integer pixels keep SAD exact on both engines."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real video decode requires ffmpeg, absent from this container"
+        )
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            out = {"doc_id": [], "t": [], "sad": []}
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                h8 = int(hashlib.md5(bytes(blob)).hexdigest()[:8], 16)
+                nf = 8 + h8 % 56
+                t = np.arange(nf, dtype=np.int64)[:, None]
+                p = np.arange(n_px, dtype=np.int64)[None, :]
+                s = t // 8
+                v = (h8 + 1009 * s + 13 * p + 7 * p * s) % 200 + 3 * (t % 8)
+                sad = np.abs(v[1:] - v[:-1]).sum(axis=1)
+                out["doc_id"].extend([int(did)] * (nf - 1))
+                out["t"].extend(range(1, nf))
+                out["sad"].extend(int(x) for x in sad)
+            yield pd.DataFrame(out)
+
+    return docs.select(id_col, content_col).mapInPandas(gen, SAD_SCHEMA)
+
+
 AHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
