@@ -470,6 +470,8 @@ HEADLINE = [
     "q457_shot_boundaries",
     "q458_label_propagation",
     "q459_allreduce_planning",
+    "q460_whash_dedup",
+    "q461_kv_cache_planning",
 ]
 
 

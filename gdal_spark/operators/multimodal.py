@@ -38,6 +38,70 @@ IMAGE_META_SCHEMA = T.StructType(
 )
 
 
+WHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("hash15", T.LongType()),
+    ]
+)
+
+
+def image_whash(
+    docs: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+    brightness_col: str | None = None,
+) -> DataFrame:
+    """Walsh–Hadamard perceptual hash (pHash with the integer WHT in
+    place of the float DCT): sample the same 8×8 grid as
+    :func:`image_ahash`, transform C = S·P·Sᵀ with the ±1 Hadamard
+    matrix S[k, y] = (−1)^popcount(k & y) — EXACT integer arithmetic
+    end to end — and set bit (k·4 + l − 1) iff the low-frequency
+    coefficient C[k, l] > 0 for k, l ∈ 0..3, (0, 0) excluded.
+    Excluding DC makes the hash PROVABLY invariant to a constant
+    brightness offset (every emitted basis row sums to zero), the
+    robustness property float-DCT pHash only has approximately;
+    ``brightness_col`` (optional integer column) applies such an
+    offset pre-hash so the invariance is testable.  Dedup downstream
+    is a hash equi-join, never all-pairs."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real image decode requires PIL, absent from this container"
+        )
+    cols = [id_col, content_col] + (
+        [brightness_col] if brightness_col else [])
+
+    sgn = np.empty((8, 8), dtype=np.int64)
+    for k in range(8):
+        for y in range(8):
+            sgn[k, y] = -1 if bin(k & y).count("1") % 2 else 1
+
+    def gen(pdf_iter):
+        for pdf in pdf_iter:
+            rows = []
+            for tup in pdf[cols].itertuples(index=False):
+                did, blob = tup[0], bytes(tup[1])
+                bright = int(tup[2]) if brightness_col else 0
+                w, h, _ = _fake_decode(blob)
+                h8 = int(hashlib.md5(blob).hexdigest()[:8], 16)
+                sy = ((2 * np.arange(8) + 1) * h) // 16
+                sx = ((2 * np.arange(8) + 1) * w) // 16
+                p = (h8 + 31 * sy[:, None] + 17 * sx[None, :]) % 251 + bright
+                c = sgn @ p @ sgn.T
+                bits = 0
+                for k in range(4):
+                    for l in range(4):
+                        if k == 0 and l == 0:
+                            continue
+                        if c[k, l] > 0:
+                            bits |= 1 << (k * 4 + l - 1)
+                rows.append((int(did), bits))
+            yield pd.DataFrame(rows, columns=["doc_id", "hash15"])
+
+    return docs.select(*cols).mapInPandas(gen, WHASH_SCHEMA)
+
+
 def _fake_decode(blob: bytes) -> tuple[int, int, float]:
     """Deterministic stand-in for an image header parse: md5-derived
     dims/luma.  Mirrored exactly by the SQL oracle."""
