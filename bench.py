@@ -472,6 +472,8 @@ HEADLINE = [
     "q459_allreduce_planning",
     "q460_whash_dedup",
     "q461_kv_cache_planning",
+    "q462_theil_sen",
+    "q463_shapley_attribution",
 ]
 
 
