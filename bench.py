@@ -474,6 +474,8 @@ HEADLINE = [
     "q461_kv_cache_planning",
     "q462_theil_sen",
     "q463_shapley_attribution",
+    "q464_pooled_testing",
+    "q465_bwt_runs",
 ]
 
 
