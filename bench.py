@@ -476,6 +476,8 @@ HEADLINE = [
     "q463_shapley_attribution",
     "q464_pooled_testing",
     "q465_bwt_runs",
+    "q466_d8_flow",
+    "q467_join_cardinality_audit",
 ]
 
 

@@ -841,6 +841,60 @@ def zt_pq_tiles(
     )
 
 
+# D8 neighbor table in PINNED priority order (first max wins):
+# E, SE, S, SW, W, NW, N, NE with ESRI codes 1,2,4,...,128.
+D8_NEIGHBORS = [
+    (1, 0, 1), (1, 1, 2), (0, 1, 4), (-1, 1, 8),
+    (-1, 0, 16), (-1, -1, 32), (0, -1, 64), (1, -1, 128),
+]
+
+
+def d8_flow_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """D8 steepest-descent flow direction (the hydrology primitive on
+    top of the gdaldem stencil family): each interior cell points at
+    the neighbor with the largest positive drop-per-distance, with
+    the sqrt(2) diagonal distance removed EXACTLY by comparing
+    2*d^2 (cardinal) vs d^2 (diagonal) — squared-slope
+    cross-multiplication, no float root; only positive drops
+    compete and cells with none are sinks/flats (code 0).  Ties
+    resolve to the FIRST direction in the pinned E,SE,S,SW,W,NW,N,NE
+    order via the integer argmax encoding max(key*8 + (7-i)) — the
+    same order-free map-side trick as the q415 struct argmin.
+    Returns (gx, gy, v=code) for interior cells."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def kern(padded: np.ndarray) -> np.ndarray:
+        ts = padded.shape[0] - 2
+        z = padded.astype(np.int64)
+        c = z[1:1 + ts, 1:1 + ts]
+        best = np.full(c.shape, -1, dtype=np.int64)
+        for i, (dx, dy, _code) in enumerate(D8_NEIGHBORS):
+            n = z[1 + dy:1 + dy + ts, 1 + dx:1 + dx + ts]
+            d = c - n
+            key = (2 - (dx != 0 and dy != 0)) * d * d
+            enc = np.where(d > 0, key * 8 + (7 - i), -1)
+            best = np.maximum(best, enc)
+        codes = np.zeros(c.shape, dtype=np.float64)
+        for i, (_dx, _dy, code) in enumerate(D8_NEIGHBORS):
+            codes = np.where((best >= 0) & (best % 8 == 7 - i),
+                             float(code), codes)
+        return codes
+
+    keep_all = lambda res: np.ones_like(res, dtype=bool)  # noqa: E731
+    out = _apply_focal(tiles, tile_size, 1, ntx, nty, kern, keep=keep_all)
+    interior = (
+        (F.col("gx") > 0) & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < height - 1)
+    )
+    return out.filter(interior)
+
+
 def hillshade_md_consts_values(altitude: float = 45.0):
     """The multidirectional constants (float64): s127 = 127 sin(alt),
     c225 = cos(225 deg) * cos(alt)/8 * 127, cz = 127 cos(alt)/8,
