@@ -478,6 +478,8 @@ HEADLINE = [
     "q465_bwt_runs",
     "q466_d8_flow",
     "q467_join_cardinality_audit",
+    "q468_reed_solomon_pq",
+    "q469_randomized_response",
 ]
 
 
