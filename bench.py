@@ -480,6 +480,8 @@ HEADLINE = [
     "q467_join_cardinality_audit",
     "q468_reed_solomon_pq",
     "q469_randomized_response",
+    "q470_token_bucket",
+    "q471_policy_replay",
 ]
 
 
