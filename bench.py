@@ -482,6 +482,8 @@ HEADLINE = [
     "q469_randomized_response",
     "q470_token_bucket",
     "q471_policy_replay",
+    "q472_boruvka_mst",
+    "q473_focal_majority",
 ]
 
 

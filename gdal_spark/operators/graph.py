@@ -149,6 +149,76 @@ def label_propagation(
     return labels
 
 
+def boruvka_mst(
+    edges: DataFrame, src: str = "src", dst: str = "dst", w: str = "w",
+    max_rounds: int = 16,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka rounds — the single-link
+    clustering backbone (dendrogram = MST edges by weight).  Each
+    round every component picks its minimum outgoing edge as a
+    map-side-combinable MIN over struct(w, u, v) — the total order on
+    (w, u, v) breaks weight ties by edge identity, which is exactly
+    the classical condition that keeps tied Borůvka acyclic — then
+    components merge by a connected-components pass over the
+    component graph (pointer jumping, O(log) rounds).  Component
+    count at least halves per round, so rounds <= log2(n).
+
+    Returns the MST edge set (u, v, w) with u < v."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+            F.col(w).alias("w"),
+        )
+        .filter("u <> v")
+        .distinct()
+        .localCheckpoint()
+    )
+    comp = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("c", F.col("node"))
+        .localCheckpoint()
+    )
+    spark = edges.sparkSession
+    mst = spark.createDataFrame([], "u long, v long, w long")
+    for _ in range(max_rounds):
+        g = (
+            e.join(comp.selectExpr("node AS u", "c AS cu"), "u")
+            .join(comp.selectExpr("node AS v", "c AS cv"), "v")
+            .filter("cu <> cv")
+            .persist()
+        )
+        sel = F.struct("w", "u", "v").alias("s")
+        pick = (
+            g.select(F.col("cu").alias("cc"), sel)
+            .unionByName(g.select(F.col("cv").alias("cc"), sel))
+            .groupBy("cc")
+            .agg(F.min("s").alias("s"))
+            .select("s.u", "s.v", "s.w")
+            .distinct()
+            .localCheckpoint()
+        )
+        g.unpersist()
+        if pick.isEmpty():
+            break
+        mst = mst.unionByName(pick).localCheckpoint()
+        cedges = (
+            pick.join(comp.selectExpr("node AS u", "c AS cu"), "u")
+            .join(comp.selectExpr("node AS v", "c AS cv"), "v")
+            .selectExpr("cu AS src", "cv AS dst")
+        )
+        cc = connected_components(cedges)
+        comp = (
+            comp.join(cc.selectExpr("node AS c", "component"), "c", "left")
+            .select("node",
+                    F.coalesce("component", F.col("c")).alias("c"))
+            .localCheckpoint()
+        )
+    return mst
+
+
 def shortest_paths(
     edges: DataFrame,
     source: int,
