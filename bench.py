@@ -484,6 +484,8 @@ HEADLINE = [
     "q471_policy_replay",
     "q472_boruvka_mst",
     "q473_focal_majority",
+    "q474_kneser_ney",
+    "q475_nms_detections",
 ]
 
 
