@@ -486,6 +486,8 @@ HEADLINE = [
     "q473_focal_majority",
     "q474_kneser_ney",
     "q475_nms_detections",
+    "q476_rank_select",
+    "q477_loo_influence",
 ]
 
 
