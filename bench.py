@@ -488,6 +488,7 @@ HEADLINE = [
     "q475_nms_detections",
     "q476_rank_select",
     "q477_loo_influence",
+    "q479_littles_law",
 ]
 
 

@@ -136,3 +136,101 @@ def stream_sessionize(
             F.max("n_events").alias("n_events"),
         )
     )
+
+
+TB_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.LongType()),
+        T.StructField("rn", T.LongType()),
+        T.StructField("gap", T.LongType()),
+        T.StructField("avail", T.LongType()),
+        T.StructField("admit", T.LongType()),
+        T.StructField("tok", T.LongType()),
+    ]
+)
+
+TB_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_es", T.LongType()),
+        T.StructField("tok", T.LongType()),
+        T.StructField("rn", T.LongType()),
+    ]
+)
+
+
+def stream_token_bucket(
+    spark: SparkSession,
+    events_path: str,
+    cap: int = 90000,
+    cost: int = 18000,
+    n_files: int = 3,
+) -> DataFrame:
+    """The q470 token-bucket admission recurrence as a REAL
+    Structured Streaming stateful operator: per-host state
+    (last event second, residual token-seconds, row counter) carried
+    across ``n_files`` time-ordered micro-batches via
+    ``applyInPandasWithState`` — the second arbitrary-stateful
+    streaming op after sessionize, and the one whose per-event
+    DECISIONS (not just rollups) must replay exactly: every emitted
+    (host, rn) row carries the admit bit and the residual bucket,
+    and the drained union over batches must equal the batch
+    recurrence row-for-row.  Update-mode memory sink; each event row
+    is yielded exactly once by its batch, so the sink union IS the
+    full decision log."""
+    src_dir = _stage_time_split(spark, events_path, n_files)
+    schema = spark.read.parquet(events_path).schema
+    name = "stream_tb_" + uuid.uuid4().hex[:8]
+    ckpt = tempfile.mkdtemp(prefix="gdal_spark_ckpt_")
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (host,) = key
+        if state.exists:
+            last_es, tok, rn = state.get
+        else:
+            last_es, tok, rn = None, 0, 0
+        out = {k: [] for k in ("host", "rn", "gap", "avail", "admit",
+                               "tok")}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            es = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+            for e in es:
+                rn += 1
+                if last_es is None:
+                    gap, avail = 0, cap
+                else:
+                    gap = int(e - last_es)
+                    avail = min(cap, tok + gap)
+                admit = 1 if avail >= cost else 0
+                tok = avail - cost * admit
+                last_es = int(e)
+                out["host"].append(int(host))
+                out["rn"].append(rn)
+                out["gap"].append(gap)
+                out["avail"].append(avail)
+                out["admit"].append(admit)
+                out["tok"].append(tok)
+        state.update((last_es, tok, rn))
+        yield pd.DataFrame(out)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select((F.col("user_id") % 5).alias("host"),
+                F.col("ts").cast("timestamp").alias("ts"), "event_id")
+        .groupBy("host")
+        .applyInPandasWithState(
+            fold, TB_OUT_SCHEMA, TB_STATE_SCHEMA, "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
