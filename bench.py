@@ -489,6 +489,8 @@ HEADLINE = [
     "q476_rank_select",
     "q477_loo_influence",
     "q479_littles_law",
+    "q480_isotonic_calibration",
+    "q481_mm1_sizing",
 ]
 
 
