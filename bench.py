@@ -491,6 +491,8 @@ HEADLINE = [
     "q479_littles_law",
     "q480_isotonic_calibration",
     "q481_mm1_sizing",
+    "q482_mvt_polygon_encode",
+    "q483_curvature_landforms",
 ]
 
 

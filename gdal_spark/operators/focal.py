@@ -841,6 +841,51 @@ def zt_pq_tiles(
     )
 
 
+def zt_curvature_tiles(
+    tiles: DataFrame,
+    tile_size: int,
+    width: int,
+    height: int,
+) -> DataFrame:
+    """Zevenbergen–Thorne SECOND derivatives as (gx, gy, r, t, s):
+    r = E + W − 2C (x-curvature), t = N + S − 2C (y-curvature),
+    s = NE − NW − SE + SW (cross term, ×4 scaling folded into the
+    caller's contract) — the quadratic-surface coefficients the ZT
+    paper fits, kept EXACT INTEGER on integer DEMs.  Interior
+    pixels only; same halo front end as :func:`horn_pq_tiles`."""
+    ntx = (width + tile_size - 1) // tile_size
+    nty = (height + tile_size - 1) // tile_size
+
+    def mk(which):
+        def kern(padded: np.ndarray) -> np.ndarray:
+            ts = padded.shape[0] - 2
+            z = padded.astype(np.int64)
+            c, lo, hi = slice(1, 1 + ts), slice(0, ts), slice(2, 2 + ts)
+            if which == "r":
+                out = z[c, hi] + z[c, lo] - 2 * z[c, c]
+            elif which == "t":
+                out = z[hi, c] + z[lo, c] - 2 * z[c, c]
+            else:
+                out = z[lo, hi] - z[lo, lo] - z[hi, hi] + z[hi, lo]
+            return out.astype(np.float64)
+        return kern
+
+    keep_all = lambda res: np.ones_like(res, dtype=bool)  # noqa: E731
+    parts = {}
+    for which in ("r", "t", "s"):
+        parts[which] = _apply_focal(
+            tiles, tile_size, 1, ntx, nty, mk(which), keep=keep_all
+        ).withColumnRenamed("v", which)
+    interior = (
+        (F.col("gx") > 0) & (F.col("gx") < width - 1)
+        & (F.col("gy") > 0) & (F.col("gy") < height - 1)
+    )
+    out = parts["r"].filter(interior)
+    for which in ("t", "s"):
+        out = out.join(parts[which].filter(interior), ["gx", "gy"])
+    return out
+
+
 # D8 neighbor table in PINNED priority order (first max wins):
 # E, SE, S, SW, W, NW, N, NE with ESRI codes 1,2,4,...,128.
 D8_NEIGHBORS = [
