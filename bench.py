@@ -493,6 +493,8 @@ HEADLINE = [
     "q481_mm1_sizing",
     "q482_mvt_polygon_encode",
     "q483_curvature_landforms",
+    "q484_fm_locate",
+    "q485_btree_height",
 ]
 
 
