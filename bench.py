@@ -495,6 +495,8 @@ HEADLINE = [
     "q483_curvature_landforms",
     "q484_fm_locate",
     "q485_btree_height",
+    "q486_sax_motifs",
+    "q487_trimmed_stats",
 ]
 
 
