@@ -497,6 +497,8 @@ HEADLINE = [
     "q485_btree_height",
     "q486_sax_motifs",
     "q487_trimmed_stats",
+    "q488_second_price_auction",
+    "q489_slo_burn_alerts",
 ]
 
 
