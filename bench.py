@@ -499,6 +499,8 @@ HEADLINE = [
     "q487_trimmed_stats",
     "q488_second_price_auction",
     "q489_slo_burn_alerts",
+    "q490_drf_allocation",
+    "q491_abr_ladder",
 ]
 
 
