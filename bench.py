@@ -501,6 +501,8 @@ HEADLINE = [
     "q489_slo_burn_alerts",
     "q490_drf_allocation",
     "q491_abr_ladder",
+    "q492_gallop_vs_merge",
+    "q493_critical_path",
 ]
 
 
