@@ -503,6 +503,8 @@ HEADLINE = [
     "q491_abr_ladder",
     "q492_gallop_vs_merge",
     "q493_critical_path",
+    "q494_utm_zone_select",
+    "q495_feature_hashing",
 ]
 
 
