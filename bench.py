@@ -505,6 +505,8 @@ HEADLINE = [
     "q493_critical_path",
     "q494_utm_zone_select",
     "q495_feature_hashing",
+    "q496_theta_sketch",
+    "q497_rank_biased_overlap",
 ]
 
 
