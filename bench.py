@@ -507,6 +507,8 @@ HEADLINE = [
     "q495_feature_hashing",
     "q496_theta_sketch",
     "q497_rank_biased_overlap",
+    "q498_frecency_hotset",
+    "q499_median_ci",
 ]
 
 
