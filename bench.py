@@ -509,6 +509,7 @@ HEADLINE = [
     "q497_rank_biased_overlap",
     "q498_frecency_hotset",
     "q499_median_ci",
+    "q500_geoweb_pipeline",
 ]
 
 
