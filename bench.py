@@ -510,6 +510,8 @@ HEADLINE = [
     "q498_frecency_hotset",
     "q499_median_ci",
     "q500_geoweb_pipeline",
+    "q501_morans_i",
+    "q502_ripleys_k",
 ]
 
 
