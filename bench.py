@@ -512,6 +512,9 @@ HEADLINE = [
     "q500_geoweb_pipeline",
     "q501_morans_i",
     "q502_ripleys_k",
+    "q503_getis_ord_gistar",
+    "q504_gearys_c",
+    "q505_lisa_quadrants",
 ]
 
 
