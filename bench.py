@@ -515,6 +515,9 @@ HEADLINE = [
     "q503_getis_ord_gistar",
     "q504_gearys_c",
     "q505_lisa_quadrants",
+    "q506_join_counts",
+    "q507_semivariogram",
+    "q508_quadrat_vmr",
 ]
 
 
