@@ -518,6 +518,9 @@ HEADLINE = [
     "q506_join_counts",
     "q507_semivariogram",
     "q508_quadrat_vmr",
+    "q509_dbscan",
+    "q510_knox_spacetime",
+    "q511_mann_kendall_hotspots",
 ]
 
 
