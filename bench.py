@@ -521,6 +521,9 @@ HEADLINE = [
     "q509_dbscan",
     "q510_knox_spacetime",
     "q511_mann_kendall_hotspots",
+    "q512_clark_evans_nn",
+    "q513_proximity_graphs",
+    "q514_huff_market_areas",
 ]
 
 
