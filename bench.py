@@ -524,6 +524,9 @@ HEADLINE = [
     "q512_clark_evans_nn",
     "q513_proximity_graphs",
     "q514_huff_market_areas",
+    "q515_change_vector_analysis",
+    "q516_max_ndvi_composite",
+    "q517_cost_distance",
 ]
 
 
