@@ -527,6 +527,8 @@ HEADLINE = [
     "q515_change_vector_analysis",
     "q516_max_ndvi_composite",
     "q517_cost_distance",
+    "q518_areal_interpolation",
+    "q519_d8_flow_accumulation",
 ]
 
 
