@@ -529,6 +529,8 @@ HEADLINE = [
     "q517_cost_distance",
     "q518_areal_interpolation",
     "q519_d8_flow_accumulation",
+    "q520_strahler_order",
+    "q521_watershed_basins",
 ]
 
 
