@@ -531,6 +531,7 @@ HEADLINE = [
     "q519_d8_flow_accumulation",
     "q520_strahler_order",
     "q521_watershed_basins",
+    "q522_hmm_map_matching",
 ]
 
 
