@@ -532,6 +532,9 @@ HEADLINE = [
     "q520_strahler_order",
     "q521_watershed_basins",
     "q522_hmm_map_matching",
+    "q523_cross_k_bivariate",
+    "q524_colocation_mining",
+    "q525_discrete_frechet",
 ]
 
 
