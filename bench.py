@@ -535,6 +535,9 @@ HEADLINE = [
     "q523_cross_k_bivariate",
     "q524_colocation_mining",
     "q525_discrete_frechet",
+    "q526_quantile_sketch_merge",
+    "q527_label_placement_mis",
+    "q528_chaikin_smoothing",
 ]
 
 
