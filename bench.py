@@ -538,6 +538,9 @@ HEADLINE = [
     "q526_quantile_sketch_merge",
     "q527_label_placement_mis",
     "q528_chaikin_smoothing",
+    "q529_str_rtree_packing",
+    "q530_axis_order_audit",
+    "q531_mvcc_visibility",
 ]
 
 
