@@ -541,6 +541,9 @@ HEADLINE = [
     "q529_str_rtree_packing",
     "q530_axis_order_audit",
     "q531_mvcc_visibility",
+    "q532_allen_interval_algebra",
+    "q533_voptimal_histogram",
+    "q534_kalman_filter",
 ]
 
 
