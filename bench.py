@@ -544,6 +544,9 @@ HEADLINE = [
     "q532_allen_interval_algebra",
     "q533_voptimal_histogram",
     "q534_kalman_filter",
+    "q535_spatial_scan",
+    "q536_interval_stabbing",
+    "q537_systematic_pps",
 ]
 
 
