@@ -547,6 +547,8 @@ HEADLINE = [
     "q535_spatial_scan",
     "q536_interval_stabbing",
     "q537_systematic_pps",
+    "q538_union_of_rectangles",
+    "q539_antialiased_coverage",
 ]
 
 
