@@ -549,6 +549,8 @@ HEADLINE = [
     "q537_systematic_pps",
     "q538_union_of_rectangles",
     "q539_antialiased_coverage",
+    "q540_bresenham_closed_form",
+    "q541_integral_image",
 ]
 
 
