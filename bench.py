@@ -551,6 +551,8 @@ HEADLINE = [
     "q539_antialiased_coverage",
     "q540_bresenham_closed_form",
     "q541_integral_image",
+    "q542_rotating_calipers",
+    "q543_min_enclosing_circle",
 ]
 
 
