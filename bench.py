@@ -553,6 +553,8 @@ HEADLINE = [
     "q541_integral_image",
     "q542_rotating_calipers",
     "q543_min_enclosing_circle",
+    "q544_otsu_threshold",
+    "q545_bayer_ordered_dither",
 ]
 
 
