@@ -555,6 +555,8 @@ HEADLINE = [
     "q543_min_enclosing_circle",
     "q544_otsu_threshold",
     "q545_bayer_ordered_dither",
+    "q546_binary_morphology",
+    "q547_hough_line_detection",
 ]
 
 
