@@ -557,6 +557,8 @@ HEADLINE = [
     "q545_bayer_ordered_dither",
     "q546_binary_morphology",
     "q547_hough_line_detection",
+    "q548_max_empty_rectangle",
+    "q549_stress_centrality",
 ]
 
 
