@@ -219,6 +219,69 @@ def boruvka_mst(
     return mst
 
 
+def boruvka_mst_auto(
+    edges: DataFrame, src: str = "src", dst: str = "dst", w: str = "w",
+    threshold: int = 200_000, max_rounds: int = 16,
+) -> DataFrame:
+    """Size-gated Borůvka — the ``shortest_paths_auto`` judgment
+    applied to MST: a graph whose edge table fits the driver replays
+    the IDENTICAL round recurrence (per component, min outgoing edge
+    under the (w, u, v) total order; merge; repeat) in local dicts —
+    the emitted edge SET is label-convention-independent, so both
+    paths return the same forest by construction (pinned by
+    tests/test_graph_parity.py).  Larger graphs run the distributed
+    rounds.  Tiny dendrogram fixtures stop paying ~8 s of per-round
+    checkpoint + CC-pass latency."""
+    edges = edges.persist()
+    n = edges.limit(threshold + 1).count()
+    if n > threshold:
+        out = boruvka_mst(edges, src=src, dst=dst, w=w,
+                          max_rounds=max_rounds)
+        edges.unpersist()
+        return out
+    spark = edges.sparkSession
+    raw = [(r[src], r[dst], r[w]) for r in edges.collect()]
+    edges.unpersist()
+    e = sorted({(min(a, b), max(a, b), ww)
+                for a, b, ww in raw if a != b})
+    comp = {}
+    for u, v, _w in e:
+        comp[u] = u
+        comp[v] = v
+    mst: set = set()
+    for _ in range(max_rounds):
+        best: dict = {}
+        for u, v, ww in e:
+            cu, cv = comp[u], comp[v]
+            if cu == cv:
+                continue
+            s = (ww, u, v)
+            if cu not in best or s < best[cu]:
+                best[cu] = s
+            if cv not in best or s < best[cv]:
+                best[cv] = s
+        picks = set(best.values())
+        if not picks:
+            break
+        mst |= picks
+        parent = {c: c for c in set(comp.values())}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for ww, u, v in picks:
+            a, b = find(comp[u]), find(comp[v])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp = {nd: find(c) for nd, c in comp.items()}
+    return local_df(
+        spark, sorted((u, v, ww) for ww, u, v in mst),
+        "u long, v long, w long")
+
+
 def shortest_paths(
     edges: DataFrame,
     source: int,
