@@ -132,10 +132,15 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
     # tiny inputs are driver-latency-bound: don't fan 32 near-empty
     # tasks per round (CLAUDE.md round-2 invariant)
     parts = max(2, min(parts, n // 512 + 1))
+    # bucket by DIVIDE-FIRST (key // ceil(bound/parts)), never
+    # key * parts / bound: after a fold m can sit just under 2^62,
+    # and rnk * parts then overflows BIGINT (ANSI multiplyExact
+    # abort — first reproduced at 36k chars by the sf1 scale run;
+    # the q308 ascii-overflow lesson at rank scale)
     ords, k = _dense_ordinals(
         chars.select(F.col("pos"), F.ascii("ch").alias("c0")),
         ["c0"], "rnk",
-        F.floor(F.col("c0") * parts / 256), parts,
+        F.floor(F.col("c0") / ((256 + parts - 1) // parts)), parts,
     )
     r = (
         chars.select("pos", F.ascii("ch").alias("c0"))
@@ -179,7 +184,7 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
             # composite values are in [m, m*m): bucket monotonically
             ords, k = _dense_ordinals(
                 j, ["rnk", "rnk2"], "newrnk",
-                F.floor(F.col("rnk") * parts / m), parts,
+                F.floor(F.col("rnk") / ((m + parts - 1) // parts)), parts,
             )
             nxt = (
                 j.join(ords, ["rnk", "rnk2"])
@@ -194,7 +199,7 @@ def suffix_array(chars: DataFrame, n: int, parts: int = 32,
     # final compression to dense 1..n ranks (also the convergence check)
     ords, k = _dense_ordinals(
         r.select("pos", "rnk", F.lit(0).alias("rnk2")), ["rnk", "rnk2"],
-        "newrnk", F.floor(F.col("rnk") * parts / m), parts,
+        "newrnk", F.floor(F.col("rnk") / ((m + parts - 1) // parts)), parts,
     )
     r = (
         r.join(ords.select("rnk", "newrnk"), "rnk")
