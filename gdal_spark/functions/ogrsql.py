@@ -46,6 +46,25 @@ def execute_sql(
     register_st_functions(spark)
     for name, df in (layers or {}).items():
         df.createOrReplaceTempView(name)
+    # OGR_STYLE pseudo-column (ogr/ogr_p.h:168-175 SPF_OGR_STYLE;
+    # OGRFeature::GetStyleString): the layer's style string when the
+    # layer carries one, NULL otherwise — resolved against the
+    # registered layers, and aliased back to OGR_STYLE when it stands
+    # bare in a select list so the output schema matches the reference
+    style_expr = (
+        "style" if any("style" in df.columns
+                       for df in (layers or {}).values())
+        else "CAST(NULL AS STRING)")
+
+    def _style_sub(m):  # one pass — two chained subs would rewrite
+        # the alias the first one just inserted
+        tail = m.group(1) or ""
+        if tail:
+            return f"{style_expr} AS OGR_STYLE{tail}"
+        return style_expr
+
+    sql = re.sub(r"\bOGR_STYLE\b(\s*(?:,|FROM\b))?", _style_sub, sql,
+                 flags=re.I)
     for pat, repl in _REWRITES:
         sql = pat.sub(repl, sql)
     return spark.sql(sql)

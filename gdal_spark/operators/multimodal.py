@@ -112,6 +112,54 @@ def _fake_decode(blob: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+def _real_decode(blob: bytes) -> tuple[int, int, float]:
+    """PIL-backed header decode: (width, height, grayscale mean/255).
+
+    The genuine seam — raises ``NotImplementedError`` when PIL is
+    absent (this container), and is exercised against a test-double
+    PIL by tests/test_multimodal_seam.py so the branch shape cannot
+    rot while the library is missing."""
+    try:
+        from PIL import Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not available in "
+            "this environment; use decode='fake' for the deterministic stub"
+        ) from exc
+    import io
+
+    img = Image.open(io.BytesIO(blob))
+    w, h = img.size
+    gray = np.asarray(img.convert("L"), dtype=np.float64)
+    return int(w), int(h), float(gray.mean() / 255.0)
+
+
+def _image_meta_batches(pdf_iter, decoder, id_col="doc_id",
+                        content_col="content"):
+    """The extract_image_meta batch loop, decoder-parameterized and
+    module-level so the real-decode path is directly testable with a
+    PIL test double (Spark executors are separate processes — a
+    sys.modules monkeypatch cannot reach them, the loop itself can
+    be driven in-process)."""
+    for pdf in pdf_iter:
+        metas = [decoder(bytes(b)) for b in pdf[content_col]]
+        w, h, l = (
+            np.array([m[0] for m in metas], dtype=np.int64),
+            np.array([m[1] for m in metas], dtype=np.int64),
+            np.array([m[2] for m in metas]),
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf[id_col].to_numpy(np.int64),
+                "n_bytes": pdf[content_col].map(
+                    lambda b: len(bytes(b))).to_numpy(np.int64),
+                "width": w,
+                "height": h,
+                "mean_luma": l,
+            }
+        )
+
+
 def extract_image_meta(
     docs: DataFrame, content_col: str = "content", id_col: str = "doc_id",
     decode: str = "fake",
@@ -129,24 +177,11 @@ def extract_image_meta(
                 "real image decode requires PIL, which is not available in "
                 "this environment; use decode='fake' for the deterministic stub"
             ) from exc
+    decoder = _real_decode if decode == "real" else _fake_decode
 
     def gen(pdf_iter):
-        for pdf in pdf_iter:
-            metas = [_fake_decode(bytes(b)) for b in pdf[content_col]]
-            w, h, l = (
-                np.array([m[0] for m in metas], dtype=np.int64),
-                np.array([m[1] for m in metas], dtype=np.int64),
-                np.array([m[2] for m in metas]),
-            )
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col].to_numpy(np.int64),
-                    "n_bytes": pdf[content_col].map(lambda b: len(bytes(b))).to_numpy(np.int64),
-                    "width": w,
-                    "height": h,
-                    "mean_luma": l,
-                }
-            )
+        yield from _image_meta_batches(pdf_iter, decoder, id_col,
+                                       content_col)
 
     return docs.select(id_col, content_col).mapInPandas(gen, IMAGE_META_SCHEMA)
 

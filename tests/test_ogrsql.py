@@ -165,3 +165,37 @@ def test_hstore_get_value_rewrite(spark):
         layers={"t": df},
     ).toPandas()
     assert list(out["color"].str.strip()) == ["red", "blue"]
+
+
+def test_ogr_style_null_without_style_column(spark, poly):
+    """OGR_STYLE pseudo-column (ogr/ogr_p.h:168-175): a layer with no
+    style strings reads NULL, named OGR_STYLE in the schema — the
+    GetStyleString() unset case."""
+    df, _ = poly
+    got = execute_sql(
+        spark,
+        "SELECT eas_id, OGR_STYLE FROM poly WHERE eas_id = 158",
+        layers={"poly": df},
+    ).toPandas()
+    assert list(got.columns) == ["eas_id", "OGR_STYLE"]
+    assert got["OGR_STYLE"].isna().all()
+
+
+def test_ogr_style_passthrough_and_filter(spark, poly):
+    """With a style column present, OGR_STYLE reads it — including in
+    WHERE (the pseudo-column is a real expression, not select-only)."""
+    df, _ = poly
+    styled = df.selectExpr(
+        "*",
+        "CASE WHEN eas_id % 2 = 0 THEN 'PEN(c:#FF0000)' END AS style",
+    )
+    got = execute_sql(
+        spark,
+        "SELECT eas_id, OGR_STYLE FROM poly "
+        "WHERE OGR_STYLE IS NOT NULL ORDER BY eas_id",
+        layers={"poly": styled},
+    ).toPandas()
+    assert list(got.columns) == ["eas_id", "OGR_STYLE"]
+    assert (got["OGR_STYLE"] == "PEN(c:#FF0000)").all()
+    assert got["eas_id"].tolist() == sorted(
+        e for _a, e, _p in POLY_RECORDS if e % 2 == 0)
