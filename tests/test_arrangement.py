@@ -136,6 +136,10 @@ PINNED_GH_SEEDS = [
     # (2617 exercised, 0 failures); a spread of them pins the result
     150, 307, 512, 891, 1024, 1337, 1600, 1881, 2048, 2222,
     2500, 2718, 2801, 2900, 2999,
+    # round-5: 3000-seed offline sweep of 10000-12999 ran clean
+    # (2616 exercised, 0 failures); a spread pins the range
+    10000, 10101, 10500, 10937, 11111, 11500, 11807, 12000,
+    12345, 12500, 12721, 12999,
 ]
 
 
