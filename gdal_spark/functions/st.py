@@ -666,6 +666,28 @@ def st_linearize(wkb: pd.Series, max_angle: pd.Series) -> pd.Series:
     )
 
 
+def gridshift_columns(grids_blob: bytes):
+    """Column factory: an NTv2 blob (broadcast-sized — real .gsb
+    files are a few MB) becomes a pandas UDF (lon, lat degrees,
+    east-positive) -> struct(dlat_sec, dlon_sec) of bilinear datum
+    shifts; NaN outside every subgrid.  The PROJ +nadgrids surface
+    (ogr/ogrct.cpp:665, container-blocked there) with the grid I/O
+    and interpolation done in-repo — kernels/gridshift.py."""
+    from gdal_spark.kernels.gridshift import parse_ntv2, shift_points
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("dlat_sec", T.DoubleType()),
+        T.StructField("dlon_sec", T.DoubleType()),
+    ]))
+    def _shift(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        grids = parse_ntv2(grids_blob)
+        dlat, dlon = shift_points(
+            grids, lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.DataFrame({"dlat_sec": dlat, "dlon_sec": dlon})
+
+    return _shift
+
+
 @F.pandas_udf(T.DoubleType())
 def st_geodesic_length(wkb: pd.Series) -> pd.Series:
     """Ellipsoidal (WGS84) length in meters — the surface of
