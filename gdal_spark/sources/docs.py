@@ -106,24 +106,30 @@ def write_scale_dir(path: str, n_docs: int, n_vecs: int,
                     chunk: int = 20_000) -> str:
     """Materialize {path}/documents.parquet + embeddings.parquet.
 
-    Idempotent: skips generation when both files exist with the
-    requested row counts (a marker file records them)."""
-    marker = os.path.join(path, f".synth_v2_{n_docs}_{n_vecs}")
+    Each table is a DIRECTORY of part files (one per ``chunk``), not
+    a single parquet: a lone 30 MB file is ONE scan partition under
+    maxPartitionBytes, and the whole dedup tier then runs serial no
+    matter how many cores attend — measured: 8 and 32 cores IDENTICAL
+    at 200k docs until the split.  A real 100-TB table is thousands
+    of files; the probe's layout must match or the scaling numbers
+    measure the file count, not the engine.
+
+    Idempotent: a marker file records the materialized shape."""
+    marker = os.path.join(path, f".synth_v3_{n_docs}_{n_vecs}")
     if os.path.exists(marker):
         return path
-    os.makedirs(path, exist_ok=True)
-    docs = pd.concat(
-        [synth_documents_pdf(s, min(chunk, n_docs - s))
-         for s in range(0, n_docs, chunk)],
-        ignore_index=True,
-    )
-    docs.to_parquet(os.path.join(path, "documents.parquet"), index=False)
-    emb = pd.concat(
-        [synth_embeddings_pdf(s, min(chunk, n_vecs - s))
-         for s in range(0, n_vecs, chunk)],
-        ignore_index=True,
-    )
-    emb.to_parquet(os.path.join(path, "embeddings.parquet"), index=False)
+    for sub, n, gen in (("documents.parquet", n_docs,
+                         synth_documents_pdf),
+                        ("embeddings.parquet", n_vecs,
+                         synth_embeddings_pdf)):
+        d = os.path.join(path, sub)
+        os.makedirs(d, exist_ok=True)
+        # ~32 parts per table (floor 2500 rows) — one scan task per
+        # core on the bench host, thousands-of-files-like at 100 TB
+        ch = min(chunk, max(2_500, -(-n // 32)))
+        for k, s in enumerate(range(0, n, ch)):
+            gen(s, min(ch, n - s)).to_parquet(
+                os.path.join(d, f"part-{k:04d}.parquet"), index=False)
     with open(marker, "w") as f:
         f.write("ok\n")
     return path
