@@ -78,3 +78,41 @@ def test_crosses_through_interior_vertex_of_one():
     a = [[0, 0], [2, 2], [4, 0]]
     b = [[2, 0], [2, 4]]
     assert _r(a, b) == "crosses"
+
+
+# --- property: relation symmetry under argument swap --------------------------
+
+
+def _rand_polyline(seed, npts):
+    """Deterministic integer polyline from a splitmix-style hash."""
+    pts = []
+    x = y = 0
+    s = seed
+    for _ in range(npts):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        x += (s >> 5) % 7 - 3
+        y += (s >> 11) % 7 - 3
+        if not pts or pts[-1] != [x, y]:
+            pts.append([x, y])
+    return pts if len(pts) >= 2 else [[0, 0], [1, 0]]
+
+
+def test_swap_symmetry_sweep():
+    """equals/crosses/overlaps/touches/disjoint are symmetric;
+    contains and within swap into each other — over 200 random
+    integer polyline pairs (including forced-overlap cases)."""
+    swap = {"contains": "within", "within": "contains"}
+    classes = set()
+    for seed in range(200):
+        a = _rand_polyline(seed, 4)
+        b = _rand_polyline(seed + 991, 4)
+        if seed % 5 == 0:
+            # force shared geometry so overlap/containment classes
+            # actually occur in the sweep
+            b = a[1:] + [[a[-1][0] + 2, a[-1][1]]]
+        ra = _r(a, b)
+        rb = _r(b, a)
+        assert rb == swap.get(ra, ra), (seed, ra, rb)
+        classes.add(ra)
+    # the sweep must genuinely exercise multiple relation classes
+    assert len(classes) >= 4, classes
