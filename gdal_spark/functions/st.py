@@ -688,6 +688,29 @@ def gridshift_columns(grids_blob: bytes):
     return _shift
 
 
+def gridshift_inverse_columns(grids_blob: bytes):
+    """Inverse companion of :func:`gridshift_columns`: (lon, lat)
+    TARGET degrees -> struct(lon_src, lat_src) by the fixed-point
+    iteration PROJ uses for reverse grid-shift transforms
+    (kernels/gridshift.py::shift_points_inverse)."""
+    from gdal_spark.kernels.gridshift import (
+        parse_ntv2,
+        shift_points_inverse,
+    )
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("lon_src", T.DoubleType()),
+        T.StructField("lat_src", T.DoubleType()),
+    ]))
+    def _inv(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        grids = parse_ntv2(grids_blob)
+        lon_s, lat_s = shift_points_inverse(
+            grids, lon.to_numpy(np.float64), lat.to_numpy(np.float64))
+        return pd.DataFrame({"lon_src": lon_s, "lat_src": lat_s})
+
+    return _inv
+
+
 @F.pandas_udf(T.DoubleType())
 def st_geodesic_length(wkb: pd.Series) -> pd.Series:
     """Ellipsoidal (WGS84) length in meters — the surface of

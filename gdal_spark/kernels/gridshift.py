@@ -26,7 +26,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-__all__ = ["SubGrid", "write_ntv2", "parse_ntv2", "shift_points"]
+__all__ = ["SubGrid", "write_ntv2", "parse_ntv2", "shift_points",
+           "shift_points_inverse"]
 
 
 @dataclass
@@ -187,3 +188,24 @@ def shift_points(grids: list[SubGrid], lon_deg: np.ndarray,
                       + fx * w[iy + 1, ix + 1]))
         dlon[i] = -dl  # west-positive seconds -> east-positive
     return dlat, dlon
+
+
+def shift_points_inverse(grids: list[SubGrid], lon_deg: np.ndarray,
+                         lat_deg: np.ndarray, iters: int = 6):
+    """Inverse NTv2 transform by fixed-point iteration — the reverse
+    direction PROJ implements the same way (the grid stores the
+    FORWARD shift, so the source coordinate solves
+    x = target - shift(x)): start at the target, re-sample the shift
+    at the current estimate, repeat.  Shift gradients are tiny
+    (arc-seconds per degree), so the residual contracts by ~|grad|
+    per round; ``iters=6`` puts it far below 1e-9 degrees.  Returns
+    (lon_src, lat_src), NaN where any iterate leaves every
+    subgrid."""
+    lon = np.asarray(lon_deg, dtype=np.float64).copy()
+    lat = np.asarray(lat_deg, dtype=np.float64).copy()
+    tl, tp = lon.copy(), lat.copy()
+    for _ in range(iters):
+        dlat, dlon = shift_points(grids, lon, lat)
+        lon = tl - dlon / 3600.0
+        lat = tp - dlat / 3600.0
+    return lon, lat

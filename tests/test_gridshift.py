@@ -89,3 +89,17 @@ def test_spark_udf_surface(spark):
     assert rows[1]["s"]["dlat_sec"] == 0.75 * v0 + 0.25 * v1
     assert rows[2]["s"]["dlat_sec"] is None or np.isnan(
         rows[2]["s"]["dlat_sec"])
+
+
+def test_inverse_roundtrip():
+    from gdal_spark.kernels.gridshift import shift_points_inverse
+
+    grids = parse_ntv2(write_ntv2([_grid()]))
+    lon = np.array([1.25, 4.5, 7.75, 3.0])
+    lat = np.array([2.0, 6.25, 8.5, 1.75])
+    dlat, dlon = shift_points(grids, lon, lat)
+    lon_f = lon + dlon / 3600.0
+    lat_f = lat + dlat / 3600.0
+    lon_b, lat_b = shift_points_inverse(grids, lon_f, lat_f)
+    assert np.max(np.abs(lon_b - lon)) < 1e-9
+    assert np.max(np.abs(lat_b - lat)) < 1e-9
